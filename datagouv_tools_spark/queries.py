@@ -1,0 +1,529 @@
+"""The engine's declared query surface (SURVEY.md §2.6 + analytics ops).
+
+Each query is a named callable ``(spark, sf_dir) -> DataFrame`` written
+with the DataFrame API (so Catalyst plans it), paired with an ANSI-SQL
+oracle string that DuckDB runs on the same parquet tables. The driver
+hash-compares both at sf=0.01.
+
+Determinism conventions (the whole file follows these):
+
+- **Float aggregates go through exact decimal arithmetic** on BOTH sides
+  (`CAST(x AS DECIMAL(18,4))`, multiply/sum in decimal, `ROUND(.., k)`,
+  then cast to double). Summing doubles is order-dependent across Spark
+  partitions vs DuckDB's scan order; decimal sums are exact, so both
+  engines produce bit-identical doubles after the final cast.
+- Every computed column is aliased identically in the DataFrame code and
+  the SQL.
+- Every ranking/limit has a total tie-break key, so top-k sets are unique.
+- Rounded similarity scores are ranked AFTER rounding, with an id
+  tie-break, so ULP-level differences cannot reorder results.
+
+Scale notes are attached per query: which side is broadcast, where the
+shuffles are, and why the plan survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datagouv_tools_spark.sources.catalog import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+DEC = "decimal(18,4)"
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a query (and its DuckDB oracle) under ``name``."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def dec(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(DEC)
+
+
+def dround(c: Column, scale: int = 2) -> Column:
+    """Round an exact decimal and surface it as double (both engines agree)."""
+    return F.round(c, scale).cast("double")
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Relational core (scan / filter / project / agg / join / window / set ops)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_charge,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 analog: scan → filter → partial-agg → final agg.
+
+    Scale: single shuffle on a tiny (flag, status) key domain; map-side
+    partial aggregation reduces 100 TB of lineitem to a handful of rows
+    per task before the exchange. Filter + 6-column projection push into
+    the parquet scan.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast(DEC)
+    disc_price = dec("l_extendedprice") * (one - dec("l_discount"))
+    charge = disc_price * (one + dec("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-01 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dround(F.sum(dec("l_quantity"))).alias("sum_qty"),
+            dround(F.sum(dec("l_extendedprice"))).alias("sum_base_price"),
+            dround(F.sum(disc_price)).alias("sum_disc_price"),
+            dround(F.sum(charge)).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 analog: selective dim filter → broadcast join → agg → top-k.
+
+    Scale: `customer` filtered on segment is broadcast (no shuffle of the
+    100 TB fact side); orders⋈lineitem shuffles on orderkey once; the
+    top-10 is a TakeOrderedAndProject (no global sort materialization).
+    """
+    cutoff = F.lit("1998-06-01 00:00:00").cast("timestamp_ntz")
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    one = F.lit(1).cast(DEC)
+    revenue = dec("l_extendedprice") * (one - dec("l_discount"))
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dround(F.sum(revenue)).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 analog: 6-table star join, all dims broadcast.
+
+    Scale: the only shuffle is orders⋈lineitem on orderkey; customer,
+    supplier, nation, region ride along as broadcast hash joins, so the
+    fact table is scanned and shuffled exactly once.
+    """
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    one = F.lit(1).cast(DEC)
+    revenue = dec("l_extendedprice") * (one - dec("l_discount"))
+    return (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dround(F.sum(revenue)).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '2000-09-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 analog: pure scan-filter-aggregate, zero joins.
+
+    Scale: all four predicates and the 3-column projection push into the
+    parquet reader (min/max row-group pruning on l_shipdate); a single
+    scalar aggregate follows — the cheapest possible 100 TB query shape.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("2000-09-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        dround(F.sum(dec("l_extendedprice") * dec("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "top_customers_per_nation",
+    """
+    SELECT n_name, c_name, acctbal, rk FROM (
+      SELECT n_name, c_name,
+             CAST(ROUND(CAST(c_acctbal AS DECIMAL(18,4)), 2) AS DOUBLE) AS acctbal,
+             ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) AS rk
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ) WHERE rk <= 3
+    ORDER BY n_name, rk
+    """,
+)
+def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function: per-group top-k via row_number.
+
+    Scale: one shuffle on n_name for the window; in Spark 4 the
+    rank-limit pushdown (WindowGroupLimit) keeps only k rows per key per
+    partition before the exchange.
+    """
+    from pyspark.sql.window import Window
+
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "n_name",
+            "c_name",
+            dround(dec("c_acctbal")).alias("acctbal"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+        .orderBy("n_name", "rk")
+    )
+
+
+@query(
+    "orders_rollup",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+    """,
+)
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregate (ROLLUP → grouping sets).
+
+    Scale: Spark expands the rollup into grouping sets with a single
+    shuffle; partial aggregation still applies per set.
+    """
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dround(F.sum(dec("o_totalprice"))).alias("total"),
+        )
+        .orderBy(
+            F.col("o_orderpriority").asc_nulls_first(),
+            F.col("o_orderstatus").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "customers_with_open_orders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+    ORDER BY c_custkey
+    """,
+)
+def customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS). Scale: semi-join needs only the key column
+    of the probe side; with a selective status filter the orders side
+    shrinks before the shuffle."""
+    cust = t(spark, sf_dir, "customer")
+    open_orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        cust.join(open_orders, cust.c_custkey == open_orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "customers_without_partial_orders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+    ORDER BY c_custkey
+    """,
+)
+def customers_without_partial_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS). Scale: the anti-join build side is
+    filtered before the shuffle; AQE converts it to broadcast when the
+    filtered side is small."""
+    cust = t(spark, sf_dir, "customer")
+    partial = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return (
+        cust.join(partial, cust.c_custkey == partial.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "segment_set_ops",
+    """
+    WITH building AS (SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+         auto     AS (SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+    SELECT 'both' AS tag, c_nationkey FROM (SELECT c_nationkey FROM building INTERSECT SELECT c_nationkey FROM auto)
+    UNION ALL
+    SELECT 'building_only' AS tag, c_nationkey FROM (SELECT c_nationkey FROM building EXCEPT SELECT c_nationkey FROM auto)
+    ORDER BY tag, c_nationkey
+    """,
+)
+def segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators: INTERSECT / EXCEPT / UNION ALL."""
+    cust = t(spark, sf_dir, "customer")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey").distinct()
+    auto = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_nationkey").distinct()
+    both = building.intersect(auto).select(F.lit("both").alias("tag"), "c_nationkey")
+    only = building.exceptAll(auto).select(F.lit("building_only").alias("tag"), "c_nationkey")
+    return both.unionAll(only).orderBy("tag", "c_nationkey")
+
+
+@query(
+    "order_priority_distinct_customers",
+    """
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def order_priority_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregate. Scale: Spark plans count(distinct) as a
+    two-phase expand+agg; for approximate needs at 100 TB swap in
+    approx_count_distinct (HLL) — exposed in operators/dedup.py."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "top_orders_by_value",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)), 2) AS DOUBLE) AS totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def top_orders_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: TakeOrderedAndProject, never a full sort."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey", "o_custkey", dround(dec("o_totalprice")).alias("totalprice")
+        )
+        .orderBy(F.desc("totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+@query(
+    "part_type_margin",
+    """
+    SELECT p_type,
+           COUNT(*) AS n_parts,
+           CAST(ROUND(MIN(CAST(p_retailprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS min_price,
+           CAST(ROUND(MAX(CAST(p_retailprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS max_price,
+           CAST(ROUND(SUM(CAST(p_retailprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price
+    FROM part
+    WHERE p_size >= 10
+    GROUP BY p_type
+    ORDER BY p_type
+    """,
+)
+def part_type_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min/max/sum aggregate with a pushed filter."""
+    part = t(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_size") >= 10)
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            dround(F.min(dec("p_retailprice"))).alias("min_price"),
+            dround(F.max(dec("p_retailprice"))).alias("max_price"),
+            dround(F.sum(dec("p_retailprice"))).alias("sum_price"),
+        )
+        .orderBy("p_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events (JSON props, time-bucketed aggregation, as-of style latest-per-key)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch form of the streaming op in
+    streaming/events.py). Scale: one shuffle on (hour, type); at 100 TB
+    you'd pre-partition the events source by event date."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.sum(dec("value"))).alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+@query(
+    "events_json_extract",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON column access (get_json_object, JVM-side)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object(F.col("props"), "$.k").cast("bigint").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("k").alias("sum_k"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "latest_event_per_user",
+    """
+    SELECT user_id, event_id, ts, event_type FROM (
+      SELECT user_id, event_id, ts, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+      FROM events
+    ) WHERE rk = 1
+    ORDER BY user_id
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of style 'latest record per key' (the reference has no joins at
+    all; this is the engine's point-in-time primitive). Scale: single
+    shuffle on user_id; WindowGroupLimit prunes to 1 row per key per
+    partition pre-shuffle."""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.select("user_id", "event_id", "ts", "event_type", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+        .orderBy("user_id")
+    )
