@@ -1,0 +1,165 @@
+"""Sinks: where DataFrames leave the engine (SURVEY §2.2 K1-K11).
+
+Design (mirrors the reference's provider/executor split, U6):
+
+- ``SqlDialect`` (schema/ddl.py) renders SQL text.
+- A ``StatementExecutor`` runs it: ``DryRunExecutor`` records the
+  statements (K11 — the reference's FakeConnection re-expressed, and
+  the test seam for golden-sequence tests); ``DbApiExecutor`` drives a
+  real DB-API connection when one is available.
+- ``SqlSink`` sequences the load the way the reference does
+  (K1→K2→K3→load→K9→K8→K10): drop, create, truncate, bulk load, analyze,
+  index-after-load, commit.
+
+The bulk-load path on a cluster: ``df.write.jdbc`` does batched INSERT
+from every partition in parallel (numPartitions connections — the
+reference's 4 consumer threads generalized). The PostgreSQL COPY fast
+path (sinks/pg_copy.py) streams CSV per partition through COPY FROM
+STDIN, the 10× path the reference uses.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from datagouv_tools_spark.schema.ddl import (
+    EmptyIndexProvider,
+    IndexProvider,
+    SqlDialect,
+    get_dialect,
+)
+
+__all__ = ["StatementExecutor", "DryRunExecutor", "DbApiExecutor", "SqlSink", "ParquetSink"]
+
+
+class StatementExecutor:
+    """Executes rendered SQL statements (U6 executor half)."""
+
+    def execute(self, statement: str) -> None:
+        raise NotImplementedError
+
+    def commit(self) -> None:
+        raise NotImplementedError
+
+
+@dataclass
+class DryRunExecutor(StatementExecutor):
+    """Records statements instead of executing (K11). The golden-
+    sequence tests assert on ``statements`` exactly as the reference's
+    FakeConnection tests assert on logged SQL."""
+
+    statements: list[str] = field(default_factory=list)
+
+    def execute(self, statement: str) -> None:
+        self.statements.append(statement)
+
+    def commit(self) -> None:
+        self.statements.append("COMMIT")
+
+
+@dataclass
+class DbApiExecutor(StatementExecutor):
+    """Thin adapter over a live DB-API v2 connection."""
+
+    connection: object
+
+    def execute(self, statement: str) -> None:
+        cursor = self.connection.cursor()
+        try:
+            cursor.execute(statement)
+        finally:
+            cursor.close()
+
+    def commit(self) -> None:
+        self.connection.commit()
+
+
+@dataclass
+class SqlSink:
+    """Schema-aware SQL sink with the reference's load sequence.
+
+    ``write(df, table)``:
+      1. DROP TABLE IF EXISTS / CREATE TABLE (aligned, commented DDL)
+      2. TRUNCATE (dialects that separate create/empty)
+      3. data load — ``loader`` callback (JDBC batched INSERT, COPY
+         fast path, or dry-run no-op)
+      4. ANALYZE (dialects that collect stats)
+      5. CREATE INDEX (after load — bulk-load optimization kept)
+      6. COMMIT
+    """
+
+    dialect: SqlDialect
+    executor: StatementExecutor
+    index_provider: IndexProvider = field(default_factory=EmptyIndexProvider)
+    loader: Callable[[DataFrame, str], None] | None = None
+
+    @classmethod
+    def dry_run(cls, rdbms: str = "pg", index_provider: IndexProvider | None = None) -> "SqlSink":
+        return cls(
+            dialect=get_dialect(rdbms),
+            executor=DryRunExecutor(),
+            index_provider=index_provider or EmptyIndexProvider(),
+        )
+
+    @property
+    def statements(self) -> list[str]:
+        assert isinstance(self.executor, DryRunExecutor)
+        return self.executor.statements
+
+    def write(self, df: DataFrame, table: str, schema: T.StructType | None = None) -> None:
+        schema = schema or df.schema
+        self.executor.execute(self.dialect.drop_table(table))
+        self.executor.execute(self.dialect.create_table(table, schema))
+        truncate = self.dialect.truncate(table)
+        if truncate:
+            self.executor.execute(truncate)
+        self.executor.commit()
+        if self.loader is not None:
+            self.loader(df, table)
+        else:
+            copy_stmt = self.dialect.copy_from_csv(table)
+            if copy_stmt:
+                # dry-run: record the bulk-load statement that would run
+                self.executor.execute(copy_stmt)
+        analyze = self.dialect.analyze(table)
+        if analyze:
+            self.executor.execute(analyze)
+        self.executor.commit()
+        for index in self.index_provider.get_indices(table, schema):
+            self.executor.execute(self.dialect.drop_index(index))
+            self.executor.execute(self.dialect.create_index(index))
+        self.executor.commit()
+
+
+def jdbc_loader(url: str, properties: dict[str, str], num_partitions: int | None = None):
+    """Loader writing via Spark's JDBC batched-INSERT writer (K6 at
+    cluster parallelism: one connection per partition)."""
+
+    def load(df: DataFrame, table: str) -> None:
+        if num_partitions:
+            df = df.repartition(num_partitions)
+        df.write.mode("append").options(**properties).jdbc(url=url, table=table, mode="append")
+
+    return load
+
+
+@dataclass
+class ParquetSink:
+    """Lake-native sink: the 100 TB default. Partitioned parquet +
+    optional bucketing; RDBMS loading then becomes a partition-parallel
+    COPY from staged files."""
+
+    base_path: str
+    partition_by: tuple[str, ...] = ()
+
+    def write(self, df: DataFrame, table: str, mode: str = "overwrite") -> str:
+        path = f"{self.base_path.rstrip('/')}/{table}"
+        writer = df.write.mode(mode)
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(path)
+        return path

@@ -1,0 +1,243 @@
+"""End-to-end pipeline tests on synthesized fixtures (SURVEY §5 pattern:
+reduced realistic inputs + golden assertions + dry-run seam)."""
+
+from __future__ import annotations
+
+import zipfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from datagouv_tools_spark.functions.casts import strict_boolean
+from datagouv_tools_spark.functions.lookup import code_voie, nature_voie
+from datagouv_tools_spark.pipelines.deces import deces_dataframe, import_deces
+from datagouv_tools_spark.pipelines.fantoir import fantoir_tables, import_fantoir
+from datagouv_tools_spark.pipelines.sirene import import_sirene
+from datagouv_tools_spark.sources.fixed_width import read_fantoir
+
+# --- synthesized SIRENE fixture -------------------------------------------
+
+DESSIN = """\
+Nom,Libellé,Longueur,Type,Ordre
+siren,Numéro SIREN,9,Texte,1
+dateCreationUniteLegale,Date de création,10,Date,2
+anneeEffectifs,Année,4,Date,3
+nombrePeriodes,Périodes,2,Numérique,4
+"""
+
+DATA_CSV = """\
+siren,dateCreationUniteLegale,anneeEffectifs,nombrePeriodes
+123456789,2001-05-04,2020,3
+987654321,,1999,x
+"""
+
+
+@pytest.fixture()
+def sirene_dir(tmp_path):
+    d = tmp_path / "sirene"
+    d.mkdir()
+    (d / "dessinstockunitelegale.csv").write_text(DESSIN, encoding="utf-8")
+    with zipfile.ZipFile(d / "StockUniteLegale_utf8.zip", "w") as zf:
+        zf.writestr("-", DATA_CSV)
+    # a zip with no dessin: must be warned + skipped (F4)
+    with zipfile.ZipFile(d / "Orphan_utf8.zip", "w") as zf:
+        zf.writestr("-", "a,b\n1,2\n")
+    return d
+
+
+def test_import_sirene_parquet(spark, sirene_dir, tmp_path):
+    out = import_sirene(spark, sirene_dir, parquet_out=str(tmp_path / "lake"))
+    assert set(out) == {"stock_unite_legale"}  # orphan skipped
+    df = spark.read.parquet(out["stock_unite_legale"])
+    assert df.columns == [
+        "siren",
+        "date_creation_unite_legale",
+        "annee_effectifs",
+        "nombre_periodes",
+    ]
+    rows = {r["siren"]: r for r in df.collect()}
+    assert str(rows["123456789"]["date_creation_unite_legale"]) == "2001-05-04"
+    assert rows["123456789"]["annee_effectifs"] == "2020"  # Date(4) patched to text
+    assert rows["123456789"]["nombre_periodes"] == 3
+    assert rows["987654321"]["date_creation_unite_legale"] is None  # empty → null
+    assert rows["987654321"]["nombre_periodes"] is None  # 'x' → try_cast null
+
+
+def test_import_sirene_dry_run_statements(spark, sirene_dir):
+    out = import_sirene(spark, sirene_dir, rdbms="pg")
+    stmts = out["stock_unite_legale"]
+    assert stmts[0] == 'DROP TABLE IF EXISTS "stock_unite_legale"'
+    assert stmts[1].startswith('CREATE TABLE "stock_unite_legale" (')
+    assert "-- Numéro SIREN" in stmts[1]
+    assert 'TRUNCATE "stock_unite_legale"' in stmts
+    assert any(s.startswith('COPY "stock_unite_legale" FROM STDIN') for s in stmts)
+    assert 'ANALYZE "stock_unite_legale"' in stmts
+    # index created after load, then commit
+    create_idx = next(i for i, s in enumerate(stmts) if s.startswith("CREATE INDEX"))
+    copy_pos = next(i for i, s in enumerate(stmts) if s.startswith("COPY"))
+    assert create_idx > copy_pos
+    assert 'CREATE INDEX "siren_stock_unite_legale_idx" ON "stock_unite_legale" USING hash ("siren")' in stmts
+    assert stmts[-1] == "COMMIT"
+
+
+# --- synthesized FANTOIR fixture ------------------------------------------
+
+
+def _pad(s: str, n: int) -> str:
+    return s + " " * (n - len(s))
+
+
+def make_line(placements: list[tuple[int, str]], length: int = 120) -> str:
+    """Place values at 1-based start positions on a blank line."""
+    line = [" "] * length
+    for start, value in placements:
+        line[start - 1 : start - 1 + len(value)] = list(value)
+    return "".join(line)
+
+
+def build_fantoir_lines() -> list[str]:
+    header = make_line([(1, "\x00"), (12, "PROD CENTER X"), (37, "20240101"), (45, "2024AAA")])
+    direction = make_line([(1, "01"), (3, "0"), (12, "AIN")])  # byte 4 blank
+    commune = make_line(
+        [
+            (1, "01"), (3, "0"), (4, "001"), (11, "W"),
+            (12, "L'ABERGEMENT-CLEMENCIAT"), (43, "N"), (46, "3"),
+            (53, "0000825"), (60, "0000000"), (67, "0000000"),
+            (75, "0000000"), (82, "1987001"),
+        ]
+    )  # byte 4 = '0' (non-blank), byte 8 blank → commune
+    voie = make_line(
+        [
+            (1, "01"), (3, "0"), (4, "001"), (7, "A008"), (11, "W"),
+            (12, "LOT"), (16, "BELLEVUE"), (43, "N"), (46, "3"), (49, "0"),
+            (60, "0000000"), (67, "0000000"), (75, "0000000"),
+            (82, "2001351"), (104, "00059"), (109, "2"), (113, "BELLEVUE"),
+        ]
+    )
+    trailer = "9999999999" + " " * 60
+    return [header, direction, commune, voie, trailer]
+
+
+@pytest.fixture()
+def fantoir_file(tmp_path):
+    p = tmp_path / "fantoir.txt"
+    p.write_text("\n".join(build_fantoir_lines()) + "\n", encoding="latin-1")
+    return p
+
+
+def test_fantoir_classification(spark, fantoir_file):
+    classified = read_fantoir(spark, fantoir_file)
+    got = {r["record_type"] for r in classified.select("record_type").collect()}
+    assert got == {"header", "direction", "commune", "voie"}
+    assert classified.count() == 4  # trailer dropped
+
+
+def test_fantoir_tables(spark, fantoir_file):
+    tables = fantoir_tables(spark, fantoir_file)
+    d = tables["direction"].collect()[0]
+    assert d["code_departement"] == "01"
+    assert d["libelle_direction"] == "AIN"
+    c = tables["commune"].collect()[0]
+    assert c["libelle_commune"] == "L'ABERGEMENT-CLEMENCIAT"
+    assert c["population_reelle"] == "0000825"
+    v = tables["voie"].collect()[0]
+    assert v["code_nature_de_voie"] == "LOT"
+    assert v["libelle_voie"] == "BELLEVUE"
+    assert v["dernier_mot_entierement_alphabetique_du_libelle_de_la_voie"] == "BELLEVUE"
+
+
+def test_import_fantoir_dry_run(spark, fantoir_file):
+    out = import_fantoir(spark, fantoir_file)
+    assert set(out) == {"direction", "commune", "voie"}  # header not loaded
+    assert out["voie"][0] == 'DROP TABLE IF EXISTS "voie"'
+    assert any("CREATE TABLE" in s for s in out["commune"])
+
+
+def test_import_fantoir_zipped(spark, fantoir_file, tmp_path):
+    zpath = tmp_path / "fantoir.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        zf.writestr("-", fantoir_file.read_text(encoding="latin-1"))
+    out = import_fantoir(spark, zpath, parquet_out=str(tmp_path / "lake"), staging_dir=str(tmp_path / "stage"))
+    df = spark.read.parquet(out["voie"])
+    assert df.count() == 1
+
+
+def test_nature_voie_lookup(spark):
+    df = spark.createDataFrame([("RUE",), ("ACH",), ("XXX",)], ["code"])
+    got = {r["code"]: r["label"] for r in df.select("code", nature_voie("code").alias("label")).collect()}
+    assert got["ACH"] == "ANCIEN CHEMIN"
+    assert got["XXX"] == "XXX"  # fall-through to input
+    inv = spark.createDataFrame([("ANCIEN CHEMIN",)], ["label"])
+    assert inv.select(code_voie("label").alias("c")).collect()[0]["c"] == "ACH"
+
+
+# --- synthesized deces fixture --------------------------------------------
+
+
+def build_deces_line(
+    nom="DUPONT",
+    prenoms="JEAN MARIE PIERRE",
+    sexe="1",
+    naissance="19400000",
+    deces="20200115",
+) -> str:
+    name_field = _pad(f"{nom}*{prenoms}/", 80)
+    return (
+        name_field
+        + sexe
+        + naissance
+        + _pad("75056", 5)
+        + _pad("PARIS", 30)
+        + _pad("FRANCE", 30)
+        + deces
+        + _pad("75056", 5)
+        + _pad("123", 9)
+    )
+
+
+@pytest.fixture()
+def deces_file(tmp_path):
+    lines = [
+        build_deces_line(),
+        build_deces_line(nom="MARTIN", prenoms="ANNE", sexe="2", naissance="19551231", deces="20210601"),
+        build_deces_line(nom="NOPRENOM", prenoms="", sexe="9", naissance="00000000"),
+    ]
+    p = tmp_path / "deces.txt"
+    p.write_text("\n".join(lines) + "\n", encoding="utf-8")
+    return p
+
+
+def test_deces_dataframe_full(spark, deces_file):
+    df = deces_dataframe(spark, deces_file, full=True)
+    rows = {r["nom"]: r for r in df.collect()}
+    jean = rows["DUPONT"]
+    assert jean["prenom1"] == "JEAN" and jean["prenom3"] == "PIERRE" and jean["prenom4"] is None
+    assert jean["sexe"] == "M"
+    # lenient date: partial 19400000 keeps (1940, 0, 0), null DateType view
+    assert jean["naissance"]["year"] == 1940 and jean["naissance"]["month"] == 0
+    assert jean["date_naissance"] is None
+    assert str(jean["date_deces"]) == "2020-01-15"
+    anne = rows["MARTIN"]
+    assert anne["sexe"] == "F" and str(anne["date_naissance"]) == "1955-12-31"
+    unk = rows["NOPRENOM"]
+    assert unk["sexe"] == "UNKNOWN" and unk["prenom1"] is None
+
+
+def test_import_deces_loaded_projection(spark, deces_file):
+    stmts = import_deces(spark, deces_file, rdbms="pg")
+    create = next(s for s in stmts if s.startswith("CREATE TABLE"))
+    # reference loads only nom + prenom1..8 (9 string columns)
+    for col in ["nom"] + [f"prenom{i}" for i in range(1, 9)]:
+        assert f'"{col}"' in create
+    assert 'CREATE INDEX "nom_deces_idx" ON "deces" USING hash ("nom")' in stmts
+
+
+# --- strict boolean (C2) ---------------------------------------------------
+
+
+def test_strict_boolean(spark):
+    df = spark.createDataFrame(
+        [("on",), ("Off",), ("1",), ("no",), ("maybe",), (None,)], ["v"]
+    )
+    got = [r["b"] for r in df.select(strict_boolean("v").alias("b")).collect()]
+    assert got == [True, False, True, False, None, None]

@@ -1,0 +1,159 @@
+"""Dessin parsing, type conversion + patch rules, DDL generation
+(S2, U1, U2, K1/K2/K8, C9/C10)."""
+
+from __future__ import annotations
+
+import io
+
+import pytest
+from pyspark.sql import types as T
+
+from datagouv_tools_spark.schema.ddl import (
+    DecesIndexProvider,
+    PostgresDialect,
+    MariaDbDialect,
+    SireneIndexProvider,
+    SqlIndex,
+    c_escape,
+    get_dialect,
+    shorten_identifier,
+)
+from datagouv_tools_spark.schema.dessin import dessin_to_struct, parse_dessin
+from datagouv_tools_spark.schema.types import (
+    DefaultTypeConverter,
+    PatchedSireneTypeConverter,
+    SQL_TYPES,
+)
+
+DESSIN_CSV = """\
+Nom,Libellé,Longueur,Type,Ordre
+siren,Numéro SIREN,9,Texte,1
+dateCreationUniteLegale,Date de création,10,Date,2
+anneeEffectifsUniteLegale,Année des effectifs,4,Date,3
+nombrePeriodesUniteLegale,Nombre de périodes,2,Numérique,4
+categorieEntreprise,"Catégorie, d'entreprise",3,Liste de codes,5
+"""
+
+
+def test_parse_dessin_ranks_and_quoting():
+    fields = parse_dessin(io.StringIO(DESSIN_CSV))
+    assert [f.name for f in fields] == [
+        "siren",
+        "dateCreationUniteLegale",
+        "anneeEffectifsUniteLegale",
+        "nombrePeriodesUniteLegale",
+        "categorieEntreprise",
+    ]
+    assert fields[4].caption == "Catégorie, d'entreprise"  # quoted CSV field
+    assert fields[1].length == 10
+
+
+def test_dessin_to_struct_patch_rules():
+    fields = parse_dessin(io.StringIO(DESSIN_CSV))
+    struct = dessin_to_struct("stockUniteLegale", fields, PatchedSireneTypeConverter())
+    by_name = {f.name: f for f in struct.fields}
+    # Date(10) → date
+    assert isinstance(by_name["date_creation_unite_legale"].dataType, T.DateType)
+    # Date(4) → patched to text
+    assert isinstance(by_name["annee_effectifs_unite_legale"].dataType, T.StringType)
+    # Numérique → decimal
+    assert isinstance(by_name["nombre_periodes_unite_legale"].dataType, T.DecimalType)
+    # metadata carries the comment + rank
+    assert by_name["siren"].metadata["comment"] == "Numéro SIREN"
+    assert by_name["siren"].metadata["rank"] == 1
+
+
+def test_patched_forced_text_field():
+    conv = PatchedSireneTypeConverter()
+    got = conv.get_type("stockEtablissement", "numeroVoieEtablissement", "Numérique", 4)
+    assert got is SQL_TYPES["text"]
+    # same field on another table stays numeric
+    got2 = conv.get_type("stockUniteLegale", "numeroVoieEtablissement", "Numérique", 4)
+    assert got2 is SQL_TYPES["numeric"]
+
+
+def test_default_converter_is_all_text():
+    conv = DefaultTypeConverter()
+    assert conv.get_type("t", "f", "Numérique", 5) is SQL_TYPES["text"]
+
+
+def test_shorten_identifier_vowel_strip():
+    assert shorten_identifier(["siren", "stock_unite_legale", "idx"]) == "siren_stock_unite_legale_idx"
+    long = shorten_identifier(["code_postal_etablissement", "stock_etablissement_historique_avec_suffixe_tres_long", "idx"])
+    assert len(long) < len("code_postal_etablissement_stock_etablissement_historique_avec_suffixe_tres_long_idx")
+    assert long.startswith("cd_")
+
+
+def test_c_escape():
+    assert c_escape("a'b") == "E'a\\'b'"
+    assert c_escape("\t") == "E'\\t'"
+    assert c_escape("\\") == "E'\\\\'"
+
+
+def test_create_table_ddl_golden():
+    struct = T.StructType(
+        [
+            T.StructField("siren", T.StringType(), metadata={"sql_type": "text", "comment": "Numéro SIREN"}),
+            T.StructField("date_debut", T.DateType(), metadata={"sql_type": "date", "comment": "Début"}),
+            T.StructField("n", T.DecimalType(38, 9), metadata={"sql_type": "numeric"}),
+        ]
+    )
+    ddl = PostgresDialect().create_table("stock_unite_legale", struct)
+    assert ddl == (
+        'CREATE TABLE "stock_unite_legale" (\n'
+        '    "siren"      text   , -- Numéro SIREN\n'
+        '    "date_debut" date   , -- Début\n'
+        '    "n"          numeric\n'
+        ")"
+    )
+
+
+def test_index_ddl_per_dialect():
+    idx = SqlIndex("stock_etablissement", "siret", "hash")
+    assert (
+        PostgresDialect().create_index(idx)
+        == 'CREATE INDEX "siret_stock_etablissement_idx" ON "stock_etablissement" USING hash ("siret")'
+    )
+    maria = MariaDbDialect()
+    assert maria.create_index(idx) == (
+        "CREATE INDEX `siret_stock_etablissement_idx` ON `stock_etablissement` (`siret`(255))"
+    )
+    assert "ON `stock_etablissement`" in maria.drop_index(idx)
+
+
+def test_postgres_copy_statement():
+    stmt = PostgresDialect().copy_from_csv("direction", encoding="LATIN1", delimiter="\t", quote_char="\b")
+    assert stmt == (
+        'COPY "direction" FROM STDIN WITH (FORMAT CSV, HEADER TRUE, '
+        "ENCODING 'LATIN1', DELIMITER E'\\t', QUOTE E'\\x08')"
+    )
+
+
+def test_sirene_index_provider():
+    struct = T.StructType(
+        [
+            T.StructField("siren", T.StringType()),
+            T.StructField("siret", T.StringType()),
+            T.StructField("code_postal_etablissement", T.StringType()),
+            T.StructField("autre", T.StringType()),
+        ]
+    )
+    got = SireneIndexProvider().get_indices("stock_etablissement", struct)
+    assert {(i.field_name, i.kind) for i in got} == {
+        ("siren", "hash"),
+        ("siret", "hash"),
+        ("code_postal_etablissement", "btree"),
+    }
+
+
+def test_deces_index_provider():
+    struct = T.StructType([T.StructField("nom", T.StringType()), T.StructField("prenom1", T.StringType())])
+    got = DecesIndexProvider().get_indices("deces", struct)
+    assert [(i.field_name, i.kind) for i in got] == [("nom", "hash")]
+
+
+def test_dialect_registry_aliases():
+    assert get_dialect("PG") is get_dialect("postgresql")
+    assert get_dialect("mysql") is get_dialect("maria")
+    with pytest.raises(KeyError):
+        get_dialect("oracle")
