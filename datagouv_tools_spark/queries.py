@@ -527,3 +527,312 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rk")
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Analytics: dedup / text analysis / similarity search (documents, embeddings)
+# ---------------------------------------------------------------------------
+
+#: SQL fragment mirroring functions.text.tokens()
+_SQL_TOKENS = (
+    "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t != '')"
+)
+#: SQL fragment mirroring functions.text.fingerprint_md5()
+_SQL_FP = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+
+
+@query(
+    "doc_fingerprint_dedup",
+    f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT {_SQL_FP}) AS n_distinct_fp
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def doc_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized-text fingerprint (operators/dedup.py):
+    distinct-fingerprint counts per source. Scale: md5 is computed
+    map-side; the shuffle carries (source, fp) pairs only."""
+    from datagouv_tools_spark.functions.text import fingerprint_md5
+
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select("source", fingerprint_md5("text").alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_distinct_fp"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "doc_token_stats",
+    f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(len({_SQL_TOKENS})) AS total_tokens,
+           MAX(len({_SQL_TOKENS})) AS max_tokens,
+           MIN(len({_SQL_TOKENS})) AS min_tokens
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (functions/text.py) aggregated per lang."""
+    from datagouv_tools_spark.functions.text import token_count
+
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", token_count("text").alias("n"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("total_tokens"),
+            F.max("n").alias("max_tokens"),
+            F.min("n").alias("min_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "doc_quality_scores",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKENS} AS ts FROM documents WHERE doc_id < 50
+    ), m AS (
+      SELECT doc_id,
+             len(ts) AS n_tokens,
+             CASE WHEN len(ts) > 0 THEN len(list_distinct(ts))::DOUBLE / len(ts)::DOUBLE ELSE 0.0 END AS dr,
+             CASE WHEN len(ts) > 0 THEN len(list_filter(ts, x -> x IN ('the','a','of','and','to','in','is','on','for','with')))::DOUBLE / len(ts)::DOUBLE ELSE 0.0 END AS swr
+      FROM toks
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(dr, 6) AS distinct_ratio,
+           ROUND(dr * 0.5 + LEAST(n_tokens::DOUBLE, 100.0) / 100.0 * 0.3 + LEAST(swr * 5.0, 1.0) * 0.2, 6) AS quality
+    FROM m
+    ORDER BY doc_id
+    """,
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring heuristic (functions/text.py quality_score):
+    distinct-token ratio + length term + stopword term."""
+    from datagouv_tools_spark.functions.text import (
+        distinct_token_ratio,
+        quality_score,
+        token_count,
+    )
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.round(F.coalesce(distinct_token_ratio("text"), F.lit(0.0)), 6).alias(
+            "distinct_ratio"
+        ),
+        F.round(quality_score("text"), 6).alias("quality"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "doc_lang_id",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS ts FROM documents), r AS (
+      SELECT doc_id,
+        CASE WHEN len(ts) > 0 THEN len(list_filter(ts, x -> x IN ('the','a','of','and','to','in','is','on','for','with')))::DOUBLE / len(ts)::DOUBLE ELSE 0.0 END AS r_en,
+        CASE WHEN len(ts) > 0 THEN len(list_filter(ts, x -> x IN ('le','la','les','de','et','un','une','du','des','en')))::DOUBLE / len(ts)::DOUBLE ELSE 0.0 END AS r_fr,
+        CASE WHEN len(ts) > 0 THEN len(list_filter(ts, x -> x IN ('der','die','das','und','ein','eine','zu','mit','von','ist')))::DOUBLE / len(ts)::DOUBLE ELSE 0.0 END AS r_de,
+        CASE WHEN len(ts) > 0 THEN len(list_filter(ts, x -> x IN ('el','la','los','de','y','un','una','del','en','es')))::DOUBLE / len(ts)::DOUBLE ELSE 0.0 END AS r_es
+      FROM toks
+    )
+    SELECT guess, COUNT(*) AS n_docs FROM (
+      SELECT CASE
+        WHEN GREATEST(r_en, r_fr, r_de, r_es) = 0 THEN 'und'
+        WHEN r_en = GREATEST(r_en, r_fr, r_de, r_es) THEN 'en'
+        WHEN r_fr = GREATEST(r_en, r_fr, r_de, r_es) THEN 'fr'
+        WHEN r_de = GREATEST(r_en, r_fr, r_de, r_es) THEN 'de'
+        ELSE 'es' END AS guess
+      FROM r
+    ) GROUP BY guess ORDER BY guess
+    """,
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-heuristic language ID (functions/text.py lang_id),
+    aggregated to guessed-language counts."""
+    from datagouv_tools_spark.functions.text import lang_id
+
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(lang_id("text").alias("guess"))
+        .groupBy("guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("guess")
+    )
+
+
+@query(
+    "doc_jaccard_pairs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct({_SQL_TOKENS}) AS ts
+      FROM documents WHERE doc_id < 40
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.ts, b.ts))::DOUBLE
+                 / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))::DOUBLE, 6) AS jaccard
+    FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+    WHERE ROUND(len(list_intersect(a.ts, b.ts))::DOUBLE
+                / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))::DOUBLE, 6) >= 0.7
+    ORDER BY id_a, id_b
+    """,
+)
+def doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (token-set) Jaccard near-dup pairs
+    (operators/dedup.ngram_jaccard_pairs) on a 40-doc block. Integer
+    intersection/union sizes → deterministic rounded ratios."""
+    from datagouv_tools_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    return ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.7).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@query(
+    "emb_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
+    p AS (
+      SELECT q.qid AS query_id, e.vec_id,
+             ROUND(list_dot_product(q.qv, e.embedding)
+                   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.embedding, e.embedding))), 6) AS sim
+      FROM q JOIN c e ON e.vec_id <> q.qid
+    ),
+    r AS (SELECT query_id, vec_id, sim,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
+          FROM p)
+    SELECT query_id, vec_id, sim, rk FROM r WHERE rk <= 5
+    ORDER BY query_id, rk
+    """,
+)
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (operators/similarity.cosine_topk):
+    10 query vectors × full corpus, k=5. The exact-ANN baseline; the
+    query side is broadcast so the corpus is never shuffled."""
+    from datagouv_tools_spark.operators.similarity import cosine_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return cosine_topk(queries_df, emb, k=5).orderBy("query_id", "rk")
+
+
+@query(
+    "emb_near_dup_pairs",
+    """
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.embedding, b.embedding)
+                 / (sqrt(list_dot_product(a.embedding, a.embedding)) * sqrt(list_dot_product(b.embedding, b.embedding))), 6) AS sim
+    FROM c a JOIN c b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.embedding, b.embedding)
+                / (sqrt(list_dot_product(a.embedding, a.embedding)) * sqrt(list_dot_product(b.embedding, b.embedding))), 6) >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
+def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.4). At scale
+    this exact O(n²) form is the in-bucket verifier after LSH blocking
+    (operators/similarity.lsh_bucket)."""
+    from datagouv_tools_spark.functions.vectors import cosine
+
+    emb = t(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    sim = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.4)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query("minhash_candidate_pairs")  # no SQL oracle: LSH banding is not ANSI-SQL
+def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate near-dup pairs (operators/dedup.py):
+    64 hashes, 16 bands. Driver records a rows-only check; the
+    doc_jaccard_pairs oracle covers the verification stage."""
+    from datagouv_tools_spark.operators.dedup import minhash_pairs
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return minhash_pairs(docs, "text", "doc_id", k=64, bands=16).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@query("simhash_hamming_pairs")  # no SQL oracle: bit-sketch not ANSI-SQL
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit signatures, pairs at Hamming
+    distance ≤ 12 within a 60-doc block."""
+    from datagouv_tools_spark.operators.dedup import simhash64
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    sigs = simhash64(docs, "text", "doc_id")
+    a, b = sigs.alias("a"), sigs.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 12)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query("lsh_ann_topk")  # no SQL oracle: approximate by design
+def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate nearest neighbors
+    (operators/similarity.lsh_topk): 8 hyperplanes, exact cosine within
+    buckets."""
+    from datagouv_tools_spark.operators.similarity import lsh_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return lsh_topk(queries_df, emb, dim=64, k=5, n_planes=8).orderBy(
+        "query_id", "rk"
+    )
+
+
+@query("multimodal_features")  # no SQL oracle: mapInPandas plumbing
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: documents' text bytes as stand-in binary
+    payloads → Arrow-batched mapInPandas feature extraction (fake
+    deterministic codec; operators/multimodal.py)."""
+    from datagouv_tools_spark.operators.multimodal import extract_image_features
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    return extract_image_features(media, fake=True).orderBy("media_id")

@@ -1,0 +1,183 @@
+"""Dedup / similarity / text-analysis / multimodal operator tests on
+small controlled inputs (golden behavior, not just smoke)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from datagouv_tools_spark.functions.text import (
+    fingerprint_md5,
+    lang_id,
+    token_count,
+)
+from datagouv_tools_spark.functions.vectors import cosine, dot, norm
+from datagouv_tools_spark.operators.dedup import (
+    dedup_exact,
+    dedup_fingerprint,
+    minhash_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from datagouv_tools_spark.operators.multimodal import (
+    attach_media_metadata,
+    decode_image_batch,
+    extract_image_features,
+)
+from datagouv_tools_spark.operators.similarity import cosine_topk, lsh_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "The  quick brown fox jumps over the lazy DOG"),  # fp dup of 1
+        (4, "the quick brown fox jumps over a sleepy dog"),  # near dup
+        (5, "completely different words entirely unrelated content here"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_token_count_and_empty(spark, docs):
+    got = {r["doc_id"]: r["n"] for r in docs.select("doc_id", token_count("text").alias("n")).collect()}
+    assert got[1] == 9
+    assert got[6] == 0
+
+
+def test_fingerprint_normalizes_case_and_space(spark, docs):
+    fp = {r["doc_id"]: r["fp"] for r in docs.select("doc_id", fingerprint_md5("text").alias("fp")).collect()}
+    assert fp[1] == fp[2] == fp[3]
+    assert fp[1] != fp[4]
+
+
+def test_dedup_exact_keeps_min_id(spark, docs):
+    kept = dedup_exact(docs, ["text"], "doc_id")
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [1, 3, 4, 5, 6]  # doc 2 (exact dup, higher id) dropped
+
+
+def test_dedup_fingerprint_collapses_formatting(spark, docs):
+    kept = dedup_fingerprint(docs, "text", "doc_id")
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [1, 4, 5, 6]  # 2 and 3 both collapse onto 1
+
+
+def test_ngram_jaccard_pairs_golden(spark, docs):
+    pairs = ngram_jaccard_pairs(docs.filter(F.col("doc_id") != 6), "text", "doc_id", threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 3)] == 1.0  # case-insensitive tokens
+    # 1 vs 4: tokens {the,quick,brown,fox,jumps,over,lazy,dog} vs
+    # {the,quick,brown,fox,jumps,over,a,sleepy,dog}: inter=7, union=10
+    assert got[(1, 4)] == 0.7
+    assert (1, 5) not in got
+
+
+def test_minhash_finds_near_dups(spark, docs):
+    pairs = minhash_pairs(docs.filter(F.col("doc_id") != 6), "text", "doc_id", k=64, bands=16)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 3) in got  # identical token sets always collide
+    assert (1, 4) in got  # jaccard 0.7 over 16 bands of 4: collision probability ~99%
+    assert (1, 5) not in got and (4, 5) not in got
+
+
+def test_simhash_identical_and_distant(spark, docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash64(docs, "text", "doc_id").collect()}
+    assert sigs[1] == sigs[2]
+    hamming_15 = bin((sigs[1] ^ sigs[5]) & ((1 << 64) - 1)).count("1")
+    hamming_14 = bin((sigs[1] ^ sigs[4]) & ((1 << 64) - 1)).count("1")
+    assert hamming_14 < hamming_15  # near-dup closer than unrelated
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),  # close to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+        (4, [-1.0, 0.0, 0.0]),  # opposite of 0
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_vector_math(spark, vecs):
+    df = vecs.filter(F.col("vec_id") == 1).select(
+        dot("embedding", "embedding").alias("d"),
+        norm("embedding").alias("n"),
+    )
+    r = df.collect()[0]
+    assert r["d"] == pytest.approx(0.82, rel=1e-6)
+    assert r["n"] == pytest.approx(math.sqrt(0.82), rel=1e-6)
+
+
+def test_cosine_topk_exact(spark, vecs):
+    queries = vecs.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = cosine_topk(queries, vecs, k=2).collect()
+    assert [r["vec_id"] for r in got] == [1, 2]  # 1 closest, then tie 2<3 by id
+    assert got[0]["sim"] == pytest.approx(0.9939, abs=1e-4)
+
+
+def test_lsh_topk_subset_of_exact(spark, vecs):
+    queries = vecs.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {(r["query_id"], r["vec_id"]) for r in cosine_topk(queries, vecs, k=4).collect()}
+    approx = {(r["query_id"], r["vec_id"]) for r in lsh_topk(queries, vecs, dim=3, k=4).collect()}
+    assert approx  # bucket contains at least the query's own neighborhood
+    assert approx <= exact or len(approx) <= 4
+
+
+def test_lang_id_on_clear_text(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and looked at the dog"),
+            (2, "le chat et la souris sont dans le jardin de la maison"),
+            (3, "xyzzy plugh qwerty"),
+        ],
+        ["id", "text"],
+    )
+    got = {r["id"]: r["g"] for r in df.select("id", lang_id("text").alias("g")).collect()}
+    assert got[1] == "en"
+    assert got[2] == "fr"
+    assert got[3] == "und"
+
+
+def test_multimodal_metadata_and_features(spark):
+    df = spark.createDataFrame(
+        [(1, b"payload-bytes-one"), (2, b"x" * 1000)],
+        "media_id long, payload binary",
+    )
+    meta = attach_media_metadata(df).select("media_id", "meta.n_bytes", "meta.sha256").collect()
+    by_id = {r["media_id"]: r for r in meta}
+    assert by_id[2]["n_bytes"] == 1000
+    assert len(by_id[1]["sha256"]) == 64
+
+    feats = extract_image_features(df, fake=True).collect()
+    assert all(len(r["features"]) == 8 for r in feats)
+    assert all(0.0 <= v <= 1.0 for r in feats for v in r["features"])
+    # determinism: same payload → same features
+    again = extract_image_features(df, fake=True).collect()
+    assert [r["features"] for r in sorted(feats, key=lambda r: r["media_id"])] == [
+        r["features"] for r in sorted(again, key=lambda r: r["media_id"])
+    ]
+
+
+def test_multimodal_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        decode_image_batch(b"bytes")
+
+
+def test_real_decode_path_raises_in_spark(spark):
+    df = spark.createDataFrame([(1, b"img")], "media_id long, payload binary")
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    with pytest.raises((Py4JJavaError, PySparkException, Exception)):
+        extract_image_features(df, fake=False).collect()
