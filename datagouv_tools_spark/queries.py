@@ -749,24 +749,17 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (threshold 0.4). At scale
-    this exact O(n²) form is the in-bucket verifier after LSH blocking
-    (operators/similarity.lsh_bucket)."""
-    from datagouv_tools_spark.functions.vectors import cosine
+    """Embedding-cosine near-duplicate pairs (threshold 0.4), via the
+    Arrow/numpy block-nested-loop kernel (operators/similarity.
+    cosine_pairs_exact): one BLAS matmul per Arrow batch against the
+    broadcast corpus matrix. At scale this exact O(n²) form is the
+    in-bucket verifier after LSH blocking (operators/similarity.
+    lsh_bucket)."""
+    from datagouv_tools_spark.operators.similarity import cosine_pairs_exact
 
     emb = t(spark, sf_dir, "embeddings")
-    a = emb.alias("a")
-    b = emb.alias("b")
-    sim = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            sim.alias("sim"),
-        )
-        .filter(F.col("sim") >= 0.4)
-        .orderBy("id_a", "id_b")
+    return cosine_pairs_exact(emb, "vec_id", "embedding", threshold=0.4).orderBy(
+        "id_a", "id_b"
     )
 
 
