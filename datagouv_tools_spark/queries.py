@@ -829,3 +829,190 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(F.col("text"), "utf-8").alias("payload"),
     )
     return extract_image_features(media, fake=True).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# Streaming surface (streaming/windows.py, streaming/stateful.py) — each
+# batch query here is the oracle-checkable twin of the streaming operator;
+# the *_stream variants run the real Structured Streaming path (availableNow
+# replay to a memory sink) against the SAME oracle.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_tumbling_15min",
+    """
+    SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+           time_bucket(INTERVAL '15 minutes', ts) + INTERVAL '15 minutes' AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 3
+    """,
+)
+def events_tumbling_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows (streaming/windows.tumbling_agg) on
+    the batch path. Scale: one shuffle on (window, type); with a
+    watermark the stream variant's state is bounded."""
+    from datagouv_tools_spark.streaming.windows import tumbling_agg
+
+    ev = t(spark, sf_dir, "events")
+    return tumbling_agg(
+        ev,
+        "15 minutes",
+        {
+            "n_events": F.count(F.lit(1)),
+            "sum_value": dround(F.sum(dec("value"))),
+        },
+        keys=("event_type",),
+    ).orderBy("window_start", "event_type")
+
+
+@query(
+    "events_sliding_1h_15min",
+    """
+    WITH w AS (
+      SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS window_start,
+             value
+      FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) AS slots(k)
+    )
+    SELECT window_start,
+           window_start + INTERVAL '1 hour' AS window_end,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+    FROM w
+    GROUP BY window_start
+    ORDER BY window_start
+    """,
+)
+def events_sliding_1h_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows, 1 h long advancing every 15 min
+    (streaming/windows.sliding_agg): each event lands in 4 windows —
+    the SQL twin materializes the 4 slots explicitly."""
+    from datagouv_tools_spark.streaming.windows import sliding_agg
+
+    ev = t(spark, sf_dir, "events")
+    return sliding_agg(
+        ev,
+        "1 hour",
+        "15 minutes",
+        {
+            "n_events": F.count(F.lit(1)),
+            "sum_value": dround(F.sum(dec("value"))),
+        },
+    ).orderBy("window_start")
+
+
+_SESSION_ORACLE = """
+    WITH o AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+    FROM s
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+"""
+
+
+@query("events_session_stats", _SESSION_ORACLE)
+def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows, 30 min gap, per user
+    (streaming/windows.session_agg). A new session starts when
+    ts - prev_ts >= gap; window end = last ts + gap — the SQL twin is
+    the classic gaps-and-islands (LAG + running SUM). Scale: one
+    shuffle on user_id; streaming state = one open session per user."""
+    from datagouv_tools_spark.streaming.windows import session_agg
+
+    ev = t(spark, sf_dir, "events")
+    return (
+        session_agg(
+            ev,
+            "30 minutes",
+            {
+                "n_events": F.count(F.lit(1)),
+                "sum_value": dround(F.sum(dec("value"))),
+            },
+            keys=("user_id",),
+        )
+        .withColumnRenamed("window_start", "session_start")
+        .withColumnRenamed("window_end", "session_end")
+        .orderBy("user_id", "session_start")
+    )
+
+
+@query("events_session_stats_stream", _SESSION_ORACLE)
+def events_session_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL Structured Streaming path for events_session_stats:
+    readStream (file source, micro-batched) → withWatermark →
+    session_window agg → availableNow replay to a memory sink — and it
+    must match the same gaps-and-islands SQL oracle as the batch twin."""
+    from datagouv_tools_spark.streaming.source import read_events_stream, run_to_memory
+    from datagouv_tools_spark.streaming.windows import session_agg
+
+    ev = read_events_stream(spark, sf_dir)
+    sessions = session_agg(
+        ev,
+        "30 minutes",
+        {
+            "n_events": F.count(F.lit(1)),
+            "sum_value": dround(F.sum(dec("value"))),
+        },
+        keys=("user_id",),
+    )
+    return (
+        run_to_memory(sessions, output_mode="complete")
+        .withColumnRenamed("window_start", "session_start")
+        .withColumnRenamed("window_end", "session_end")
+        .orderBy("user_id", "session_start")
+    )
+
+
+@query(
+    "events_stream_user_totals",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(ROUND(SUM(value), 2) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator
+    (streaming/stateful.running_user_totals, applyInPandasWithState):
+    per-user running totals across micro-batches; on a bounded replay
+    the final update per user equals the batch groupBy totals. Float
+    sums rounded to 2 decimals on both sides (double accumulation order
+    differs by ~1 ULP between engines)."""
+    from datagouv_tools_spark.streaming.source import read_events_stream, run_to_memory
+    from datagouv_tools_spark.streaming.stateful import running_user_totals
+
+    ev = read_events_stream(spark, sf_dir)
+    totals = run_to_memory(running_user_totals(ev), output_mode="update")
+    # update mode re-emits a row per key per batch: keep the last (= max
+    # n_events) per user, then round for cross-engine float stability.
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        totals.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "n_events", F.round("sum_value", 2).alias("sum_value"))
+        .orderBy("user_id")
+    )

@@ -1,0 +1,87 @@
+"""Streaming source + sink helpers for the events table.
+
+``read_events_stream`` is the ``readStream`` twin of
+``sources.catalog.load_table(..., "events")``: same nanos-as-long
+parquet quirk, same long→timestamp_ntz normalization, but through the
+file-stream source so every downstream operator sees a genuinely
+streaming DataFrame (micro-batched by file, ``maxFilesPerTrigger``).
+
+``run_to_memory`` drives any streaming DataFrame to completion with an
+``availableNow`` trigger into a memory sink — bounded-input replay, the
+test/oracle harness for streaming operators. At 100 TB the same
+pipelines write to kafka/parquet sinks with ``processingTime``
+triggers; only this runner is test-only.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = ["EVENTS_RAW_SCHEMA", "read_events_stream", "run_to_memory"]
+
+#: events.parquet as Spark reads it with nanosAsLong: ts is raw int64
+#: epoch-nanoseconds (file streams require an explicit schema).
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        # the file-stream source requires a directory path; the glob
+        # filter selects just the events file out of the shared sf_dir
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # TimestampType (not NTZ: watermarks require it); session tz is UTC
+    # above, so wall-clock values equal the batch catalog's NTZ ones.
+    micros = F.expr("ts div 1000").cast("long")
+    return raw.withColumn("ts", F.timestamp_micros(micros))
+
+
+def run_to_memory(
+    df: DataFrame, output_mode: str = "complete", name: str | None = None
+) -> DataFrame:
+    """Replay a bounded stream to its final result (availableNow →
+    memory sink), return the result as a static DataFrame.
+
+    ``complete`` mode emits final window/session aggregates regardless
+    of the end-of-input watermark; use ``append`` to observe
+    watermark-gated emission instead.
+    """
+    name = name or f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return df.sparkSession.table(name)

@@ -1,0 +1,118 @@
+"""Streaming operators: stream == batch on the same bounded input.
+
+Every event-time operator (streaming/windows.py) runs on both a static
+and a streaming DataFrame; these tests replay the events table through
+the file-stream source (availableNow → memory sink) and assert the
+final result equals the batch twin row-for-row. The custom stateful
+operator is checked against the batch groupBy totals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datagouv_tools_spark.sources.catalog import load_table
+from datagouv_tools_spark.streaming.source import read_events_stream, run_to_memory
+from datagouv_tools_spark.streaming.stateful import running_user_totals
+from datagouv_tools_spark.streaming.windows import (
+    dedup_events,
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
+
+def _aggs():
+    # built lazily: Column construction needs an active SparkContext
+    return {"n_events": F.count(F.lit(1)), "sum_value": F.round(F.sum("value"), 2)}
+
+
+def _sorted_rows(df, *cols):
+    return [tuple(r) for r in df.orderBy(*cols).collect()]
+
+
+def _batch_events_as_ts(spark, sf_dir):
+    # streaming path uses TimestampType (watermark requirement); compare
+    # batch on the same type so window bounds are identical
+    return load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+
+
+def test_tumbling_stream_equals_batch(spark, sf_dir):
+    ev_b = _batch_events_as_ts(spark, sf_dir)
+    ev_s = read_events_stream(spark, sf_dir)
+    batch = tumbling_agg(ev_b, "15 minutes", _aggs(), keys=("event_type",))
+    stream = run_to_memory(
+        tumbling_agg(ev_s, "15 minutes", _aggs(), keys=("event_type",))
+    )
+    key = ["window_start", "event_type"]
+    assert _sorted_rows(stream, *key) == _sorted_rows(batch, *key)
+
+
+def test_sliding_stream_equals_batch(spark, sf_dir):
+    ev_b = _batch_events_as_ts(spark, sf_dir)
+    ev_s = read_events_stream(spark, sf_dir)
+    batch = sliding_agg(ev_b, "1 hour", "15 minutes", _aggs())
+    stream = run_to_memory(sliding_agg(ev_s, "1 hour", "15 minutes", _aggs()))
+    assert _sorted_rows(stream, "window_start") == _sorted_rows(batch, "window_start")
+    # every event lands in exactly duration/slide = 4 windows
+    n_events = ev_b.count()
+    assert sum(r[2] for r in _sorted_rows(stream, "window_start")) == 4 * n_events
+
+
+def test_session_stream_equals_batch(spark, sf_dir):
+    ev_b = _batch_events_as_ts(spark, sf_dir)
+    ev_s = read_events_stream(spark, sf_dir)
+    batch = session_agg(ev_b, "30 minutes", _aggs(), keys=("user_id",))
+    stream = run_to_memory(session_agg(ev_s, "30 minutes", _aggs(), keys=("user_id",)))
+    key = ["user_id", "window_start"]
+    assert _sorted_rows(stream, *key) == _sorted_rows(batch, *key)
+
+
+def test_session_window_semantics(spark):
+    # sessions split exactly at gap: 0s,10s in one session; +40s opens a new
+    # one (gap 30s); end = last ts + gap
+    rows = [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:00:10"), (1, "2024-01-01 00:00:50")]
+    df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = _sorted_rows(
+        session_agg(df, "30 seconds", {"n": F.count(F.lit(1))}, keys=("user_id",)),
+        "window_start",
+    )
+    assert [(str(s), str(e), u, n) for s, e, u, n in out] == [
+        ("2024-01-01 00:00:00", "2024-01-01 00:00:40", 1, 2),
+        ("2024-01-01 00:00:50", "2024-01-01 00:01:20", 1, 1),
+    ]
+
+
+def test_dedup_events_stream(spark, sf_dir):
+    ev_s = read_events_stream(spark, sf_dir)
+    deduped = run_to_memory(
+        dedup_events(ev_s, ("user_id", "event_type")), output_mode="append"
+    )
+    batch_distinct = (
+        _batch_events_as_ts(spark, sf_dir)
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    assert deduped.count() == batch_distinct
+    assert deduped.select("user_id", "event_type").distinct().count() == batch_distinct
+
+
+def test_stateful_running_totals(spark, sf_dir):
+    ev_s = read_events_stream(spark, sf_dir)
+    totals = run_to_memory(running_user_totals(ev_s), output_mode="update")
+    # last update per user == batch totals
+    w_last = totals.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"), F.max("sum_value").alias("sum_value")
+    )
+    batch = (
+        _batch_events_as_ts(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+    )
+    got = {r["user_id"]: (r["n_events"], round(r["sum_value"], 6)) for r in w_last.collect()}
+    want = {r["user_id"]: (r["n_events"], round(r["sum_value"], 6)) for r in batch.collect()}
+    assert got == want
