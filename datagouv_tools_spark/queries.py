@@ -1016,3 +1016,285 @@ def events_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "n_events", F.round("sum_value", 2).alias("sum_value"))
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Extended relational coverage: as-of join, range join, cube/grouping sets,
+# window frames, argmin, correlated aggregates, percentiles
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_asof_click_view",
+    """
+    WITH u AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click,
+             CASE WHEN event_type = 'view' THEN event_id END AS vid
+      FROM events WHERE event_type IN ('click', 'view')
+    ), m AS (
+      SELECT user_id, event_id, is_click,
+             LAST_VALUE(vid IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, is_click, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_id
+      FROM u
+    )
+    SELECT user_id, event_id AS click_id, view_id
+    FROM m WHERE is_click = 1
+    ORDER BY user_id, click_id
+    """,
+)
+def events_asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each click matched to the latest
+    view of the same user at or before it. Scale: ONE shuffle of
+    |clicks|+|views| on user_id — no range cross join, no per-key
+    quadratic blow-up."""
+    from datagouv_tools_spark.operators.asof import asof_join_backward
+
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    return (
+        asof_join_backward(
+            clicks, views, on="user_id",
+            right_payload=("event_id",), tiebreak="event_id",
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("event_id_asof").alias("view_id"),
+        )
+        .orderBy("user_id", "click_id")
+    )
+
+
+@query(
+    "orders_price_tier_rangejoin",
+    """
+    SELECT tier, COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+    FROM orders
+    JOIN (VALUES ('small', 0.0, 50000.0),
+                 ('medium', 50000.0, 150000.0),
+                 ('large', 150000.0, 1000000000.0)) AS tiers(tier, lo, hi)
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY tier
+    ORDER BY tier
+    """,
+)
+def orders_price_tier_rangejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band/range join against a broadcast literal dimension. Scale: the
+    3-row side broadcasts, so the non-equi predicate is evaluated
+    map-side over the fact scan — no shuffle at all before the agg."""
+    orders = t(spark, sf_dir, "orders")
+    tiers = spark.createDataFrame(
+        [("small", 0.0, 5e4), ("medium", 5e4, 1.5e5), ("large", 1.5e5, 1e9)],
+        "tier string, lo double, hi double",
+    )
+    return (
+        orders.join(
+            F.broadcast(tiers),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dround(F.sum(dec("o_totalprice"))).alias("total"),
+        )
+        .orderBy("tier")
+    )
+
+
+@query(
+    "revenue_cube",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS n_items,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+    """,
+)
+def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (all 2² grouping combinations in one pass —
+    Spark expands to a single shuffle with a grouping-id column)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dround(F.sum(dec("l_extendedprice"))).alias("revenue"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_items",
+            "revenue",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+@query(
+    "supplier_grouping_sets",
+    """
+    SELECT COALESCE(s_nationkey, -1) AS nationkey,
+           COUNT(*) AS n_suppliers,
+           CAST(ROUND(SUM(CAST(s_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_acctbal
+    FROM supplier
+    GROUP BY GROUPING SETS ((s_nationkey), ())
+    ORDER BY nationkey
+    """,
+)
+def supplier_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (per-nation + grand total in one pass)."""
+    supp = t(spark, sf_dir, "supplier")
+    return (
+        supp.groupingSets([[F.col("s_nationkey")], []], F.col("s_nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            dround(F.sum(dec("s_acctbal"))).alias("total_acctbal"),
+        )
+        .select(
+            F.coalesce("s_nationkey", F.lit(-1)).alias("nationkey"),
+            "n_suppliers",
+            "total_acctbal",
+        )
+        .orderBy("nationkey")
+    )
+
+
+@query(
+    "orders_moving_sum",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS mov_sum3
+    FROM orders
+    WHERE o_custkey < 100
+    ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+)
+def orders_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window FRAME (rowsBetween): 3-order moving sum per
+    customer. Scale: one shuffle on custkey; frame evaluation is a
+    linear in-partition scan."""
+    from pyspark.sql.window import Window
+
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        dround(F.sum(dec("o_totalprice")).over(w)).alias("mov_sum3"),
+    ).orderBy("o_custkey", "o_orderdate", "o_orderkey")
+
+
+@query(
+    "part_cheapest_supplier",
+    """
+    WITH r AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,4)), 2) AS DOUBLE) AS min_price,
+             ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                ORDER BY l_extendedprice, l_suppkey, l_orderkey, l_linenumber) AS rk
+      FROM lineitem WHERE l_partkey < 200
+    )
+    SELECT l_partkey, l_suppkey, min_price FROM r WHERE rk = 1
+    ORDER BY l_partkey
+    """,
+)
+def part_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin-per-group via rank-limit (the distributed form of a
+    correlated MIN subquery — no self-join back onto the fact)."""
+    from pyspark.sql.window import Window
+
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 200)
+    w = Window.partitionBy("l_partkey").orderBy(
+        "l_extendedprice", "l_suppkey", "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.select(
+            "l_partkey",
+            "l_suppkey",
+            F.round(dec("l_extendedprice"), 2).cast("double").alias("min_price"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+        .orderBy("l_partkey")
+    )
+
+
+@query(
+    "small_quantity_revenue",
+    """
+    WITH pa AS (
+      SELECT l_partkey, COUNT(*) AS cnt,
+             SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sq
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS small_qty_revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN pa USING (l_partkey)
+    WHERE CAST(2 AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4)) * cnt < sq
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style correlated aggregate (items below half the
+    part's average quantity), decorrelated into agg + equi-join. The
+    avg compare is cross-multiplied (2·qty·cnt < sum) so it stays in
+    exact decimal arithmetic on both engines. Scale: both sides shuffle
+    once on partkey; AQE picks shuffled-hash/broadcast by stats."""
+    li = t(spark, sf_dir, "lineitem")
+    pa = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum(dec("l_quantity")).alias("sq")
+    )
+    two = F.lit(2).cast(DEC)
+    return (
+        li.join(pa, "l_partkey")
+        .filter(two * dec("l_quantity") * F.col("cnt") < F.col("sq"))
+        .agg(
+            dround(F.sum(dec("l_extendedprice"))).alias("small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "customer_acctbal_median",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           ROUND(MEDIAN(c_acctbal), 4) AS median_acctbal
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def customer_acctbal_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median per group (full-sort percentile; both engines do
+    linear interpolation on the sorted doubles). At 100 TB you'd reach
+    for approx_percentile's mergeable sketch instead — exact median
+    here exercises the sort-based aggregate path."""
+    cust = t(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.median("c_acctbal"), 4).alias("median_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -181,3 +181,24 @@ def test_real_decode_path_raises_in_spark(spark):
 
     with pytest.raises((Py4JJavaError, PySparkException, Exception)):
         extract_image_features(df, fake=False).collect()
+
+
+def test_asof_join_backward_semantics(spark):
+    from datagouv_tools_spark.operators.asof import asof_join_backward
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, 20, 101), (2, 5, 102)], "k long, ts long, lid long"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 7), (1, 10, 8), (1, 15, 9), (2, 6, 10)], "k long, ts long, rid long"
+    )
+    out = {
+        r["lid"]: r["rid_asof"]
+        for r in asof_join_backward(
+            left, right, on="k", right_payload=("rid",), tiebreak="rid"
+        ).collect()
+    }
+    # equal ts matches inclusively with the max-tiebreak right row;
+    # no prior right row -> NULL
+    assert out == {100: 8, 101: 9, 102: None}
