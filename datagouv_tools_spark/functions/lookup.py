@@ -86,10 +86,15 @@ def code_lookup_join(
 ) -> DataFrame:
     """Broadcast-join variant for larger code tables: builds a 2-column
     dimension DataFrame and left-joins it with an explicit broadcast
-    hint (no shuffle of the fact side at any scale)."""
+    hint (no shuffle of the fact side at any scale). The dim is a
+    JVM-side map-literal explode (LocalRelation), not createDataFrame —
+    a Python-RDD build side costs seconds of Py4J overhead per run."""
     spark = df.sparkSession
-    dim = spark.createDataFrame(
-        [(k, v) for k, v in table.items()], schema=f"__code string, {value_col} string"
+    mapping = F.create_map(*[F.lit(x) for x in chain.from_iterable(table.items())])
+    dim = (
+        spark.range(1)
+        .select(F.explode(mapping))
+        .select(F.col("key").alias("__code"), F.col("value").alias(value_col))
     )
     out = df.join(F.broadcast(dim), df[key_col] == dim["__code"], "left").drop("__code")
     if default_to_input:

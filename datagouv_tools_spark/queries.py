@@ -1089,11 +1089,15 @@ def events_asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 def orders_price_tier_rangejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Band/range join against a broadcast literal dimension. Scale: the
     3-row side broadcasts, so the non-equi predicate is evaluated
-    map-side over the fact scan — no shuffle at all before the agg."""
+    map-side over the fact scan — no shuffle at all before the agg.
+    The dim is a SQL VALUES LocalRelation, not createDataFrame — a
+    Python-RDD build side adds seconds of Py4J/serialization overhead
+    per run (measured 3.5 s vs 0.07 s at sf0.1)."""
     orders = t(spark, sf_dir, "orders")
-    tiers = spark.createDataFrame(
-        [("small", 0.0, 5e4), ("medium", 5e4, 1.5e5), ("large", 1.5e5, 1e9)],
-        "tier string, lo double, hi double",
+    tiers = spark.sql(
+        "SELECT * FROM VALUES ('small', 0.0, 50000.0),"
+        " ('medium', 50000.0, 150000.0),"
+        " ('large', 150000.0, 1000000000.0) AS t(tier, lo, hi)"
     )
     return (
         orders.join(
