@@ -1302,3 +1302,74 @@ def customer_acctbal_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "salted_event_type_stats",
+    """
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value,
+           ROUND(MIN(value), 4) AS min_value,
+           ROUND(MAX(value), 4) AS max_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def salted_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-phase aggregation (operators/skew.salted_agg):
+    partial agg on (key, salt) spreads a hot key over 8 reducers, then
+    the 8 partials merge. The oracle is the PLAIN group-by — salting
+    must not change the algebra, only the shuffle distribution.
+    event_type has 5 values over any event volume: exactly the hot-key
+    shape where unsalted reducers pin at 100 TB."""
+    from datagouv_tools_spark.operators.skew import salted_agg
+
+    ev = t(spark, sf_dir, "events")
+    return (
+        salted_agg(
+            ev,
+            keys=("event_type",),
+            aggs={
+                "n_events": ("count", F.lit(1)),
+                "sum_value_dec": ("sum", dec("value")),
+                "min_value_raw": ("min", F.col("value")),
+                "max_value_raw": ("max", F.col("value")),
+            },
+        )
+        .select(
+            "event_type",
+            "n_events",
+            dround(F.col("sum_value_dec")).alias("sum_value"),
+            F.round("min_value_raw", 4).alias("min_value"),
+            F.round("max_value_raw", 4).alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "orders_systematic_sample",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderkey % 20 = 0
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def orders_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 1-in-20 systematic sample (key-modulo predicate —
+    reproducible across engines and runs, unlike random Bernoulli
+    sampling; pushes to the scan as a filter)."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderkey") % 20 == 0)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dround(F.sum(dec("o_totalprice"))).alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )

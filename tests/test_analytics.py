@@ -202,3 +202,21 @@ def test_asof_join_backward_semantics(spark):
     # equal ts matches inclusively with the max-tiebreak right row;
     # no prior right row -> NULL
     assert out == {100: 8, 101: 9, 102: None}
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from datagouv_tools_spark.operators.skew import salted_agg, salted_join_inner
+    from datagouv_tools_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    dim = cust.withColumnRenamed("c_custkey", "o_custkey")
+    plain = orders.join(dim, "o_custkey").groupBy("c_mktsegment").count()
+    salted = salted_join_inner(orders, dim, "o_custkey").groupBy("c_mktsegment").count()
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+    # salted_agg equals plain groupBy exactly
+    plain_agg = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    s_agg = salted_agg(orders, ("o_custkey",), {"n": ("count", F.lit(1))})
+    assert sorted(map(tuple, s_agg.collect())) == sorted(map(tuple, plain_agg.collect()))
