@@ -26,7 +26,14 @@ from pyspark.sql.window import Window
 
 from datagouv_tools_spark.functions.vectors import cosine, dot
 
-__all__ = ["cosine_topk", "cosine_pairs_exact", "lsh_bucket", "lsh_topk"]
+__all__ = [
+    "cosine_topk",
+    "cosine_pairs_exact",
+    "lsh_bucket",
+    "lsh_topk",
+    "ivf_assign",
+    "ivf_topk",
+]
 
 
 def cosine_topk(
@@ -178,6 +185,118 @@ def lsh_topk(
         corpus_id, corpus_vec, lsh_bucket(corpus, corpus_vec, dim, n_planes, seed).alias("__bucket")
     )
     pairs = F.broadcast(qb).join(cb, "__bucket").filter(F.col(query_id) != F.col(corpus_id))
+    sim = F.round(cosine(query_vec, corpus_vec), round_to)
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(corpus_id))
+    return (
+        pairs.select(query_id, corpus_id, sim.alias("sim"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+
+def _ivf_centroids(df: DataFrame, vec_col: str, n_lists: int, seed: int = 42):
+    """Deterministic coarse centroids: the n_lists corpus vectors with
+    the smallest splitmix-style hash of their id — a seeded sample that
+    needs no iterative training (k-means would converge better but adds
+    nondeterminism; for a quantizer, spread matters more than
+    optimality). Driver-side: n_lists × dim floats."""
+    import numpy as np
+
+    id_col = df.columns[0]
+    sampled = (
+        df.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(n_lists)
+        .collect()
+    )
+    return np.array([r[1] for r in sampled], dtype=np.float64)
+
+
+def ivf_assign(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Add ``__list`` — the id of the nearest coarse centroid (by
+    cosine). Arrow-batched numpy argmax against the broadcast centroid
+    matrix; at 100 TB, write the corpus bucketed/partitioned by
+    ``__list`` so probes touch only nprobe partitions."""
+    import numpy as np
+    import pandas as pd
+
+    cents = _ivf_centroids(df, vec_col, n_lists, seed)
+    cents = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    bc = df.sparkSession.sparkContext.broadcast(cents)
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    out_schema = f"{fields}, __list int"
+
+    def gen(batches):
+        c = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            pdf = pdf.copy()
+            pdf["__list"] = np.argmax(m @ c.T, axis=1).astype("int32")
+            yield pdf
+
+    return df.mapInPandas(gen, out_schema)
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "query_vec",
+    corpus_vec: str = "embedding",
+    round_to: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are inverted-listed under
+    their nearest of ``n_lists`` coarse centroids; each query probes
+    its ``nprobe`` nearest lists and runs exact cosine only there.
+
+    Scale shape: candidate work drops to ~nprobe/n_lists of brute
+    force; the corpus shuffles once on ``__list`` (or never, if stored
+    pre-bucketed); queries broadcast. Approximate by design → rows-only
+    driver check; recall is asserted against brute force in tests."""
+    import numpy as np
+    import pandas as pd
+
+    cents = _ivf_centroids(corpus, corpus_vec, n_lists, seed)
+    cents_n = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    corpus_l = ivf_assign(
+        corpus.select(corpus_id, corpus_vec), corpus_vec, n_lists, seed
+    )
+
+    # queries: explode to (query, probed list) pairs — tiny side, driver math
+    q_rows = queries.select(query_id, query_vec).collect()
+    probe_rows = []
+    for r in q_rows:
+        v = np.asarray(r[1], dtype=np.float64)
+        v = v / max(float(np.linalg.norm(v)), 1e-12)
+        lists = np.argsort(-(cents_n @ v))[:nprobe]
+        probe_rows.extend((int(r[0]), list(r[1]), int(li)) for li in lists)
+    spark = queries.sparkSession
+    q_probes = spark.createDataFrame(
+        pd.DataFrame(probe_rows, columns=[query_id, query_vec, "__list"])
+    )
+
+    pairs = F.broadcast(q_probes).join(corpus_l, "__list").filter(
+        F.col(query_id) != F.col(corpus_id)
+    )
     sim = F.round(cosine(query_vec, corpus_vec), round_to)
     w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(corpus_id))
     return (

@@ -1373,3 +1373,20 @@ def orders_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query("ivf_ann_topk")  # no SQL oracle: approximate by design
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors (operators/similarity.
+    ivf_topk): 16 coarse lists, 4 probed per query, exact cosine within
+    probed lists. The inverted-file scale path next to LSH
+    (lsh_ann_topk); recall vs brute force asserted in tests."""
+    from datagouv_tools_spark.operators.similarity import ivf_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(queries_df, emb, k=5, n_lists=16, nprobe=4).orderBy(
+        "query_id", "rk"
+    )

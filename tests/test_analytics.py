@@ -220,3 +220,23 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     plain_agg = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
     s_agg = salted_agg(orders, ("o_custkey",), {"n": ("count", F.lit(1))})
     assert sorted(map(tuple, s_agg.collect())) == sorted(map(tuple, plain_agg.collect()))
+
+
+def test_ivf_recall_vs_brute_force(spark, sf01_dir):
+    from datagouv_tools_spark.operators.similarity import cosine_topk, ivf_topk
+    from datagouv_tools_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf01_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = cosine_topk(qs, emb, k=5)
+    approx = ivf_topk(qs, emb, k=5, n_lists=16, nprobe=8)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # nprobe=8 of 16 lists: expect to find well over half the true top-5
+    assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
+    # approx returns <= k rows per query and never a self-pair
+    assert approx.filter(F.col("query_id") == F.col("vec_id")).count() == 0
