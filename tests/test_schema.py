@@ -157,3 +157,20 @@ def test_dialect_registry_aliases():
     assert get_dialect("mysql") is get_dialect("maria")
     with pytest.raises(KeyError):
         get_dialect("oracle")
+
+
+def test_jdbc_read_options_partitioned():
+    from datagouv_tools_spark.sources.jdbc import jdbc_read_options
+
+    opts = jdbc_read_options(
+        "jdbc:postgresql://h/db", "sirene", partition_column="siren",
+        lower_bound=0, upper_bound=1_000_000, num_partitions=16,
+    )
+    assert opts["partitionColumn"] == "siren"
+    assert (opts["lowerBound"], opts["upperBound"], opts["numPartitions"]) == ("0", "1000000", "16")
+    assert opts["fetchsize"] == "10000"
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        jdbc_read_options("u", "t", partition_column="k")
