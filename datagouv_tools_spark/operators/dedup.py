@@ -207,3 +207,66 @@ def ngram_jaccard_pairs(
 def approx_distinct(df: DataFrame, col: str, rsd: float = 0.05) -> DataFrame:
     """HLL approximate count-distinct — the 100 TB cardinality probe."""
     return df.agg(F.approx_count_distinct(col, rsd).alias("approx_distinct"))
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs → (node,
+    cluster_id), cluster_id = min node id in the component. The
+    canonical "keep one per cluster" step after any pair generator
+    (MinHash bands, SimHash, embedding cosine).
+
+    Iterative min-label propagation: each round joins labels to edges,
+    takes the neighborhood min, and stops when no label changes — the
+    fixpoint is unique, so results are deterministic and
+    oracle-checkable (recursive CTE in SQL). ``localCheckpoint`` per
+    round truncates lineage (an unbounded iterative plan otherwise
+    recompiles and re-executes from scratch each round).
+
+    Scale: each round is one shuffle of |E| on the join key; rounds ≈
+    graph diameter (near-dup components are shallow — a few rounds).
+    For deep chains at 100 TB, swap in large-star/small-star; the
+    operator contract stays the same.
+    """
+    from pyspark.sql import functions as F
+
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("nb_node"))
+            .agg(F.min("lbl").alias("nb_lbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == F.col("nb_node"), "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce(F.col("nb_lbl"), F.col("lbl"))).alias(
+                    "lbl"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("lbl").alias("cluster_id"))

@@ -1390,3 +1390,174 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(queries_df, emb, k=5, n_lists=16, nprobe=4).orderBy(
         "query_id", "rk"
     )
+
+
+@query(
+    "q7_nation_volume",
+    """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           EXTRACT(year FROM l_shipdate) AS l_year,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 analog: bidirectional nation-pair trade volume by year.
+    Scale: nation×2 and supplier/customer broadcast; lineitem⋈orders is
+    the single fact shuffle; the disjunctive nation filter prunes
+    post-broadcast, map-side."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    one = F.lit(1).cast(DEC)
+    revenue = dec("l_extendedprice") * (one - dec("l_discount"))
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(dround(F.sum(revenue)).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    """
+    SELECT CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                               THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                               ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS promo_revenue,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS total_revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 analog: conditional aggregation over a broadcast
+    part join (promo vs total revenue in one pass)."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    part = t(spark, sf_dir, "part")
+    one = F.lit(1).cast(DEC)
+    zero = F.lit(0).cast(DEC)
+    rev = dec("l_extendedprice") * (one - dec("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            dround(F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))).alias(
+                "promo_revenue"
+            ),
+            dround(F.sum(rev)).alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q19_disjunctive_filter",
+    """
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 5 AND l_quantity <= 25)
+       OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#15' AND p_size BETWEEN 20 AND 50 AND l_quantity >= 15 AND l_quantity <= 40)
+    """,
+)
+def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 analog: disjunction of conjunctive band predicates
+    across both join sides. Catalyst extracts the common l_quantity
+    bounds as a pushable pre-filter; the full OR evaluates after the
+    broadcast join."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 15) & (q >= 5) & (q <= 25))
+        | ((F.col("p_brand") == "Brand#22") & F.col("p_size").between(10, 30) & (q >= 10) & (q <= 30))
+        | ((F.col("p_brand") == "Brand#15") & F.col("p_size").between(20, 50) & (q >= 15) & (q <= 40))
+    )
+    one = F.lit(1).cast(DEC)
+    rev = dec("l_extendedprice") * (one - dec("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            dround(F.sum(rev)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "near_dup_clusters",
+    """
+    WITH RECURSIVE c0 AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+    ), p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM c0 a JOIN c0 b ON a.vec_id < b.vec_id
+      WHERE ROUND(list_dot_product(a.embedding, b.embedding)
+                  / (sqrt(list_dot_product(a.embedding, a.embedding))
+                     * sqrt(list_dot_product(b.embedding, b.embedding))), 6) >= 0.4
+    ), e AS (
+      SELECT id_a AS src, id_b AS dst FROM p
+      UNION
+      SELECT id_b, id_a FROM p
+    ), r(node, lbl) AS (
+      SELECT src, src FROM e
+      UNION
+      SELECT e.dst, r.lbl FROM r JOIN e ON e.src = r.node
+    )
+    SELECT node AS vec_id, MIN(lbl) AS cluster_id
+    FROM r GROUP BY node ORDER BY vec_id
+    """,
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup clustering: embedding near-dup pairs (BLAS
+    kernel) → connected components (operators/dedup.dedup_clusters,
+    iterative min-label propagation). cluster_id = min vec_id of the
+    component; the SQL twin is a recursive CTE, so even this iterative
+    algorithm is hash-checked against the oracle."""
+    from datagouv_tools_spark.operators.dedup import dedup_clusters
+    from datagouv_tools_spark.operators.similarity import cosine_pairs_exact
+
+    emb = t(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs_exact(emb, "vec_id", "embedding", threshold=0.4)
+    return (
+        dedup_clusters(pairs)
+        .select(F.col("node").alias("vec_id"), "cluster_id")
+        .orderBy("vec_id")
+    )

@@ -240,3 +240,14 @@ def test_ivf_recall_vs_brute_force(spark, sf01_dir):
     assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
     # approx returns <= k rows per query and never a self-pair
     assert approx.filter(F.col("query_id") == F.col("vec_id")).count() == 0
+
+
+def test_dedup_clusters_chain_and_islands(spark):
+    from datagouv_tools_spark.operators.dedup import dedup_clusters
+
+    # chain 1-2-3-4 (one component), island 10-11, singleton pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)], "id_a long, id_b long"
+    )
+    got = {r["node"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
