@@ -90,11 +90,17 @@ def sanitize(text: str) -> str:
     'caractere_du_lieu_dit'
     >>> sanitize("date de création de l'article")
     'date_de_creation_de_larticle'
+
+    Idempotent: '_' counts as a separator (else a second pass would
+    strip the underscores a first pass introduced).
+
+    >>> sanitize(sanitize("Date de création")) == sanitize("Date de création")
+    True
     """
     decomposed = unicodedata.normalize("NFKD", text)
     ascii_text = "".join(ch for ch in decomposed if not unicodedata.combining(ch))
     ascii_text = ascii_text.encode("ascii", "ignore").decode("ascii")
-    ascii_text = ascii_text.replace("-", " ")
+    ascii_text = ascii_text.replace("-", " ").replace("_", " ")
     ascii_text = "".join(ch for ch in ascii_text if ch.isalnum() or ch.isspace())
     return "_".join(ascii_text.casefold().split())
 

@@ -1,0 +1,66 @@
+"""Property-based tests (hypothesis) for the pure-Python helpers.
+
+The reference tests these with hand-picked doctests; hypothesis covers
+the input space — idempotence, output invariants, length bounds — the
+way SURVEY §5 prescribes extending the reference's strategy.
+"""
+
+from __future__ import annotations
+
+import re
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from datagouv_tools_spark.functions.names import sanitize, to_snake
+from datagouv_tools_spark.schema.ddl import c_escape, shorten_identifier
+
+ident = st.text(
+    alphabet=string.ascii_letters + string.digits + "_", min_size=1, max_size=40
+)
+
+
+@given(ident)
+@settings(max_examples=200)
+def test_to_snake_idempotent(name):
+    once = to_snake(name)
+    assert to_snake(once) == once
+
+
+@given(ident)
+def test_to_snake_output_shape(name):
+    out = to_snake(name)
+    # lowercase, no double underscores introduced by splitting
+    assert out == out.lower()
+    assert re.fullmatch(r"[a-z0-9_]*", out)
+
+
+@given(st.text(min_size=0, max_size=60))
+def test_sanitize_ascii_and_idempotent(text):
+    out = sanitize(text)
+    assert out == sanitize(out)
+    assert all(ord(ch) < 128 for ch in out)
+    assert " " not in out
+
+
+@given(st.lists(ident, min_size=1, max_size=6), st.integers(min_value=8, max_value=64))
+def test_shorten_identifier_bounded(parts, max_len):
+    out = shorten_identifier(parts, max_len=max_len)
+    # vowel-stripping may not suffice for pathological inputs, but the
+    # common case must fit; at minimum the function never raises and
+    # returns a non-empty joined identifier
+    assert out
+    joined = "_".join(parts)
+    if len(joined) <= max_len:
+        assert out == joined
+
+
+@given(st.text(min_size=0, max_size=60))
+def test_c_escape_roundtrippable_shape(text):
+    out = c_escape(text)
+    # always a complete E'…' literal with balanced quoting: every
+    # single quote in the body is escaped
+    assert out.startswith("E'") and out.endswith("'")
+    body = out[2:-1]
+    assert re.search(r"(?<!\\)'", body) is None
