@@ -116,3 +116,69 @@ def test_stateful_running_totals(spark, sf_dir):
     got = {r["user_id"]: (r["n_events"], round(r["sum_value"], 6)) for r in w_last.collect()}
     want = {r["user_id"]: (r["n_events"], round(r["sum_value"], 6)) for r in batch.collect()}
     assert got == want
+
+
+def _multi_batch_events_dir(spark, sf_dir, tmp_path, n_files=3):
+    # split events into n parquet files so maxFilesPerTrigger=1 yields a
+    # genuinely multi-batch stream (state must survive across batches)
+    out = str(tmp_path / "events_split")
+    ev = load_table(spark, sf_dir, "events")
+    ev.withColumn("__b", F.col("event_id") % n_files).repartition(
+        n_files, "__b"
+    ).drop("__b").write.mode("overwrite").parquet(out)
+    import glob
+    assert len(glob.glob(out + "/part-*.parquet")) >= n_files - 1
+    return out
+
+
+def _read_split_stream(spark, split_dir):
+    from pyspark.sql.types import StructField, StructType, TimestampType
+    from datagouv_tools_spark.streaming.source import EVENTS_RAW_SCHEMA
+
+    # the split files carry proper micro timestamps (written by Spark),
+    # not the raw nanos of the driver testdata
+    schema = StructType(
+        [
+            f if f.name != "ts" else StructField("ts", TimestampType())
+            for f in EVENTS_RAW_SCHEMA.fields
+        ]
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(split_dir)
+    )
+
+
+def test_stateful_totals_across_batches(spark, sf_dir, tmp_path):
+    split = _multi_batch_events_dir(spark, sf_dir, tmp_path)
+    stream = _read_split_stream(spark, split)
+    totals = run_to_memory(running_user_totals(stream), output_mode="update")
+    # update mode emits one row per user per batch it appears in; the
+    # running state must end at the batch totals
+    final = totals.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    got = {r["user_id"]: r["n_events"] for r in final.collect()}
+    want = {r["user_id"]: r["n_events"] for r in batch.collect()}
+    assert got == want
+    # and at least one user must have been updated in more than one batch
+    multi = totals.groupBy("user_id").count().filter(F.col("count") > 1).count()
+    assert multi > 0
+
+
+def test_session_agg_across_batches(spark, sf_dir, tmp_path):
+    split = _multi_batch_events_dir(spark, sf_dir, tmp_path)
+    stream = _read_split_stream(spark, split)
+    got = run_to_memory(
+        session_agg(stream, "30 minutes", _aggs(), keys=("user_id",))
+    )
+    want = session_agg(
+        _batch_events_as_ts(spark, sf_dir), "30 minutes", _aggs(), keys=("user_id",)
+    )
+    key = ["user_id", "window_start"]
+    assert _sorted_rows(got, *key) == _sorted_rows(want, *key)
