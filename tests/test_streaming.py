@@ -182,3 +182,51 @@ def test_session_agg_across_batches(spark, sf_dir, tmp_path):
     )
     key = ["user_id", "window_start"]
     assert _sorted_rows(got, *key) == _sorted_rows(want, *key)
+
+
+def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
+    """Watermark semantics, as Spark actually defines them: the
+    watermark is an EVICTION bound, not a guaranteed late filter. A
+    late row whose window state is still live merges fine; once the
+    window has been evicted (its end < watermark at a batch boundary),
+    a later row for it is dropped. Three micro-batches:
+
+      b0: 00:05 and 02:00  → watermark after b0 = 01:50
+      b1: 03:00            → during b1 the 00:00 window (end 00:15 <
+                             01:50) is finalized and emitted with n=1;
+                             watermark after b1 = 02:50
+      b2: 00:06 (late)     → its window was evicted; the row is
+                             dropped, no re-emission
+    """
+    import time as _time
+
+    d = tmp_path / "late"
+    d.mkdir()
+
+    def write(rows, name):
+        df = spark.createDataFrame(rows, "event_id long, ts string").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(d / name))
+
+    write([(1, "2024-01-01 00:05:00"), (2, "2024-01-01 02:00:00")], "f1")
+    _time.sleep(1.1)  # file source orders batches by modification time
+    write([(3, "2024-01-01 03:00:00")], "f2")
+    _time.sleep(1.1)
+    write([(4, "2024-01-01 00:06:00")], "f3")  # late: behind 02:50 watermark
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(str(d) + "/*")
+    )
+    counts = tumbling_agg(
+        stream, "15 minutes", {"n": F.count(F.lit(1))}, watermark="10 minutes"
+    )
+    got = run_to_memory(counts, output_mode="append")
+    rows = [(str(r["window_start"]), r["n"]) for r in got.collect()]
+    # the 00:00 window emitted exactly once, with only the on-time row;
+    # the late row neither re-emitted the window nor created new state
+    assert rows.count(("2024-01-01 00:00:00", 1)) == 1
+    assert all(not (w == "2024-01-01 00:00:00" and n != 1) for w, n in rows)
