@@ -1563,3 +1563,51 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").alias("vec_id"), "cluster_id")
         .orderBy("vec_id")
     )
+
+
+@query(
+    "events_click_view_interval_join",
+    """
+    SELECT v.user_id,
+           c.event_id AS click_id,
+           v.event_id AS view_id,
+           CAST(ROUND(EXTRACT(epoch FROM c.ts - v.ts), 1) AS DOUBLE) AS lag_s
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id
+     AND v.ts >= c.ts - INTERVAL '10 minutes'
+     AND v.ts <= c.ts
+    ORDER BY v.user_id, click_id, view_id
+    """,
+)
+def events_click_view_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (streaming/joins.interval_join, batch twin): every
+    view within 10 minutes BEFORE each click of the same user. On
+    streams both sides are watermarked and the interval bounds the
+    join state; the stream==batch equivalence is asserted in
+    tests/test_streaming.py."""
+    from datagouv_tools_spark.streaming.joins import interval_join
+
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id"), F.col("event_id").alias("view_id"), F.col("ts").alias("ts")
+    )
+    joined = interval_join(
+        clicks, views, on="user_id", lower="10 minutes", upper="0 seconds",
+        left_ts="c_ts", right_ts="ts",
+    )
+    # NTZ has no numeric cast; go through TimestampType (UTC session)
+    lag_s = F.round(
+        (
+            F.unix_micros(F.col("c_ts").cast("timestamp"))
+            - F.unix_micros(F.col("ts").cast("timestamp"))
+        )
+        / F.lit(1_000_000.0),
+        1,
+    ).cast("double")
+    return joined.select(
+        "user_id", "click_id", "view_id", lag_s.alias("lag_s")
+    ).orderBy("user_id", "click_id", "view_id")

@@ -230,3 +230,32 @@ def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
     # the late row neither re-emitted the window nor created new state
     assert rows.count(("2024-01-01 00:00:00", 1)) == 1
     assert all(not (w == "2024-01-01 00:00:00" and n != 1) for w, n in rows)
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
+    from datagouv_tools_spark.streaming.joins import interval_join
+
+    def split(ev):
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+        )
+        views = ev.filter(F.col("event_type") == "view").select(
+            "user_id", F.col("event_id").alias("view_id"), "ts"
+        )
+        return clicks, views
+
+    sc, sv = split(read_events_stream(spark, sf_dir))
+    stream = run_to_memory(
+        interval_join(
+            sc, sv, on="user_id", lower="10 minutes", upper="0 seconds",
+            left_ts="c_ts", right_ts="ts", watermark="10 minutes",
+        ).select("user_id", "click_id", "view_id"),
+        output_mode="append",
+    )
+    bc, bv = split(_batch_events_as_ts(spark, sf_dir))
+    batch = interval_join(
+        bc, bv, on="user_id", lower="10 minutes", upper="0 seconds",
+        left_ts="c_ts", right_ts="ts",
+    ).select("user_id", "click_id", "view_id")
+    key = ["user_id", "click_id", "view_id"]
+    assert _sorted_rows(stream, *key) == _sorted_rows(batch, *key)
