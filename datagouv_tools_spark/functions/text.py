@@ -124,3 +124,26 @@ def bpe_ish_token_count(col: Column | str) -> Column:
         F.regexp_replace(c, r"([0-9]+|[^\sa-z0-9]+)", r" $1 "), r"\s+"
     )
     return F.size(F.filter(pieces, lambda t: t != "")).cast("bigint")
+
+
+def winnow_fingerprints(col: Column | str, k: int = 5, window: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS scheme): hash every k-char gram of the
+    normalized text, slide a window of ``window`` hashes, keep each
+    window's minimum, dedupe. Guarantees any match of length
+    >= window + k - 1 shares a fingerprint, at ~2/(window+1) sampling
+    density.
+
+    Pure JVM built-ins (xxhash64 + transform/slice/array_min): no UDF,
+    no shuffle — per-row work, linear in document length. The natural
+    pre-filter for pair generation: candidates = docs sharing a
+    fingerprint (explode + self-join on fingerprint).
+    """
+    c = _c(col)
+    norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    n = F.length(norm)
+    gram_idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    hashes = F.transform(gram_idx, lambda i: F.xxhash64(F.substr(norm, i, F.lit(k))))
+    win_idx = F.sequence(F.lit(1), F.greatest(F.size(hashes) - (window - 1), F.lit(1)))
+    mins = F.transform(win_idx, lambda i: F.array_min(F.slice(hashes, i, window)))
+    return F.array_distinct(mins)

@@ -1611,3 +1611,30 @@ def events_click_view_interval_join(spark: SparkSession, sf_dir: str) -> DataFra
     return joined.select(
         "user_id", "click_id", "view_id", lag_s.alias("lag_s")
     ).orderBy("user_id", "click_id", "view_id")
+
+
+@query("doc_winnow_candidates")  # no SQL oracle: xxhash64 winnowing not ANSI-SQL
+def doc_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash (winnowing) fingerprint candidate pairs
+    (functions/text.winnow_fingerprints): docs sharing >= 3 selected
+    fingerprints. Scale: explode + self-join shuffles on fingerprint —
+    candidates only, verification (e.g. ngram_jaccard_pairs) runs on
+    the pairs, never all-pairs."""
+    from datagouv_tools_spark.functions.text import winnow_fingerprints
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    # k=12 grams: the synthetic docs are short (~300 chars) and share
+    # template vocabulary; small grams make every pair a candidate
+    fps = docs.select(
+        "doc_id", F.explode(winnow_fingerprints("text", k=12, window=8)).alias("fp")
+    ).distinct()
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 5)
+        .orderBy("id_a", "id_b")
+    )

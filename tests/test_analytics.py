@@ -251,3 +251,25 @@ def test_dedup_clusters_chain_and_islands(spark):
     )
     got = {r["node"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_winnow_fingerprints_properties(spark):
+    from datagouv_tools_spark.functions.text import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "the quick brown fox jumps over the lazy cat"),
+            (4, "completely unrelated content with nothing shared"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: set(r["fp"])
+        for r in df.select("doc_id", winnow_fingerprints("text").alias("fp")).collect()
+    }
+    assert out[1] == out[2]  # identical docs -> identical fingerprints
+    j = len(out[1] & out[3]) / len(out[1] | out[3])
+    assert j > 0.5  # one-word change keeps most fingerprints
+    assert not (out[1] & out[4])  # unrelated docs share nothing
