@@ -34,6 +34,8 @@ __all__ = [
     "attach_media_metadata",
     "decode_image_batch",
     "extract_image_features",
+    "resize_images",
+    "sample_video_frames",
     "repartition_by_bytes",
 ]
 
@@ -138,3 +140,88 @@ def repartition_by_bytes(
     total = df.agg(F.sum(F.length(F.col(payload_col)))).collect()[0][0] or 0
     n = max(1, int(total / target_partition_bytes) + 1)
     return df.repartition(n)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    fake: bool = False,
+) -> DataFrame:
+    """Resize pass: binary in → binary out with target dims recorded.
+    Real plumbing (Arrow batches, binary-safe round-trip, dims in
+    output schema so downstream filters never decode); stubbed codec —
+    fake mode emits a deterministic truncated/padded payload of
+    width*height bytes, a real impl swaps `_fake_resize` for
+    PIL/libvips on the same batch shape."""
+
+    def _fake_resize(payload: bytes) -> bytes:
+        target = width * height
+        return (payload * (target // max(len(payload), 1) + 1))[:target]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                decode_image_batch(b"")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "payload": pdf[payload_col].map(_fake_resize),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    every_n: int = 10,
+    max_frames: int = 8,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    fake: bool = False,
+) -> DataFrame:
+    """Frame sampling: one input row fans out to <= max_frames rows
+    (media_id, frame_no, frame). The 1→N explode INSIDE mapInPandas is
+    the part that matters at scale: output batches are built per input
+    batch, so a 4 GB video never materializes all its frames at once.
+    Fake mode slices the payload deterministically; a real impl swaps
+    in pyav/ffmpeg keyframe extraction on the same contract."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                decode_image_batch(b"")
+            ids, nos, frames = [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                chunk = max(len(payload) // max(every_n, 1), 1)
+                for i in range(min(max_frames, max(len(payload) // chunk, 1))):
+                    ids.append(mid)
+                    nos.append(i)
+                    frames.append(bytes(payload[i * chunk : (i + 1) * chunk]))
+            yield pd.DataFrame({"media_id": ids, "frame_no": nos, "frame": frames})
+
+    return df.select(id_col, payload_col).mapInPandas(run, FRAMES_SCHEMA)

@@ -273,3 +273,33 @@ def test_winnow_fingerprints_properties(spark):
     j = len(out[1] & out[3]) / len(out[1] | out[3])
     assert j > 0.5  # one-word change keeps most fingerprints
     assert not (out[1] & out[4])  # unrelated docs share nothing
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    from datagouv_tools_spark.operators.multimodal import (
+        resize_images,
+        sample_video_frames,
+    )
+    from pyspark.sql import functions as F
+    import pytest
+
+    media = spark.range(3).select(
+        F.col("id").alias("media_id"),
+        F.encode(F.concat(F.lit("payload-"), F.col("id").cast("string")), "utf-8").alias("payload"),
+    )
+    resized = resize_images(media, width=4, height=3, fake=True).collect()
+    assert all(len(r["payload"]) == 12 and r["width"] == 4 for r in resized)
+    # deterministic: same input -> same bytes
+    again = resize_images(media, width=4, height=3, fake=True).collect()
+    assert [bytes(r["payload"]) for r in resized] == [bytes(r["payload"]) for r in again]
+
+    frames = sample_video_frames(media, every_n=4, max_frames=3, fake=True)
+    rows = frames.collect()
+    assert frames.columns == ["media_id", "frame_no", "frame"]
+    per_media = {r["media_id"] for r in rows}
+    assert per_media == {0, 1, 2}
+    assert all(0 <= r["frame_no"] < 3 for r in rows)
+
+    # strict mode surfaces the stub, not silent fakes
+    with pytest.raises(Exception, match="NotImplementedError|image decode"):
+        resize_images(media, width=4, height=3, fake=False).collect()
