@@ -63,9 +63,16 @@ def read_schemas(df: DataFrame) -> list[str]:
 def exchange_count(df: DataFrame) -> int:
     """Number of shuffle exchanges (excludes broadcast exchanges).
     Every one is a full network redistribution of its input — the
-    unit of cost that must not grow with refactors."""
-    plan = physical_plan(df)
-    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning", plan))
+    unit of cost that must not grow with refactors.
+
+    Counted on the simple-mode plan: formatted mode splits the node
+    name and its partitioning arguments onto different lines, which a
+    single-line pattern silently misses (every count reads 0 and any
+    upper-bound assertion passes vacuously)."""
+    plan = physical_plan(df, "simple")
+    return len(
+        re.findall(r"Exchange (?:hash|range)partitioning", plan)
+    )
 
 
 def has_broadcast_hash_join(df: DataFrame) -> bool:

@@ -33,7 +33,7 @@ from datagouv_tools_spark.schema.ddl import (
     get_dialect,
 )
 
-__all__ = ["StatementExecutor", "DryRunExecutor", "DbApiExecutor", "SqlSink", "ParquetSink"]
+__all__ = ["StatementExecutor", "DryRunExecutor", "DbApiExecutor", "SqlSink", "ParquetSink", "BucketedTableSink"]
 
 
 class StatementExecutor:
@@ -163,3 +163,26 @@ class ParquetSink:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(path)
         return path
+
+
+@dataclass
+class BucketedTableSink:
+    """Bucketed managed tables: pre-shuffle ONCE at write time so every
+    later equi-join/agg on the bucket key plans with zero exchanges —
+    the 100 TB answer to a fact⋈fact join that would otherwise shuffle
+    both sides every query. Requires saveAsTable (bucket metadata lives
+    in the metastore); tests assert the no-exchange plan property.
+    """
+
+    n_buckets: int
+    bucket_cols: tuple[str, ...]
+    sort_cols: tuple[str, ...] = ()
+    base_path: str | None = None  # external table location; default = warehouse dir
+
+    def write(self, df: DataFrame, table: str, mode: str = "overwrite") -> None:
+        writer = df.write.mode(mode).bucketBy(self.n_buckets, *self.bucket_cols)
+        if self.sort_cols:
+            writer = writer.sortBy(*self.sort_cols)
+        if self.base_path:
+            writer = writer.option("path", f"{self.base_path.rstrip('/')}/{table}")
+        writer.saveAsTable(table)

@@ -68,3 +68,42 @@ def test_dedup_fingerprint_prunes_documents(spark, sf_dir):
     schemas = read_schemas(df)
     assert len(schemas) == 1
     assert "doc_id" not in schemas[0]  # only source + text are needed
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """The bucketing payoff, asserted on the plan: fact tables written
+    bucketed by the join key plan a sort-merge join with ZERO shuffle
+    exchanges — the write-once pre-shuffle that makes repeated fact
+    joins viable at 100 TB."""
+    from datagouv_tools_spark.sinks.sink import BucketedTableSink
+    from datagouv_tools_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "wh")
+    sink = BucketedTableSink(4, ("o_orderkey",), ("o_orderkey",), base_path=base)
+    sink.write(load_table(spark, sf_dir, "orders"), "orders_b")
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    BucketedTableSink(4, ("o_orderkey",), ("o_orderkey",), base_path=base).write(li, "lineitem_b")
+
+    # force sort-merge on both plans (at this test scale Spark would
+    # broadcast; at 100 TB fact x fact neither side broadcasts)
+    joined = (
+        spark.table("orders_b")
+        .hint("merge")
+        .join(spark.table("lineitem_b").hint("merge"), "o_orderkey")
+    )
+    n = joined.count()
+    assert n == load_table(spark, sf_dir, "lineitem").count()  # FK join preserves rows
+    plan = physical_plan(joined)
+    assert "SortMergeJoin" in plan
+    assert exchange_count(joined) == 0 and "BroadcastExchange" not in plan
+    # the same sort-merge join on unbucketed parquet shuffles both sides
+    plain = (
+        load_table(spark, sf_dir, "orders")
+        .hint("merge")
+        .join(
+            load_table(spark, sf_dir, "lineitem").hint("merge"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+    )
+    assert exchange_count(plain) >= 2
