@@ -1725,3 +1725,101 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_qty"), "o_orderkey")
         .limit(20)
     )
+
+
+@query(
+    "customer_acctbal_quartiles",
+    """
+    SELECT c_mktsegment,
+           list_transform(quantile_cont(c_acctbal, [0.25, 0.5, 0.75]),
+                          x -> ROUND(x, 4)) AS quartiles
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def customer_acctbal_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-quantile aggregate returning an array column (both
+    engines: linear interpolation over the sorted values)."""
+    cust = t(spark, sf_dir, "customer")
+    qs = F.percentile(
+        F.col("c_acctbal"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    )
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(F.transform(qs, lambda x: F.round(x, 4)).alias("quartiles"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "customer_string_functions",
+    """
+    SELECT c_custkey,
+           UPPER(c_name) AS name_upper,
+           SUBSTR(c_name, 1, 8) AS name_prefix,
+           LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+           CONCAT(c_mktsegment, ':', CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+           REPLACE(c_name, 'Customer', 'C') AS name_short,
+           LENGTH(c_name) AS name_len,
+           REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS name_digits
+    FROM customer
+    WHERE c_custkey < 50
+    ORDER BY c_custkey
+    """,
+)
+def customer_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function coverage (upper/substr/lpad/concat/
+    replace/length/regexp_extract) — all JVM built-ins inside one
+    codegen stage, no shuffle except the final sort."""
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 50)
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.concat_ws(":", "c_mktsegment", F.col("c_nationkey").cast("string")).alias(
+            "seg_nation"
+        ),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("C")).alias("name_short"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("name_digits"),
+    ).orderBy("c_custkey")
+
+
+@query(
+    "orders_date_functions",
+    """
+    SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+           EXTRACT(quarter FROM o_orderdate) AS o_quarter,
+           COUNT(*) AS n_orders,
+           MIN(CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR)) AS first_month_end,
+           CAST(MAX(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)) AS BIGINT) AS max_days_since_95
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def orders_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar coverage (extract year/quarter, last_day,
+    datediff) grouped to calendar quarters."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.quarter("o_orderdate").cast("long").alias("o_quarter"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min(
+                F.last_day(F.col("o_orderdate").cast("date")).cast("string")
+            ).alias("first_month_end"),
+            F.max(
+                F.datediff(
+                    F.col("o_orderdate").cast("date"),
+                    F.lit("1995-01-01").cast("date"),
+                )
+            ).cast("long").alias("max_days_since_95"),
+        )
+        .orderBy("o_year", "o_quarter")
+    )
