@@ -110,3 +110,59 @@ def read_zipped_csv(
         .options(header=header, encoding=encoding, sep=sep, quote=quote, mode="PERMISSIVE")
         .csv([str(p) for p in extracted])
     )
+
+
+def read_zipped_csv_distributed(
+    spark: SparkSession,
+    zip_glob: str,
+    schema: T.StructType,
+    encoding: str = "UTF-8",
+    sep: str = ",",
+    header: bool = True,
+) -> DataFrame:
+    """Executor-side zip decode for many-archive corpora (the S3 scale
+    path): ``binaryFile`` scans the archives (one row per zip, content
+    as bytes), and each executor unzips + CSV-parses its archives
+    inside ``mapInPandas`` — no driver staging, no shared filesystem
+    writes, parallelism = number of archives.
+
+    Single-archive corpora should prefer ``read_zipped_csv`` (staging
+    keeps the CSV splittable so MANY tasks can scan ONE big file; here
+    one zip = one task, the right shape when archives are numerous and
+    modest-sized). Zip members stream through ``io.TextIOWrapper`` —
+    only the CSV parser's buffer is resident, not the decompressed
+    file.
+    """
+    import csv as _csv
+    import io as _io
+
+    names = [f.name for f in schema.fields]
+    out_schema = T.StructType(
+        [T.StructField(f.name, T.StringType(), True, f.metadata) for f in schema.fields]
+    )
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for content in pdf["content"]:
+                with zipfile.ZipFile(_io.BytesIO(content)) as zf:
+                    for member in zf.namelist():
+                        with zf.open(member) as src:
+                            text = _io.TextIOWrapper(src, encoding=encoding)
+                            reader = _csv.reader(text, delimiter=sep)
+                            if header:
+                                next(reader, None)
+                            rows = [
+                                (r + [None] * len(names))[: len(names)]
+                                for r in reader
+                            ]
+                        yield pd.DataFrame(rows, columns=names, dtype=object)
+
+    binary = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", os.path.basename(zip_glob))
+        .load(os.path.dirname(zip_glob))
+        .select("content")
+    )
+    return binary.mapInPandas(parse, out_schema)

@@ -241,3 +241,26 @@ def test_strict_boolean(spark):
     )
     got = [r["b"] for r in df.select(strict_boolean("v").alias("b")).collect()]
     assert got == [True, False, True, False, None, None]
+
+
+def test_read_zipped_csv_distributed(spark, sirene_dir):
+    from datagouv_tools_spark.schema.dessin import SireneSchema
+    from datagouv_tools_spark.sources.zipped_csv import read_zipped_csv_distributed
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("siren", T.StringType()),
+            T.StructField("dateCreationUniteLegale", T.StringType()),
+            T.StructField("anneeEffectifs", T.StringType()),
+            T.StructField("nombrePeriodes", T.StringType()),
+        ]
+    )
+    df = read_zipped_csv_distributed(
+        spark, str(sirene_dir / "StockUniteLegale_utf8.zip"), schema
+    )
+    rows = {r["siren"]: r for r in df.collect()}
+    assert set(rows) == {"123456789", "987654321"}
+    assert rows["123456789"]["dateCreationUniteLegale"] == "2001-05-04"
+    # empty CSV field arrives as empty string pre-cast (PERMISSIVE parity)
+    assert rows["987654321"]["dateCreationUniteLegale"] == ""
