@@ -1823,3 +1823,66 @@ def orders_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year", "o_quarter")
     )
+
+
+@query(
+    "orders_priority_pivot",
+    """
+    SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+           COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS p1_urgent,
+           COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS p2_high,
+           COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS p3_medium,
+           COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS p4_not_specified,
+           COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS p5_low
+    FROM orders
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def orders_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: priorities to columns, one count aggregation pass.
+    Explicit value list => no extra distinct-values job; single
+    shuffle on year."""
+    orders = t(spark, sf_dir, "orders")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    aliases = ["p1_urgent", "p2_high", "p3_medium", "p4_not_specified", "p5_low"]
+    pivoted = (
+        orders.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .pivot("o_orderpriority", prios)
+        .count()
+    )
+    renamed = pivoted.select(
+        "o_year",
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(a) for p, a in zip(prios, aliases)],
+    )
+    return renamed.orderBy("o_year")
+
+
+@query(
+    "supplier_metrics_unpivot",
+    """
+    SELECT s_suppkey, metric, ROUND(value, 4) AS value
+    FROM (
+      SELECT s_suppkey, 'acctbal' AS metric, s_acctbal AS value FROM supplier
+      UNION ALL
+      SELECT s_suppkey, 'nationkey', CAST(s_nationkey AS DOUBLE) FROM supplier
+    ) u
+    WHERE s_suppkey < 30
+    ORDER BY s_suppkey, metric
+    """,
+)
+def supplier_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide columns to (metric, value) rows —
+    df.unpivot, the inverse of pivot; map-side only, no shuffle before
+    the sort."""
+    supp = t(spark, sf_dir, "supplier").filter(F.col("s_suppkey") < 30)
+    return (
+        supp.select(
+            "s_suppkey",
+            F.col("s_acctbal").alias("acctbal"),
+            F.col("s_nationkey").cast("double").alias("nationkey"),
+        )
+        .unpivot("s_suppkey", ["acctbal", "nationkey"], "metric", "value")
+        .select("s_suppkey", "metric", F.round("value", 4).alias("value"))
+        .orderBy("s_suppkey", "metric")
+    )
