@@ -142,8 +142,22 @@ def winnow_fingerprints(col: Column | str, k: int = 5, window: int = 4) -> Colum
     c = _c(col)
     norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
     n = F.length(norm)
-    gram_idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    # greatest-guards keep the degenerate short-doc case at one
+    # gram/window (rpad is NOT usable here: it truncates longer input)
+    n_grams = F.greatest(n - (k - 1), F.lit(1))
+    gram_idx = F.sequence(F.lit(1), n_grams)
     hashes = F.transform(gram_idx, lambda i: F.xxhash64(F.substr(norm, i, F.lit(k))))
-    win_idx = F.sequence(F.lit(1), F.greatest(F.size(hashes) - (window - 1), F.lit(1)))
-    mins = F.transform(win_idx, lambda i: F.array_min(F.slice(hashes, i, window)))
+    # Sliding-window min as a zip_with(least) chain over `window`
+    # shifted slices. NOT transform(i -> array_min(slice(hashes, i, w))):
+    # Catalyst inlines `hashes` into the lambda body, so that form
+    # re-evaluates the full O(n) hash array per window — O(n²)
+    # interpreted ops per document (measured 58 s for 60 ×300-char docs;
+    # this form is ~1 s). Here `hashes` is evaluated `window` times
+    # total: O(n·w).
+    n_windows = F.greatest(n_grams - (window - 1), F.lit(1))
+    mins = F.slice(hashes, 1, n_windows)
+    for j in range(1, window):
+        mins = F.zip_with(
+            mins, F.slice(hashes, j + 1, n_windows), lambda a, b: F.least(a, b)
+        )
     return F.array_distinct(mins)
