@@ -1886,3 +1886,78 @@ def supplier_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "metric", F.round("value", 4).alias("value"))
         .orderBy("s_suppkey", "metric")
     )
+
+
+@query(
+    "user_event_type_arrays",
+    """
+    SELECT user_id,
+           list_sort(list(DISTINCT event_type)) AS event_types,
+           len(list(DISTINCT event_type)) AS n_types
+    FROM events
+    WHERE user_id < 30
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def user_event_type_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-valued aggregation: per-user sorted distinct event types
+    (collect_set -> sort_array gives a deterministic array despite
+    partition-order-dependent accumulation)."""
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    return (
+        ev.groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("event_types"))
+        .select(
+            "user_id",
+            "event_types",
+            F.size("event_types").cast("long").alias("n_types"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "null_semantics",
+    """
+    WITH e AS (
+      SELECT event_id,
+             NULLIF(event_type, 'error') AS et_nullable,
+             value
+      FROM events WHERE event_id < 200
+    )
+    SELECT COALESCE(et_nullable, '<err>') AS et,
+           COUNT(*) AS n_total,
+           COUNT(et_nullable) AS n_nonnull,
+           SUM(CASE WHEN et_nullable IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS n_nullsafe_null,
+           CAST(ROUND(SUM(CASE WHEN et_nullable IS NULL THEN CAST(value AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS err_value
+    FROM e
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling surface: nullif/coalesce, COUNT(col) vs COUNT(*),
+    null-safe equality (<=> / IS NOT DISTINCT FROM), conditional
+    decimal aggregation over nullable groups."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    e = ev.select(
+        "event_id",
+        F.nullif(F.col("event_type"), F.lit("error")).alias("et_nullable"),
+        "value",
+    )
+    zero = F.lit(0).cast(DEC)
+    return (
+        e.groupBy(F.coalesce("et_nullable", F.lit("<err>")).alias("et"))
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count("et_nullable").alias("n_nonnull"),
+            F.sum(
+                F.when(F.col("et_nullable").eqNullSafe(F.lit(None).cast("string")), 1).otherwise(0)
+            ).alias("n_nullsafe_null"),
+            dround(
+                F.sum(F.when(F.col("et_nullable").isNull(), dec("value")).otherwise(zero))
+            ).alias("err_value"),
+        )
+        .orderBy("et")
+    )
