@@ -84,7 +84,7 @@ FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
         T.StructField("n_bytes", T.LongType()),
-        T.StructField("features", T.ArrayType(T.FloatType())),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
     ]
 )
 
@@ -94,6 +94,8 @@ def _fake_features(payload: bytes) -> list[float]:
     floats derived from the sha256 digest. Same plumbing shape (bytes →
     fixed-dim vector) as a real model."""
     digest = hashlib.sha256(payload).digest()
+    # doubles, exactly representable (numerator < 2^32): the SQL oracle
+    # reproduces these bit-for-bit from sha256 hex substrings
     return [int.from_bytes(digest[i * 4 : i * 4 + 4], "big") / 2**32 for i in range(_FEATURE_DIM)]
 
 

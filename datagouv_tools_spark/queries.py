@@ -816,11 +816,24 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_features")  # no SQL oracle: mapInPandas plumbing
+@query(
+    "multimodal_features",
+    """
+    SELECT doc_id AS media_id,
+           octet_length(CAST(text AS BLOB)) AS n_bytes,
+           list_transform(generate_series(0, 7),
+               i -> ('0x' || substr(sha256(text), i*8+1, 8))::BIGINT / 4294967296.0
+           ) AS features
+    FROM documents WHERE doc_id < 50
+    ORDER BY media_id
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: documents' text bytes as stand-in binary
     payloads → Arrow-batched mapInPandas feature extraction (fake
-    deterministic codec; operators/multimodal.py)."""
+    deterministic codec; operators/multimodal.py). Even this Python
+    path is oracle-checked: the fake features are sha256-derived
+    doubles the SQL twin reproduces bit-for-bit."""
     from datagouv_tools_spark.operators.multimodal import extract_image_features
 
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
