@@ -1974,3 +1974,78 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("et")
     )
+
+
+@query(
+    "orders_window_functions",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(LAG(o_totalprice) OVER w, 2) AS prev_price,
+           ROUND(LEAD(o_totalprice) OVER w, 2) AS next_price,
+           DENSE_RANK() OVER w AS dr,
+           NTILE(4) OVER w AS quartile,
+           ROUND(CUME_DIST() OVER w, 6) AS cd,
+           ROUND(FIRST_VALUE(o_totalprice) OVER w, 2) AS first_price
+    FROM orders
+    WHERE o_custkey < 40
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+)
+def orders_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth in one pass: lag/lead, dense_rank,
+    ntile, cume_dist, first_value over a single window spec (one
+    shuffle on custkey; all functions share the sort)."""
+    from pyspark.sql.window import Window
+
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 40)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+        F.dense_rank().over(w).cast("long").alias("dr"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+    ).orderBy("o_custkey", "o_orderdate", "o_orderkey")
+
+
+@query(
+    "orders_trailing_30d_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+             PARTITION BY o_custkey
+             ORDER BY date_diff('day', TIMESTAMP '1990-01-01 00:00:00', o_orderdate)
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS rev_30d
+    FROM orders
+    WHERE o_custkey < 40
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def orders_trailing_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event time: trailing-30-day revenue per
+    customer — value-based frame (all orders within 30 days), not
+    row-count-based. Spark's rangeBetween needs a numeric sort key:
+    days-since-epoch."""
+    from pyspark.sql.window import Window
+
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 40)
+    days = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(days)
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            dround(F.sum(dec("o_totalprice")).over(w)).alias("rev_30d"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
