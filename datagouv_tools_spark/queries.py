@@ -2049,3 +2049,39 @@ def orders_trailing_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+@query(
+    "events_value_statistics",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(AVG(value), 4) AS avg_value,
+           ROUND(STDDEV_SAMP(value), 4) AS sd_value,
+           ROUND(VAR_SAMP(value), 4) AS var_value,
+           ROUND(CORR(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS corr_vk,
+           ROUND(COVAR_SAMP(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS covar_vk
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_value_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate coverage: stddev/variance/correlation/
+    covariance per group (single shuffle; all are mergeable partial
+    aggregates — the distributed accumulation differs from sequential
+    by ~1 ULP, absorbed by ROUND to 4)."""
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("double")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.stddev_samp("value"), 4).alias("sd_value"),
+            F.round(F.var_samp("value"), 4).alias("var_value"),
+            F.round(F.corr(F.col("value"), k), 4).alias("corr_vk"),
+            F.round(F.covar_samp(F.col("value"), k), 4).alias("covar_vk"),
+        )
+        .orderBy("event_type")
+    )
