@@ -2072,16 +2072,24 @@ def events_value_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates — the distributed accumulation differs from sequential
     by ~1 ULP, absorbed by ROUND to 4)."""
     ev = t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("double")
+    # Project the JSON field ONCE before the aggregate: inlining
+    # get_json_object inside both corr and covar balloons the generated
+    # aggregate-update code (7x slower codegen compile) and parses the
+    # JSON twice per row.
+    proj = ev.select(
+        "event_type",
+        "value",
+        F.get_json_object("props", "$.k").cast("double").alias("k"),
+    )
     return (
-        ev.groupBy("event_type")
+        proj.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.avg("value"), 4).alias("avg_value"),
             F.round(F.stddev_samp("value"), 4).alias("sd_value"),
             F.round(F.var_samp("value"), 4).alias("var_value"),
-            F.round(F.corr(F.col("value"), k), 4).alias("corr_vk"),
-            F.round(F.covar_samp(F.col("value"), k), 4).alias("covar_vk"),
+            F.round(F.corr("value", "k"), 4).alias("corr_vk"),
+            F.round(F.covar_samp("value", "k"), 4).alias("covar_vk"),
         )
         .orderBy("event_type")
     )
