@@ -2620,3 +2620,99 @@ def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+@query(
+    "doc_top_tokens",
+    """
+    SELECT token, COUNT(*) AS freq
+    FROM (SELECT unnest(str_split(text, ' ')) AS token FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT 25
+    """,
+)
+def doc_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode surface: corpus token frequencies (explode =
+    UNNEST). Scale: split+explode is map-local; only (token, partial
+    count) pairs shuffle — the classic map-side-combine word count.
+    Top-25 with a token tie-break is a TakeOrderedAndProject."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "token")
+        .limit(25)
+    )
+
+
+@query(
+    "orders_monthly_spine",
+    """
+    WITH spine AS (
+      SELECT unnest(generate_series(TIMESTAMP '1995-01-01 00:00:00',
+                                    TIMESTAMP '2001-08-01 00:00:00',
+                                    INTERVAL 1 MONTH)) AS month
+    ),
+    segs AS (SELECT DISTINCT c_mktsegment FROM customer),
+    rev AS (
+      SELECT c_mktsegment,
+             date_trunc('month', o_orderdate) AS month,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS r
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment, date_trunc('month', o_orderdate)
+    )
+    SELECT segs.c_mktsegment, spine.month,
+           CAST(ROUND(COALESCE(rev.r, CAST(0 AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+    FROM segs CROSS JOIN spine
+      LEFT JOIN rev ON rev.c_mktsegment = segs.c_mktsegment AND rev.month = spine.month
+    ORDER BY segs.c_mktsegment, spine.month
+    """,
+)
+def orders_monthly_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine densification (gap fill): every (segment, month) cell
+    over the full 1995-2001 calendar, zero-filled where no orders
+    landed — the generate_series/sequence pattern every reporting
+    pipeline needs. Scale: the spine is 80 rows — generated ONCE,
+    broadcast into the left join against the aggregated (not raw) fact,
+    so densification costs no extra fact shuffle."""
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"),
+                F.lit("2001-08-01 00:00:00").cast("timestamp_ntz"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("month")
+    )
+    segs = cust.select("c_mktsegment").distinct()
+    rev = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "c_mktsegment",
+            F.date_trunc("month", "o_orderdate").alias("month"),
+        )
+        .agg(F.sum(dec("o_totalprice")).alias("r"))
+        .withColumnRenamed("c_mktsegment", "seg")
+        .withColumnRenamed("month", "rmonth")
+    )
+    zero = F.lit(0).cast(DEC)
+    return (
+        segs.crossJoin(F.broadcast(spine))
+        .join(
+            rev,
+            (F.col("c_mktsegment") == F.col("seg")) & (F.col("month") == F.col("rmonth")),
+            "left",
+        )
+        .select(
+            "c_mktsegment",
+            "month",
+            dround(F.coalesce(F.col("r"), zero)).alias("revenue"),
+        )
+        .orderBy("c_mktsegment", "month")
+    )
