@@ -2296,6 +2296,8 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = t(spark, sf_dir, "supplier")
     nation = t(spark, sf_dir, "nation")
     region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    from pyspark.sql.window import Window
+
     pv = (
         li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -2303,9 +2305,13 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(dec("l_extendedprice") * dec("l_quantity")).alias("val"))
     )
-    total = pv.agg(F.sum("val").cast("double").alias("total"))
+    # Grand total as a window over the PER-PART aggregate, not a second
+    # pass over lineitem: a scalar subquery would recompute the whole
+    # CTE lineage (two full fact scans). The window's single-partition
+    # exchange moves only |parts| pre-aggregated rows.
+    total = F.sum("val").over(Window.partitionBy(F.lit(1))).cast("double")
     return (
-        pv.crossJoin(F.broadcast(total))
+        pv.withColumn("total", total)
         .filter(F.col("val").cast("double") * F.lit(2000.0) > F.col("total"))
         .select("l_partkey", dround(F.col("val")).alias("part_value"))
         .orderBy(F.desc("part_value"), "l_partkey")

@@ -107,3 +107,43 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         )
     )
     assert exchange_count(plain) >= 2
+
+
+def test_q8_all_dims_broadcast_single_fact_shuffle(spark, sf_dir):
+    """Q8's 8-way star: part/customer/supplier/nation x2/region all
+    broadcast; the lineitem><orders orderkey join is the only shuffled
+    join, so the fact never shuffles twice."""
+    df = q.QUERIES["q8_market_share"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 6
+    assert any("p_type" in f for f in pushed_filters(df))
+    # orderkey join + agg + final sort at most; dims add none
+    assert exchange_count(df) <= 4
+
+
+def test_q21_semi_anti_self_joins_stay_on_orderkey(spark, sf_dir):
+    """Q21's EXISTS/NOT EXISTS legs must plan as semi/anti hash joins
+    on orderkey — a nested-loop fallback here is quadratic in lineitem
+    and would never survive scale."""
+    df = q.QUERIES["q21_waiting_supplier"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_q11_single_fact_scan_for_threshold(spark, sf_dir):
+    """Q11's scalar-subquery threshold must reuse the per-part
+    aggregate (1-row broadcast back over it), not rescan lineitem."""
+    df = q.QUERIES["q11_important_parts"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "NestedLoop" not in plan.replace("BroadcastNestedLoopJoin", "")
+    # exactly 4 scans (lineitem + 3 dims): the grand-total window reuses
+    # the per-part aggregate instead of recomputing the CTE lineage
+    assert len(read_schemas(df)) <= 4
+
+
+def test_monthly_spine_broadcasts_the_calendar(spark, sf_dir):
+    """Densification must broadcast the 80-row spine into the
+    aggregated fact, never shuffle the fact against the calendar."""
+    df = q.QUERIES["orders_monthly_spine"](spark, sf_dir)
+    assert has_broadcast_hash_join(df)
