@@ -2722,3 +2722,77 @@ def orders_monthly_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment", "month")
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    """
+    WITH offers AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(l_extendedprice AS DECIMAL(18,4))) AS min_offer
+      FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+           CAST(min_offer AS DOUBLE) AS best_offer
+    FROM part
+      JOIN offers   ON p_partkey = l_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_size <= 25 AND p_type = 'LARGE'
+      AND min_offer = (SELECT MIN(o2.min_offer) FROM offers o2
+                       WHERE o2.l_partkey = offers.l_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 analog: the EUROPE supplier(s) offering each LARGE
+    size-15 part at its region-wide minimum price (ps_supplycost
+    becomes the cheapest observed lineitem offer — no partsupp in the
+    reduced schema). The correlated per-part MIN is a window over the
+    (part, supplier) aggregate — one pass, no re-join of the subquery.
+    Determinism: offers stay exact decimal end-to-end; the correlated
+    equality compares exact decimals. Scale: supplier/nation/region/
+    part broadcast; the only wide shuffle is the (part, supplier)
+    aggregate, and the window repartitions those small aggregated rows
+    by partkey only."""
+    from pyspark.sql.window import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = t(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 25) & (F.col("p_type") == "LARGE")
+    )
+    offers = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(dec("l_extendedprice")).alias("min_offer"))
+    )
+    part_min = F.min("min_offer").over(Window.partitionBy("l_partkey"))
+    best = offers.withColumn("part_min", part_min).filter(
+        F.col("min_offer") == F.col("part_min")
+    )
+    return (
+        best.join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            F.col("min_offer").cast("double").alias("best_offer"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
