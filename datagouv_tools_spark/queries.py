@@ -2280,8 +2280,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY l_partkey
     )
     SELECT l_partkey, CAST(ROUND(val, 2) AS DOUBLE) AS part_value
-    FROM pv
-    WHERE CAST(val AS DOUBLE) * 2000.0 > (SELECT CAST(SUM(val) AS DOUBLE) FROM pv)
+    FROM pv, (SELECT COUNT(*) AS c, SUM(val) AS s FROM pv) g
+    WHERE CAST(val AS DOUBLE) * g.c > 2.0 * CAST(g.s AS DOUBLE)
     ORDER BY part_value DESC, l_partkey
     """,
 )
@@ -2305,14 +2305,22 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(dec("l_extendedprice") * dec("l_quantity")).alias("val"))
     )
-    # Grand total as a window over the PER-PART aggregate, not a second
-    # pass over lineitem: a scalar subquery would recompute the whole
-    # CTE lineage (two full fact scans). The window's single-partition
-    # exchange moves only |parts| pre-aggregated rows.
-    total = F.sum("val").over(Window.partitionBy(F.lit(1))).cast("double")
+    # Grand total/count as windows over the PER-PART aggregate, not a
+    # second pass over lineitem: a scalar subquery would recompute the
+    # whole CTE lineage (two full fact scans). The window's single-
+    # partition exchange moves only |parts| pre-aggregated rows. The
+    # threshold is scale-INVARIANT (share > 2x the average part), so the
+    # query stays selective at every SF.
+    w = Window.partitionBy(F.lit(1))
+    total = F.sum("val").over(w).cast("double")
+    cnt = F.count(F.lit(1)).over(w)
     return (
         pv.withColumn("total", total)
-        .filter(F.col("val").cast("double") * F.lit(2000.0) > F.col("total"))
+        .withColumn("cnt", cnt)
+        .filter(
+            F.col("val").cast("double") * F.col("cnt")
+            > F.lit(2.0) * F.col("total")
+        )
         .select("l_partkey", dround(F.col("val")).alias("part_value"))
         .orderBy(F.desc("part_value"), "l_partkey")
     )
