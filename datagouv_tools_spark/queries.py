@@ -2804,3 +2804,76 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)
     )
+
+
+@query(
+    "events_conversion_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS tv FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(ts) AS tc FROM events e JOIN v USING (user_id)
+      WHERE event_type = 'click' AND ts > tv GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(ts) AS tp FROM events e JOIN c USING (user_id)
+      WHERE event_type = 'purchase' AND ts > tc GROUP BY e.user_id
+    )
+    SELECT stage, users FROM (
+      SELECT 'stage1_view' AS stage, COUNT(*) AS users FROM v
+      UNION ALL SELECT 'stage2_click', COUNT(*) FROM c
+      UNION ALL SELECT 'stage3_purchase', COUNT(*) FROM p
+    ) ORDER BY stage
+    """,
+)
+def events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users whose first view precedes a
+    click precedes a purchase. The oracle's 3-CTE formulation scans
+    events three times; here each stage is a conditional MIN window
+    over the SAME user_id partitioning — Catalyst plans ONE exchange
+    and three stacked Window nodes, so the fact scans and shuffles
+    exactly once at any scale. Timestamp comparisons are exact
+    (microsecond integers), so both engines agree."""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    tv = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    s1 = ev.withColumn("tv", tv)
+    tc = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("tv")),
+            F.col("ts"),
+        )
+    ).over(w)
+    s2 = s1.withColumn("tc", tc)
+    tp = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("tc")),
+            F.col("ts"),
+        )
+    ).over(w)
+    # groupBy(user_id), not distinct(): rows within a user are identical
+    # after the windows, and user_id grouping reuses the windows' hash
+    # partitioning — distinct() on all four columns would re-shuffle.
+    per_user = (
+        s2.withColumn("tp", tp)
+        .groupBy("user_id")
+        .agg(F.min("tv").alias("tv"), F.min("tc").alias("tc"), F.min("tp").alias("tp"))
+    )
+    counts = per_user.agg(
+        F.count(F.when(F.col("tv").isNotNull(), 1)).alias("n_view"),
+        F.count(F.when(F.col("tc").isNotNull(), 1)).alias("n_click"),
+        F.count(F.when(F.col("tp").isNotNull(), 1)).alias("n_purchase"),
+    )
+    return (
+        counts.select(
+            F.expr(
+                "stack(3, 'stage1_view', n_view, 'stage2_click', n_click,"
+                " 'stage3_purchase', n_purchase) AS (stage, users)"
+            )
+        )
+        .orderBy("stage")
+    )
