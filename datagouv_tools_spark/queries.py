@@ -2877,3 +2877,114 @@ def events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage")
     )
+
+
+@query(
+    "events_gap_sessions",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT user_id, session_no, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sess
+    GROUP BY user_id, session_no
+    ORDER BY user_id, session_no
+    """,
+)
+def events_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization by inactivity gap (30 min): the classic
+    lag -> boundary flag -> running-sum session id, then per-session
+    rollup. All three windows AND the final groupBy share the user_id
+    hash partitioning, so the fact shuffles once; the sort within
+    partitions is reused across the stacked windows. (The streaming
+    twin is events_session_stats_stream via session_window.)"""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    wlag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(wlag)
+    # interval arithmetic, not cast-to-seconds: TIMESTAMP_NTZ has no
+    # numeric cast in ANSI Spark 4; ts > prev + 30min == gap > 30min
+    new_session = F.when(
+        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
+    marked = ev.withColumn("new_session", new_session)
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = marked.withColumn("session_no", F.sum("new_session").over(wrun))
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_no")
+    )
+
+
+@query(
+    "events_weekly_retention",
+    """
+    WITH first_week AS (
+      SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(date_diff('week', f.cohort_week, date_trunc('week', e.ts)) AS BIGINT) AS week_no
+      FROM events e JOIN first_week f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week, week_no, COUNT(*) AS active_users
+    FROM activity
+    WHERE week_no <= 8
+    GROUP BY cohort_week, week_no
+    ORDER BY cohort_week, week_no
+    """,
+)
+def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-seen week, counted in
+    each subsequent week they return. The cohort assignment is a MIN
+    window over the same user_id partitioning as the distinct — one
+    fact shuffle for cohorting, one for the (cohort, week) rollup whose
+    input is already deduplicated to |users| x |weeks| rows."""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    )
+    cohort = F.min("week").over(Window.partitionBy("user_id"))
+    activity = ev.withColumn("cohort_week", cohort).select(
+        "user_id",
+        "cohort_week",
+        (
+            F.floor(
+                (F.col("week").cast("double") - F.col("cohort_week").cast("double"))
+                / F.lit(7 * 24 * 3600)
+            )
+        ).alias("week_no"),
+    )
+    # count_distinct instead of distinct()+count: the partial-distinct
+    # happens map-side inside one (cohort, week) aggregation exchange
+    # rather than a separate all-columns dedup shuffle.
+    return (
+        activity.filter(F.col("week_no") <= 8)
+        .groupBy("cohort_week", "week_no")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+        .orderBy("cohort_week", "week_no")
+    )
