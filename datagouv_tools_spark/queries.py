@@ -2988,3 +2988,83 @@ def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("active_users"))
         .orderBy("cohort_week", "week_no")
     )
+
+
+@query(
+    "doc_tfidf_top_terms",
+    """
+    WITH tokens AS (
+      SELECT doc_id, unnest(str_split(text, ' ')) AS term
+      FROM documents WHERE doc_id < 200
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM tokens WHERE term <> '' GROUP BY doc_id, term
+    ),
+    idf AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(FLOOR(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / idf.df) * 10000) AS BIGINT)
+               AS tfidf_scaled
+      FROM tf JOIN idf ON tf.term = idf.term CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tfidf_scaled,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf_scaled DESC, term) AS rk
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf_scaled
+    FROM ranked WHERE rk <= 3
+    ORDER BY doc_id, tfidf_scaled DESC, term
+    """,
+)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-3 terms per document. Scale: tf
+    is the word-count pattern (map-side combine); idf (|terms| rows)
+    and the 1-row corpus count broadcast back — the token stream
+    shuffles twice total (tf agg, per-doc top-k window on doc_id).
+    Determinism: scores floor-scaled to integers BEFORE ranking —
+    identical doubles on both engines, and floor has no rounding-mode
+    ambiguity; ties broken by term."""
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    tokens = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # df as a WINDOW over tf (partitioned by term), not a re-aggregated
+    # branch: a separate idf DataFrame would re-derive the whole token
+    # stream a second time (Spark recomputes shared lineage). The 1-row
+    # corpus count still needs its own branch; production would
+    # materialize tf once instead.
+    df_w = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    n = tf.agg(F.count_distinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.withColumn("df", df_w)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.floor(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+                * F.lit(10000)
+            )
+            .cast("long")
+            .alias("tfidf_scaled"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.desc("tfidf_scaled"), "term")
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf_scaled")
+        .orderBy("doc_id", F.desc("tfidf_scaled"), "term")
+    )
