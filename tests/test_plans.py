@@ -147,3 +147,24 @@ def test_monthly_spine_broadcasts_the_calendar(spark, sf_dir):
     aggregated fact, never shuffle the fact against the calendar."""
     df = q.QUERIES["orders_monthly_spine"](spark, sf_dir)
     assert has_broadcast_hash_join(df)
+
+
+def test_funnel_single_exchange(spark, sf_dir):
+    """The three funnel stages must stack their windows on ONE user_id
+    exchange — a per-stage shuffle would triple the fact movement."""
+    df = q.QUERIES["events_conversion_funnel"](spark, sf_dir)
+    assert exchange_count(df) == 1
+
+
+def test_gap_sessions_shares_partitioning(spark, sf_dir):
+    """lag -> running-sum -> rollup all ride the user_id exchange; only
+    the final presentation sort may add a range exchange."""
+    df = q.QUERIES["events_gap_sessions"](spark, sf_dir)
+    assert exchange_count(df) <= 2
+
+
+def test_tfidf_no_token_stream_recompute(spark, sf_dir):
+    """df-as-window keeps the documents scan count at 2 (tf branch +
+    corpus-count branch) — the naive tf/idf/join DAG scans it 3x."""
+    df = q.QUERIES["doc_tfidf_top_terms"](spark, sf_dir)
+    assert len(read_schemas(df)) <= 2
