@@ -3068,3 +3068,42 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tfidf_scaled")
         .orderBy("doc_id", F.desc("tfidf_scaled"), "term")
     )
+
+
+@query(
+    "orders_column_profile",
+    """
+    SELECT
+      COUNT(*) AS n_rows,
+      COUNT(o_custkey) AS custkey_nonnull,
+      COUNT(DISTINCT o_custkey) AS custkey_distinct,
+      COUNT(DISTINCT o_orderstatus) AS status_distinct,
+      COUNT(DISTINCT o_orderpriority) AS priority_distinct,
+      CAST(ROUND(MIN(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS price_min,
+      CAST(ROUND(MAX(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS price_max,
+      CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS price_sum,
+      MIN(o_orderdate) AS date_min,
+      MAX(o_orderdate) AS date_max
+    FROM orders
+    """,
+)
+def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiling: row count, null counts, distinct
+    cardinalities, and min/max/sum ranges in ONE aggregation — the
+    data-quality primitive run before any large ingest. Scale: multiple
+    COUNT(DISTINCT)s expand per-distinct but stay one logical pass;
+    for 100 TB profiling swap exact distincts for approx_count_distinct
+    (HLL, one real pass) — exact kept here for the oracle."""
+    orders = t(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_custkey").alias("custkey_nonnull"),
+        F.count_distinct("o_custkey").alias("custkey_distinct"),
+        F.count_distinct("o_orderstatus").alias("status_distinct"),
+        F.count_distinct("o_orderpriority").alias("priority_distinct"),
+        dround(F.min(dec("o_totalprice"))).alias("price_min"),
+        dround(F.max(dec("o_totalprice"))).alias("price_max"),
+        dround(F.sum(dec("o_totalprice"))).alias("price_sum"),
+        F.min("o_orderdate").alias("date_min"),
+        F.max("o_orderdate").alias("date_max"),
+    )
