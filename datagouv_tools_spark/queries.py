@@ -3107,3 +3107,40 @@ def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderdate").alias("date_min"),
         F.max("o_orderdate").alias("date_max"),
     )
+
+
+@query(
+    "events_stream_enriched_segments",
+    """
+    SELECT c_mktsegment AS segment, event_type,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment, event_type
+    ORDER BY segment, event_type
+    """,
+)
+def events_stream_enriched_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the REAL readStream events feed joined
+    to the static customer dimension (user_id = c_custkey), then
+    aggregated per (segment, event_type) — the canonical streaming
+    enrichment pattern. The static side is broadcast into every
+    micro-batch (no stream-side state for the join, unlike
+    stream-stream); on a bounded availableNow replay the final
+    complete-mode aggregate equals the batch join oracle."""
+    from datagouv_tools_spark.sources.catalog import load_table
+    from datagouv_tools_spark.streaming.source import read_events_stream, run_to_memory
+
+    ev = read_events_stream(spark, sf_dir, max_files_per_trigger=1)
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    enriched = ev.join(cust, ev.user_id == cust.c_custkey).groupBy(
+        F.col("c_mktsegment").alias("segment"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dround(F.sum(dec("value"))).alias("sum_value"),
+    )
+    return run_to_memory(enriched, output_mode="complete").orderBy(
+        "segment", "event_type"
+    )
