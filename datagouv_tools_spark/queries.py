@@ -3144,3 +3144,46 @@ def events_stream_enriched_segments(spark: SparkSession, sf_dir: str) -> DataFra
     return run_to_memory(enriched, output_mode="complete").orderBy(
         "segment", "event_type"
     )
+
+
+@query(
+    "emb_label_centroids",
+    """
+    WITH dims AS (
+      SELECT label, CAST(i AS BIGINT) AS dim_idx, embedding[i] AS dim_val
+      FROM embeddings, (SELECT unnest(generate_series(1, 4)) AS i)
+    )
+    SELECT label, dim_idx,
+           SUM(CAST(FLOOR(CAST(dim_val AS DOUBLE) * 100000000) AS BIGINT))
+             AS dim_sum_scaled,
+           COUNT(*) AS n
+    FROM dims
+    GROUP BY label, dim_idx
+    ORDER BY label, dim_idx
+    """,
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector centroid accumulation (first 4 dims shown):
+    posexplode to (label, dim, value), exact-decimal sums per cell —
+    the positional array aggregation every class-centroid / k-means
+    update step needs. Scale: explode is map-local; the shuffle
+    carries (label, dim) partial sums — map-side combine collapses
+    rows-per-task to |labels| x dims. Determinism: each float dim is
+    floor-scaled to an integer (float->decimal CASTS round differently
+    across engines; floor of identical doubles cannot), summed exactly
+    as BIGINT. (Means = dim_sum_scaled / (1e8 * n), left to the
+    consumer to keep the oracle in exact arithmetic.)"""
+    emb = t(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "dim_val")
+    ).filter(F.col("pos") <= 3)
+    return (
+        exploded.groupBy("label", (F.col("pos") + 1).cast("long").alias("dim_idx"))
+        .agg(
+            F.sum(
+                F.floor(F.col("dim_val").cast("double") * F.lit(1e8)).cast("long")
+            ).alias("dim_sum_scaled"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("label", "dim_idx")
+    )
