@@ -120,12 +120,27 @@ def test_stateful_running_totals(spark, sf_dir):
 
 def _multi_batch_events_dir(spark, sf_dir, tmp_path, n_files=3):
     # split events into n parquet files so maxFilesPerTrigger=1 yields a
-    # genuinely multi-batch stream (state must survive across batches)
+    # genuinely multi-batch stream (state must survive across batches).
+    # Split by TIME RANGE, not event_id%n: a production replay feeds
+    # batches in event-time order; a modulo split makes every batch span
+    # the full range, so replay order vs the watermark can (rarely,
+    # depending on file mtime ties) drop legitimately-early rows and
+    # flake the session test. repartitionByRange also names part files
+    # in time order, so mtime ties resolve to time order by path.
+    # Distinct mtimes force the file-source batch order (ties resolve by
+    # listing order, which is arbitrary — the original flake source).
+    import time as _time
+
+    from pyspark.sql.window import Window
+
     out = str(tmp_path / "events_split")
     ev = load_table(spark, sf_dir, "events")
-    ev.withColumn("__b", F.col("event_id") % n_files).repartition(
-        n_files, "__b"
-    ).drop("__b").write.mode("overwrite").parquet(out)
+    ranked = ev.withColumn("__b", F.ntile(n_files).over(Window.orderBy("ts")))
+    for i in range(1, n_files + 1):
+        ranked.filter(F.col("__b") == i).drop("__b").coalesce(1).write.mode(
+            "append"
+        ).parquet(out)
+        _time.sleep(1.1)
     import glob
     assert len(glob.glob(out + "/part-*.parquet")) >= n_files - 1
     return out
