@@ -3187,3 +3187,34 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "dim_idx")
     )
+
+
+@query(
+    "events_value_histogram",
+    """
+    SELECT event_type,
+           CAST(LEAST(FLOOR(value / 25.0), 19) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS bucket_sum
+    FROM events
+    GROUP BY event_type, CAST(LEAST(FLOOR(value / 25.0), 19) AS BIGINT)
+    ORDER BY event_type, bucket
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type (bucket = 25 units,
+    capped at 19) — the distribution-profiling primitive behind every
+    monitoring dashboard. Scale: bucketing is a map-side expression;
+    the shuffle carries (type, bucket) partial counts — cardinality
+    |types| x 20 regardless of input size. Determinism: floor of an
+    IEEE division of identical doubles, and exact-decimal sums."""
+    ev = t(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / F.lit(25.0)), F.lit(19)).cast("long")
+    return (
+        ev.groupBy("event_type", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dround(F.sum(dec("value"))).alias("bucket_sum"),
+        )
+        .orderBy("event_type", "bucket")
+    )
