@@ -3218,3 +3218,56 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+@query(
+    "orders_lineitem_reconciliation",
+    """
+    WITH li AS (
+      SELECT l_orderkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS li_sum
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           SUM(CASE WHEN li.l_orderkey IS NULL THEN 1 ELSE 0 END)
+             AS missing_lineitems,
+           SUM(CASE WHEN li.l_orderkey IS NOT NULL
+                     AND ABS(li_sum - CAST(o_totalprice AS DECIMAL(18,4))) * 10
+                         > CAST(o_totalprice AS DECIMAL(18,4))
+                    THEN 1 ELSE 0 END) AS deviating_10pct
+    FROM orders LEFT JOIN li ON o_orderkey = li.l_orderkey
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def orders_lineitem_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation audit: per order status, how many
+    orders have NO lineitems (referential break) and how many deviate
+    >10% between o_totalprice and their lineitem sum (consistency
+    break) — the validation every ETL load runs before publishing.
+    Scale: both sides aggregate/join on orderkey, so a lake bucketed
+    by orderkey runs this with zero shuffles. Determinism: the >10%
+    test is cross-multiplied (|diff| * 10 > price) — exact decimal
+    arithmetic, no division."""
+    orders = t(spark, sf_dir, "orders")
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(dec("l_extendedprice")).alias("li_sum"))
+    )
+    has_li = F.col("l_orderkey").isNotNull()
+    deviates = has_li & (
+        F.abs(F.col("li_sum") - dec("o_totalprice")) * F.lit(10)
+        > dec("o_totalprice")
+    )
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(~has_li, 1).otherwise(0)).alias("missing_lineitems"),
+            F.sum(F.when(deviates, 1).otherwise(0)).alias("deviating_10pct"),
+        )
+        .orderBy("o_orderstatus")
+    )
