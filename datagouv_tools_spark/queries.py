@@ -3271,3 +3271,44 @@ def orders_lineitem_reconciliation(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "customer_latest_order_value",
+    """
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           max_by(o_totalprice,
+                  concat(CAST(o_orderdate AS VARCHAR),
+                         lpad(CAST(o_orderkey AS VARCHAR), 12, '0')))
+             AS latest_totalprice,
+           MAX(o_orderdate) AS latest_orderdate
+    FROM orders
+    WHERE o_custkey < 100
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+)
+def customer_latest_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax aggregation (max_by): each customer's most recent order
+    value WITHOUT a self-join or window — one aggregation pass carries
+    (ordering key, value) pairs and merges map-side. Determinism: the
+    ordering key is the ISO timestamp string + zero-padded orderkey, so
+    date ties break uniquely and both engines pick the same row. Scale:
+    the classic alternative (window row_number + filter) shuffles the
+    same once but materializes per-row ranks; max_by keeps one pair per
+    group per partition."""
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    ord_key = F.concat(
+        F.col("o_orderdate").cast("string"),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+    )
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.max_by("o_totalprice", ord_key).alias("latest_totalprice"),
+            F.max("o_orderdate").alias("latest_orderdate"),
+        )
+        .orderBy("o_custkey")
+    )
