@@ -481,7 +481,7 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
     FROM events
     GROUP BY event_type
     ORDER BY event_type
@@ -575,7 +575,7 @@ def doc_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(len({_SQL_TOKENS})) AS total_tokens,
+           CAST(SUM(len({_SQL_TOKENS})) AS BIGINT) AS total_tokens,
            MAX(len({_SQL_TOKENS})) AS max_tokens,
            MIN(len({_SQL_TOKENS})) AS min_tokens
     FROM documents
@@ -816,14 +816,21 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: f0..f7 scalar feature columns — the driver's canonicalizer sorts
+#: result values and cannot hash an array<double> cell, so the query
+#: surface flattens; the array form stays the internal operator API.
+_SQL_MM_FEATURES = ",\n           ".join(
+    f"('0x' || substr(sha256(text), {i * 8 + 1}, 8))::BIGINT / 4294967296.0 AS f{i}"
+    for i in range(8)
+)
+
+
 @query(
     "multimodal_features",
-    """
+    f"""
     SELECT doc_id AS media_id,
            octet_length(CAST(text AS BLOB)) AS n_bytes,
-           list_transform(generate_series(0, 7),
-               i -> ('0x' || substr(sha256(text), i*8+1, 8))::BIGINT / 4294967296.0
-           ) AS features
+           {_SQL_MM_FEATURES}
     FROM documents WHERE doc_id < 50
     ORDER BY media_id
     """,
@@ -841,7 +848,12 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id"),
         F.encode(F.col("text"), "utf-8").alias("payload"),
     )
-    return extract_image_features(media, fake=True).orderBy("media_id")
+    feats = extract_image_features(media, fake=True)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        *[F.col("features")[i].alias(f"f{i}") for i in range(8)],
+    ).orderBy("media_id")
 
 
 # ---------------------------------------------------------------------------
@@ -1942,7 +1954,7 @@ def user_event_type_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(et_nullable, '<err>') AS et,
            COUNT(*) AS n_total,
            COUNT(et_nullable) AS n_nonnull,
-           SUM(CASE WHEN et_nullable IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS n_nullsafe_null,
+           CAST(SUM(CASE WHEN et_nullable IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_null,
            CAST(ROUND(SUM(CASE WHEN et_nullable IS NULL THEN CAST(value AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS err_value
     FROM e
     GROUP BY 1
@@ -2330,8 +2342,8 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_ship_delay",
     """
     SELECT delay_bucket,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM (
       SELECT o_orderpriority,
              CAST(LEAST(FLOOR(date_diff('day', CAST(o_orderdate AS DATE),
@@ -2892,8 +2904,8 @@ def events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
       SELECT user_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                    ROWS UNBOUNDED PRECEDING) AS session_no
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
       FROM marked
     )
     SELECT user_id, session_no, COUNT(*) AS n_events,
@@ -3154,8 +3166,8 @@ def events_stream_enriched_segments(spark: SparkSession, sf_dir: str) -> DataFra
       FROM embeddings, (SELECT unnest(generate_series(1, 4)) AS i)
     )
     SELECT label, dim_idx,
-           SUM(CAST(FLOOR(CAST(dim_val AS DOUBLE) * 100000000) AS BIGINT))
-             AS dim_sum_scaled,
+           CAST(SUM(CAST(FLOOR(CAST(dim_val AS DOUBLE) * 100000000) AS BIGINT))
+             AS BIGINT) AS dim_sum_scaled,
            COUNT(*) AS n
     FROM dims
     GROUP BY label, dim_idx
@@ -3230,12 +3242,12 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_orderstatus,
            COUNT(*) AS n_orders,
-           SUM(CASE WHEN li.l_orderkey IS NULL THEN 1 ELSE 0 END)
-             AS missing_lineitems,
-           SUM(CASE WHEN li.l_orderkey IS NOT NULL
+           CAST(SUM(CASE WHEN li.l_orderkey IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS missing_lineitems,
+           CAST(SUM(CASE WHEN li.l_orderkey IS NOT NULL
                      AND ABS(li_sum - CAST(o_totalprice AS DECIMAL(18,4))) * 10
                          > CAST(o_totalprice AS DECIMAL(18,4))
-                    THEN 1 ELSE 0 END) AS deviating_10pct
+                    THEN 1 ELSE 0 END) AS BIGINT) AS deviating_10pct
     FROM orders LEFT JOIN li ON o_orderkey = li.l_orderkey
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus

@@ -44,3 +44,15 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
     duck_pdf = duck.execute(ORACLE[name]).df()
     problems = compare(spark_pdf, duck_pdf)
     assert not problems, f"{name}: {problems}"
+
+
+def test_compare_flags_int_float_dtype_drift():
+    """The driver's value-hash distinguishes int64 99111 from float64
+    99111.0 (DuckDB SUM(BIGINT) -> HUGEINT -> float64 was the round-1
+    events_json_extract / doc_token_stats failure); compare() must too."""
+    import pandas as pd
+
+    a = pd.DataFrame({"k": ["x"], "s": pd.array([99111], dtype="int64")})
+    b = pd.DataFrame({"k": ["x"], "s": pd.array([99111.0], dtype="float64")})
+    assert any("dtype kind mismatch" in p for p in compare(a, b))
+    assert compare(a, a.copy()) == []

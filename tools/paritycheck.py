@@ -52,6 +52,20 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     if problems:
         return problems
     a, b = _normalize(spark_pdf), _normalize(duck_pdf)
+    # The driver's value-hash is repr-sensitive: an int64 99111 and a
+    # float64 99111.0 hash differently even though == says equal. DuckDB
+    # SUM(BIGINT) returns HUGEINT (-> pandas float64/object) while Spark
+    # sum(bigint) stays int64 — flag kind drift so it's caught locally.
+    for col in a.columns:
+        ka, kb = a[col].dtype.kind, b[col].dtype.kind
+        ints, flts = {"i", "u"}, {"f"}
+        if (ka in ints and kb in flts) or (ka in flts and kb in ints):
+            problems.append(
+                f"dtype kind mismatch col={col}: spark={a[col].dtype} duckdb={b[col].dtype}"
+                " (driver hash would differ — CAST the oracle aggregate)"
+            )
+    if problems:
+        return problems
     for col in a.columns:
         av, bv = a[col].tolist(), b[col].tolist()
         for i, (x, y) in enumerate(zip(av, bv)):
