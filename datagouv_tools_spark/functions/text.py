@@ -126,7 +126,9 @@ def bpe_ish_token_count(col: Column | str) -> Column:
     return F.size(F.filter(pieces, lambda t: t != "")).cast("bigint")
 
 
-def winnow_fingerprints(col: Column | str, k: int = 5, window: int = 4) -> Column:
+def winnow_fingerprints(
+    col: Column | str, k: int = 5, window: int = 4, gram_hash: str = "xxhash64"
+) -> Column:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     SIGMOD'03 — the MOSS scheme): hash every k-char gram of the
     normalized text, slide a window of ``window`` hashes, keep each
@@ -134,11 +136,17 @@ def winnow_fingerprints(col: Column | str, k: int = 5, window: int = 4) -> Colum
     >= window + k - 1 shares a fingerprint, at ~2/(window+1) sampling
     density.
 
-    Pure JVM built-ins (xxhash64 + transform/slice/array_min): no UDF,
+    Pure JVM built-ins (gram hash + transform/slice/array_min): no UDF,
     no shuffle — per-row work, linear in document length. The natural
     pre-filter for pair generation: candidates = docs sharing a
     fingerprint (explode + self-join on fingerprint).
+
+    ``gram_hash="md5"`` swaps xxhash64 for the cross-engine 60-bit md5
+    hash (functions/xhash.py) so a SQL oracle recomputes the exact
+    fingerprint set.
     """
+    from datagouv_tools_spark.functions.xhash import token_hash_expr
+
     c = _c(col)
     norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
     n = F.length(norm)
@@ -146,7 +154,9 @@ def winnow_fingerprints(col: Column | str, k: int = 5, window: int = 4) -> Colum
     # gram/window (rpad is NOT usable here: it truncates longer input)
     n_grams = F.greatest(n - (k - 1), F.lit(1))
     gram_idx = F.sequence(F.lit(1), n_grams)
-    hashes = F.transform(gram_idx, lambda i: F.xxhash64(F.substr(norm, i, F.lit(k))))
+    hashes = F.transform(
+        gram_idx, lambda i: token_hash_expr(F.substr(norm, i, F.lit(k)), gram_hash)
+    )
     # Sliding-window min as a zip_with(least) chain over `window`
     # shifted slices. NOT transform(i -> array_min(slice(hashes, i, w))):
     # Catalyst inlines `hashes` into the lambda body, so that form

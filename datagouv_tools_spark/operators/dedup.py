@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from datagouv_tools_spark.functions.text import fingerprint_md5, tokens
+from datagouv_tools_spark.functions.xhash import token_hash_expr
 
 __all__ = [
     "dedup_exact",
@@ -75,17 +76,24 @@ def dedup_fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, k: int = 64, seed: int = 42
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 64,
+    seed: int = 42,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """(id, signature array<bigint>[k]) per document.
 
-    Token → xxhash64 (JVM) → k affine permutations → per-permutation min
+    Token → hash (JVM) → k affine permutations → per-permutation min
     over the token set. All expression-level: transform + array_min,
-    no explode, no shuffle."""
+    no explode, no shuffle. ``token_hash="md5"`` swaps xxhash64 for the
+    cross-engine 60-bit md5 hash (functions/xhash.py) so a SQL oracle
+    can recompute the exact signatures."""
     params = _hash_params(k, seed)
     tok_hashes = F.transform(
         F.array_distinct(tokens(text_col)),
-        lambda t: F.abs(F.xxhash64(t)) % F.lit(_MERSENNE_PRIME),
+        lambda t: F.abs(token_hash_expr(t, token_hash)) % F.lit(_MERSENNE_PRIME),
     )
 
     def permute(a: int, b: int):
@@ -106,6 +114,8 @@ def minhash_pairs(
     k: int = 64,
     bands: int = 16,
     seed: int = 42,
+    token_hash: str = "xxhash64",
+    band_key: str = "hash",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding (id_a < id_b).
 
@@ -113,21 +123,26 @@ def minhash_pairs(
     candidate pair. Pair generation is a self-join on (band_idx,
     band_hash) — the shuffle key is the bucket, so skew only appears if
     a bucket is huge (i.e. true mass duplication — exactly when you
-    want the work)."""
+    want the work).
+
+    ``band_key="hash"`` (default) joins on xxhash64 of the band values
+    (narrow 8-byte shuffle key — the 100 TB choice); ``"values"`` joins
+    on the concatenated values themselves: collision-free and exactly
+    reproducible by a SQL oracle comparing raw signature slices."""
     r = k // bands
-    sigs = minhash_signatures(df, text_col, id_col, k, seed)
+    sigs = minhash_signatures(df, text_col, id_col, k, seed, token_hash)
+
+    def band_expr(band: int) -> Column:
+        joined = F.concat_ws(
+            ",", *[F.col("signature")[band * r + i] for i in range(r)]
+        )
+        return F.xxhash64(joined) if band_key == "hash" else joined
+
     band_entries = sigs.select(
         F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(",", *[F.col("signature")[band * r + i] for i in range(r)])
-                    )
-                    for band in range(bands)
-                ]
-            )
-        ).alias("band_idx", "band_hash"),
+        F.posexplode(F.array(*[band_expr(b) for b in range(bands)])).alias(
+            "band_idx", "band_hash"
+        ),
     )
     a = band_entries.alias("a")
     b = band_entries.alias("b")
@@ -146,13 +161,24 @@ def minhash_pairs(
     )
 
 
-def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def simhash64(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    token_hash: str = "xxhash64",
+) -> DataFrame:
     """(id, simhash bigint): sign-aggregated 64-bit token-hash sketch.
 
     Explode-free: per bit j, count tokens with bit j set minus tokens
     with it clear, via transform + aggregate over the token array; bit
-    j of the signature = (sum > 0)."""
-    tok_hashes = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
+    j of the signature = (sum > 0).
+
+    ``token_hash="md5"`` uses the cross-engine 60-bit hash: the
+    signature narrows to 60 bits (always positive — no signed-shift
+    ambiguity between engines) and a SQL oracle can recompute it
+    bit-for-bit with plain bigint arithmetic."""
+    n_bits = 64 if token_hash == "xxhash64" else 60
+    tok_hashes = F.transform(tokens(text_col), lambda t: token_hash_expr(t, token_hash))
 
     def bit_contrib(j: int):
         return lambda acc, h: acc + F.when(
@@ -160,7 +186,7 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         ).otherwise(-1)
 
     bit_exprs = []
-    for j in range(64):
+    for j in range(n_bits):
         contrib = F.aggregate(tok_hashes, F.lit(0), bit_contrib(j))
         bit = F.when(contrib > 0, F.lit(1).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")

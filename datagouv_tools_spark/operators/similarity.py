@@ -20,15 +20,17 @@ for the exact tier).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from datagouv_tools_spark.functions.vectors import cosine, dot
+from datagouv_tools_spark.functions.xhash import md5_hash60
 
 __all__ = [
     "cosine_topk",
     "cosine_pairs_exact",
+    "cosine_pairs_blocked",
     "lsh_bucket",
     "lsh_topk",
     "ivf_assign",
@@ -67,6 +69,7 @@ def cosine_pairs_exact(
     vec_col: str = "embedding",
     threshold: float = 0.4,
     round_to: int = 6,
+    max_rows: int = 100_000,
 ) -> DataFrame:
     """All-pairs (id_a < id_b) cosine similarity ≥ threshold, exact.
 
@@ -91,6 +94,16 @@ def cosine_pairs_exact(
     import numpy as np
     import pandas as pd
 
+    # This kernel BROADCASTS the input (driver collect): it is the
+    # in-bucket / in-block verifier, never the corpus-wide path. The
+    # guard makes that contract executable — corpus-scale all-pairs
+    # must go through cosine_pairs_blocked.
+    if df.limit(max_rows + 1).count() > max_rows:
+        raise ValueError(
+            f"cosine_pairs_exact collects its input to the driver and is "
+            f"bounded to {max_rows} rows; use cosine_pairs_blocked for "
+            f"corpus-scale exact all-pairs"
+        )
     rows = df.select(id_col, vec_col).collect()  # bounded: bucket-level kernel
     c_ids = np.fromiter((r[0] for r in rows), dtype=np.int64, count=len(rows))
     c_mat = np.array([r[1] for r in rows], dtype=np.float64)
@@ -129,6 +142,103 @@ def cosine_pairs_exact(
 
     return df.select(id_col, vec_col).mapInPandas(
         gen, "id_a bigint, id_b bigint, sim double"
+    )
+
+
+def cosine_pairs_blocked(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    round_to: int = 6,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold, DISTRIBUTED — no driver
+    collect, no corpus broadcast.
+
+    Block-matrix decomposition: rows hash into ``n_blocks`` blocks; each
+    unordered block pair (i ≤ j) becomes one task group holding only
+    blocks i and j (≈ 2n/B rows), which runs the same BLAS kernel as
+    ``cosine_pairs_exact`` via ``applyInPandas``. Every vector is
+    replicated to exactly B groups, so shuffle volume is n·B rows and
+    per-task memory is bounded by the block size — choose B so a block
+    fits an executor, independent of corpus size. Work stays O(n²)
+    (inherent to exact all-pairs); at 100 TB put LSH blocking in front
+    and use this only when exactness is the contract.
+
+    Semantics and determinism are identical to ``cosine_pairs_exact``
+    (round half-away-from-zero before the threshold compare): the two
+    are interchangeable, oracle-checked by the same SQL.
+    """
+    import numpy as np
+    import pandas as pd
+
+    base = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+    ).withColumn(
+        "__blk", F.pmod(F.xxhash64(F.col("__id")), F.lit(n_blocks)).cast("int")
+    )
+    # replicate each row into every group whose unordered block pair
+    # contains its block: (min(b,x), max(b,x)) for x in 0..B-1
+    groups = F.transform(
+        F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+        lambda x: F.struct(
+            F.least(F.col("__blk"), x).alias("gi"),
+            F.greatest(F.col("__blk"), x).alias("gj"),
+        ),
+    )
+    exploded = base.withColumn("__g", F.explode(groups)).select(
+        F.col("__g.gi").alias("__gi"), F.col("__g.gj").alias("__gj"),
+        "__id", "__vec", "__blk",
+    )
+    scale = 10.0**round_to
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        gi, gj = int(key[0]), int(key[1])
+        ids = pdf["__id"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["__vec"]), dtype=np.float64)
+        blks = pdf["__blk"].to_numpy()
+        with np.errstate(invalid="ignore"):
+            norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+        if gi == gj:
+            la = lb = np.arange(len(ids))
+        else:
+            la, lb = np.nonzero(blks == gi)[0], np.nonzero(blks == gj)[0]
+        if len(la) == 0 or len(lb) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "sim": "float64"}
+            )
+        a_ids, b_ids = ids[la], ids[lb]
+        denom = np.outer(norms[la], norms[lb])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = (mat[la] @ mat[lb].T) / denom
+        # round half away from zero (numpy rounds half-even; Spark/DuckDB
+        # ROUND is half-up) — must match cosine_pairs_exact exactly
+        sims = np.where(
+            np.isfinite(sims),
+            np.trunc(np.abs(sims) * scale + 0.5) / scale * np.sign(sims),
+            np.nan,
+        )
+        mask = (sims >= threshold) & (denom > 0) & (
+            a_ids[:, None] < b_ids[None, :]
+        )
+        ii, jj = np.nonzero(mask)
+        out_a, out_b = a_ids[ii], b_ids[jj]
+        if gi != gj:
+            # cross-block pairs may have either id order; emit min as id_a
+            mask2 = (sims.T >= threshold) & (denom.T > 0) & (
+                b_ids[:, None] < a_ids[None, :]
+            )
+            kk, ll = np.nonzero(mask2)
+            out_a = np.concatenate([out_a, b_ids[kk]])
+            out_b = np.concatenate([out_b, a_ids[ll]])
+            sims_out = np.concatenate([sims[ii, jj], sims.T[kk, ll]])
+        else:
+            sims_out = sims[ii, jj]
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "sim": sims_out})
+
+    return exploded.groupBy("__gi", "__gj").applyInPandas(
+        kernel, "id_a bigint, id_b bigint, sim double"
     )
 
 
@@ -199,22 +309,94 @@ def lsh_topk(
 # ---------------------------------------------------------------------------
 
 
-def _ivf_centroids(df: DataFrame, vec_col: str, n_lists: int, seed: int = 42):
+def _ivf_centroids(
+    df: DataFrame, vec_col: str, n_lists: int, seed: int = 42
+) -> list[list[float]]:
     """Deterministic coarse centroids: the n_lists corpus vectors with
-    the smallest splitmix-style hash of their id — a seeded sample that
-    needs no iterative training (k-means would converge better but adds
-    nondeterminism; for a quantizer, spread matters more than
-    optimality). Driver-side: n_lists × dim floats."""
-    import numpy as np
+    the smallest cross-engine md5 hash of their id — a seeded sample
+    that needs no iterative training (k-means would converge better but
+    adds nondeterminism; for a quantizer, spread matters more than
+    optimality) and that a SQL oracle reselects identically.
 
+    Driver-side cost is BOUNDED: orderBy+limit is a distributed top-k
+    (TakeOrdered), and only n_lists rows ever reach the driver."""
     id_col = df.columns[0]
-    sampled = (
+    h = md5_hash60(F.concat_ws("-", F.col(id_col).cast("string"), F.lit(str(seed))))
+    rows = (
         df.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .orderBy(h.asc(), F.col(id_col).asc())
         .limit(n_lists)
         .collect()
     )
-    return np.array([r[1] for r in sampled], dtype=np.float64)
+    return [[float(v) for v in r[1]] for r in rows]
+
+
+def _normalize_seq(cents: list[list[float]]) -> list[list[float]]:
+    """L2-normalize centroids with SEQUENTIAL accumulation — the exact
+    float ops a SQL oracle performs via
+    ``list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv)))``,
+    so the normalized literals agree bit-for-bit across engines."""
+    import math
+
+    out = []
+    for cv in cents:
+        s = 0.0
+        for x in cv:
+            s += x * x
+        n = math.sqrt(s) or 1.0
+        out.append([x / n for x in cv])
+    return out
+
+
+def _probe_lists(
+    df: DataFrame,
+    vec_col: str,
+    cents: list[list[float]],
+    n: int,
+    round_to: int = 6,
+) -> DataFrame:
+    """Append ``__list``: each input row fans out to its ``n`` nearest
+    coarse lists by cosine (1 row per probe; n=1 is plain assignment).
+
+    Arrow-batched ``mapInPandas``: one BLAS matmul per batch against
+    the normalized centroid matrix — executor-side, no shuffle, no
+    driver collect; the scale path for both corpus assignment and
+    query probing. Determinism across engines: sims are rounded
+    half-away-from-zero to ``round_to`` BEFORE ranking and ties break
+    toward the smaller list id (numpy stable argsort ↔ SQL
+    ``ORDER BY csim DESC, list_id``)."""
+    import numpy as np
+    import pandas as pd
+
+    cmat = np.array(_normalize_seq(cents), dtype=np.float64).T  # dim × L
+    scale = 10.0**round_to
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    out_schema = f"{fields}, __list int"
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (m @ cmat) / norms[:, None]
+            sims = np.where(
+                np.isfinite(sims),
+                np.trunc(np.abs(sims) * scale + 0.5) / scale * np.sign(sims),
+                -np.inf,
+            )
+            # stable argsort on -sims: equal (rounded) sims keep
+            # ascending list-id order — the SQL tie-break
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :n]
+            idx = np.repeat(np.arange(len(pdf)), n)
+            out = pdf.iloc[idx].copy()
+            out["__list"] = top.reshape(-1).astype("int32")
+            yield out
+
+    return df.mapInPandas(gen, out_schema)
 
 
 def ivf_assign(
@@ -222,32 +404,16 @@ def ivf_assign(
     vec_col: str = "embedding",
     n_lists: int = 16,
     seed: int = 42,
+    cents: list[list[float]] | None = None,
 ) -> DataFrame:
     """Add ``__list`` — the id of the nearest coarse centroid (by
-    cosine). Arrow-batched numpy argmax against the broadcast centroid
-    matrix; at 100 TB, write the corpus bucketed/partitioned by
-    ``__list`` so probes touch only nprobe partitions."""
-    import numpy as np
-    import pandas as pd
-
-    cents = _ivf_centroids(df, vec_col, n_lists, seed)
-    cents = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
-    bc = df.sparkSession.sparkContext.broadcast(cents)
-    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
-    out_schema = f"{fields}, __list int"
-
-    def gen(batches):
-        c = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            m = np.array(list(pdf[vec_col]), dtype=np.float64)
-            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-            pdf = pdf.copy()
-            pdf["__list"] = np.argmax(m @ c.T, axis=1).astype("int32")
-            yield pdf
-
-    return df.mapInPandas(gen, out_schema)
+    cosine, rounded@6 with list-id tie-break). Arrow-batched numpy
+    argmax, executor-side, no shuffle. At 100 TB, write the corpus
+    bucketed/partitioned by ``__list`` so probes touch only nprobe
+    partitions."""
+    if cents is None:
+        cents = _ivf_centroids(df, vec_col, n_lists, seed)
+    return _probe_lists(df, vec_col, cents, n=1)
 
 
 def ivf_topk(
@@ -269,29 +435,19 @@ def ivf_topk(
 
     Scale shape: candidate work drops to ~nprobe/n_lists of brute
     force; the corpus shuffles once on ``__list`` (or never, if stored
-    pre-bucketed); queries broadcast. Approximate by design → rows-only
-    driver check; recall is asserted against brute force in tests."""
-    import numpy as np
-    import pandas as pd
-
-    cents = _ivf_centroids(corpus, corpus_vec, n_lists, seed)
-    cents_n = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
-
-    corpus_l = ivf_assign(
+    pre-bucketed); queries broadcast. Probe assignment is executor-side
+    (the same centroid-rank expression as the corpus side — no query
+    collect); the only driver materialization is the n_lists centroid
+    vectors themselves. Deterministic end-to-end → full SQL oracle;
+    recall vs brute force is additionally asserted in tests."""
+    cents = _ivf_centroids(
         corpus.select(corpus_id, corpus_vec), corpus_vec, n_lists, seed
     )
-
-    # queries: explode to (query, probed list) pairs — tiny side, driver math
-    q_rows = queries.select(query_id, query_vec).collect()
-    probe_rows = []
-    for r in q_rows:
-        v = np.asarray(r[1], dtype=np.float64)
-        v = v / max(float(np.linalg.norm(v)), 1e-12)
-        lists = np.argsort(-(cents_n @ v))[:nprobe]
-        probe_rows.extend((int(r[0]), list(r[1]), int(li)) for li in lists)
-    spark = queries.sparkSession
-    q_probes = spark.createDataFrame(
-        pd.DataFrame(probe_rows, columns=[query_id, query_vec, "__list"])
+    corpus_l = ivf_assign(
+        corpus.select(corpus_id, corpus_vec), corpus_vec, n_lists, seed, cents=cents
+    )
+    q_probes = _probe_lists(
+        queries.select(query_id, query_vec), query_vec, cents, n=nprobe
     )
 
     pairs = F.broadcast(q_probes).join(corpus_l, "__list").filter(

@@ -749,41 +749,115 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (threshold 0.4), via the
-    Arrow/numpy block-nested-loop kernel (operators/similarity.
-    cosine_pairs_exact): one BLAS matmul per Arrow batch against the
-    broadcast corpus matrix. At scale this exact O(n²) form is the
-    in-bucket verifier after LSH blocking (operators/similarity.
-    lsh_bucket)."""
-    from datagouv_tools_spark.operators.similarity import cosine_pairs_exact
+    """Embedding-cosine near-duplicate pairs (threshold 0.4), exact,
+    via the DISTRIBUTED block-matrix kernel (operators/similarity.
+    cosine_pairs_blocked): block pairs fan out to task groups, each
+    runs one BLAS matmul — no driver collect, no corpus broadcast, so
+    the same code path survives a corpus that doesn't fit any single
+    node. (cosine_pairs_exact remains the bounded in-bucket verifier
+    after LSH blocking.)"""
+    from datagouv_tools_spark.operators.similarity import cosine_pairs_blocked
 
     emb = t(spark, sf_dir, "embeddings")
-    return cosine_pairs_exact(emb, "vec_id", "embedding", threshold=0.4).orderBy(
+    return cosine_pairs_blocked(emb, "vec_id", "embedding", threshold=0.4).orderBy(
         "id_a", "id_b"
     )
 
 
-@query("minhash_candidate_pairs")  # no SQL oracle: LSH banding is not ANSI-SQL
+def _sql_minhash_oracle() -> str:
+    """DuckDB twin of minhash_pairs(k=64, bands=16, token_hash='md5',
+    band_key='values'): recomputes the EXACT signatures with plain
+    bigint arithmetic (the md5-60bit hash + affine permutations are
+    cross-engine; functions/xhash.py) and declares a candidate pair
+    whenever any 4-row band matches in full — byte-identical semantics
+    to the Spark banding join, no approximation slack."""
+    from datagouv_tools_spark.operators.dedup import _MERSENNE_PRIME, _hash_params
+
+    p = _MERSENNE_PRIME
+    perms = ",\n      ".join(
+        f"list_min(list_transform(hs, h -> (h * {a}::BIGINT + {b}::BIGINT) % {p}))"
+        for a, b in _hash_params(64, seed=42)
+    )
+    bands = "\n       OR ".join(
+        "(" + " AND ".join(f"a.sig[{b * 4 + i + 1}] = b.sig[{b * 4 + i + 1}]" for i in range(4)) + ")"
+        for b in range(16)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct({_SQL_TOKENS}) AS ts
+      FROM documents WHERE doc_id < 100
+    ),
+    hs AS (
+      SELECT doc_id,
+             list_transform(ts, t -> abs(('0x' || substr(md5(t), 1, 15))::BIGINT) % {p}) AS hs
+      FROM toks
+    ),
+    sig AS (
+      SELECT doc_id, [
+      {perms}
+      ] AS sig FROM hs
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE {bands}
+    ORDER BY id_a, id_b
+    """
+
+
+@query("minhash_candidate_pairs", _sql_minhash_oracle())
 def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate near-dup pairs (operators/dedup.py):
-    64 hashes, 16 bands. Driver records a rows-only check; the
-    doc_jaccard_pairs oracle covers the verification stage."""
+    64 hashes, 16 bands, cross-engine md5 token hash + value-keyed
+    bands so the oracle recomputes the identical candidate set."""
     from datagouv_tools_spark.operators.dedup import minhash_pairs
 
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    return minhash_pairs(docs, "text", "doc_id", k=64, bands=16).orderBy(
-        "id_a", "id_b"
+    return minhash_pairs(
+        docs, "text", "doc_id", k=64, bands=16, token_hash="md5", band_key="values"
+    ).orderBy("id_a", "id_b")
+
+
+def _sql_simhash_oracle() -> str:
+    """DuckDB twin of simhash64(token_hash='md5'): per bit j of the
+    60-bit signature, sign of (2·|tokens with bit j set| − |tokens|);
+    the signature is Σ 2^j·bit — pure bigint arithmetic, so Hamming
+    pairs are exactly recomputable."""
+    bits = "\n      + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, h -> ((h >> {j}) & 1) = 1)) - len(hs) > 0"
+        f" THEN (1::BIGINT << {j}) ELSE 0::BIGINT END)"
+        for j in range(60)
     )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKENS} AS ts FROM documents WHERE doc_id < 60
+    ),
+    hs AS (
+      SELECT doc_id,
+             list_transform(ts, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
+      FROM toks
+    ),
+    sig AS (
+      SELECT doc_id,
+      {bits}
+      AS simhash FROM hs
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+    ORDER BY id_a, id_b
+    """
 
 
-@query("simhash_hamming_pairs")  # no SQL oracle: bit-sketch not ANSI-SQL
+@query("simhash_hamming_pairs", _sql_simhash_oracle())
 def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit signatures, pairs at Hamming
-    distance ≤ 12 within a 60-doc block."""
+    """SimHash near-dup pairs: 60-bit cross-engine signatures (md5
+    token hash), pairs at Hamming distance ≤ 12 within a 60-doc block.
+    The oracle recomputes the signatures bit-for-bit."""
     from datagouv_tools_spark.operators.dedup import simhash64
 
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
-    sigs = simhash64(docs, "text", "doc_id")
+    sigs = simhash64(docs, "text", "doc_id", token_hash="md5")
     a, b = sigs.alias("a"), sigs.alias("b")
     hamming = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
@@ -800,11 +874,50 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("lsh_ann_topk")  # no SQL oracle: approximate by design
+def _sql_lsh_ann_oracle() -> str:
+    """DuckDB twin of lsh_topk(dim=64, n_planes=8, seed=42). The
+    hyperplanes are deterministic literals (similarity._hyperplanes),
+    and list_dot_product accumulates in the same element order as the
+    JVM ``dot`` expression, so bucket sign bits — and therefore the
+    whole approximate result — are recomputed EXACTLY; 'approximate'
+    describes recall vs brute force, not nondeterminism."""
+    from datagouv_tools_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 8, seed=42)
+    bucket = "\n         + ".join(
+        f"(CASE WHEN list_dot_product(embedding, [{', '.join(repr(v) for v in plane)}]) > 0"
+        f" THEN {1 << j} ELSE 0 END)"
+        for j, plane in enumerate(planes)
+    )
+    return f"""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
+    cb AS (
+      SELECT vec_id, embedding,
+         {bucket}
+         AS bucket
+      FROM c
+    ),
+    qb AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM cb WHERE vec_id < 10),
+    p AS (
+      SELECT q.query_id, e.vec_id,
+             ROUND(list_dot_product(q.qv, e.embedding)
+                   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.embedding, e.embedding))), 6) AS sim
+      FROM qb q JOIN cb e ON q.bucket = e.bucket AND e.vec_id <> q.query_id
+    ),
+    r AS (SELECT query_id, vec_id, sim,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
+          FROM p)
+    SELECT query_id, vec_id, sim, rk FROM r WHERE rk <= 5
+    ORDER BY query_id, rk
+    """
+
+
+@query("lsh_ann_topk", _sql_lsh_ann_oracle())
 def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate nearest neighbors
     (operators/similarity.lsh_topk): 8 hyperplanes, exact cosine within
-    buckets."""
+    buckets. Deterministic seeded hyperplanes → the oracle recomputes
+    the identical buckets and ranking."""
     from datagouv_tools_spark.operators.similarity import lsh_topk
 
     emb = t(spark, sf_dir, "embeddings")
@@ -1402,12 +1515,63 @@ def orders_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ivf_ann_topk")  # no SQL oracle: approximate by design
+#: DuckDB twin of ivf_topk(n_lists=16, nprobe=4, seed=42): reselects
+#: the same 16 coarse centroids (cross-engine md5 hash order), redoes
+#: the cosine argmax list assignment and per-query probe ranking, and
+#: reranks candidates — the whole inverted-file pipeline is
+#: deterministic, so even this "approximate" operator hash-matches.
+_SQL_IVF_ORACLE = """
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
+    cent0 AS (
+      SELECT vec_id, embedding,
+             ('0x' || substr(md5(vec_id::VARCHAR || '-42'), 1, 15))::BIGINT AS h
+      FROM c ORDER BY h ASC, vec_id ASC LIMIT 16
+    ),
+    cent AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS list_id,
+             list_transform(embedding,
+                 x -> x / sqrt(list_dot_product(embedding, embedding))) AS cv
+      FROM cent0
+    ),
+    sims AS (
+      SELECT c.vec_id, cent.list_id,
+             ROUND(list_dot_product(c.embedding, cent.cv)
+                   / sqrt(list_dot_product(c.embedding, c.embedding)), 6) AS csim
+      FROM c, cent
+    ),
+    ranked AS (
+      SELECT vec_id, list_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, list_id) AS crk
+      FROM sims
+    ),
+    lists AS (SELECT vec_id, list_id FROM ranked WHERE crk = 1),
+    probes AS (SELECT vec_id AS query_id, list_id FROM ranked WHERE vec_id < 10 AND crk <= 4),
+    p AS (
+      SELECT pr.query_id, a.vec_id,
+             ROUND(list_dot_product(q.embedding, e.embedding)
+                   / (sqrt(list_dot_product(q.embedding, q.embedding))
+                      * sqrt(list_dot_product(e.embedding, e.embedding))), 6) AS sim
+      FROM probes pr
+      JOIN lists a ON a.list_id = pr.list_id AND a.vec_id <> pr.query_id
+      JOIN c q ON q.vec_id = pr.query_id
+      JOIN c e ON e.vec_id = a.vec_id
+    ),
+    r AS (SELECT query_id, vec_id, sim,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
+          FROM p)
+    SELECT query_id, vec_id, sim, rk FROM r WHERE rk <= 5
+    ORDER BY query_id, rk
+    """
+
+
+@query("ivf_ann_topk", _SQL_IVF_ORACLE)
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbors (operators/similarity.
     ivf_topk): 16 coarse lists, 4 probed per query, exact cosine within
     probed lists. The inverted-file scale path next to LSH
-    (lsh_ann_topk); recall vs brute force asserted in tests."""
+    (lsh_ann_topk); recall vs brute force asserted in tests; the full
+    pipeline (centroid sampling → assignment → probing → rerank) is
+    deterministic and oracle-checked."""
     from datagouv_tools_spark.operators.similarity import ivf_topk
 
     emb = t(spark, sf_dir, "embeddings")
@@ -1573,16 +1737,17 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end dedup clustering: embedding near-dup pairs (BLAS
-    kernel) → connected components (operators/dedup.dedup_clusters,
-    iterative min-label propagation). cluster_id = min vec_id of the
-    component; the SQL twin is a recursive CTE, so even this iterative
-    algorithm is hash-checked against the oracle."""
+    """End-to-end dedup clustering: embedding near-dup pairs
+    (distributed block-matrix BLAS kernel) → connected components
+    (operators/dedup.dedup_clusters, iterative min-label propagation).
+    cluster_id = min vec_id of the component; the SQL twin is a
+    recursive CTE, so even this iterative algorithm is hash-checked
+    against the oracle."""
     from datagouv_tools_spark.operators.dedup import dedup_clusters
-    from datagouv_tools_spark.operators.similarity import cosine_pairs_exact
+    from datagouv_tools_spark.operators.similarity import cosine_pairs_blocked
 
     emb = t(spark, sf_dir, "embeddings")
-    pairs = cosine_pairs_exact(emb, "vec_id", "embedding", threshold=0.4)
+    pairs = cosine_pairs_blocked(emb, "vec_id", "embedding", threshold=0.4)
     return (
         dedup_clusters(pairs)
         .select(F.col("node").alias("vec_id"), "cluster_id")
@@ -1638,20 +1803,54 @@ def events_click_view_interval_join(spark: SparkSession, sf_dir: str) -> DataFra
     ).orderBy("user_id", "click_id", "view_id")
 
 
-@query("doc_winnow_candidates")  # no SQL oracle: xxhash64 winnowing not ANSI-SQL
+#: DuckDB twin of winnow_fingerprints(k=12, window=8, gram_hash='md5'):
+#: hash every 12-char gram of the normalized text with the cross-engine
+#: md5-60bit hash, slide an 8-hash window, keep each window's min,
+#: dedupe — exact fingerprint sets, recomputable in SQL.
+_SQL_WINNOW_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+      FROM documents WHERE doc_id < 60
+    ),
+    g AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(length(norm) - 11, 1)),
+                 i -> ('0x' || substr(md5(substr(norm, i, 12)), 1, 15))::BIGINT) AS hs,
+             greatest(greatest(length(norm) - 11, 1) - 7, 1) AS n_windows
+      FROM d
+    ),
+    fp AS (
+      SELECT doc_id, unnest(list_distinct(
+          list_transform(generate_series(1, n_windows),
+                         w -> list_min(list_slice(hs, w, w + 7))))) AS fp
+      FROM g
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_fps
+    FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 5
+    ORDER BY id_a, id_b
+    """
+
+
+@query("doc_winnow_candidates", _SQL_WINNOW_ORACLE)
 def doc_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash (winnowing) fingerprint candidate pairs
-    (functions/text.winnow_fingerprints): docs sharing >= 3 selected
+    (functions/text.winnow_fingerprints): docs sharing >= 5 selected
     fingerprints. Scale: explode + self-join shuffles on fingerprint —
     candidates only, verification (e.g. ngram_jaccard_pairs) runs on
-    the pairs, never all-pairs."""
+    the pairs, never all-pairs. Cross-engine md5 gram hash: the oracle
+    recomputes the exact fingerprint sets."""
     from datagouv_tools_spark.functions.text import winnow_fingerprints
 
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
     # k=12 grams: the synthetic docs are short (~300 chars) and share
     # template vocabulary; small grams make every pair a candidate
     fps = docs.select(
-        "doc_id", F.explode(winnow_fingerprints("text", k=12, window=8)).alias("fp")
+        "doc_id",
+        F.explode(
+            winnow_fingerprints("text", k=12, window=8, gram_hash="md5")
+        ).alias("fp"),
     ).distinct()
     a, b = fps.alias("a"), fps.alias("b")
     return (
