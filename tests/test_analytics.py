@@ -303,3 +303,42 @@ def test_multimodal_resize_and_frame_sample(spark):
     # strict mode surfaces the stub, not silent fakes
     with pytest.raises(Exception, match="NotImplementedError|image decode"):
         resize_images(media, width=4, height=3, fake=False).collect()
+
+
+def test_cosine_pairs_exact_rejects_unbounded_input(spark, sf_dir):
+    """The collect-based kernel is an in-bucket verifier; corpus-scale
+    callers must use cosine_pairs_blocked. The row bound makes that
+    contract executable instead of a docstring promise."""
+    import pytest
+
+    from datagouv_tools_spark.operators.similarity import cosine_pairs_exact
+    from datagouv_tools_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="cosine_pairs_blocked"):
+        cosine_pairs_exact(emb, "vec_id", "embedding", max_rows=5).collect()
+
+
+def test_cosine_pairs_blocked_matches_exact_kernel(spark, sf_dir):
+    """The distributed block-matrix decomposition must be a pure
+    re-plan of the exact kernel: identical pairs, identical rounded
+    sims, each pair emitted exactly once (no double-count from a row
+    living in B groups)."""
+    from datagouv_tools_spark.operators.similarity import (
+        cosine_pairs_blocked,
+        cosine_pairs_exact,
+    )
+    from datagouv_tools_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in cosine_pairs_exact(emb, "vec_id", "embedding", threshold=0.3).collect()
+    }
+    for n_blocks in (1, 3, 8):
+        rows = cosine_pairs_blocked(
+            emb, "vec_id", "embedding", threshold=0.3, n_blocks=n_blocks
+        ).collect()
+        got = {(r["id_a"], r["id_b"]): r["sim"] for r in rows}
+        assert len(rows) == len(got), f"duplicate pairs at n_blocks={n_blocks}"
+        assert got == exact, f"mismatch at n_blocks={n_blocks}"
