@@ -80,10 +80,12 @@ def import_deces(
         from datagouv_tools_spark.sinks.sink import ParquetSink
 
         return ParquetSink(parquet_out).write(df, "deces")
+    dialect = get_dialect(rdbms)
     sink = SqlSink(
-        dialect=get_dialect(rdbms),
+        dialect=dialect,
         executor=DryRunExecutor() if connection is None else _db_executor(connection),
         index_provider=DecesIndexProvider(),
+        loader=None if connection is None else _insert_loader(connection, dialect),
     )
     sink.write(df, "deces")
     return sink.executor.statements if isinstance(sink.executor, DryRunExecutor) else "ok"
@@ -93,3 +95,9 @@ def _db_executor(connection):
     from datagouv_tools_spark.sinks.sink import DbApiExecutor
 
     return DbApiExecutor(connection)
+
+
+def _insert_loader(connection, dialect):
+    from datagouv_tools_spark.sinks.sink import dbapi_insert_loader
+
+    return dbapi_insert_loader(connection, dialect)

@@ -73,14 +73,18 @@ def import_fantoir(
 
             results[name] = ParquetSink(parquet_out).write(df, name)
         else:
+            dialect = get_dialect(rdbms)
             sink = SqlSink(
-                dialect=get_dialect(rdbms),
+                dialect=dialect,
                 executor=DryRunExecutor() if connection is None else _db_executor(connection),
                 index_provider=EmptyIndexProvider(),
+                loader=None if connection is None else _insert_loader(connection, dialect),
             )
             sink.write(df, name)
             if isinstance(sink.executor, DryRunExecutor):
                 results[name] = sink.executor.statements
+            else:
+                results[name] = "loaded"
     return results
 
 
@@ -88,3 +92,9 @@ def _db_executor(connection):
     from datagouv_tools_spark.sinks.sink import DbApiExecutor
 
     return DbApiExecutor(connection)
+
+
+def _insert_loader(connection, dialect):
+    from datagouv_tools_spark.sinks.sink import dbapi_insert_loader
+
+    return dbapi_insert_loader(connection, dialect)

@@ -84,14 +84,18 @@ def import_sirene(
 
             results[table] = ParquetSink(parquet_out).write(df, table)
         else:
+            dialect = get_dialect(rdbms)
             sink = SqlSink(
-                dialect=get_dialect(rdbms),
+                dialect=dialect,
                 executor=DryRunExecutor() if connection is None else _db_executor(connection),
                 index_provider=SireneIndexProvider(),
+                loader=None if connection is None else _insert_loader(connection, dialect),
             )
             sink.write(df, table)
             if isinstance(sink.executor, DryRunExecutor):
                 results[table] = sink.executor.statements
+            else:
+                results[table] = "loaded"
     return results
 
 
@@ -99,3 +103,9 @@ def _db_executor(connection):
     from datagouv_tools_spark.sinks.sink import DbApiExecutor
 
     return DbApiExecutor(connection)
+
+
+def _insert_loader(connection, dialect):
+    from datagouv_tools_spark.sinks.sink import dbapi_insert_loader
+
+    return dbapi_insert_loader(connection, dialect)

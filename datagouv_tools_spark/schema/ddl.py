@@ -148,9 +148,19 @@ class SqlDialect:
     half lives in sinks/jdbc.py)."""
 
     name = "generic"
+    #: DB-API paramstyle placeholder for row inserts (K6):
+    #: qmark (sqlite3) by default, format ("%s") for pg/mariadb drivers.
+    placeholder = "?"
 
     def quote(self, identifier: str) -> str:
         return '"' + identifier.replace('"', '""') + '"'
+
+    def insert_statement(self, table: str, schema: T.StructType) -> str:
+        """Parameterized row INSERT (K6 fallback; reference
+        generic.py insert_all/executemany path)."""
+        cols = ", ".join(self.quote(f.name) for f in schema.fields)
+        params = ", ".join(self.placeholder for _ in schema.fields)
+        return f"INSERT INTO {self.quote(table)} ({cols}) VALUES ({params})"
 
     def drop_table(self, table: str) -> str:
         return f"DROP TABLE IF EXISTS {self.quote(table)}"
@@ -192,6 +202,7 @@ class SqlDialect:
 
 class PostgresDialect(SqlDialect):
     name = "postgresql"
+    placeholder = "%s"
 
     def truncate(self, table: str) -> str:
         return f"TRUNCATE {self.quote(table)}"
@@ -230,6 +241,7 @@ class PostgresDialect(SqlDialect):
 
 class MariaDbDialect(SqlDialect):
     name = "mariadb"
+    placeholder = "%s"
 
     def quote(self, identifier: str) -> str:
         return "`" + identifier.replace("`", "``") + "`"

@@ -33,7 +33,16 @@ from datagouv_tools_spark.schema.ddl import (
     get_dialect,
 )
 
-__all__ = ["StatementExecutor", "DryRunExecutor", "DbApiExecutor", "SqlSink", "ParquetSink", "BucketedTableSink"]
+__all__ = [
+    "StatementExecutor",
+    "DryRunExecutor",
+    "DbApiExecutor",
+    "SqlSink",
+    "ParquetSink",
+    "BucketedTableSink",
+    "dbapi_insert_loader",
+    "jdbc_loader",
+]
 
 
 class StatementExecutor:
@@ -133,6 +142,49 @@ class SqlSink:
             self.executor.execute(self.dialect.drop_index(index))
             self.executor.execute(self.dialect.create_index(index))
         self.executor.commit()
+
+
+def dbapi_insert_loader(connection, dialect: SqlDialect, batch_size: int = 10_000):
+    """K6 row-insert fallback over a live DB-API v2 connection
+    (sqlite3, pg8000, ...): batched ``executemany`` of the dialect's
+    parameterized INSERT — the reference's insert_all/executemany path
+    (sql/sqlite.py:58-68).
+
+    Scale note: rows stream through the driver via ``toLocalIterator``
+    one partition at a time (never a full collect), but a single DB
+    connection is still a funnel — at cluster scale use ``jdbc_loader``
+    (one connection per partition) or the COPY fast path; this loader
+    exists for serverless DBs (sqlite) and modest reference-parity
+    loads."""
+
+    import datetime
+    import decimal
+
+    def coerce(v):
+        # DB-API drivers disagree on rich types (sqlite3 deprecated its
+        # date adapters; Decimal is unsupported there): ship ISO/decimal
+        # strings, which every server parses into the typed column.
+        if isinstance(v, (datetime.date, datetime.datetime, decimal.Decimal)):
+            return str(v)
+        return v
+
+    def load(df: DataFrame, table: str) -> None:
+        stmt = dialect.insert_statement(table, df.schema)
+        cursor = connection.cursor()
+        try:
+            batch: list[tuple] = []
+            for row in df.toLocalIterator():
+                batch.append(tuple(coerce(v) for v in row))
+                if len(batch) >= batch_size:
+                    cursor.executemany(stmt, batch)
+                    batch = []
+            if batch:
+                cursor.executemany(stmt, batch)
+        finally:
+            cursor.close()
+        connection.commit()
+
+    return load
 
 
 def jdbc_loader(url: str, properties: dict[str, str], num_partitions: int | None = None):

@@ -264,3 +264,64 @@ def test_read_zipped_csv_distributed(spark, sirene_dir):
     assert rows["123456789"]["dateCreationUniteLegale"] == "2001-05-04"
     # empty CSV field arrives as empty string pre-cast (PERMISSIVE parity)
     assert rows["987654321"]["dateCreationUniteLegale"] == ""
+
+
+# --- end-to-end sqlite load (K4/K6 executed, not just rendered) -----------
+
+
+def test_import_sirene_sqlite_end_to_end(spark, sirene_dir, tmp_path):
+    """The one reference sink that needs no server (reference
+    sql/sqlite.py:58-68 runs its tests live): drop/create/insert/index
+    against a real sqlite file, then read the rows back."""
+    import sqlite3
+
+    con = sqlite3.connect(tmp_path / "sirene.db")
+    try:
+        out = import_sirene(spark, sirene_dir, rdbms="sqlite", connection=con)
+        assert out == {"stock_unite_legale": "loaded"}
+        rows = con.execute(
+            "SELECT siren, date_creation_unite_legale, nombre_periodes "
+            "FROM stock_unite_legale ORDER BY siren"
+        ).fetchall()
+        assert rows == [
+            ("123456789", "2001-05-04", 3),
+            ("987654321", None, None),  # dirty 'x' -> NULL via try_cast
+        ]
+        # index-after-load actually exists in the catalog
+        indices = {
+            r[0]
+            for r in con.execute(
+                "SELECT name FROM sqlite_master WHERE type = 'index'"
+            ).fetchall()
+        }
+        assert any("srn" in ix or "siren" in ix for ix in indices), indices
+    finally:
+        con.close()
+
+
+def test_import_fantoir_sqlite_end_to_end(spark, fantoir_file, tmp_path):
+    import sqlite3
+
+    con = sqlite3.connect(tmp_path / "fantoir.db")
+    try:
+        out = import_fantoir(spark, fantoir_file, rdbms="sqlite", connection=con)
+        assert set(out.values()) == {"loaded"}
+        n_commune = con.execute("SELECT COUNT(*) FROM commune").fetchone()[0]
+        n_voie = con.execute("SELECT COUNT(*) FROM voie").fetchone()[0]
+        assert (n_commune, n_voie) == (1, 1)
+        libelle = con.execute("SELECT libelle_voie FROM voie").fetchone()[0]
+        assert libelle == "BELLEVUE"
+    finally:
+        con.close()
+
+
+def test_import_deces_sqlite_end_to_end(spark, deces_file, tmp_path):
+    import sqlite3
+
+    con = sqlite3.connect(tmp_path / "deces.db")
+    try:
+        assert import_deces(spark, deces_file, rdbms="sqlite", connection=con) == "ok"
+        noms = [r[0] for r in con.execute("SELECT nom FROM deces ORDER BY nom")]
+        assert noms == ["DUPONT", "MARTIN", "NOPRENOM"]
+    finally:
+        con.close()
