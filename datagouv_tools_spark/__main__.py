@@ -1,0 +1,139 @@
+"""Console entry point: ``python -m datagouv_tools_spark``.
+
+Mirrors the reference's packaged CLI (reference
+datagouv_tools/dg_tools_script.py:28-67: ``datagouv_tools -s sirene -r
+pg --database sirene -p /data/sirene``) with the same flags and
+connection dispatch (pg8000 / mysql.connector / sqlite3), plus the
+engine's two extra sink modes:
+
+- ``--dry-run``      — no connection: print the rendered SQL statements
+                       (the reference's FakeConnection path, K11).
+- ``--parquet-out``  — lake-native sink: write partitioned parquet
+                       instead of an RDBMS (the 100 TB default).
+
+Examples::
+
+    python -m datagouv_tools_spark -s sirene  -p /data/sirene --dry-run
+    python -m datagouv_tools_spark -s sirene  -p /data/sirene -r sqlite --database sirene.db
+    python -m datagouv_tools_spark -s fantoir -p /data/FANTOIR.txt --parquet-out /lake
+    python -m datagouv_tools_spark -s deces   -p /data/deces.txt -r sqlite --database deces.db
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+from datagouv_tools_spark.session import get_spark
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="datagouv_tools_spark",
+        description="Import sirene/fantoir/deces into an RDBMS or a parquet lake",
+    )
+    parser.add_argument(
+        "-s", "--source", default="sirene", choices=("sirene", "fantoir", "deces"),
+        help="data source to import",
+    )
+    parser.add_argument(
+        "-r", "--rdbms", default="pg",
+        help="rdbms dialect: pg|sqlite|mariadb (default: pg)",
+    )
+    parser.add_argument("--database", help="database name (or sqlite file path)")
+    parser.add_argument("--user", help="user name")
+    parser.add_argument("--password", help="user password")
+    parser.add_argument(
+        "-p", "--path", required=True,
+        help="path to directory (sirene) or file (fantoir, deces)",
+    )
+    parser.add_argument(
+        "--dry-run", action="store_true",
+        help="render and print the SQL statements without a connection",
+    )
+    parser.add_argument(
+        "--parquet-out", help="write partitioned parquet under this path instead of an RDBMS",
+    )
+    return parser
+
+
+def _connect(rdbms: str, database: str, user: str | None, password: str | None):
+    """Reference connection dispatch (dg_tools_script.py:49-59)."""
+    kwargs = {}
+    if user is not None:
+        kwargs["user"] = user
+    if password is not None:
+        kwargs["password"] = password
+    if rdbms in ("pg", "postgres", "postgresql"):
+        import pg8000
+
+        return pg8000.connect(database=database, **kwargs)
+    if rdbms in ("maria", "mariadb", "mysql"):
+        import mysql.connector as mariadb
+
+        return mariadb.connect(database=database, **kwargs)
+    if rdbms in ("sqlite", "sqlite3"):
+        import sqlite3
+
+        return sqlite3.connect(database)
+    raise ValueError(f"Unknown RDBMS {rdbms}")
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    path = Path(args.path)
+
+    connection = None
+    if not args.dry_run and not args.parquet_out:
+        if not args.database:
+            print(
+                "error: --database is required unless --dry-run or "
+                "--parquet-out is given",
+                file=sys.stderr,
+            )
+            return 2
+        connection = _connect(args.rdbms, args.database, args.user, args.password)
+
+    spark = get_spark(f"datagouv-tools-spark-{args.source}")
+    try:
+        if args.source == "sirene":
+            from datagouv_tools_spark.pipelines.sirene import import_sirene
+
+            out = import_sirene(
+                spark, path, rdbms=args.rdbms, connection=connection,
+                parquet_out=args.parquet_out,
+            )
+        elif args.source == "fantoir":
+            from datagouv_tools_spark.pipelines.fantoir import import_fantoir
+
+            out = import_fantoir(
+                spark, path, rdbms=args.rdbms, connection=connection,
+                parquet_out=args.parquet_out,
+            )
+        else:
+            from datagouv_tools_spark.pipelines.deces import import_deces
+
+            out = {
+                "deces": import_deces(
+                    spark, path, rdbms=args.rdbms, connection=connection,
+                    parquet_out=args.parquet_out,
+                )
+            }
+    finally:
+        if connection is not None:
+            connection.commit()
+            connection.close()
+
+    for table, result in sorted(out.items()):
+        if isinstance(result, list):  # dry-run statement log
+            print(f"-- {table}")
+            for stmt in result:
+                print(f"{stmt};")
+        else:
+            print(f"{table}: {result}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -325,3 +325,49 @@ def test_import_deces_sqlite_end_to_end(spark, deces_file, tmp_path):
         assert noms == ["DUPONT", "MARTIN", "NOPRENOM"]
     finally:
         con.close()
+
+
+# --- CLI entry point (reference dg_tools_script.py parity) ----------------
+
+
+def test_cli_dry_run_prints_statements(spark, sirene_dir, capsys):
+    from datagouv_tools_spark.__main__ import main
+
+    rc = main(["-s", "sirene", "-r", "pg", "-p", str(sirene_dir), "--dry-run"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "-- stock_unite_legale" in out
+    assert 'CREATE TABLE "stock_unite_legale"' in out
+    assert "COPY" in out  # pg bulk path rendered
+
+
+def test_cli_sqlite_load(spark, sirene_dir, tmp_path, capsys):
+    import sqlite3
+
+    from datagouv_tools_spark.__main__ import main
+
+    db = tmp_path / "cli.db"
+    rc = main(["-s", "sirene", "-r", "sqlite", "--database", str(db), "-p", str(sirene_dir)])
+    assert rc == 0
+    assert "stock_unite_legale: loaded" in capsys.readouterr().out
+    con = sqlite3.connect(db)
+    try:
+        assert con.execute("SELECT COUNT(*) FROM stock_unite_legale").fetchone()[0] == 2
+    finally:
+        con.close()
+
+
+def test_cli_parquet_out(spark, fantoir_file, tmp_path, capsys):
+    from datagouv_tools_spark.__main__ import main
+
+    rc = main(["-s", "fantoir", "-p", str(fantoir_file), "--parquet-out", str(tmp_path / "lake")])
+    assert rc == 0
+    assert (tmp_path / "lake" / "voie").exists()
+
+
+def test_cli_requires_database_without_dry_run(spark, sirene_dir, capsys):
+    from datagouv_tools_spark.__main__ import main
+
+    rc = main(["-s", "sirene", "-p", str(sirene_dir)])
+    assert rc == 2
+    assert "--database is required" in capsys.readouterr().err
