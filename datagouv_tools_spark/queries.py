@@ -3523,3 +3523,182 @@ def customer_latest_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+@query(
+    "doc_bpe_token_budget",
+    """
+    WITH toks AS (
+      SELECT lang,
+             len(list_filter(string_split_regex(
+                 regexp_replace(lower(trim(text)), '([0-9]+|[^\\sa-z0-9]+)', ' \\1 ', 'g'),
+                 '\\s+'), t -> t != '')) AS n
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS total_subword_tokens,
+           CAST(MAX(n) AS BIGINT) AS max_subword_tokens
+    FROM toks
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def doc_bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword-ish token budgeting (functions/text.bpe_ish_token_count):
+    splits on whitespace AND letter/digit/punctuation boundaries — the
+    cheap BPE proxy every training-data budget pass needs. All JVM
+    regex/array expressions; one shuffle on lang with map-side
+    partials."""
+    from datagouv_tools_spark.functions.text import bpe_ish_token_count
+
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", bpe_ish_token_count("text").alias("n"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("total_subword_tokens"),
+            F.max("n").alias("max_subword_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "emb_quantize_error",
+    """
+    WITH q AS (
+      SELECT label,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m,
+             CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    e AS (
+      SELECT label,
+             CAST(list_sum(list_transform(v,
+                 x -> CAST(FLOOR(abs(x - ROUND(x * (127.0 / m)) / (127.0 / m))
+                                 * 100000000) AS BIGINT))) AS BIGINT) AS err_scaled
+      FROM q WHERE m > 0
+    )
+    SELECT label,
+           COUNT(*) AS n_vectors,
+           CAST(SUM(err_scaled) AS BIGINT) AS total_err_scaled
+    FROM e
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def emb_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric scalar quantization audit: per vector, quantize
+    each dim with scale 127/max|x| (round half-up), dequantize, and
+    accumulate the absolute reconstruction error — the compression
+    screen run before shipping embeddings to an ANN index. Determinism:
+    all per-element float ops are identical expression-for-expression
+    in both engines; the error is floor-scaled to integers BEFORE any
+    accumulation, so sums are exact. Scale: element-wise map work, one
+    shuffle on label with map-side partial sums."""
+    emb = t(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    m = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    scale = F.lit(127.0) / m
+    err_scaled = F.aggregate(
+        F.transform(
+            v,
+            lambda x: F.floor(F.abs(x - F.round(x * scale) / scale) * F.lit(100000000.0)).cast(
+                "bigint"
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        emb.select("label", m.alias("m"), err_scaled.alias("err_scaled"))
+        .filter(F.col("m") > 0)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("err_scaled").alias("total_err_scaled"),
+        )
+        .orderBy("label")
+    )
+
+
+@query(
+    "user_event_type_bitmask",
+    """
+    WITH bits AS (
+      SELECT user_id,
+             CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                             WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+                             WHEN 'view' THEN 16 ELSE 0 END AS bit
+      FROM events WHERE user_id < 30
+    )
+    SELECT user_id,
+           CAST(bit_or(bit) AS BIGINT) AS type_mask,
+           CAST(bit_count(CAST(bit_or(bit) AS BIGINT)) AS INTEGER) AS n_types
+    FROM bits
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def user_event_type_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate profile: one bigint bitmask of event types per
+    user (bit_or) — the compact set-membership encoding used for
+    behavioral cohort filters (mask & wanted = wanted) without arrays
+    or joins. One shuffle; the mask merges map-side like any
+    commutative aggregate."""
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    bit = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "error", 2)
+        .when(F.col("event_type") == "purchase", 4)
+        .when(F.col("event_type") == "signup", 8)
+        .when(F.col("event_type") == "view", 16)
+        .otherwise(0)
+    )
+    return (
+        ev.select("user_id", bit.alias("bit"))
+        .groupBy("user_id")
+        .agg(F.bit_or("bit").cast("bigint").alias("type_mask"))
+        .select(
+            "user_id",
+            "type_mask",
+            F.bit_count("type_mask").alias("n_types"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "label_stratified_sample",
+    """
+    SELECT label, vec_id, rk FROM (
+      SELECT label, vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY label
+               ORDER BY ('0x' || substr(md5(vec_id::VARCHAR || '-7'), 1, 15))::BIGINT,
+                        vec_id) AS rk
+      FROM embeddings
+    ) WHERE rk <= 3
+    ORDER BY label, rk
+    """,
+)
+def label_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: k=3 rows per label, chosen by
+    cross-engine hash order (functions/xhash.py) — the balanced-class
+    downsampling step of a training-data pipeline, reproducible across
+    engines and runs (no rand()). Scale: single shuffle on label;
+    WindowGroupLimit prunes each partition to k rows pre-merge."""
+    from pyspark.sql.window import Window
+
+    from datagouv_tools_spark.functions.xhash import md5_hash60
+
+    emb = t(spark, sf_dir, "embeddings")
+    h = md5_hash60(F.concat_ws("-", F.col("vec_id").cast("string"), F.lit("7")))
+    w = Window.partitionBy("label").orderBy(h.asc(), F.col("vec_id").asc())
+    return (
+        emb.select("label", "vec_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 3)
+        .orderBy("label", "rk")
+    )

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, Row
 
 from datagouv_tools_spark.schema.ddl import PostgresDialect
 
-__all__ = ["rows_to_csv_chunks", "copy_partition", "copy_dataframe"]
+__all__ = ["rows_to_csv_chunks", "copy_partition", "copy_dataframe", "staged_copy"]
 
 _CHUNK_BYTES = 1 << 20
 
@@ -155,3 +155,45 @@ def copy_dataframe(df: DataFrame, dsn: str, table: str, num_partitions: int | No
         copy_partition(dsn, copy_sql, partition)
 
     df.foreachPartition(run)
+
+
+def staged_copy(
+    df: DataFrame,
+    dsn: str,
+    table: str,
+    num_partitions: int | None = None,
+    connect=None,
+    copy_fn=None,
+) -> None:
+    """Transactional distributed COPY (SURVEY §7.4): per-partition COPY
+    commits independently, so a mid-load failure would leave ``table``
+    partially visible. Load into ``<table>__staging`` instead, then swap
+    it in with one DDL transaction (DROP + RENAME) — re-runs are
+    idempotent and readers only ever see the old or the new table.
+
+    ``connect``/``copy_fn`` are injectable for tests (mocked driver)."""
+    dialect = PostgresDialect()
+    staging = f"{table}__staging"
+    conn = (connect or _connect)(dsn)
+    try:
+        cur = conn.cursor()
+        try:
+            cur.execute(dialect.drop_table(staging))
+            cur.execute(dialect.create_table(staging, df.schema))
+        finally:
+            cur.close()
+        conn.commit()
+
+        (copy_fn or copy_dataframe)(df, dsn, staging, num_partitions)
+
+        cur = conn.cursor()
+        try:
+            cur.execute(dialect.drop_table(table))
+            cur.execute(
+                f"ALTER TABLE {dialect.quote(staging)} RENAME TO {dialect.quote(table)}"
+            )
+        finally:
+            cur.close()
+        conn.commit()
+    finally:
+        conn.close()

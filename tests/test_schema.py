@@ -280,3 +280,45 @@ def test_parse_dsn_pg8000_kwargs():
         "port": 5433,
     }
     assert _parse_dsn("postgresql:///justdb") == {"database": "justdb"}
+
+
+def test_staged_copy_atomic_swap_sequence(spark):
+    """staged_copy must create+load the staging table first and swap it
+    in with DROP + RENAME inside the final transaction — never COPY
+    into the live table."""
+    from datagouv_tools_spark.sinks.pg_copy import staged_copy
+
+    calls = []
+
+    class Cursor:
+        def execute(self, sql, **kw):
+            calls.append(sql)
+
+        def close(self):
+            pass
+
+    class Conn:
+        def cursor(self):
+            return Cursor()
+
+        def commit(self):
+            calls.append("COMMIT")
+
+        def close(self):
+            calls.append("CLOSE")
+
+    df = spark.range(3).withColumnRenamed("id", "x")
+    staged_copy(
+        df,
+        "postgresql://u@h/db",
+        "events",
+        connect=lambda dsn: Conn(),
+        copy_fn=lambda d, dsn, table, n: calls.append(f"COPY->{table}"),
+    )
+    assert calls[0] == 'DROP TABLE IF EXISTS "events__staging"'
+    assert calls[1].startswith('CREATE TABLE "events__staging"')
+    assert calls[2] == "COMMIT"
+    assert calls[3] == "COPY->events__staging"
+    assert calls[4] == 'DROP TABLE IF EXISTS "events"'
+    assert calls[5] == 'ALTER TABLE "events__staging" RENAME TO "events"'
+    assert calls[6:] == ["COMMIT", "CLOSE"]
