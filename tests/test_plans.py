@@ -168,3 +168,40 @@ def test_tfidf_no_token_stream_recompute(spark, sf_dir):
     corpus-count branch) — the naive tf/idf/join DAG scans it 3x."""
     df = q.QUERIES["doc_tfidf_top_terms"](spark, sf_dir)
     assert len(read_schemas(df)) <= 2
+
+
+def test_blocked_all_pairs_no_driver_side_relation(spark, sf_dir):
+    """cosine_pairs_blocked must be fully distributed: no LocalTableScan
+    / ExistingRDD from driver-collected data feeding the kernel, no
+    cartesian product — just scan → explode → one group-shuffle →
+    applyInPandas."""
+    df = q.QUERIES["emb_near_dup_pairs"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsInArrow" in plan
+    assert "Scan ExistingRDD" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # explode + groupBy = one shuffle; final orderBy adds at most one more
+    assert exchange_count(df) <= 2
+
+
+def test_ivf_probes_are_executor_side(spark, sf_dir):
+    """The IVF query side must be planned from the parquet scan (probes
+    assigned in mapInPandas), never a driver-built local relation — the
+    round-1 implementation collected query vectors to the driver and
+    re-created a DataFrame, which showed up as Scan ExistingRDD."""
+    df = q.QUERIES["ivf_ann_topk"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Scan ExistingRDD" not in plan
+    assert "LocalTableScan" not in plan
+    # corpus assign + query probes (each node appears twice in the
+    # formatted plan: tree line + detail section)
+    assert plan.count("MapInPandas") in (2, 4)
+    assert has_broadcast_hash_join(df)  # probes broadcast into the list join
+
+
+def test_stratified_sample_prunes_per_partition(spark, sf_dir):
+    """Top-k-per-group must plan a WindowGroupLimit so each task keeps
+    only k rows per label before the shuffle."""
+    df = q.QUERIES["label_stratified_sample"](spark, sf_dir)
+    assert "WindowGroupLimit" in physical_plan(df)
