@@ -299,6 +299,15 @@ def dedup_clusters(
         .withColumn("lbl", F.col("node"))
         .localCheckpoint()
     )
+    # Convergence probe: labels only decrease, so Σ lbl strictly
+    # decreases iff any label changed. One decimal-sum scan over the
+    # just-checkpointed labels replaces the former labels⋈new_labels
+    # diff join — one fewer shuffle AND one fewer action per round.
+    # decimal(38,0) cannot overflow below ~10^38 total label mass.
+    def _label_sum(lbls: DataFrame):
+        return lbls.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.src == labels.node)
@@ -331,13 +340,9 @@ def dedup_clusters(
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        new_sum = _label_sum(labels)
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select("node", F.col("lbl").alias("cluster_id"))
