@@ -37,15 +37,28 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 }
 
 
+#: Explicit whitespace class used by EVERY tokenizer/normalizer here and
+#: mirrored verbatim in the SQL oracles. Java's default `\s` is
+#: [ \t\n\x0B\f\r] while RE2's (DuckDB) is [\t\n\f\r ] — no vertical
+#: tab — so a bare `\s` silently diverges on \x0B-bearing text and
+#: skews every token-derived metric. Pinning the class makes both
+#: engines split identically on any input.
+WS = "[ \\t\\r\\n\\f\\x0B]"
+#: The same class for DuckDB SQL (identical escape syntax in RE2).
+SQL_WS = "[ \\t\\r\\n\\f\\x0B]"
+
+
 def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokens, lowercased, empties dropped.
-    SQL mirror: list_filter(string_split_regex(lower(trim(x)),'\\s+'), t -> t != '')"""
+    """Whitespace tokens, lowercased, empties dropped. No trim():
+    Spark trim strips only ASCII space while DuckDB's strips Unicode
+    whitespace (NBSP!), and the empty-token filter makes it redundant.
+    SQL mirror: list_filter(string_split_regex(lower(x), SQL_WS+'+'), t -> t != '')"""
     return F.filter(
-        F.split(F.lower(F.trim(_c(col))), r"\s+"), lambda t: t != ""
+        F.split(F.lower(_c(col)), WS + "+"), lambda t: t != ""
     )
 
 
@@ -101,15 +114,24 @@ def lang_id(col: Column | str) -> Column:
 def fingerprint_md5(col: Column | str) -> Column:
     """Document fingerprint: md5 of whitespace-normalized, lowercased
     text — the exact-dedup key that survives formatting noise.
-    SQL mirror: md5(regexp_replace(lower(trim(x)), '\\s+', ' ', 'g'))."""
-    normalized = F.regexp_replace(F.lower(F.trim(_c(col))), r"\s+", " ")
+    SQL mirror: md5(trim(regexp_replace(lower(x), SQL_WS+'+', ' ', 'g'), ' ')).
+
+    Normalization order matters cross-engine: collapse the pinned
+    whitespace class FIRST, then btrim the single space char — both
+    engines agree on those two ops, whereas bare trim() diverges
+    (DuckDB strips Unicode whitespace, Spark only ASCII space)."""
+    normalized = F.btrim(
+        F.regexp_replace(F.lower(_c(col)), WS + "+", " "), F.lit(" ")
+    )
     return F.md5(normalized)
 
 
 def char_ngrams(col: Column | str, n: int = 3) -> Column:
     """Character n-gram shingles of the normalized text (for MinHash /
     Jaccard). Expression-only: substring over a generated index range."""
-    normalized = F.regexp_replace(F.lower(F.trim(_c(col))), r"\s+", " ")
+    normalized = F.btrim(
+        F.regexp_replace(F.lower(_c(col)), WS + "+", " "), F.lit(" ")
+    )
     length = F.length(normalized)
     idx = F.sequence(F.lit(1), F.greatest(length - (n - 1), F.lit(1)))
     return F.when(length >= n, F.transform(idx, lambda i: normalized.substr(i, F.lit(n))))
@@ -119,9 +141,9 @@ def bpe_ish_token_count(col: Column | str) -> Column:
     """Subword-ish token count: splits on whitespace AND on
     letter/digit/punctuation boundaries (a cheap BPE proxy for token
     budgeting). SQL-mirrorable via the same regex."""
-    c = F.lower(F.trim(_c(col)))
+    c = F.lower(_c(col))  # no trim: empties are filtered anyway
     pieces = F.split(
-        F.regexp_replace(c, r"([0-9]+|[^\sa-z0-9]+)", r" $1 "), r"\s+"
+        F.regexp_replace(c, "([0-9]+|[^ \\t\\r\\n\\f\\x0Ba-z0-9]+)", r" $1 "), WS + "+"
     )
     return F.size(F.filter(pieces, lambda t: t != "")).cast("bigint")
 
@@ -148,7 +170,7 @@ def winnow_fingerprints(
     from datagouv_tools_spark.functions.xhash import token_hash_expr
 
     c = _c(col)
-    norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    norm = F.btrim(F.regexp_replace(F.lower(c), WS + "+", " "), F.lit(" "))
     n = F.length(norm)
     # greatest-guards keep the degenerate short-doc case at one
     # gram/window (rpad is NOT usable here: it truncates longer input)

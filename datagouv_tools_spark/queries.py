@@ -533,12 +533,19 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Analytics: dedup / text analysis / similarity search (documents, embeddings)
 # ---------------------------------------------------------------------------
 
-#: SQL fragment mirroring functions.text.tokens()
+from datagouv_tools_spark.functions.text import SQL_WS as _WS
+
+#: SQL fragment mirroring functions.text.tokens() — the whitespace
+#: class is pinned explicitly (functions/text.py WS): Java `\s` and
+#: RE2 `\s` disagree on \x0B, so a bare `\s` here would silently
+#: diverge from the Spark tokenizer on vertical-tab-bearing text.
 _SQL_TOKENS = (
-    "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t != '')"
+    f"list_filter(string_split_regex(lower(text), '{_WS}+'), t -> t != '')"
 )
-#: SQL fragment mirroring functions.text.fingerprint_md5()
-_SQL_FP = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+#: SQL fragment mirroring functions.text.fingerprint_md5() — collapse
+#: the pinned class, then btrim ' ' only (bare trim() strips Unicode
+#: whitespace in DuckDB but not in Spark).
+_SQL_FP = f"md5(trim(regexp_replace(lower(text), '{_WS}+', ' ', 'g'), ' '))"
 
 
 @query(
@@ -1807,9 +1814,9 @@ def events_click_view_interval_join(spark: SparkSession, sf_dir: str) -> DataFra
 #: hash every 12-char gram of the normalized text with the cross-engine
 #: md5-60bit hash, slide an 8-hash window, keep each window's min,
 #: dedupe — exact fingerprint sets, recomputable in SQL.
-_SQL_WINNOW_ORACLE = """
+_SQL_WINNOW_ORACLE = f"""
     WITH d AS (
-      SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+      SELECT doc_id, trim(regexp_replace(lower(text), '{_WS}+', ' ', 'g'), ' ') AS norm
       FROM documents WHERE doc_id < 60
     ),
     g AS (
@@ -3527,12 +3534,12 @@ def customer_latest_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "doc_bpe_token_budget",
-    """
+    f"""
     WITH toks AS (
       SELECT lang,
              len(list_filter(string_split_regex(
-                 regexp_replace(lower(trim(text)), '([0-9]+|[^\\sa-z0-9]+)', ' \\1 ', 'g'),
-                 '\\s+'), t -> t != '')) AS n
+                 regexp_replace(lower(text), '([0-9]+|[^ \\t\\r\\n\\f\\x0Ba-z0-9]+)', ' \\1 ', 'g'),
+                 '{_WS}+'), t -> t != '')) AS n
       FROM documents
     )
     SELECT lang,

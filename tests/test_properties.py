@@ -64,3 +64,52 @@ def test_c_escape_roundtrippable_shape(text):
     assert out.startswith("E'") and out.endswith("'")
     body = out[2:-1]
     assert re.search(r"(?<!\\)'", body) is None
+
+
+# --- cross-engine determinism: Spark expressions vs DuckDB -----------------
+#
+# The oracle gate only proves agreement on the testdata corpus; these
+# properties prove it for ADVERSARIAL strings (control chars incl. the
+# Java-vs-RE2 \x0B whitespace divergence, unicode, quotes, emoji) by
+# running the same batch through both engines.
+
+_nasty_text = st.text(
+    alphabet=st.one_of(
+        st.characters(min_codepoint=0x09, max_codepoint=0x0D),  # \t\n\x0B\f\r
+        st.just(" "),
+        st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+        st.sampled_from("éàüß日本語🙂  "),  # incl. unicode spaces
+    ),
+    max_size=60,
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(_nasty_text, min_size=1, max_size=8))
+def test_tokenizer_and_hash_match_duckdb(spark, texts):
+    import duckdb
+
+    from datagouv_tools_spark.functions.text import fingerprint_md5, token_count
+    from datagouv_tools_spark.functions.xhash import md5_hash60
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    got = {
+        r["i"]: (r["n"], r["fp"], r["h"])
+        for r in df.select(
+            "i",
+            token_count("text").alias("n"),
+            fingerprint_md5("text").alias("fp"),
+            md5_hash60("text").alias("h"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    from datagouv_tools_spark.queries import _SQL_FP, _SQL_TOKENS
+
+    for i, t in enumerate(texts):
+        n, fp, h = con.execute(
+            f"SELECT len({_SQL_TOKENS}), {_SQL_FP},"
+            " ('0x' || substr(md5(text), 1, 15))::BIGINT"
+            " FROM (SELECT ? AS text)",
+            [t],
+        ).fetchone()
+        assert got[i] == (n, fp, h), f"diverged on {t!r}: spark={got[i]} duckdb={(n, fp, h)}"
