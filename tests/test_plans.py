@@ -205,3 +205,16 @@ def test_stratified_sample_prunes_per_partition(spark, sf_dir):
     only k rows per label before the shuffle."""
     df = q.QUERIES["label_stratified_sample"](spark, sf_dir)
     assert "WindowGroupLimit" in physical_plan(df)
+
+
+def test_minhash_banding_is_equi_join(spark, sf_dir):
+    """Candidate generation must join on the band bucket (equi-join →
+    hash/sort-merge), never a nested-loop over all pairs — the property
+    that makes MinHash-LSH O(candidates), not O(n²), at corpus scale."""
+    df = q.QUERIES["minhash_candidate_pairs"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
