@@ -3815,3 +3815,55 @@ def user_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_transitions"))
         .orderBy("prev_type", "next_type")
     )
+
+
+@query(
+    "events_stream_trending",
+    """
+    WITH w AS (
+      SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+             event_type, COUNT(*) AS n_events
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n_events, rk FROM (
+      SELECT window_start, event_type, n_events,
+             ROW_NUMBER() OVER (PARTITION BY window_start
+                                ORDER BY n_events DESC, event_type) AS rk
+      FROM w
+    ) WHERE rk <= 2
+    ORDER BY window_start, rk
+    """,
+)
+def events_stream_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming trending-items: the REAL readStream feed aggregates
+    6-hour tumbling windows per event type (complete mode, bounded
+    availableNow replay), then the top-2 per window is ranked over the
+    memory-sink RESULT — the standard "aggregate in the stream,
+    decorate in batch" split, because rank-over-aggregate isn't
+    expressible pre-sink in a streaming query. State is bounded by
+    |windows|·|types|; at 100 TB the same aggregate writes to an
+    append sink with a watermark and the rank runs on the serving
+    store."""
+    from pyspark.sql.window import Window
+
+    from datagouv_tools_spark.streaming.source import read_events_stream, run_to_memory
+
+    ev = read_events_stream(spark, sf_dir, max_files_per_trigger=1)
+    agg = ev.groupBy(
+        F.window("ts", "6 hours").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    result = run_to_memory(agg, output_mode="complete")
+    wk = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        result.select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= 2)
+        .orderBy("window_start", "rk")
+    )

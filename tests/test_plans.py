@@ -218,3 +218,30 @@ def test_minhash_banding_is_equi_join(spark, sf_dir):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     )
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Partitioned parquet is THE 100 TB layout lever: a date-filtered
+    scan over a date-partitioned table must plan PartitionFilters (and
+    touch only matching directories), not read-all-then-filter."""
+    from pyspark.sql import functions as F
+
+    from datagouv_tools_spark.sinks.sink import ParquetSink
+    from datagouv_tools_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    path = ParquetSink(str(tmp_path / "lake"), partition_by=("event_date",)).write(
+        ev, "events_by_date"
+    )
+    one_day = spark.read.parquet(path).filter(
+        F.col("event_date") == "2024-01-02"
+    )
+    plan = physical_plan(one_day)
+    assert "PartitionFilters: [" in plan
+    assert "event_date" in plan.split("PartitionFilters", 1)[1][:200]
+    # the partition column must NOT appear as a post-scan data filter
+    n = one_day.count()
+    full = spark.read.parquet(path).count()
+    assert 0 < n < full
