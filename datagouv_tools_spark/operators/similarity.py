@@ -35,6 +35,7 @@ __all__ = [
     "lsh_topk",
     "ivf_assign",
     "ivf_topk",
+    "random_projection",
 ]
 
 
@@ -460,3 +461,36 @@ def ivf_topk(
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
     )
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    in_dim: int = 64,
+    out_dim: int = 8,
+    seed: int = 42,
+    round_to: int = 6,
+    out_col: str = "projected",
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection: dense ``in_dim`` →
+    ``out_dim`` preview vectors via a fixed seeded matrix (the same
+    splitmix generator as the LSH hyperplanes, scaled by 1/√out_dim so
+    pairwise distances are approximately preserved).
+
+    The 100 TB use: project once at ingest, run candidate generation /
+    coarse scoring on the 8-dim previews (8× less I/O and FLOPs), and
+    rescore survivors on full vectors. Pure JVM expressions — per-row
+    map work, no shuffle; deterministic (rounded before emit), so a SQL
+    oracle recomputes projections from the same literal matrix."""
+    import math
+
+    planes = _hyperplanes(in_dim, out_dim, seed)
+    scale = 1.0 / math.sqrt(out_dim)
+    dims = [
+        F.round(
+            dot(vec_col, F.array(*[F.lit(w) for w in plane])) * F.lit(scale),
+            round_to,
+        )
+        for plane in planes
+    ]
+    return df.withColumn(out_col, F.array(*dims))

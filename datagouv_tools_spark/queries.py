@@ -3867,3 +3867,42 @@ def events_stream_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 2)
         .orderBy("window_start", "rk")
     )
+
+
+def _sql_random_projection_oracle() -> str:
+    """DuckDB twin of random_projection(64→8, seed 42): the projection
+    matrix rows are the same deterministic literals as the Spark side,
+    and list_dot_product matches the JVM ``dot`` accumulation order."""
+    import math
+
+    from datagouv_tools_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 8, seed=42)
+    scale = repr(1.0 / math.sqrt(8))
+    cols = ",\n           ".join(
+        f"ROUND(list_dot_product(embedding, [{', '.join(repr(w) for w in plane)}]) * {scale}, 6) AS p{j}"
+        for j, plane in enumerate(planes)
+    )
+    return f"""
+    SELECT vec_id,
+           {cols}
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings)
+    WHERE vec_id < 20
+    ORDER BY vec_id
+    """
+
+
+@query("emb_random_projection", _sql_random_projection_oracle())
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimensionality reduction for embedding pipelines
+    (operators/similarity.random_projection): 64→8 JL preview vectors,
+    shown flattened (p0..p7) for the 20 lowest ids so the driver can
+    hash them. At corpus scale the projection runs at ingest and the
+    previews feed candidate generation."""
+    from datagouv_tools_spark.operators.similarity import random_projection
+
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
+    proj = random_projection(emb, "embedding", in_dim=64, out_dim=8)
+    return proj.select(
+        "vec_id", *[F.col("projected")[j].alias(f"p{j}") for j in range(8)]
+    ).orderBy("vec_id")
