@@ -238,3 +238,48 @@ class BucketedTableSink:
         if self.base_path:
             writer = writer.option("path", f"{self.base_path.rstrip('/')}/{table}")
         writer.saveAsTable(table)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 << 20,
+) -> tuple[int, int]:
+    """Small-files compaction — the standing maintenance job of any
+    100 TB parquet lake (streaming sinks and over-parallel writes leave
+    thousands of KB-sized files; scan cost is then dominated by file
+    open/footer overhead, not bytes).
+
+    Sizes the output by BYTES, not file count: reads the source file
+    sizes through the Hadoop FileSystem API, targets
+    ``ceil(total / target_file_bytes)`` output files, and rewrites with
+    a round-robin repartition (even sizes, no skew from partition
+    residue). Writes to ``out_path`` — swapping directories atomically
+    is the caller's move (same staging pattern as ``staged_copy``).
+
+    Returns (n_files_before, n_files_after).
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    src = jvm.org.apache.hadoop.fs.Path(path)
+    fs = src.getFileSystem(conf)
+    statuses = [
+        s for s in fs.listStatus(src)
+        if s.isFile() and not s.getPath().getName().startswith("_")
+    ]
+    n_before = len(statuses)
+    total = sum(s.getLen() for s in statuses)
+    n_out = max(1, -(-total // target_file_bytes))
+
+    df = spark.read.parquet(path)
+    df.repartition(int(n_out)).write.mode("overwrite").parquet(out_path)
+
+    out = jvm.org.apache.hadoop.fs.Path(out_path)
+    n_after = len(
+        [
+            s for s in fs.listStatus(out)
+            if s.isFile() and s.getPath().getName().endswith(".parquet")
+        ]
+    )
+    return n_before, n_after

@@ -322,3 +322,19 @@ def test_staged_copy_atomic_swap_sequence(spark):
     assert calls[4] == 'DROP TABLE IF EXISTS "events"'
     assert calls[5] == 'ALTER TABLE "events__staging" RENAME TO "events"'
     assert calls[6:] == ["COMMIT", "CLOSE"]
+
+
+def test_compact_parquet_merges_small_files(spark, sf_dir, tmp_path):
+    from datagouv_tools_spark.sinks.sink import compact_parquet
+    from datagouv_tools_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    n_rows = ev.count()
+    frag = str(tmp_path / "fragmented")
+    ev.repartition(40).write.parquet(frag)
+
+    out = str(tmp_path / "compacted")
+    n_before, n_after = compact_parquet(spark, frag, out, target_file_bytes=1 << 30)
+    assert n_before >= 40
+    assert n_after == 1
+    assert spark.read.parquet(out).count() == n_rows
