@@ -371,3 +371,49 @@ def test_cli_requires_database_without_dry_run(spark, sirene_dir, capsys):
     rc = main(["-s", "sirene", "-p", str(sirene_dir)])
     assert rc == 2
     assert "--database is required" in capsys.readouterr().err
+
+
+# --- JSONL corpus source ---------------------------------------------------
+
+
+def test_read_jsonl_clean_and_quarantine(spark, tmp_path):
+    from datagouv_tools_spark.sources.jsonl import read_jsonl, split_corrupt
+
+    p = tmp_path / "corpus.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "source": "web", "lang": "en", "text": "hello world"}\n'
+        '{"doc_id": 2, "source": "web", "lang": "fr", "text": "bonjour"}\n'
+        "{this is not json at all\n"
+        '{"doc_id": 4, "source": "book", "lang": "en", "text": "fin"}\n',
+        encoding="utf-8",
+    )
+    clean, quarantine = split_corrupt(read_jsonl(spark, str(p)))
+    rows = {r["doc_id"]: r for r in clean.collect()}
+    assert set(rows) == {1, 2, 4}
+    assert rows[2]["lang"] == "fr"
+    assert "_corrupt_record" not in clean.columns
+    bad = quarantine.collect()
+    assert len(bad) == 1 and bad[0]["raw_line"].startswith("{this is not")
+
+
+def test_read_jsonl_feeds_text_analytics(spark, tmp_path):
+    """The JSONL path must compose with the text operators exactly like
+    the parquet documents table (same schema, same expressions)."""
+    from datagouv_tools_spark.functions.text import fingerprint_md5, token_count
+    from datagouv_tools_spark.sources.jsonl import read_jsonl, split_corrupt
+
+    p = tmp_path / "c.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "source": "s", "lang": "en", "text": "a b  a"}\n'
+        '{"doc_id": 2, "source": "s", "lang": "en", "text": " a b a "}\n',
+        encoding="utf-8",
+    )
+    clean, _ = split_corrupt(read_jsonl(spark, str(p)))
+    out = {
+        r["doc_id"]: (r["n"], r["fp"])
+        for r in clean.select(
+            "doc_id", token_count("text").alias("n"), fingerprint_md5("text").alias("fp")
+        ).collect()
+    }
+    assert out[1][0] == 3 and out[2][0] == 3
+    assert out[1][1] == out[2][1]  # whitespace-normalized fingerprint matches
