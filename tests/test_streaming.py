@@ -274,3 +274,63 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
     ).select("user_id", "click_id", "view_id")
     key = ["user_id", "click_id", "view_id"]
     assert _sorted_rows(stream, *key) == _sorted_rows(batch, *key)
+
+
+def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
+    """Restart semantics: a stopped stream resumed from its checkpoint
+    must process only NEW input files (file-source offsets) and the
+    sink must hold every event exactly once — the property that makes a
+    production ingest restartable without dedup sweeps."""
+    import glob
+
+    from pyspark.sql.types import StructField, StructType, TimestampType
+
+    from datagouv_tools_spark.sources.catalog import load_table
+    from datagouv_tools_spark.streaming.source import EVENTS_RAW_SCHEMA
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    in_dir = str(tmp_path / "in")
+    first = ev.filter(F.col("event_id") < 1000)
+    second = ev.filter(F.col("event_id") >= 1000)
+    first.coalesce(1).write.mode("append").parquet(in_dir)
+
+    schema = StructType(
+        [
+            f if f.name != "ts" else StructField("ts", TimestampType())
+            for f in EVENTS_RAW_SCHEMA.fields
+        ]
+    )
+    sink = str(tmp_path / "sink")
+    chk = str(tmp_path / "chk")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(in_dir)
+            .select("event_id", "user_id", "event_type")
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n_first = spark.read.parquet(sink).count()
+    assert n_first == first.count()
+
+    # new data arrives while the stream is down; resume from checkpoint
+    second.coalesce(1).write.mode("append").parquet(in_dir)
+    run_once()
+
+    out = spark.read.parquet(sink)
+    assert out.count() == ev.count()
+    # exactly once: no event duplicated across the restart
+    assert out.select("event_id").distinct().count() == ev.count()
+    # and the second run appended only the new file's rows
+    assert len(glob.glob(sink + "/part-*")) >= 2
