@@ -342,3 +342,28 @@ def test_cosine_pairs_blocked_matches_exact_kernel(spark, sf_dir):
         got = {(r["id_a"], r["id_b"]): r["sim"] for r in rows}
         assert len(rows) == len(got), f"duplicate pairs at n_blocks={n_blocks}"
         assert got == exact, f"mismatch at n_blocks={n_blocks}"
+
+
+def test_minhash_star_edges_equal_clique_components(spark, sf01_dir):
+    """minhash_cluster_edges (linear star edges per bucket) must yield
+    exactly the clusters of the O(m²)-per-bucket pair clique — the
+    equivalence that makes cluster dedup survive mass duplication."""
+    from pyspark.sql import functions as F
+
+    from datagouv_tools_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_cluster_edges,
+        minhash_pairs,
+    )
+    from datagouv_tools_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf01_dir, "documents").filter(F.col("doc_id") < 200)
+    via_pairs = {
+        (r["node"], r["cluster_id"])
+        for r in dedup_clusters(minhash_pairs(docs, "text", "doc_id")).collect()
+    }
+    via_star = {
+        (r["node"], r["cluster_id"])
+        for r in dedup_clusters(minhash_cluster_edges(docs, "text", "doc_id")).collect()
+    }
+    assert via_pairs == via_star and via_star
