@@ -3906,3 +3906,85 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return proj.select(
         "vec_id", *[F.col("projected")[j].alias(f"p{j}") for j in range(8)]
     ).orderBy("vec_id")
+
+
+def _sql_star_cluster_oracle() -> str:
+    """DuckDB twin of minhash_cluster_edges(md5, values) → connected
+    components → cluster sizes: recompute signatures, band value
+    strings, per-bucket min, star edges, then a recursive CTE. Even the
+    mass-duplication scale path is value-hash verified."""
+    from datagouv_tools_spark.operators.dedup import _MERSENNE_PRIME, _hash_params
+
+    p = _MERSENNE_PRIME
+    perms = ",\n      ".join(
+        f"list_min(list_transform(hs, h -> (h * {a}::BIGINT + {b}::BIGINT) % {p}))"
+        for a, b in _hash_params(64, seed=42)
+    )
+    band_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        + " || ',' || ".join(f"CAST(sig[{b * 4 + i + 1}] AS VARCHAR)" for i in range(4))
+        + " AS band_val FROM sig"
+        for b in range(16)
+    )
+    return f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, list_distinct({_SQL_TOKENS}) AS ts
+      FROM documents WHERE doc_id < 100
+    ),
+    hs AS (
+      SELECT doc_id,
+             list_transform(ts, t -> abs(('0x' || substr(md5(t), 1, 15))::BIGINT) % {p}) AS hs
+      FROM toks
+    ),
+    sig AS (
+      SELECT doc_id, [
+      {perms}
+      ] AS sig FROM hs
+    ),
+    bands AS (
+      {band_rows}
+    ),
+    starred AS (
+      SELECT doc_id, MIN(doc_id) OVER (PARTITION BY band_idx, band_val) AS mn
+      FROM bands
+    ),
+    e AS (
+      SELECT DISTINCT mn AS src, doc_id AS dst FROM starred WHERE doc_id <> mn
+      UNION
+      SELECT DISTINCT doc_id, mn FROM starred WHERE doc_id <> mn
+    ),
+    r(node, lbl) AS (
+      SELECT src, src FROM e
+      UNION
+      SELECT e.dst, r.lbl FROM r JOIN e ON e.src = r.node
+    ),
+    c AS (SELECT node, MIN(lbl) AS cluster_id FROM r GROUP BY node)
+    SELECT cluster_id, COUNT(*) AS n_members
+    FROM c GROUP BY cluster_id ORDER BY cluster_id
+    """
+
+
+@query("doc_cluster_dedup_scalable", _sql_star_cluster_oracle())
+def doc_cluster_dedup_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mass-duplication-proof dedup flow: MinHash star edges
+    (member → bucket-min, LINEAR in corpus size even when one template
+    has 10⁶ copies — see SCALE.md measurements) → connected components
+    → cluster sizes. Same components as the quadratic pair-clique path
+    (equivalence test-pinned); here the whole thing is additionally
+    hash-checked against a SQL oracle that recomputes signatures,
+    buckets, star edges, and a recursive-CTE closure."""
+    from datagouv_tools_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_cluster_edges,
+    )
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    edges = minhash_cluster_edges(
+        docs, "text", "doc_id", k=64, bands=16, token_hash="md5", band_key="values"
+    )
+    return (
+        dedup_clusters(edges)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("cluster_id")
+    )
