@@ -3988,3 +3988,49 @@ def doc_cluster_dedup_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_members"))
         .orderBy("cluster_id")
     )
+
+
+@query(
+    "orders_quality_checks",
+    """
+    WITH agg AS (
+      SELECT
+        CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') OR o_orderstatus IS NULL
+                      THEN 1 ELSE 0 END) AS BIGINT) AS accepted_values_o_orderstatus,
+        CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0 OR o_totalprice > 1000000
+                      THEN 1 ELSE 0 END) AS BIGINT) AS in_range_o_totalprice,
+        CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS not_null_o_custkey,
+        CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS unique_o_orderkey
+      FROM orders
+    )
+    SELECT 'accepted_values_o_orderstatus' AS "check", accepted_values_o_orderstatus AS n_violations FROM agg
+    UNION ALL SELECT 'in_range_o_totalprice', in_range_o_totalprice FROM agg
+    UNION ALL SELECT 'not_null_o_custkey', not_null_o_custkey FROM agg
+    UNION ALL SELECT 'unique_o_orderkey', unique_o_orderkey FROM agg
+    ORDER BY "check"
+    """,
+)
+def orders_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite (operators/quality.py): key
+    uniqueness, null checks, accepted values, numeric range — compiled
+    into ONE aggregation pass over the table (one scan, map-side
+    partials), emitted long-form as (check, n_violations). The publish
+    gate of an ingest pipeline."""
+    from datagouv_tools_spark.operators.quality import (
+        accepted_values,
+        in_range,
+        not_null,
+        run_checks,
+        unique,
+    )
+
+    orders = t(spark, sf_dir, "orders")
+    return run_checks(
+        orders,
+        [
+            accepted_values("o_orderstatus", ["O", "F", "P"]),
+            in_range("o_totalprice", 0, 1_000_000),
+            not_null("o_custkey"),
+            unique("o_orderkey"),
+        ],
+    )

@@ -367,3 +367,60 @@ def test_minhash_star_edges_equal_clique_components(spark, sf01_dir):
         for r in dedup_clusters(minhash_cluster_edges(docs, "text", "doc_id")).collect()
     }
     assert via_pairs == via_star and via_star
+
+
+def test_quality_checks_single_pass_and_violations(spark, sf_dir):
+    """The suite must compile to ONE aggregate (single scan) and count
+    violations correctly, including referential orphans."""
+    from pyspark.sql import functions as F
+
+    from datagouv_tools_spark.operators.quality import (
+        in_range,
+        matches,
+        not_null,
+        referential_violations,
+        run_checks,
+        unique,
+    )
+    from datagouv_tools_spark.sources.catalog import load_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, None, -1.0), (2, "b", 50.0), (3, "zz", None)],
+        "id long, name string, v double",
+    )
+    out = {
+        r["check"]: r["n_violations"]
+        for r in run_checks(
+            df,
+            [
+                not_null("name"),
+                unique("id"),
+                in_range("v", 0, 10),
+                matches("name", "^[a-z]$"),
+            ],
+        ).collect()
+    }
+    assert out == {
+        "not_null_name": 1,
+        "unique_id": 1,
+        "in_range_v": 3,  # -1.0 and 50.0 out of range + NULL
+        "matches_name": 2,  # NULL + "zz"
+    }
+
+    # single scan: the whole suite is one aggregate over one read
+    plan = run_checks(df, [not_null("name"), unique("id")])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") <= 1
+
+    # referential orphans on real tables: every order must have a customer
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    orphans = referential_violations(orders, customer, "o_custkey", "c_custkey")
+    assert orphans.count() == 0
+    # and a poisoned fact row is caught
+    poisoned = orders.limit(1).withColumn("o_custkey", F.lit(-999)).union(
+        orders.limit(5)
+    )
+    assert (
+        referential_violations(poisoned, customer, "o_custkey", "c_custkey").count()
+        == 1
+    )
