@@ -4034,3 +4034,149 @@ def orders_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             unique("o_orderkey"),
         ],
     )
+
+
+@query(
+    "user_state_intervals",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events WHERE user_id < 20
+    ),
+    marked AS (
+      SELECT user_id, event_type, ts,
+             CASE WHEN prev_type IS NULL OR prev_type <> event_type THEN 1 ELSE 0 END AS chg
+      FROM seq
+    ),
+    grp AS (
+      SELECT user_id, event_type, ts,
+             CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+      FROM marked
+    )
+    SELECT user_id, event_type AS state, island,
+           MIN(ts) AS valid_from, MAX(ts) AS valid_to, COUNT(*) AS n_events
+    FROM grp
+    GROUP BY user_id, event_type, island
+    ORDER BY user_id, valid_from
+    """,
+)
+def user_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: collapse each user's event sequence into
+    maximal runs of the same type with validity intervals — the SCD2 /
+    state-history primitive (lag → change marker → running island id →
+    per-island min/max). Scale: everything rides ONE user_id window
+    exchange; the island aggregate reuses the same partitioning."""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id", "event_type", "ts",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        ).otherwise(0).alias("chg"),
+    )
+    wrun = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    grp = marked.withColumn("island", F.sum("chg").over(wrun).cast("bigint"))
+    return (
+        grp.groupBy("user_id", F.col("event_type").alias("state"), "island")
+        .agg(
+            F.min("ts").alias("valid_from"),
+            F.max("ts").alias("valid_to"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id", "valid_from")
+    )
+
+
+@query(
+    "events_value_deciles",
+    """
+    WITH ranked AS (
+      SELECT value, NTILE(10) OVER (ORDER BY value, event_id) AS decile
+      FROM events
+    )
+    SELECT decile,
+           COUNT(*) AS n_events,
+           CAST(ROUND(MIN(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS lo,
+           CAST(ROUND(MAX(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS hi
+    FROM ranked
+    GROUP BY decile
+    ORDER BY decile
+    """,
+)
+def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram via NTILE: ten equal-population value
+    buckets with their boundaries — the distribution profile that
+    drives range-partitioning and skew decisions. Deterministic: the
+    ntile ordering carries an event_id tie-break. Scale note: a global
+    NTILE is a single total sort; at 100 TB use approx quantiles for
+    the same decision. (RangePartitioning makes the sort distributed;
+    the profile output is 10 rows.)"""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.orderBy("value", "event_id")
+    return (
+        ev.select("value", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.min(dec("value"))).alias("lo"),
+            dround(F.max(dec("value"))).alias("hi"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             hex(encode(text)) AS h,
+             octet_length(encode(text)) AS len
+      FROM documents WHERE doc_id < 10
+    ),
+    p AS (
+      SELECT media_id, h,
+             greatest(len // 10, 1) AS chunk,
+             least(8, greatest(len // greatest(len // 10, 1), 1)) AS n_frames
+      FROM m
+    )
+    SELECT media_id, CAST(i AS INTEGER) AS frame_no,
+           CAST(chunk AS BIGINT) AS n_bytes,
+           substring(h, CAST(i * chunk * 2 + 1 AS BIGINT), CAST(chunk * 2 AS BIGINT)) AS frame_hex
+    FROM p, (SELECT unnest(generate_series(0, 7)) AS i)
+    WHERE i < n_frames
+    ORDER BY media_id, frame_no
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-frame sampling plumbing (operators/multimodal.
+    sample_video_frames): each payload fans out to ≤ 8 deterministic
+    byte-sliced frames INSIDE mapInPandas (a 4 GB video never
+    materializes all frames at once). Frames surface hex-encoded so the
+    oracle can recompute the exact byte slices via
+    substring(hex(blob)) — even the stubbed-codec path is value-hash
+    verified."""
+    from datagouv_tools_spark.operators.multimodal import sample_video_frames
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    frames = sample_video_frames(media, every_n=10, max_frames=8, fake=True)
+    return frames.select(
+        "media_id",
+        "frame_no",
+        F.length("frame").cast("bigint").alias("n_bytes"),
+        F.hex("frame").alias("frame_hex"),
+    ).orderBy("media_id", "frame_no")
