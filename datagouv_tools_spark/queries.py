@@ -4180,3 +4180,44 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("frame").cast("bigint").alias("n_bytes"),
         F.hex("frame").alias("frame_hex"),
     ).orderBy("media_id", "frame_no")
+
+
+@query(
+    "multimodal_resize",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             hex(encode(text)) AS h,
+             octet_length(encode(text)) AS len
+      FROM documents WHERE doc_id < 10
+    )
+    SELECT media_id, 16 AS width, 12 AS height,
+           CAST(192 AS BIGINT) AS n_bytes,
+           substring(repeat(h, CAST(192 // greatest(len, 1) + 1 AS BIGINT)),
+                     1, 192 * 2) AS payload_hex
+    FROM m
+    ORDER BY media_id
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing (operators/multimodal.resize_images, fake
+    codec): payload cycled/truncated to width*height bytes with target
+    dims recorded — binary-in/binary-out through Arrow batches, dims in
+    the output schema so downstream filters never decode. Output is
+    hex-encoded so the oracle reproduces the exact bytes with
+    repeat+substring over hex(blob)."""
+    from datagouv_tools_spark.operators.multimodal import resize_images
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    resized = resize_images(media, width=16, height=12, fake=True)
+    return resized.select(
+        "media_id",
+        "width",
+        "height",
+        F.length("payload").cast("bigint").alias("n_bytes"),
+        F.hex("payload").alias("payload_hex"),
+    ).orderBy("media_id")
