@@ -4221,3 +4221,48 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("payload").cast("bigint").alias("n_bytes"),
         F.hex("payload").alias("payload_hex"),
     ).orderBy("media_id")
+
+
+@query(
+    "events_cdc_snapshot",
+    """
+    WITH changelog AS (
+      SELECT user_id,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             value, ts, event_id
+      FROM events WHERE user_id < 40
+    ),
+    ranked AS (
+      SELECT user_id, op, value, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+      FROM changelog
+    )
+    SELECT user_id,
+           CAST(ROUND(CAST(value AS DECIMAL(18,4)), 2) AS DOUBLE) AS value,
+           ts
+    FROM ranked WHERE rk = 1 AND op <> 'D'
+    ORDER BY user_id
+    """,
+)
+def events_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog → snapshot materialization (operators/cdc.
+    apply_changelog): events become a keyed upsert/delete feed ('error'
+    = tombstone), and the snapshot is each key's latest SURVIVING row —
+    deletes drop the key only when the tombstone is the newest record,
+    re-inserts after a delete survive. One shuffle on the key with
+    WindowGroupLimit pre-pruning; the CDC-merge primitive behind SCD1
+    dims and compacted-topic reads."""
+    from datagouv_tools_spark.operators.cdc import apply_changelog
+
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    changelog = ev.select(
+        "user_id",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        "value",
+        "ts",
+        "event_id",
+    )
+    snap = apply_changelog(changelog, "user_id", ("ts", "event_id"))
+    return snap.select(
+        "user_id", dround(dec("value")).alias("value"), "ts"
+    ).orderBy("user_id")

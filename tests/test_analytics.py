@@ -424,3 +424,24 @@ def test_quality_checks_single_pass_and_violations(spark, sf_dir):
         referential_violations(poisoned, customer, "o_custkey", "c_custkey").count()
         == 1
     )
+
+
+def test_apply_changelog_tombstone_semantics(spark):
+    """Delete-then-reinsert survives; insert-then-delete is gone; the
+    newest record wins — exact changelog folding, not delete-filtering."""
+    from datagouv_tools_spark.operators.cdc import apply_changelog
+
+    rows = [
+        # key 1: U(v=1) then D -> gone
+        (1, "U", 1.0, 1, 1), (1, "D", None, 2, 2),
+        # key 2: U, D, U(v=9) -> survives with 9
+        (2, "U", 2.0, 1, 3), (2, "D", None, 2, 4), (2, "U", 9.0, 3, 5),
+        # key 3: two upserts, same ts, change_id breaks the tie
+        (3, "U", 7.0, 1, 6), (3, "U", 8.0, 1, 7),
+    ]
+    df = spark.createDataFrame(rows, "k long, op string, v double, ts long, cid long")
+    out = {
+        r["k"]: r["v"]
+        for r in apply_changelog(df, "k", ("ts", "cid")).collect()
+    }
+    assert out == {2: 9.0, 3: 8.0}
