@@ -4266,3 +4266,95 @@ def events_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap.select(
         "user_id", dround(dec("value")).alias("value"), "ts"
     ).orderBy("user_id")
+
+
+@query(
+    "doc_curation_funnel",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang, {_SQL_FP} AS fp,
+             (SELECT * FROM (
+                SELECT CASE WHEN len(ts) > 0
+                            THEN len(list_distinct(ts))::DOUBLE / len(ts)::DOUBLE
+                            ELSE 0.0 END * 0.5
+                     + LEAST(len(ts)::DOUBLE, 100.0) / 100.0 * 0.3
+                     + LEAST(CASE WHEN len(ts) > 0
+                            THEN len(list_filter(ts, x -> x IN ('the','a','of','and','to','in','is','on','for','with')))::DOUBLE / len(ts)::DOUBLE
+                            ELSE 0.0 END * 5.0, 1.0) * 0.2
+                FROM (SELECT {_SQL_TOKENS} AS ts)
+             )) AS quality
+      FROM documents
+    ),
+    q AS (SELECT * FROM scored WHERE quality >= 0.5),
+    d AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS fp_rk FROM q
+      ) WHERE fp_rk = 1
+    ),
+    s AS (
+      SELECT * FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                 PARTITION BY lang
+                 ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || '-11'), 1, 15))::BIGINT,
+                          doc_id) AS rk
+        FROM d
+      ) WHERE rk <= 50
+    )
+    SELECT l.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_raw,
+           CAST(COUNT(*) FILTER (WHERE q.doc_id IS NOT NULL) AS BIGINT) AS n_quality,
+           CAST(COUNT(*) FILTER (WHERE d.doc_id IS NOT NULL) AS BIGINT) AS n_deduped,
+           CAST(COUNT(*) FILTER (WHERE s.doc_id IS NOT NULL) AS BIGINT) AS n_sampled
+    FROM documents l
+      LEFT JOIN q ON q.doc_id = l.doc_id
+      LEFT JOIN d ON d.doc_id = l.doc_id
+      LEFT JOIN s ON s.doc_id = l.doc_id
+    GROUP BY l.lang
+    ORDER BY l.lang
+    """,
+)
+def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE corpus-curation flow, composed end to end with per-stage
+    funnel counts: quality gate (score ≥ 0.5) → exact fingerprint dedup
+    (keep min doc_id) → deterministic per-lang cap (50 docs by
+    cross-engine hash order). Output: per lang, survivors at each
+    stage — the dashboard row a training-data pipeline reports per
+    snapshot. Scale: quality is per-row map work; dedup shuffles on
+    fingerprint; sampling rides one lang window with WindowGroupLimit;
+    the funnel counts come from semi-join flags, not rescans."""
+    from pyspark.sql.window import Window
+
+    from datagouv_tools_spark.functions.text import fingerprint_md5, quality_score
+    from datagouv_tools_spark.functions.xhash import md5_hash60
+
+    docs = t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang",
+        fingerprint_md5("text").alias("fp"),
+        quality_score("text").alias("quality"),
+    )
+    q = scored.filter(F.col("quality") >= 0.5)
+    wfp = Window.partitionBy("fp").orderBy("doc_id")
+    d = q.withColumn("fp_rk", F.row_number().over(wfp)).filter(
+        F.col("fp_rk") == 1
+    )
+    h = md5_hash60(F.concat_ws("-", F.col("doc_id").cast("string"), F.lit("11")))
+    ws = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    s = d.withColumn("rk", F.row_number().over(ws)).filter(F.col("rk") <= 50)
+
+    flag = lambda df, name: df.select(F.col("doc_id").alias(f"{name}_id"))
+    return (
+        docs.select("doc_id", "lang")
+        .join(flag(q, "q"), F.col("doc_id") == F.col("q_id"), "left")
+        .join(flag(d, "d"), F.col("doc_id") == F.col("d_id"), "left")
+        .join(flag(s, "s"), F.col("doc_id") == F.col("s_id"), "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.count("q_id").alias("n_quality"),
+            F.count("d_id").alias("n_deduped"),
+            F.count("s_id").alias("n_sampled"),
+        )
+        .orderBy("lang")
+    )
