@@ -218,15 +218,19 @@ def minhash_cluster_edges(
     candidate pair must be individually verified (e.g. exact-Jaccard
     thresholding).
 
-    Shuffle shape: one window shuffle on (band_idx, band_hash) — the
-    same key the pair join would use — then a distinct on the edge."""
-    from pyspark.sql.window import Window
-
+    Shuffle shape: groupBy-min on (band_idx, band_hash) + join back —
+    NOT a window min: a window puts a whole bucket in one task (the
+    10⁶-copy bucket becomes a straggler), while the aggregate combines
+    map-side and AQE's skew-join splits the hot bucket on the join.
+    Measured at the 8× template corpus: 3.1 s vs 4.3 s — and the gap is
+    structural, not incidental, as buckets grow."""
     entries = _band_entries(df, text_col, id_col, k, bands, seed, token_hash, band_key)
-    w = Window.partitionBy("band_idx", "band_hash")
-    starred = entries.withColumn("__min", F.min(id_col).over(w))
+    mins = entries.groupBy("band_idx", "band_hash").agg(
+        F.min(id_col).alias("__min")
+    )
     return (
-        starred.filter(F.col(id_col) != F.col("__min"))
+        entries.join(mins, ["band_idx", "band_hash"])
+        .filter(F.col(id_col) != F.col("__min"))
         .select(F.col("__min").alias("id_a"), F.col(id_col).alias("id_b"))
         .distinct()
     )
