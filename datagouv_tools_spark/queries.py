@@ -4327,6 +4327,7 @@ def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from datagouv_tools_spark.functions.text import fingerprint_md5, quality_score
     from datagouv_tools_spark.functions.xhash import md5_hash60
+    from datagouv_tools_spark.operators.dedup import dedup_exact
 
     docs = t(spark, sf_dir, "documents")
     scored = docs.select(
@@ -4335,10 +4336,11 @@ def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score("text").alias("quality"),
     )
     q = scored.filter(F.col("quality") >= 0.5)
-    wfp = Window.partitionBy("fp").orderBy("doc_id")
-    d = q.withColumn("fp_rk", F.row_number().over(wfp)).filter(
-        F.col("fp_rk") == 1
-    )
+    # groupBy-min + semi-join (dedup_exact), not a window: a window
+    # serializes each fingerprint bucket into one task — the mass-dup
+    # fingerprint is exactly the hot bucket — while the aggregate
+    # combines map-side (same reasoning as minhash_cluster_edges)
+    d = dedup_exact(q, ["fp"], "doc_id")
     h = md5_hash60(F.concat_ws("-", F.col("doc_id").cast("string"), F.lit("11")))
     ws = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
     s = d.withColumn("rk", F.row_number().over(ws)).filter(F.col("rk") <= 50)
