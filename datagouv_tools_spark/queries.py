@@ -4360,3 +4360,108 @@ def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "events_hourly_interpolated",
+    """
+    WITH spine AS (
+      SELECT t.hour, et.event_type FROM
+        (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                       TIMESTAMP '2024-01-03 23:00:00',
+                                       INTERVAL '1 hour')) AS hour) t,
+        (SELECT DISTINCT event_type FROM events) et
+    ),
+    hourly AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS hour, event_type,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+      FROM events
+      WHERE ts < TIMESTAMP '2024-01-04 00:00:00' AND user_id < 10
+      GROUP BY 1, 2
+    ),
+    joined AS (
+      SELECT s.hour, s.event_type, h.sum_value,
+             ROW_NUMBER() OVER (PARTITION BY s.event_type ORDER BY s.hour) AS pos
+      FROM spine s LEFT JOIN hourly h ON h.hour = s.hour AND h.event_type = s.event_type
+    ),
+    ctx AS (
+      SELECT hour, event_type, sum_value, pos,
+             LAST_VALUE(sum_value IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+             LAST_VALUE(CASE WHEN sum_value IS NULL THEN NULL ELSE pos END IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_p,
+             FIRST_VALUE(sum_value IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+             FIRST_VALUE(CASE WHEN sum_value IS NULL THEN NULL ELSE pos END IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_p
+      FROM joined
+    )
+    SELECT hour, event_type,
+           CAST(ROUND(CAST(CASE
+             WHEN sum_value IS NOT NULL THEN sum_value
+             WHEN prev_v IS NULL THEN next_v
+             WHEN next_v IS NULL THEN prev_v
+             ELSE prev_v + (next_v - prev_v) * (pos - prev_p) / (next_p - prev_p)
+           END AS DECIMAL(18,6)), 2) AS DOUBLE) AS filled_value,
+           CAST(CASE WHEN sum_value IS NULL THEN 1 ELSE 0 END AS INTEGER) AS interpolated
+    FROM ctx
+    ORDER BY event_type, hour
+    """,
+)
+def events_hourly_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill with LINEAR INTERPOLATION: densify an
+    hourly spine per event type, then fill missing hours between the
+    nearest observed neighbors proportionally (endpoints extend).
+    The sensor/metrics-pipeline primitive. Determinism: observed sums
+    go through exact decimal; the interpolation is the same float
+    expression both engines round identically at 2dp. Scale: spine
+    broadcast, ONE event_type window partitioning carries both
+    direction scans."""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events").filter(
+        (F.col("ts") < "2024-01-04") & (F.col("user_id") < 10)
+    )
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        ).agg(dround(F.sum(dec("value"))).alias("sum_value"))
+    )
+    spark_types = hourly.select("event_type").distinct()
+    spine_hours = spark.range(0, 72).select(
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.make_interval(hours=F.col("id"))).cast("timestamp_ntz").alias("hour")
+    )
+    spine = F.broadcast(spine_hours).crossJoin(spark_types)
+    joined = spine.join(hourly, ["hour", "event_type"], "left")
+    wo = Window.partitionBy("event_type").orderBy("hour")
+    joined = joined.withColumn("pos", F.row_number().over(wo))
+    wb = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = wo.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    obs_pos = F.when(F.col("sum_value").isNotNull(), F.col("pos"))
+    ctx = joined.select(
+        "hour", "event_type", "sum_value", "pos",
+        F.last("sum_value", ignorenulls=True).over(wb).alias("prev_v"),
+        F.last(obs_pos, ignorenulls=True).over(wb).alias("prev_p"),
+        F.first("sum_value", ignorenulls=True).over(wf).alias("next_v"),
+        F.first(obs_pos, ignorenulls=True).over(wf).alias("next_p"),
+    )
+    filled = (
+        F.when(F.col("sum_value").isNotNull(), F.col("sum_value"))
+        .when(F.col("prev_v").isNull(), F.col("next_v"))
+        .when(F.col("next_v").isNull(), F.col("prev_v"))
+        .otherwise(
+            F.col("prev_v")
+            + (F.col("next_v") - F.col("prev_v"))
+            * (F.col("pos") - F.col("prev_p"))
+            / (F.col("next_p") - F.col("prev_p"))
+        )
+    )
+    return ctx.select(
+        "hour", "event_type",
+        F.round(filled.cast("decimal(18,6)"), 2).cast("double").alias("filled_value"),
+        F.when(F.col("sum_value").isNull(), 1).otherwise(0).alias("interpolated"),
+    ).orderBy("event_type", "hour")
