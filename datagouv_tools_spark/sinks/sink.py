@@ -203,13 +203,29 @@ def jdbc_loader(url: str, properties: dict[str, str], num_partitions: int | None
 class ParquetSink:
     """Lake-native sink: the 100 TB default. Partitioned parquet +
     optional bucketing; RDBMS loading then becomes a partition-parallel
-    COPY from staged files."""
+    COPY from staged files.
+
+    ``range_by`` range-partitions + sorts rows by the given columns
+    before writing, so each output file covers a DISJOINT value range
+    and its parquet min/max statistics prune whole files for range
+    predicates — the second layout lever next to directory partitioning
+    (``partition_by`` prunes directories; ``range_by`` prunes files and
+    row groups within the scan)."""
 
     base_path: str
     partition_by: tuple[str, ...] = ()
+    range_by: tuple[str, ...] = ()
+    range_partitions: int | None = None
 
     def write(self, df: DataFrame, table: str, mode: str = "overwrite") -> str:
         path = f"{self.base_path.rstrip('/')}/{table}"
+        if self.range_by:
+            cols = [df[c] for c in self.range_by]
+            if self.range_partitions:
+                df = df.repartitionByRange(self.range_partitions, *cols)
+            else:
+                df = df.repartitionByRange(*cols)
+            df = df.sortWithinPartitions(*self.range_by)
         writer = df.write.mode(mode)
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)

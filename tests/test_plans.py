@@ -245,3 +245,37 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     n = one_day.count()
     full = spark.read.parquet(path).count()
     assert 0 < n < full
+
+
+def test_range_by_writes_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    """ParquetSink(range_by=...) must produce files whose parquet
+    min/max statistics cover disjoint value ranges — the property that
+    lets a range predicate skip whole files, verified on the actual
+    footers, not the plan."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from datagouv_tools_spark.sinks.sink import ParquetSink
+    from datagouv_tools_spark.sources.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    path = ParquetSink(
+        str(tmp_path / "lake"), range_by=("o_totalprice",), range_partitions=6
+    ).write(orders, "orders_ranged")
+
+    ranges = []
+    for f in glob.glob(path + "/part-*.parquet"):
+        md = pq.read_metadata(f)
+        idx = md.schema.names.index("o_totalprice")
+        lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    assert len(ranges) >= 4
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: ({lo1},{hi1}) vs ({lo2},{hi2})"
+    # row preservation
+    assert spark.read.parquet(path).count() == orders.count()
