@@ -120,9 +120,14 @@ def main(argv: list[str] | None = None) -> int:
                     parquet_out=args.parquet_out,
                 )
             }
-    finally:
+        # commit only on SUCCESS: committing in a finally (as the
+        # reference script does) would persist a half-loaded table when
+        # the import raises mid-way — the failed CLI run must leave no
+        # silently committed partial state.
         if connection is not None:
             connection.commit()
+    finally:
+        if connection is not None:
             connection.close()
 
     for table, result in sorted(out.items()):

@@ -98,14 +98,17 @@ def cosine_pairs_exact(
     # This kernel BROADCASTS the input (driver collect): it is the
     # in-bucket / in-block verifier, never the corpus-wide path. The
     # guard makes that contract executable — corpus-scale all-pairs
-    # must go through cosine_pairs_blocked.
-    if df.limit(max_rows + 1).count() > max_rows:
+    # must go through cosine_pairs_blocked. One action: collecting
+    # limit(max_rows+1) both fetches the kernel input AND proves the
+    # bound (a separate count() would execute the upstream lineage
+    # twice).
+    rows = df.select(id_col, vec_col).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
         raise ValueError(
             f"cosine_pairs_exact collects its input to the driver and is "
             f"bounded to {max_rows} rows; use cosine_pairs_blocked for "
             f"corpus-scale exact all-pairs"
         )
-    rows = df.select(id_col, vec_col).collect()  # bounded: bucket-level kernel
     c_ids = np.fromiter((r[0] for r in rows), dtype=np.int64, count=len(rows))
     c_mat = np.array([r[1] for r in rows], dtype=np.float64)
     with np.errstate(invalid="ignore"):

@@ -21,7 +21,11 @@ from datagouv_tools_spark.functions.casts import lenient_date, lenient_date_stru
 from datagouv_tools_spark.operators.flatten import flatten_array_to_columns
 from datagouv_tools_spark.schema.ddl import DecesIndexProvider, get_dialect
 from datagouv_tools_spark.schema.record_format import DECES_FORMAT
-from datagouv_tools_spark.sinks.sink import DryRunExecutor, SqlSink
+from datagouv_tools_spark.sinks.sink import (
+    DryRunExecutor,
+    SqlSink,
+    dbapi_insert_loader,
+)
 from datagouv_tools_spark.sources.fixed_width import read_fixed_width
 
 __all__ = ["import_deces", "deces_dataframe"]
@@ -85,7 +89,7 @@ def import_deces(
         dialect=dialect,
         executor=DryRunExecutor() if connection is None else _db_executor(connection),
         index_provider=DecesIndexProvider(),
-        loader=None if connection is None else _insert_loader(connection, dialect),
+        loader=None if connection is None else dbapi_insert_loader(connection, dialect),
     )
     sink.write(df, "deces")
     return sink.executor.statements if isinstance(sink.executor, DryRunExecutor) else "ok"
@@ -96,8 +100,3 @@ def _db_executor(connection):
 
     return DbApiExecutor(connection)
 
-
-def _insert_loader(connection, dialect):
-    from datagouv_tools_spark.sinks.sink import dbapi_insert_loader
-
-    return dbapi_insert_loader(connection, dialect)

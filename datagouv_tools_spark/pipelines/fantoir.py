@@ -20,7 +20,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from datagouv_tools_spark.schema.ddl import EmptyIndexProvider, get_dialect
 from datagouv_tools_spark.schema.record_format import FANTOIR_FORMATS
-from datagouv_tools_spark.sinks.sink import DryRunExecutor, SqlSink
+from datagouv_tools_spark.sinks.sink import (
+    DryRunExecutor,
+    SqlSink,
+    dbapi_insert_loader,
+)
 from datagouv_tools_spark.sources.fixed_width import fantoir_record_tables, read_fantoir
 
 __all__ = ["import_fantoir", "fantoir_tables"]
@@ -78,7 +82,7 @@ def import_fantoir(
                 dialect=dialect,
                 executor=DryRunExecutor() if connection is None else _db_executor(connection),
                 index_provider=EmptyIndexProvider(),
-                loader=None if connection is None else _insert_loader(connection, dialect),
+                loader=None if connection is None else dbapi_insert_loader(connection, dialect),
             )
             sink.write(df, name)
             if isinstance(sink.executor, DryRunExecutor):
@@ -93,8 +97,3 @@ def _db_executor(connection):
 
     return DbApiExecutor(connection)
 
-
-def _insert_loader(connection, dialect):
-    from datagouv_tools_spark.sinks.sink import dbapi_insert_loader
-
-    return dbapi_insert_loader(connection, dialect)

@@ -23,7 +23,11 @@ from datagouv_tools_spark.functions.names import to_snake
 from datagouv_tools_spark.schema.ddl import SireneIndexProvider, get_dialect
 from datagouv_tools_spark.schema.dessin import SireneSchema
 from datagouv_tools_spark.schema.types import PatchedSireneTypeConverter, TypeConverter
-from datagouv_tools_spark.sinks.sink import DryRunExecutor, SqlSink
+from datagouv_tools_spark.sinks.sink import (
+    DryRunExecutor,
+    SqlSink,
+    dbapi_insert_loader,
+)
 from datagouv_tools_spark.sources.zipped_csv import discover_sirene_sources, read_zipped_csv
 
 logger = logging.getLogger(__name__)
@@ -89,7 +93,7 @@ def import_sirene(
                 dialect=dialect,
                 executor=DryRunExecutor() if connection is None else _db_executor(connection),
                 index_provider=SireneIndexProvider(),
-                loader=None if connection is None else _insert_loader(connection, dialect),
+                loader=None if connection is None else dbapi_insert_loader(connection, dialect),
             )
             sink.write(df, table)
             if isinstance(sink.executor, DryRunExecutor):
@@ -104,8 +108,3 @@ def _db_executor(connection):
 
     return DbApiExecutor(connection)
 
-
-def _insert_loader(connection, dialect):
-    from datagouv_tools_spark.sinks.sink import dbapi_insert_loader
-
-    return dbapi_insert_loader(connection, dialect)

@@ -781,8 +781,12 @@ def _sql_minhash_oracle() -> str:
     from datagouv_tools_spark.operators.dedup import _MERSENNE_PRIME, _hash_params
 
     p = _MERSENNE_PRIME
+    # coalesce to p: Spark's single-pass fold seeds the accumulator
+    # with [p]*k, so an empty token set yields p per slot — list_min
+    # over an empty list would yield NULL here and silently drop
+    # empty-doc candidate pairs the Spark side emits
     perms = ",\n      ".join(
-        f"list_min(list_transform(hs, h -> (h * {a}::BIGINT + {b}::BIGINT) % {p}))"
+        f"coalesce(list_min(list_transform(hs, h -> (h * {a}::BIGINT + {b}::BIGINT) % {p})), {p})"
         for a, b in _hash_params(64, seed=42)
     )
     bands = "\n       OR ".join(
@@ -3916,8 +3920,9 @@ def _sql_star_cluster_oracle() -> str:
     from datagouv_tools_spark.operators.dedup import _MERSENNE_PRIME, _hash_params
 
     p = _MERSENNE_PRIME
+    # coalesce to p for empty token sets — see _sql_minhash_oracle
     perms = ",\n      ".join(
-        f"list_min(list_transform(hs, h -> (h * {a}::BIGINT + {b}::BIGINT) % {p}))"
+        f"coalesce(list_min(list_transform(hs, h -> (h * {a}::BIGINT + {b}::BIGINT) % {p})), {p})"
         for a, b in _hash_params(64, seed=42)
     )
     band_rows = "\n      UNION ALL\n      ".join(
@@ -4040,18 +4045,18 @@ def orders_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_state_intervals",
     """
     WITH seq AS (
-      SELECT user_id, event_type, ts,
+      SELECT user_id, event_type, ts, event_id,
              LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
       FROM events WHERE user_id < 20
     ),
     marked AS (
-      SELECT user_id, event_type, ts,
+      SELECT user_id, event_type, ts, event_id,
              CASE WHEN prev_type IS NULL OR prev_type <> event_type THEN 1 ELSE 0 END AS chg
       FROM seq
     ),
     grp AS (
       SELECT user_id, event_type, ts,
-             CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts
+             CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
       FROM marked
     )
@@ -4073,14 +4078,17 @@ def user_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     marked = ev.select(
-        "user_id", "event_type", "ts",
+        "user_id", "event_type", "ts", "event_id",
         F.when(
             F.lag("event_type").over(w).isNull()
             | (F.lag("event_type").over(w) != F.col("event_type")),
             1,
         ).otherwise(0).alias("chg"),
     )
-    wrun = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+    # the running sum MUST use the same (ts, event_id) total order the
+    # chg flags were computed under: a ts-only order leaves tied rows
+    # free to permute between the two windows and scramble island ids
+    wrun = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     grp = marked.withColumn("island", F.sum("chg").over(wrun).cast("bigint"))
@@ -4115,10 +4123,10 @@ def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth histogram via NTILE: ten equal-population value
     buckets with their boundaries — the distribution profile that
     drives range-partitioning and skew decisions. Deterministic: the
-    ntile ordering carries an event_id tie-break. Scale note: a global
-    NTILE is a single total sort; at 100 TB use approx quantiles for
-    the same decision. (RangePartitioning makes the sort distributed;
-    the profile output is 10 rows.)"""
+    ntile ordering carries an event_id tie-break. Scale note: an
+    unpartitioned window plans Exchange SinglePartition — ALL rows sort
+    in one task, fine here, unusable at 100 TB; at that scale use
+    approx_percentile (map-combinable sketch) for the same decision."""
     from pyspark.sql.window import Window
 
     ev = t(spark, sf_dir, "events")

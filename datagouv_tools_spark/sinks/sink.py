@@ -280,8 +280,23 @@ def compact_parquet(
     conf = spark._jsc.hadoopConfiguration()
     src = jvm.org.apache.hadoop.fs.Path(path)
     fs = src.getFileSystem(conf)
+    listed = list(fs.listStatus(src))
+    subdirs = [
+        s.getPath().getName()
+        for s in listed
+        if s.isDirectory() and not s.getPath().getName().startswith("_")
+    ]
+    if subdirs:
+        # a partitioned dataset: compacting the root would both misread
+        # total bytes (directories aren't files) and rewrite partition
+        # columns into data columns, destroying directory pruning.
+        # Compaction granularity IS the partition directory.
+        raise ValueError(
+            f"{path} contains partition directories ({subdirs[:3]}...); "
+            "compact each partition directory individually"
+        )
     statuses = [
-        s for s in fs.listStatus(src)
+        s for s in listed
         if s.isFile() and not s.getPath().getName().startswith("_")
     ]
     n_before = len(statuses)

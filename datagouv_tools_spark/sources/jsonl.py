@@ -58,9 +58,14 @@ def read_jsonl(
     )
 
 
-def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+def split_corrupt(df: DataFrame, multiline: bool = False) -> tuple[DataFrame, DataFrame]:
     """(clean, quarantine): clean rows lose the corrupt column;
     quarantine keeps the raw line for replay/debugging.
+
+    ``multiline`` must echo the ``read_jsonl`` flag: the quarantine
+    branch re-parses the files LINE-wise, which would flag every
+    fragment of a valid multi-line document as corrupt — so for
+    multiline sources it refuses rather than lying.
 
     Spark disallows plans whose only referenced scan column is the
     internal corrupt-record column (QUERY_ONLY_CORRUPT_RECORD_COLUMN) —
@@ -70,6 +75,12 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     the clean branch still prunes to the fields it needs.
     """
     clean = df.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
+    if multiline:
+        raise NotImplementedError(
+            "quarantine extraction is line-oriented; for multiLine JSON "
+            "use the clean frame and count corrupt docs via the reader's "
+            "_corrupt_record column alongside a cached read"
+        )
     return clean, _quarantine_from_text(df)
 
 
