@@ -334,3 +334,60 @@ def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
     assert out.select("event_id").distinct().count() == ev.count()
     # and the second run appended only the new file's rows
     assert len(glob.glob(sink + "/part-*")) >= 2
+
+
+def test_foreach_batch_upsert_latest_per_key(spark, sf_dir, tmp_path):
+    """Streaming keyed upsert into bucket-partitioned parquet: after a
+    multi-batch replay, the table holds exactly the newest row per key
+    (== the batch latest-event-per-user), and replaying a batch is
+    idempotent."""
+    from datagouv_tools_spark.sources.catalog import load_table
+    from datagouv_tools_spark.streaming.upsert import (
+        foreach_batch_upserter,
+        upsert_batch,
+    )
+
+    split = _multi_batch_events_dir(spark, sf_dir, tmp_path)
+    stream = _read_split_stream(spark, split).select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    table = str(tmp_path / "user_latest")
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_upserter(table, ["user_id"], ["ts", "event_id"], n_buckets=4)
+        )
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        r["user_id"]: (r["ts"], r["event_id"])
+        for r in spark.read.parquet(table).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    want = {
+        r["user_id"]: (r["ts"], r["event_id"])
+        for r in ev.select(
+            "user_id", "ts", "event_id", F.row_number().over(w).alias("rk")
+        ).filter(F.col("rk") == 1).collect()
+    }
+    assert got == want
+
+    # idempotence: re-applying the full input as one batch changes nothing
+    upsert_batch(
+        spark.read.parquet(split).select("event_id", "user_id", "event_type",
+                                         F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz").alias("ts"))
+        if dict(spark.read.parquet(split).dtypes).get("ts") == "bigint"
+        else spark.read.parquet(split).select("event_id", "user_id", "event_type", "ts"),
+        table, ["user_id"], ["ts", "event_id"], n_buckets=4,
+    )
+    again = {
+        r["user_id"]: (r["ts"], r["event_id"])
+        for r in spark.read.parquet(table).collect()
+    }
+    assert again == want
