@@ -417,3 +417,18 @@ def test_read_jsonl_feeds_text_analytics(spark, tmp_path):
     }
     assert out[1][0] == 3 and out[2][0] == 3
     assert out[1][1] == out[2][1]  # whitespace-normalized fingerprint matches
+
+
+def test_cli_deces_sqlite(spark, deces_file, tmp_path, capsys):
+    import sqlite3
+
+    from datagouv_tools_spark.__main__ import main
+
+    db = tmp_path / "deces_cli.db"
+    rc = main(["-s", "deces", "-r", "sqlite", "--database", str(db), "-p", str(deces_file)])
+    assert rc == 0
+    con = sqlite3.connect(db)
+    try:
+        assert con.execute("SELECT COUNT(*) FROM deces").fetchone()[0] == 3
+    finally:
+        con.close()
