@@ -2,18 +2,35 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "batch_total": N, "streaming_total": N, "queries_min": {...}, "repeats": 3}
 
-Each query is timed end-to-end (plan + execute + collect-to-count). A
-warmup query runs first so JVM/codegen startup is not billed to the
-first measured query.
+Methodology (hardened in round 3 per VERDICT r02 "What's wrong" #1):
+
+- A warmup query runs first so JVM/codegen startup is not billed to the
+  first measured query.
+- Every query is executed ``REPEATS`` times; the reported number is the
+  MEDIAN (robust to transient contention on a shared box), with the MIN
+  kept alongside in ``queries_min`` so a reader can spot noise
+  (median >> min ⇒ contention, not code).
+- Streaming replays (micro-batch availableNow pipelines, ~2-9 s of
+  fixed per-batch overhead regardless of data volume) run LAST and are
+  totalled separately in ``streaming_total`` so suite-total comparisons
+  across rounds track the batch engine, not micro-batch scheduling.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import time
+
+REPEATS = 3
+
+
+def _is_streaming(name: str) -> bool:
+    return "stream" in name
 
 
 def main() -> None:
@@ -24,25 +41,40 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warmup: touch every table & exercise codegen once.
+    # Warmup: touch every table & exercise codegen once; the timing is
+    # discarded so JVM start is excluded from all measurements.
     QUERIES["q1_pricing_summary"](spark, sf_dir).collect()
 
-    timings: dict[str, float] = {}
-    for name, fn in QUERIES.items():
-        start = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.collect()
-        timings[name] = round(time.perf_counter() - start, 4)
+    ordered = [n for n in QUERIES if not _is_streaming(n)] + [
+        n for n in QUERIES if _is_streaming(n)
+    ]
 
-    total = round(sum(timings.values()), 4)
+    medians: dict[str, float] = {}
+    minima: dict[str, float] = {}
+    for name in ordered:
+        fn = QUERIES[name]
+        samples: list[float] = []
+        for _ in range(REPEATS):
+            start = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            samples.append(time.perf_counter() - start)
+        medians[name] = round(statistics.median(samples), 4)
+        minima[name] = round(min(samples), 4)
+
+    batch_total = round(sum(v for n, v in medians.items() if not _is_streaming(n)), 4)
+    streaming_total = round(sum(v for n, v in medians.items() if _is_streaming(n)), 4)
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     print(
         json.dumps(
             {
                 "metric": "query_suite_total",
-                "value": total,
+                "value": round(batch_total + streaming_total, 4),
                 "unit": "sec",
-                "queries": timings,
+                "queries": medians,
+                "queries_min": minima,
+                "batch_total": batch_total,
+                "streaming_total": streaming_total,
+                "repeats": REPEATS,
                 "sf": sf,
             }
         )
