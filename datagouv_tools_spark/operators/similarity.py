@@ -8,10 +8,11 @@ Two tiers:
   the ANN tier. Scale shape: corpus stays partitioned (never
   shuffled); work is |Q|·|C| — bound |Q| per job.
 - ``lsh_topk`` — random-hyperplane LSH: H fixed seeded hyperplanes →
-  sign-bit bucket id per vector; candidates = same bucket (optionally
-  multi-probe: buckets at Hamming distance 1); exact cosine + top-k
-  within candidates. Shuffles on bucket id only. Recall is tunable
-  via n_planes / multiprobe; it's approximate by design.
+  sign-bit bucket id per vector; candidates = same bucket, plus (with
+  ``n_probes`` > 1) the query's buckets at Hamming distance 1 — the
+  standard recall lever for sign-LSH at fixed n_planes. Exact cosine +
+  top-k within candidates. Shuffles on bucket id only. Recall is
+  tunable via n_planes⁻¹ and n_probes; it's approximate by design.
 
 Determinism: scores are rounded BEFORE ranking, ties broken by id, so
 results are stable across engines and partitionings (oracle-checkable
@@ -287,13 +288,36 @@ def lsh_topk(
     corpus_vec: str = "embedding",
     round_to: int = 6,
     seed: int = 42,
+    n_probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket; exact cosine
     within the bucket. Queries with an empty bucket return < k rows —
-    that's the approximate contract; raise n_planes⁻¹ or add
-    multiprobe for recall."""
+    that's the approximate contract; raise n_planes⁻¹ or n_probes for
+    recall.
+
+    Multiprobe: with ``n_probes`` > 1 each query additionally probes
+    its buckets at Hamming distance 1 — bucket XOR each single-bit
+    mask, in ascending bit order, ``n_probes - 1`` of them (capped at
+    n_planes). Only the (small, broadcast) query side fans out; the
+    corpus keeps one bucket per vector, so a (query, corpus) pair can
+    match in at most one probed bucket — no dedup needed. The probe
+    set is deterministic and SQL-expressible, so the full oracle
+    survives.
+    """
+    n_probes = max(1, min(n_probes, n_planes + 1))
     qb = queries.select(
-        query_id, query_vec, lsh_bucket(queries, query_vec, dim, n_planes, seed).alias("__bucket")
+        query_id, query_vec, lsh_bucket(queries, query_vec, dim, n_planes, seed).alias("__bucket0")
+    )
+    probe_masks = F.array(
+        F.lit(0).cast("bigint"),
+        *[F.lit(1 << j).cast("bigint") for j in range(n_probes - 1)],
+    )
+    qb = qb.select(
+        query_id,
+        query_vec,
+        F.explode(
+            F.transform(probe_masks, lambda m: F.col("__bucket0").bitwiseXOR(m))
+        ).alias("__bucket"),
     )
     cb = corpus.select(
         corpus_id, corpus_vec, lsh_bucket(corpus, corpus_vec, dim, n_planes, seed).alias("__bucket")
@@ -314,7 +338,7 @@ def lsh_topk(
 
 
 def _ivf_centroids(
-    df: DataFrame, vec_col: str, n_lists: int, seed: int = 42
+    df: DataFrame, id_col: str, vec_col: str, n_lists: int, seed: int = 42
 ) -> list[list[float]]:
     """Deterministic coarse centroids: the n_lists corpus vectors with
     the smallest cross-engine md5 hash of their id — a seeded sample
@@ -322,9 +346,12 @@ def _ivf_centroids(
     adds nondeterminism; for a quantizer, spread matters more than
     optimality) and that a SQL oracle reselects identically.
 
+    ``id_col`` is explicit (not positional): passing columns in any
+    order hashes the same ids, so the centroid set — and everything
+    downstream — is invariant to column order.
+
     Driver-side cost is BOUNDED: orderBy+limit is a distributed top-k
     (TakeOrdered), and only n_lists rows ever reach the driver."""
-    id_col = df.columns[0]
     h = md5_hash60(F.concat_ws("-", F.col(id_col).cast("string"), F.lit(str(seed))))
     rows = (
         df.select(id_col, vec_col)
@@ -409,6 +436,7 @@ def ivf_assign(
     n_lists: int = 16,
     seed: int = 42,
     cents: list[list[float]] | None = None,
+    id_col: str = "vec_id",
 ) -> DataFrame:
     """Add ``__list`` — the id of the nearest coarse centroid (by
     cosine, rounded@6 with list-id tie-break). Arrow-batched numpy
@@ -416,7 +444,7 @@ def ivf_assign(
     bucketed/partitioned by ``__list`` so probes touch only nprobe
     partitions."""
     if cents is None:
-        cents = _ivf_centroids(df, vec_col, n_lists, seed)
+        cents = _ivf_centroids(df, id_col, vec_col, n_lists, seed)
     return _probe_lists(df, vec_col, cents, n=1)
 
 
@@ -445,10 +473,11 @@ def ivf_topk(
     vectors themselves. Deterministic end-to-end → full SQL oracle;
     recall vs brute force is additionally asserted in tests."""
     cents = _ivf_centroids(
-        corpus.select(corpus_id, corpus_vec), corpus_vec, n_lists, seed
+        corpus.select(corpus_id, corpus_vec), corpus_id, corpus_vec, n_lists, seed
     )
     corpus_l = ivf_assign(
-        corpus.select(corpus_id, corpus_vec), corpus_vec, n_lists, seed, cents=cents
+        corpus.select(corpus_id, corpus_vec), corpus_vec, n_lists, seed,
+        cents=cents, id_col=corpus_id,
     )
     q_probes = _probe_lists(
         queries.select(query_id, query_vec), query_vec, cents, n=nprobe

@@ -4473,3 +4473,67 @@ def events_hourly_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(filled.cast("decimal(18,6)"), 2).cast("double").alias("filled_value"),
         F.when(F.col("sum_value").isNull(), 1).otherwise(0).alias("interpolated"),
     ).orderBy("event_type", "hour")
+
+
+def _sql_lsh_multiprobe_oracle() -> str:
+    """DuckDB twin of lsh_topk(dim=64, n_planes=8, n_probes=4, seed=42).
+    Identical to _sql_lsh_ann_oracle except the query side fans out to
+    its bucket XOR each mask in (0, 1, 2, 4) — the bucket itself plus
+    the three Hamming-distance-1 probes in ascending bit order — before
+    the candidate join. The corpus keeps one bucket per vector, so no
+    pair can match twice and no DISTINCT is needed."""
+    from datagouv_tools_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 8, seed=42)
+    bucket = "\n         + ".join(
+        f"(CASE WHEN list_dot_product(embedding, [{', '.join(repr(v) for v in plane)}]) > 0"
+        f" THEN {1 << j} ELSE 0 END)"
+        for j, plane in enumerate(planes)
+    )
+    return f"""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
+    cb AS (
+      SELECT vec_id, embedding,
+         {bucket}
+         AS bucket
+      FROM c
+    ),
+    qb0 AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM cb WHERE vec_id < 10),
+    qb AS (
+      SELECT q.query_id, q.qv, xor(q.bucket, m.mask) AS bucket
+      FROM qb0 q CROSS JOIN (SELECT unnest([0, 1, 2, 4]) AS mask) m
+    ),
+    p AS (
+      SELECT q.query_id, e.vec_id,
+             ROUND(list_dot_product(q.qv, e.embedding)
+                   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.embedding, e.embedding))), 6) AS sim
+      FROM qb q JOIN cb e ON q.bucket = e.bucket AND e.vec_id <> q.query_id
+    ),
+    r AS (SELECT query_id, vec_id, sim,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
+          FROM p)
+    SELECT query_id, vec_id, sim, rk FROM r WHERE rk <= 5
+    ORDER BY query_id, rk
+    """
+
+
+@query("lsh_ann_multiprobe_topk", _sql_lsh_multiprobe_oracle())
+def lsh_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe LSH ANN (operators/similarity.lsh_topk, n_probes=4):
+    each query probes its own bucket plus the three Hamming-distance-1
+    buckets (bit masks 1, 2, 4), recovering neighbors that a single
+    sign-bit flip pushed into an adjacent bucket — the standard recall
+    lever for sign-LSH at fixed n_planes. Only the broadcast query side
+    fans out (4 rows/query); the corpus-side bucketing, the equi-join
+    shape, and the shuffle volume are unchanged from lsh_ann_topk, so
+    the 100 TB plan is identical. Deterministic probe set → full
+    oracle."""
+    from datagouv_tools_spark.operators.similarity import lsh_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return lsh_topk(
+        queries_df, emb, dim=64, k=5, n_planes=8, n_probes=4
+    ).orderBy("query_id", "rk")
