@@ -26,7 +26,6 @@ COMMIT) — idempotent re-runs, no partial visibility (SURVEY §7.4).
 
 from __future__ import annotations
 
-import csv
 import io
 from typing import Iterable, Iterator
 
@@ -39,19 +38,33 @@ __all__ = ["rows_to_csv_chunks", "copy_partition", "copy_dataframe", "staged_cop
 _CHUNK_BYTES = 1 << 20
 
 
+def _csv_field(v) -> str:
+    """One COPY-CSV field with PostgreSQL's NULL/empty distinction:
+    NULL → unquoted empty; empty string → quoted ``""`` (csv.writer's
+    QUOTE_MINIMAL writes '' unquoted, which COPY would load as NULL —
+    silent data corruption for text columns); anything containing a
+    delimiter, quote, or newline is quoted with '""' doubling."""
+    if v is None:
+        return ""
+    s = str(v)
+    if s == "" or any(c in s for c in ',"\n\r'):
+        return '"' + s.replace('"', '""') + '"'
+    return s
+
+
 def rows_to_csv_chunks(
     rows: Iterable[Row], chunk_bytes: int = _CHUNK_BYTES
 ) -> Iterator[bytes]:
     """Serialize rows to CSV byte chunks suitable for COPY FROM STDIN
     (FORMAT CSV, no header — column order fixed by the DataFrame).
 
-    NULL → empty unquoted field (COPY CSV default); everything else goes
-    through csv.writer quoting.
-    """
+    Framing is validated end-to-end by a second, non-Python parser:
+    tests round-trip the exact streamed bytes through DuckDB's
+    ``read_csv`` (tests/test_schema.py)."""
     buf = io.StringIO()
-    writer = csv.writer(buf, lineterminator="\n")
     for row in rows:
-        writer.writerow(["" if v is None else v for v in row])
+        buf.write(",".join(_csv_field(v) for v in row))
+        buf.write("\n")
         if buf.tell() >= chunk_bytes:
             yield buf.getvalue().encode("utf-8")
             buf.seek(0)
