@@ -4537,3 +4537,314 @@ def lsh_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(
         queries_df, emb, dim=64, k=5, n_planes=8, n_probes=4
     ).orderBy("query_id", "rk")
+
+
+# ---------------------------------------------------------------------------
+# Round 3 additions: training-data curation breadth (repetition/boilerplate
+# stats, PII redaction, unigram-frequency scoring, benchmark contamination)
+# and product quantization
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_repetition_stats",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS ts FROM documents WHERE doc_id < 80),
+    m AS (
+      SELECT doc_id, len(ts) AS n,
+             len(list_distinct(ts)) AS nd,
+             list_max(list_transform(list_distinct(ts), t -> len(list_filter(ts, x -> x = t)))) AS top,
+             CASE WHEN len(ts) >= 2
+                  THEN list_transform(generate_series(1, len(ts) - 1), i -> ts[i] || ' ' || ts[i + 1])
+             END AS bg
+      FROM toks
+    )
+    SELECT doc_id, n AS n_tokens,
+           CASE WHEN n > 0 THEN ROUND(1.0 - nd::DOUBLE / n::DOUBLE, 6) END AS dup_token_frac,
+           CASE WHEN n > 0 THEN ROUND(top::DOUBLE / n::DOUBLE, 6) END AS top_token_frac,
+           CASE WHEN n >= 2 THEN ROUND(1.0 - len(list_distinct(bg))::DOUBLE / len(bg)::DOUBLE, 6) END AS dup_bigram_frac
+    FROM m ORDER BY doc_id
+    """,
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition quality signals per document:
+    duplicate-token fraction, most-common-token fraction, duplicate
+    word-bigram fraction.
+
+    Scale: pure expression tree over the token array — every metric is
+    map-local inside whole-stage codegen (the bigram list and the
+    per-distinct-token counts are array ops, not joins), so the only
+    shuffle is the final orderBy. At 100 TB this runs at scan speed."""
+    from datagouv_tools_spark.functions.text import tokens
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    ts = tokens("text")
+    n = F.size(ts)
+    nd = F.size(F.array_distinct(ts))
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(ts), lambda tk: F.size(F.filter(ts, lambda x: x == tk))
+        )
+    )
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(1)),
+            lambda i: F.concat(
+                F.element_at(ts, i), F.lit(" "), F.element_at(ts, i + F.lit(1))
+            ),
+        ),
+    )
+    nb = F.size(bigrams)
+    ndb = F.size(F.array_distinct(bigrams))
+    return docs.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        F.when(
+            n > 0, F.round(F.lit(1.0) - nd.cast("double") / n.cast("double"), 6)
+        ).alias("dup_token_frac"),
+        F.when(n > 0, F.round(top.cast("double") / n.cast("double"), 6)).alias(
+            "top_token_frac"
+        ),
+        F.when(
+            n >= 2, F.round(F.lit(1.0) - ndb.cast("double") / nb.cast("double"), 6)
+        ).alias("dup_bigram_frac"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "doc_pii_redaction",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             'contact user' || doc_id::VARCHAR || '@mail.example.com or +1-555-'
+               || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' ' || text AS synth
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(synth, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(synth, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones,
+           substr(regexp_replace(regexp_replace(synth, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+                                 '\+1-555-[0-9]{4}', '[PHONE]', 'g'), 1, 60) AS redacted_head
+    FROM s ORDER BY doc_id
+    """,
+)
+def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over a synthesized contact line (the
+    corpus itself is clean word-soup, so a deterministic email/phone is
+    prepended per doc to exercise the patterns): count matches and
+    redact with [EMAIL]/[PHONE] markers.
+
+    The regexes stay inside the Java/RE2 common subset (char classes,
+    bounded quantifiers — no backrefs/lookaround), so Spark's
+    regexp_count/regexp_replace and DuckDB's regexp_extract_all/'g'
+    replace agree byte-for-byte. Scale: per-row regex inside codegen —
+    scan speed, no shuffle but the orderBy."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    email_re = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    phone_re = "\\+1-555-[0-9]{4}"
+    synth = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" "),
+        F.col("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(synth, email_re, "[EMAIL]"), phone_re, "[PHONE]"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(synth, F.lit(email_re)).cast("bigint").alias("n_emails"),
+        F.regexp_count(synth, F.lit(phone_re)).cast("bigint").alias("n_phones"),
+        F.substring(redacted, 1, 60).alias("redacted_head"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "doc_token_freq_bits",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS tk FROM documents),
+    vocab AS (SELECT tk, COUNT(*) AS cnt FROM tok GROUP BY tk),
+    per AS (
+      SELECT t.doc_id, length(bin(v.cnt)) AS bits
+      FROM tok t JOIN vocab v USING (tk) WHERE t.doc_id < 50
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           ROUND(SUM(bits)::DOUBLE / COUNT(*)::DOUBLE, 6) AS mean_freq_bits
+    FROM per GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def doc_token_freq_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram log-frequency scoring (language-model-free perplexity
+    proxy): corpus-wide token counts, each token scored by the bit
+    length of its count (= floor(log2)+1 — integer-exact in both
+    engines, no transcendental-function ULP risk), documents scored by
+    the mean over their tokens. Low mean ⇒ rare-token-heavy text.
+
+    Scale: one shuffle to build the vocab (map-side combine), vocab
+    broadcast back (vocab ≪ corpus), one shuffle for the per-doc mean.
+    The per-doc side prunes to doc_id < 50 but the vocab deliberately
+    spans the WHOLE corpus — frequency is a corpus property."""
+    from datagouv_tools_spark.functions.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("tk"))
+    vocab = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("cnt"))
+    bits = F.length(F.bin(F.col("cnt")))
+    per = tok.filter(F.col("doc_id") < 50).join(F.broadcast(vocab), "tk")
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(bits).cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("mean_freq_bits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "doc_contamination_overlap",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS ts FROM documents),
+    g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(ts) - 4),
+                 i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4])) AS gs
+      FROM toks WHERE len(ts) >= 5
+    ),
+    bench AS (SELECT DISTINCT unnest(gs) AS gm FROM g WHERE doc_id < 5),
+    tgt AS (SELECT doc_id, unnest(gs) AS gm FROM g WHERE doc_id >= 5 AND doc_id < 55)
+    SELECT t.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN b.gm IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS matched,
+           ROUND(SUM(CASE WHEN b.gm IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)::DOUBLE, 6) AS containment
+    FROM tgt t LEFT JOIN bench b ON t.gm = b.gm
+    GROUP BY t.doc_id ORDER BY t.doc_id
+    """,
+)
+def doc_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination audit: word-5-gram containment of each
+    candidate training doc (doc_id 5..54) against a held-out benchmark
+    set (doc_id < 5) — the standard pre-training hygiene check.
+
+    Scale: the benchmark gram set is tiny relative to the corpus, so
+    it broadcasts and the containment check is map-side (no shuffle of
+    the corpus); per-doc aggregation is one shuffle on doc_id. Gram
+    construction is an array expression — no explode until the
+    (deduplicated) per-doc gram list."""
+    from datagouv_tools_spark.functions.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    ts = tokens("text")
+    n = F.size(ts)
+    grams = F.when(
+        n >= 5,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - F.lit(4)),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(ts, i),
+                    F.element_at(ts, i + F.lit(1)),
+                    F.element_at(ts, i + F.lit(2)),
+                    F.element_at(ts, i + F.lit(3)),
+                    F.element_at(ts, i + F.lit(4)),
+                ),
+            )
+        ),
+    )
+    bench = (
+        docs.filter(F.col("doc_id") < 5)
+        .select(F.explode(grams).alias("gm"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    tgt = docs.filter((F.col("doc_id") >= 5) & (F.col("doc_id") < 55)).select(
+        "doc_id", F.explode(grams).alias("gm")
+    )
+    joined = tgt.join(F.broadcast(bench), "gm", "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("matched"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("containment"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_pq_oracle() -> str:
+    """DuckDB twin of pq_codebooks + pq_encode (8 subspaces × 16 codes
+    over 64-dim vectors): the codebook sample is reselected by the same
+    md5-min-of-id rule as the IVF oracle, per-subspace squared-L2
+    distances accumulate left-associatively over the same dimension
+    order as the Spark expression tree (bit-identical doubles), and the
+    argmin tie-break (ROUND@6 then smaller code id) matches the
+    struct-min exactly."""
+    dist_cols = []
+    for s in range(8):
+        terms = " + ".join(
+            f"(e[{s * 8 + d + 1}]-cv[{s * 8 + d + 1}])*(e[{s * 8 + d + 1}]-cv[{s * 8 + d + 1}])"
+            for d in range(8)
+        )
+        dist_cols.append(f"ROUND({terms}, 6) AS d{s}")
+    argmins = ",\n    ".join(
+        f"a{s} AS (SELECT vec_id, code, d{s}, "
+        f"ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d{s}, code) AS rk FROM d)"
+        for s in range(8)
+    )
+    code_cols = ", ".join(f"CAST(a{s}.code AS INT) AS code_{s}" for s in range(8))
+    err_sum = " + ".join(f"a{s}.d{s}" for s in range(8))
+    joins = "\n    ".join(
+        f"JOIN (SELECT vec_id, code, d{s} FROM a{s} WHERE rk = 1) a{s} USING (vec_id)"
+        for s in range(8)
+    )
+    return f"""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 50),
+    cent0 AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv,
+             ('0x' || substr(md5(vec_id::VARCHAR || '-42'), 1, 15))::BIGINT AS h
+      FROM embeddings ORDER BY h ASC, vec_id ASC LIMIT 16
+    ),
+    cent AS (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS code, cv FROM cent0),
+    d AS (SELECT c.vec_id, cent.code, {", ".join(dist_cols)} FROM c, cent),
+    {argmins}
+    SELECT v.vec_id, {code_cols},
+           ROUND({err_sum}, 6) AS recon_err
+    FROM (SELECT DISTINCT vec_id FROM c) v
+    {joins}
+    ORDER BY vec_id
+    """
+
+
+@query("emb_pq_codes", _sql_pq_oracle())
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (operators/similarity.pq_encode): 64-dim
+    embeddings → 8 sub-vector codes from 16-entry codebooks + exact
+    reconstruction error — the compression audit behind a PQ ANN index
+    (8 bytes/vector instead of 256).
+
+    Scale: encoding is a pure JVM expression tree (no UDF, no shuffle)
+    — at 100 TB it encodes at scan speed; the codebook is a bounded
+    16-row driver sample, the same determinism contract as IVF."""
+    from datagouv_tools_spark.operators.similarity import pq_codebooks, pq_encode
+
+    emb = t(spark, sf_dir, "embeddings")
+    books = pq_codebooks(
+        emb, "vec_id", "embedding", dim=64, n_subspaces=8, n_codes=16
+    )
+    enc = pq_encode(
+        emb.filter(F.col("vec_id") < 50).select("vec_id", "embedding"), books
+    )
+    return enc.select(
+        "vec_id", *[f"code_{s}" for s in range(8)], "recon_err"
+    ).orderBy("vec_id")

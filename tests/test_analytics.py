@@ -562,3 +562,39 @@ def test_cc_star_edge_set_shrinks(spark):
     got = {r["node"]: r["cluster_id"] for r in labels.collect()}
     assert set(got.values()) == {0}
     assert len(got) == 129
+
+
+def test_pq_encode_codebook_vectors_have_zero_error(spark, sf01_dir):
+    """A sampled codebook vector's own sub-vectors ARE codebook entries,
+    so it must encode to reconstruction error 0; everything else must
+    encode within [0, 16) codes and non-negative error."""
+    from pyspark.sql import functions as F
+
+    from datagouv_tools_spark.operators.similarity import (
+        _ivf_centroids,
+        pq_codebooks,
+        pq_encode,
+    )
+    from datagouv_tools_spark.functions.xhash import md5_hash60
+    from datagouv_tools_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf01_dir, "embeddings")
+    books = pq_codebooks(emb, "vec_id", "embedding", dim=64, n_subspaces=8, n_codes=16)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    assert all(len(code) == 8 for b in books for code in b)
+
+    # ids of the sampled vectors (same md5-min rule)
+    h = md5_hash60(F.concat_ws("-", F.col("vec_id").cast("string"), F.lit("42")))
+    sampled_ids = [
+        r["vec_id"]
+        for r in emb.select("vec_id").orderBy(h.asc(), F.col("vec_id").asc())
+        .limit(16).collect()
+    ]
+    enc = pq_encode(emb.select("vec_id", "embedding"), books)
+    sampled = enc.filter(F.col("vec_id").isin(sampled_ids))
+    assert all(r["recon_err"] == 0.0 for r in sampled.collect())
+    bad = enc.filter(
+        (F.col("recon_err") < 0)
+        | sum((~F.col(f"code_{s}").between(0, 15)).cast("int") for s in range(8)).cast("boolean")
+    )
+    assert bad.count() == 0
