@@ -391,3 +391,96 @@ def test_foreach_batch_upsert_latest_per_key(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(table).collect()
     }
     assert again == want
+
+
+def test_streaming_dedup_gate_admits_first_seen_only(spark, tmp_path):
+    """Streaming fingerprint gate: across a multi-batch replay each
+    normalized text is admitted exactly once; re-delivery (replay of a
+    batch against an up-to-date store) admits nothing and leaves both
+    tables unchanged."""
+    from datagouv_tools_spark.functions.text import fingerprint_md5
+    from datagouv_tools_spark.streaming.dedup_gate import (
+        dedup_gate_batch,
+        foreach_batch_dedup_gate,
+    )
+
+    b1 = [(1, "the quick brown fox"), (2, "the  QUICK brown fox"), (3, "unrelated text one")]
+    b2 = [(10, "the quick brown fox"), (11, "fresh content two"), (12, "fresh content two")]
+    b3 = [(20, "unrelated text one"), (21, "last new document")]
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    for i, rows in enumerate([b1, b2, b3]):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+
+    store = str(tmp_path / "fp_store")
+    out = str(tmp_path / "admitted")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_dedup_gate(store, out, n_buckets=4)
+        )
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    all_docs = spark.createDataFrame(b1 + b2 + b3, "doc_id long, text string")
+    n_distinct = (
+        all_docs.select(fingerprint_md5("text").alias("fp")).distinct().count()
+    )
+    admitted = spark.read.parquet(out)
+    # exactly one admission per distinct fingerprint, store in sync
+    assert admitted.count() == n_distinct == 4
+    assert admitted.select("__fp").distinct().count() == n_distinct
+    assert spark.read.parquet(store).count() == n_distinct
+    # every admitted id is a real id of that fingerprint
+    fp_ids = {
+        (r["fp"], r["doc_id"])
+        for r in all_docs.select(
+            fingerprint_md5("text").alias("fp"), "doc_id"
+        ).collect()
+    }
+    assert all(
+        (r["__fp"], r["doc_id"]) in fp_ids for r in admitted.collect()
+    )
+
+    # replay the full input as one late batch: nothing new admitted
+    before_out = sorted(tuple(r) for r in spark.read.parquet(out).drop("__batch").collect())
+    before_store = sorted(tuple(r) for r in spark.read.parquet(store).collect())
+    dedup_gate_batch(all_docs, store, out, n_buckets=4, batch_id=99)
+    assert sorted(tuple(r) for r in spark.read.parquet(out).drop("__batch").collect()) == before_out
+    assert sorted(tuple(r) for r in spark.read.parquet(store).collect()) == before_store
+
+
+def test_dedup_gate_sequential_batches_deterministic(spark, tmp_path):
+    """Driving the gate batch-by-batch in a known order admits the
+    min-id doc of each fingerprint's FIRST batch, and replaying a batch
+    with its original batch_id is byte-idempotent."""
+    from datagouv_tools_spark.streaming.dedup_gate import dedup_gate_batch
+
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    b1 = spark.createDataFrame(
+        [(5, "alpha beta"), (6, "alpha  BETA"), (7, "gamma delta")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "epsilon zeta")], "doc_id long, text string"
+    )
+    dedup_gate_batch(b1, store, out, n_buckets=4, batch_id=0)
+    dedup_gate_batch(b2, store, out, n_buckets=4, batch_id=1)
+    got = {
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    }
+    # 5 (not 1: batch 1 saw 'alpha beta' first), 7, 2
+    assert got == {5, 7, 2}
+    # replay batch 2 with its original id: unchanged
+    dedup_gate_batch(b2, store, out, n_buckets=4, batch_id=1)
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {5, 7, 2}
