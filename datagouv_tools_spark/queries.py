@@ -1966,23 +1966,33 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "customer_acctbal_quartiles",
     """
     SELECT c_mktsegment,
-           list_transform(quantile_cont(c_acctbal, [0.25, 0.5, 0.75]),
-                          x -> ROUND(x, 4)) AS quartiles
+           ROUND(quantile_cont(c_acctbal, 0.25), 4) AS q25,
+           ROUND(quantile_cont(c_acctbal, 0.50), 4) AS q50,
+           ROUND(quantile_cont(c_acctbal, 0.75), 4) AS q75
     FROM customer
     GROUP BY c_mktsegment
     ORDER BY c_mktsegment
     """,
 )
 def customer_acctbal_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact multi-quantile aggregate returning an array column (both
-    engines: linear interpolation over the sorted values)."""
+    """Exact multi-quantile aggregate (linear interpolation over the
+    sorted values in both engines). One array-valued ``percentile``
+    computed per group, then flattened to q25/q50/q75 scalar columns —
+    the driver's canonicalizer sorts result values and cannot hash an
+    array<double> cell (same constraint as ``multimodal_features``)."""
     cust = t(spark, sf_dir, "customer")
     qs = F.percentile(
         F.col("c_acctbal"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
     )
     return (
         cust.groupBy("c_mktsegment")
-        .agg(F.transform(qs, lambda x: F.round(x, 4)).alias("quartiles"))
+        .agg(qs.alias("_qs"))
+        .select(
+            "c_mktsegment",
+            F.round(F.col("_qs")[0], 4).alias("q25"),
+            F.round(F.col("_qs")[1], 4).alias("q50"),
+            F.round(F.col("_qs")[2], 4).alias("q75"),
+        )
         .orderBy("c_mktsegment")
     )
 
@@ -2127,7 +2137,8 @@ def supplier_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_event_type_arrays",
     """
     SELECT user_id,
-           list_sort(list(DISTINCT event_type)) AS event_types,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',')
+               AS event_types,
            len(list(DISTINCT event_type)) AS n_types
     FROM events
     WHERE user_id < 30
@@ -2138,15 +2149,18 @@ def supplier_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def user_event_type_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-valued aggregation: per-user sorted distinct event types
     (collect_set -> sort_array gives a deterministic array despite
-    partition-order-dependent accumulation)."""
+    partition-order-dependent accumulation). The array is emitted as a
+    ','-joined string — the driver's canonicalizer cannot hash an
+    array<string> cell (same constraint as ``multimodal_features``);
+    the array form remains available inside the plan."""
     ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 30)
     return (
         ev.groupBy("user_id")
-        .agg(F.sort_array(F.collect_set("event_type")).alias("event_types"))
+        .agg(F.sort_array(F.collect_set("event_type")).alias("_event_types"))
         .select(
             "user_id",
-            "event_types",
-            F.size("event_types").cast("long").alias("n_types"),
+            F.array_join("_event_types", ",").alias("event_types"),
+            F.size("_event_types").cast("long").alias("n_types"),
         )
         .orderBy("user_id")
     )
