@@ -505,23 +505,152 @@ def pq_codebooks(
     n_subspaces: int = 8,
     n_codes: int = 16,
     seed: int = 42,
+    refine_iters: int = 0,
 ) -> list[list[list[float]]]:
     """Product-quantization codebooks: the corpus is sampled with the
     same deterministic md5-min-of-id rule as the IVF centroids
     (``_ivf_centroids``), and each sampled vector is sliced into
     ``n_subspaces`` contiguous sub-vectors — codebook[s][j] is code j
-    of subspace s. No k-means (a SQL oracle must reselect the exact
-    sample); for quantization-error auditing, spread beats optimality.
+    of subspace s. With ``refine_iters=0`` (default) there is no
+    k-means — a SQL oracle must be able to reselect the exact sample;
+    for quantization-error auditing, spread beats optimality.
 
-    Driver-side cost is bounded: only n_codes rows are collected."""
+    ``refine_iters>0`` runs that many Lloyd iterations seeded from the
+    md5 sample (so the init stays oracle-reproducible even when the
+    refined result is not SQL-expressible): assignments come from
+    ``pq_encode`` on the current books (distributed, per-row map work),
+    and the centroid update is ONE explode → groupBy(subspace, code)
+    shuffle with map-side partial means — never a per-subspace corpus
+    collect. Empty clusters keep their previous centroid. What a
+    production PQ index ships; recon_err strictly improves on the
+    sample codebook (pinned by ``tests/test_analytics.py``).
+
+    Driver-side cost is bounded: n_codes rows at init plus
+    n_subspaces × n_codes mean rows per refinement iteration."""
     if dim % n_subspaces:
         raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
     sample = _ivf_centroids(df, id_col, vec_col, n_codes, seed)
     sub = dim // n_subspaces
-    return [
+    books = [
         [list(vec[s * sub : (s + 1) * sub]) for vec in sample]
         for s in range(n_subspaces)
     ]
+    for _ in range(max(0, refine_iters)):
+        books = _pq_lloyd_step(df, books, vec_col)
+    return books
+
+
+def _pq_lloyd_step(
+    df: DataFrame, books: list[list[list[float]]], vec_col: str
+) -> list[list[list[float]]]:
+    """One distributed Lloyd iteration: assign every vector to its
+    nearest code per subspace (``pq_encode``), then recompute each
+    (subspace, code) centroid as the mean of its assigned sub-vectors.
+    One shuffle of (subspace, code, sub-vector) structs with partial
+    aggregation; ≤ n_subspaces × n_codes rows ever reach the driver."""
+    n_sub = len(books)
+    sub = len(books[0][0])
+    enc = pq_encode(df.select(vec_col), books)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                F.col(f"code_{s}").alias("c"),
+                F.array(
+                    *[
+                        F.element_at(F.col(vec_col), s * sub + d + 1).cast("double")
+                        for d in range(sub)
+                    ]
+                ).alias("v"),
+            )
+            for s in range(n_sub)
+        ]
+    )
+    ex = enc.select(F.explode(structs).alias("x")).select("x.s", "x.c", "x.v")
+    agg = ex.groupBy("s", "c").agg(
+        *[F.avg(F.col("v")[d]).alias(f"m{d}") for d in range(sub)]
+    )
+    new = [[list(cv) for cv in book] for book in books]
+    for r in agg.collect():
+        new[r["s"]][r["c"]] = [float(r[f"m{d}"]) for d in range(sub)]
+    return new
+
+
+def _pq_unpack(
+    df: DataFrame, base_cols: list[str], n_subspaces: int, round_to: int
+) -> DataFrame:
+    """Shared tail of both ``pq_encode`` impls: turn the per-subspace
+    ``__pq_best_s`` (d, c) structs into ``code_s`` columns plus the
+    left-associative rounded ``recon_err`` sum."""
+    err = F.col("__pq_best_0").getField("d")
+    for s in range(1, n_subspaces):
+        err = err + F.col(f"__pq_best_{s}").getField("d")
+    return df.select(
+        *base_cols,
+        *[
+            F.col(f"__pq_best_{s}").getField("c").alias(f"code_{s}")
+            for s in range(n_subspaces)
+        ],
+        F.round(err, round_to).alias("recon_err"),
+    )
+
+
+def _pq_encode_arrow(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str,
+    round_to: int,
+) -> DataFrame:
+    """Arrow/BLAS path: a ``mapInPandas`` kernel emits the 16 RAW
+    squared-L2 distances per subspace (vectorized numpy, accumulated
+    dimension-by-dimension in the same left-associative order as the
+    expression impl — IEEE 754 ops are deterministic, so the doubles
+    are bit-identical), then the JVM rounds and argmins. Rounding MUST
+    stay JVM-side: two raw distances can differ yet round to the same
+    value, and only round-then-(d, c)-struct-min reproduces the
+    oracle's tie-break."""
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    n_sub = len(codebooks)
+    n_codes = len(codebooks[0])
+    dist_cols = [f"__pq_dists_{s}" for s in range(n_sub)]
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField(c, ArrayType(DoubleType())) for c in dist_cols]
+    )
+    books = [[list(map(float, cv)) for cv in book] for book in codebooks]
+
+    def gen(batches):
+        import numpy as np
+
+        mats = [np.asarray(b, dtype=np.float64) for b in books]  # (codes, sub)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            emb = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            out = pdf.copy()
+            off = 0
+            for s, cs in enumerate(mats):
+                sub = cs.shape[1]
+                es = emb[:, off : off + sub]
+                dist = None
+                for d in range(sub):
+                    term = (es[:, d, None] - cs[None, :, d]) ** 2
+                    dist = term if dist is None else dist + term
+                out[dist_cols[s]] = list(dist)
+                off += sub
+            yield out
+
+    enc = df.mapInPandas(gen, schema=out_schema)
+    bests = [
+        F.expr(
+            f"array_min(zip_with(`{dist_cols[s]}`, sequence(0, {n_codes - 1}), "
+            f"(dv, j) -> named_struct('d', ROUND(dv, {int(round_to)}), "
+            f"'c', CAST(j AS INT))))"
+        ).alias(f"__pq_best_{s}")
+        for s in range(n_sub)
+    ]
+    return _pq_unpack(enc.select("*", *bests), list(df.columns), n_sub, round_to)
 
 
 def pq_encode(
@@ -529,46 +658,63 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     vec_col: str = "embedding",
     round_to: int = 6,
+    impl: str = "expr",
 ) -> DataFrame:
     """Product quantization: append ``code_s`` (nearest codebook entry
     per subspace, squared-L2, rounded@``round_to``, ties to the smaller
     code id) and ``recon_err`` (sum of the chosen per-subspace squared
     distances — the quantization error a PQ index would suffer).
 
-    Pure JVM expression tree — per-row map work inside whole-stage
-    codegen, no shuffle, no UDF: at 100 TB this encodes at scan speed.
     Distances accumulate LEFT-ASSOCIATIVELY over dimensions so a SQL
     oracle summing the same terms in the same order is bit-identical;
     the argmin is an ``array_min`` over (dist, code) structs — struct
     ordering compares dist then code, the SQL ``ORDER BY d, code``
-    tie-break."""
-    e = F.col(vec_col)
-    out = df
-    err_cols = []
+    tie-break.
+
+    ``impl="expr"`` (default) is pure JVM: per subspace, ONE compact
+    higher-order expression — ``zip_with`` over the codebook as an
+    array literal, each lambda body the 8-term left-associative
+    distance (seeded ``0.0 + t0``, exact for squares since they are
+    never ``-0.0``) — handed to ``F.expr`` as a single SQL string.
+    This shape exists for plan-cost reasons: the round-2 version built
+    the fully unrolled ~10k-node tree out of ``Column`` operators,
+    which cost ~13 s of py4j round-trips to construct plus seconds of
+    Catalyst/codegen work per submission (17.8 s total at sf0.1); the
+    HOF tree is ~30× smaller and plans in milliseconds. No shuffle, no
+    UDF; the lambda is interpreted per row, fine for encode-and-audit
+    workloads.
+
+    ``impl="arrow"`` is the 100 TB bulk-encode path: distances come
+    from a vectorized numpy kernel (same accumulation order →
+    bit-identical doubles), round/argmin stay JVM-side (see
+    ``_pq_encode_arrow`` for why). Both impls return identical rows —
+    pinned by ``tests/test_analytics.py``."""
+    if impl == "arrow":
+        return _pq_encode_arrow(df, codebooks, vec_col, round_to)
+    if impl != "expr":
+        raise ValueError(f"impl must be 'expr' or 'arrow', got {impl!r}")
+    n = len(codebooks)
+    n_codes = len(codebooks[0])
+    bests = []
     for s, book in enumerate(codebooks):
         sub = len(book[0])
-        cands = []
-        for j, code_vec in enumerate(book):
-            dist = None
-            for d, c in enumerate(code_vec):
-                el = F.element_at(e, s * sub + d + 1).cast("double")
-                term = (el - F.lit(float(c))) * (el - F.lit(float(c)))
-                dist = term if dist is None else dist + term
-            cands.append(
-                F.struct(
-                    F.round(dist, round_to).alias("d"),
-                    F.lit(j).cast("int").alias("c"),
-                )
-            )
-        best = F.array_min(F.array(*cands))
-        out = out.withColumn(f"code_{s}", best.getField("c")).withColumn(
-            f"__pq_err_{s}", best.getField("d")
+        lits = ", ".join(
+            "array(" + ", ".join(f"CAST('{float(c)!r}' AS DOUBLE)" for c in cv) + ")"
+            for cv in book
         )
-        err_cols.append(f"__pq_err_{s}")
-    err = F.col(err_cols[0])
-    for name in err_cols[1:]:
-        err = err + F.col(name)
-    return out.withColumn("recon_err", F.round(err, round_to)).drop(*err_cols)
+        dist = None
+        for d in range(sub):
+            el = f"CAST(element_at(`{vec_col}`, {s * sub + d + 1}) AS DOUBLE)"
+            term = f"(({el} - element_at(cv, {d + 1})) * ({el} - element_at(cv, {d + 1})))"
+            dist = term if dist is None else f"({dist} + {term})"
+        bests.append(
+            F.expr(
+                f"array_min(zip_with(array({lits}), sequence(0, {n_codes - 1}), "
+                f"(cv, j) -> named_struct('d', ROUND({dist}, {int(round_to)}), "
+                f"'c', CAST(j AS INT))))"
+            ).alias(f"__pq_best_{s}")
+        )
+    return _pq_unpack(df.select("*", *bests), list(df.columns), n, round_to)
 
 
 def random_projection(

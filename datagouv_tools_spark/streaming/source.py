@@ -15,6 +15,7 @@ triggers; only this runner is test-only.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -25,22 +26,43 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
-__all__ = ["EVENTS_RAW_SCHEMA", "read_events_stream", "run_to_memory"]
+__all__ = ["events_raw_schema", "read_events_stream", "run_to_memory"]
 
-#: events.parquet as Spark reads it with nanosAsLong: ts is raw int64
-#: epoch-nanoseconds (file streams require an explicit schema).
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+
+def _events_ts_is_nanos(sf_dir: str) -> bool:
+    """True when events.parquet stores ts as TIMESTAMP(NANOS) (readable
+    only as int64 via ``nanosAsLong``) or as a raw int64.
+
+    The testdata generator has shipped both nanosecond and microsecond
+    encodings across rounds; a one-footer driver-side sniff keeps the
+    stream schema in lockstep with whatever is on disk, mirroring the
+    batch catalog's dtype-driven normalization
+    (sources/catalog.py:_normalize_nanos_timestamps).
+    """
+    import pyarrow.parquet as pq
+
+    ts_type = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
+    return getattr(ts_type, "unit", None) == "ns" or str(ts_type) == "int64"
+
+
+def events_raw_schema(nanos: bool) -> StructType:
+    """events.parquet as the file-stream source must declare it (file
+    streams require an explicit schema): ts is raw int64
+    epoch-nanoseconds under ``nanosAsLong``, a plain timestamp
+    otherwise."""
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType() if nanos else TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
 
 
 def read_events_stream(
@@ -48,14 +70,17 @@ def read_events_stream(
 ) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    nanos = _events_ts_is_nanos(sf_dir)
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(events_raw_schema(nanos))
         .option("maxFilesPerTrigger", max_files_per_trigger)
         # the file-stream source requires a directory path; the glob
         # filter selects just the events file out of the shared sf_dir
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
+    if not nanos:
+        return raw
     # TimestampType (not NTZ: watermarks require it); session tz is UTC
     # above, so wall-clock values equal the batch catalog's NTZ ones.
     micros = F.expr("ts div 1000").cast("long")

@@ -598,3 +598,54 @@ def test_pq_encode_codebook_vectors_have_zero_error(spark, sf01_dir):
         | sum((~F.col(f"code_{s}").between(0, 15)).cast("int") for s in range(8)).cast("boolean")
     )
     assert bad.count() == 0
+
+
+def test_pq_encode_arrow_impl_bit_identical_to_expr(spark, sf01_dir):
+    """The Arrow/BLAS bulk-encode path must return byte-for-byte the
+    rows of the JVM expression path: same left-associative accumulation
+    order gives bit-identical doubles, and round/argmin stay JVM-side
+    in both (the tie-break would otherwise drift)."""
+    from pyspark.sql import functions as F
+
+    from datagouv_tools_spark.operators.similarity import pq_codebooks, pq_encode
+    from datagouv_tools_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf01_dir, "embeddings").select("vec_id", "embedding")
+    books = pq_codebooks(emb, "vec_id", "embedding", dim=64, n_subspaces=8, n_codes=16)
+    cols = ["vec_id", *[f"code_{s}" for s in range(8)], "recon_err"]
+    expr_rows = pq_encode(emb, books).select(*cols).orderBy("vec_id").collect()
+    arrow_rows = (
+        pq_encode(emb, books, impl="arrow").select(*cols).orderBy("vec_id").collect()
+    )
+    assert expr_rows == arrow_rows
+    # and the arrow path must not have leaked its staging columns
+    enc = pq_encode(emb, books, impl="arrow")
+    assert not [c for c in enc.columns if c.startswith("__pq")]
+    with __import__("pytest").raises(ValueError):
+        pq_encode(emb, books, impl="nope")
+
+
+def test_pq_codebooks_kmeans_refinement_improves_recon_err(spark, sf01_dir):
+    """Lloyd refinement seeded from the md5 sample must strictly shrink
+    total reconstruction error, and refine_iters=0 must return the
+    exact sample codebook (the SQL-oracle-reproducible default)."""
+    from pyspark.sql import functions as F
+
+    from datagouv_tools_spark.operators.similarity import pq_codebooks, pq_encode
+    from datagouv_tools_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf01_dir, "embeddings").select("vec_id", "embedding")
+    kw = dict(dim=64, n_subspaces=8, n_codes=16)
+    books0 = pq_codebooks(emb, "vec_id", "embedding", **kw)
+    books0_again = pq_codebooks(emb, "vec_id", "embedding", **kw, refine_iters=0)
+    assert books0 == books0_again
+    books2 = pq_codebooks(emb, "vec_id", "embedding", **kw, refine_iters=2)
+    assert books2 != books0
+
+    def total_err(books):
+        return (
+            pq_encode(emb, books).agg(F.sum("recon_err").alias("e")).first()["e"]
+        )
+
+    e0, e2 = total_err(books0), total_err(books2)
+    assert e2 < e0, f"refined {e2} not better than sample {e0}"

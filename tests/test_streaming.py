@@ -147,17 +147,11 @@ def _multi_batch_events_dir(spark, sf_dir, tmp_path, n_files=3):
 
 
 def _read_split_stream(spark, split_dir):
-    from pyspark.sql.types import StructField, StructType, TimestampType
-    from datagouv_tools_spark.streaming.source import EVENTS_RAW_SCHEMA
+    from datagouv_tools_spark.streaming.source import events_raw_schema
 
     # the split files carry proper micro timestamps (written by Spark),
-    # not the raw nanos of the driver testdata
-    schema = StructType(
-        [
-            f if f.name != "ts" else StructField("ts", TimestampType())
-            for f in EVENTS_RAW_SCHEMA.fields
-        ]
-    )
+    # never the raw nanos some driver testdata generations used
+    schema = events_raw_schema(nanos=False)
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -283,10 +277,8 @@ def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
     production ingest restartable without dedup sweeps."""
     import glob
 
-    from pyspark.sql.types import StructField, StructType, TimestampType
-
     from datagouv_tools_spark.sources.catalog import load_table
-    from datagouv_tools_spark.streaming.source import EVENTS_RAW_SCHEMA
+    from datagouv_tools_spark.streaming.source import events_raw_schema
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
     in_dir = str(tmp_path / "in")
@@ -294,12 +286,7 @@ def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
     second = ev.filter(F.col("event_id") >= 1000)
     first.coalesce(1).write.mode("append").parquet(in_dir)
 
-    schema = StructType(
-        [
-            f if f.name != "ts" else StructField("ts", TimestampType())
-            for f in EVENTS_RAW_SCHEMA.fields
-        ]
-    )
+    schema = events_raw_schema(nanos=False)
     sink = str(tmp_path / "sink")
     chk = str(tmp_path / "chk")
 
@@ -483,4 +470,67 @@ def test_dedup_gate_sequential_batches_deterministic(spark, tmp_path):
     assert got == {5, 7, 2}
     # replay batch 2 with its original id: unchanged
     dedup_gate_batch(b2, store, out, n_buckets=4, batch_id=1)
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {5, 7, 2}
+
+
+def test_dedup_gate_out_of_order_replay_exactly_once(spark, tmp_path):
+    """A stale driver re-submitting batch N AFTER batch N+1 already
+    committed (zombie-driver race: the store is 'ahead' of the replayed
+    batch's original view) must keep admission exactly-once: the replay
+    anti-joins against the newer store, admits nothing, and dynamic
+    overwrite touches no partition — neither its own nor batch N+1's."""
+    from datagouv_tools_spark.streaming.dedup_gate import dedup_gate_batch
+
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    b0 = spark.createDataFrame(
+        [(5, "alpha beta"), (7, "gamma delta")], "doc_id long, text string"
+    )
+    # batch 1 re-delivers 'alpha beta' under a smaller id
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "epsilon zeta")], "doc_id long, text string"
+    )
+    dedup_gate_batch(b0, store, out, n_buckets=4, batch_id=0)
+    dedup_gate_batch(b1, store, out, n_buckets=4, batch_id=1)
+    snap_out = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    snap_store = sorted(tuple(r) for r in spark.read.parquet(store).collect())
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {5, 7, 2}
+
+    # batch 0 replays AFTER batch 1 committed
+    dedup_gate_batch(b0, store, out, n_buckets=4, batch_id=0)
+    assert sorted(tuple(r) for r in spark.read.parquet(out).collect()) == snap_out
+    assert (
+        sorted(tuple(r) for r in spark.read.parquet(store).collect()) == snap_store
+    )
+    # batch 0's own slice specifically still holds exactly its docs
+    p0 = spark.read.parquet(out).filter(F.col("__batch") == 0)
+    assert {r["doc_id"] for r in p0.collect()} == {5, 7}
+
+
+def test_dedup_gate_replay_after_lost_store_merge(spark, tmp_path):
+    """Crash between step 1 (output write) and step 2 (store merge):
+    the replayed batch sees a store MISSING its own fingerprints,
+    recomputes the identical admitted set, and dynamic overwrite
+    rewrites its own partition byte-identically — then later batches
+    proceed exactly-once against the repaired store."""
+    import shutil
+
+    from datagouv_tools_spark.streaming.dedup_gate import dedup_gate_batch
+
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    b0 = spark.createDataFrame(
+        [(5, "alpha beta"), (6, "alpha  BETA"), (7, "gamma delta")],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "epsilon zeta")], "doc_id long, text string"
+    )
+    dedup_gate_batch(b0, store, out, n_buckets=4, batch_id=0)
+    snap_out = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    # simulate the crash: the output committed but the store merge was lost
+    shutil.rmtree(store)
+    dedup_gate_batch(b0, store, out, n_buckets=4, batch_id=0)
+    assert sorted(tuple(r) for r in spark.read.parquet(out).collect()) == snap_out
+    dedup_gate_batch(b1, store, out, n_buckets=4, batch_id=1)
     assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {5, 7, 2}
