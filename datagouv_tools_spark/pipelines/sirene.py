@@ -65,12 +65,14 @@ def import_sirene(
     bulk_copy: bool = True,
     staging_dir: str | None = None,
     parquet_out: str | None = None,
+    out_format: str = "parquet",
 ) -> dict[str, list[str] | str]:
     """Import every discovered SIRENE source.
 
     Returns per-table: the dry-run SQL statements (connection=None), or
-    the parquet path (parquet_out set), mirroring the reference's
-    connection-or-fake dispatch (import_sirene.py:424-425).
+    the lake path (parquet_out set; ``out_format`` picks parquet/orc —
+    both keep the pushdown-verified scan path), mirroring the
+    reference's connection-or-fake dispatch (import_sirene.py:424-425).
     """
     sirene_path = Path(sirene_path)
     assert sirene_path.exists(), f"no such path: {sirene_path}"
@@ -86,7 +88,7 @@ def import_sirene(
         if parquet_out:
             from datagouv_tools_spark.sinks.sink import ParquetSink
 
-            results[table] = ParquetSink(parquet_out).write(df, table)
+            results[table] = ParquetSink(parquet_out, fmt=out_format).write(df, table)
         else:
             dialect = get_dialect(rdbms)
             sink = SqlSink(

@@ -210,14 +210,23 @@ class ParquetSink:
     and its parquet min/max statistics prune whole files for range
     predicates — the second layout lever next to directory partitioning
     (``partition_by`` prunes directories; ``range_by`` prunes files and
-    row groups within the scan)."""
+    row groups within the scan).
+
+    ``fmt`` selects the lake format through ``sources.formats`` —
+    "parquet" (default) or "orc" keep the identical pushdown/pruning
+    plan properties (both are DataSource scans with min/max stats);
+    json/csv are accepted for interchange staging but inherit that
+    module's representability guards."""
 
     base_path: str
     partition_by: tuple[str, ...] = ()
     range_by: tuple[str, ...] = ()
     range_partitions: int | None = None
+    fmt: str = "parquet"
 
     def write(self, df: DataFrame, table: str, mode: str = "overwrite") -> str:
+        from datagouv_tools_spark.sources.formats import write_table
+
         path = f"{self.base_path.rstrip('/')}/{table}"
         if self.range_by:
             cols = [df[c] for c in self.range_by]
@@ -226,10 +235,13 @@ class ParquetSink:
             else:
                 df = df.repartitionByRange(*cols)
             df = df.sortWithinPartitions(*self.range_by)
-        writer = df.write.mode(mode)
-        if self.partition_by:
-            writer = writer.partitionBy(*self.partition_by)
-        writer.parquet(path)
+        write_table(
+            df,
+            path,
+            fmt=self.fmt,
+            mode=mode,
+            partition_by=list(self.partition_by) or None,
+        )
         return path
 
 

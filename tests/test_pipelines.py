@@ -432,3 +432,31 @@ def test_cli_deces_sqlite(spark, deces_file, tmp_path, capsys):
         assert con.execute("SELECT COUNT(*) FROM deces").fetchone()[0] == 3
     finally:
         con.close()
+
+
+def test_import_sirene_orc_end_to_end_keeps_pushdown(spark, sirene_dir, tmp_path):
+    """SIRENE staged through an ORC-backed lake (ParquetSink fmt="orc")
+    must serve queries with the same plan guarantees as parquet: the
+    filter reaches the ORC scan as a pushed predicate and the ReadSchema
+    is pruned to the selected columns."""
+    from pyspark.sql import functions as F
+
+    from datagouv_tools_spark.plans.inspect import pushed_filters, read_schemas
+    from datagouv_tools_spark.sources.formats import read_table
+
+    out = import_sirene(
+        spark, sirene_dir, parquet_out=str(tmp_path / "lake"), out_format="orc"
+    )
+    assert set(out) == {"stock_unite_legale"}
+    path = out["stock_unite_legale"]
+    import glob
+
+    assert glob.glob(path + "/*.orc"), "expected ORC data files"
+    df = read_table(spark, path, fmt="orc")
+    q = df.filter(F.col("siren") == "123456789").select("siren", "nombre_periodes")
+    rows = q.collect()
+    assert len(rows) == 1 and rows[0]["nombre_periodes"] == 3
+    assert any("siren" in f for f in pushed_filters(q))
+    schemas = read_schemas(q)
+    assert len(schemas) == 1
+    assert "date_creation_unite_legale" not in schemas[0]  # pruned
