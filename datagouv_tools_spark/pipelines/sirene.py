@@ -66,6 +66,7 @@ def import_sirene(
     staging_dir: str | None = None,
     parquet_out: str | None = None,
     out_format: str = "parquet",
+    dsn: str | None = None,
 ) -> dict[str, list[str] | str]:
     """Import every discovered SIRENE source.
 
@@ -73,7 +74,12 @@ def import_sirene(
     the lake path (parquet_out set; ``out_format`` picks parquet/orc —
     both keep the pushdown-verified scan path), mirroring the
     reference's connection-or-fake dispatch (import_sirene.py:424-425).
-    """
+
+    ``dsn`` (PostgreSQL URL) is the live-server path: DDL phases run
+    over a connection built from it, and with ``bulk_copy=True`` the
+    data loads through the distributed COPY fast path
+    (sinks/pg_copy.copy_loader) instead of row INSERTs — the
+    reference's bulk_copy dispatch (import_sirene.py:137-141)."""
     sirene_path = Path(sirene_path)
     assert sirene_path.exists(), f"no such path: {sirene_path}"
     staging = staging_dir or tempfile.mkdtemp(prefix="sirene_staging_")
@@ -91,11 +97,23 @@ def import_sirene(
             results[table] = ParquetSink(parquet_out, fmt=out_format).write(df, table)
         else:
             dialect = get_dialect(rdbms)
+            if connection is None and dsn is not None and rdbms == "pg":
+                from datagouv_tools_spark.sinks.pg_copy import _connect
+
+                connection = _connect(dsn)
+            if connection is None:
+                loader = None
+            elif bulk_copy and dsn is not None and rdbms == "pg":
+                from datagouv_tools_spark.sinks.pg_copy import copy_loader
+
+                loader = copy_loader(dsn)
+            else:
+                loader = dbapi_insert_loader(connection, dialect)
             sink = SqlSink(
                 dialect=dialect,
                 executor=DryRunExecutor() if connection is None else _db_executor(connection),
                 index_provider=SireneIndexProvider(),
-                loader=None if connection is None else dbapi_insert_loader(connection, dialect),
+                loader=loader,
             )
             sink.write(df, table)
             if isinstance(sink.executor, DryRunExecutor):

@@ -11,12 +11,16 @@ as CSV — the reference's "one connection per consumer thread"
 
 Driver dispatch: psycopg 3 (``cursor.copy()`` context) when present,
 else pg8000 — the reference's own driver (reference setup.py) — whose
-DB-API cursor streams COPY via ``execute(sql, stream=file_like)``.
-Neither is installed in this container, so ``_connect`` degrades to a
-clear ImportError at call time; the CSV serialization, the COPY
-statement text, and the per-driver call sequence are real and
-unit-tested against mocked connections (the reference's
-tests/sql/test_postgres.py pattern).
+DB-API cursor streams COPY via ``execute(sql, stream=file_like)``,
+else the ``psql`` CLI (``PsqlCliConnection``): the identical CSV byte
+stream is piped to ``psql -c "COPY ... FROM STDIN"``'s stdin, one
+subprocess per partition stream — for environments that ship the
+PostgreSQL client binary but no Python driver (this container). The
+CSV serialization, COPY statement text, and per-driver call sequences
+are additionally unit-tested against mocked connections (the
+reference's tests/sql/test_postgres.py pattern), and the whole staged
+path runs live in ``tests/test_schema.py::test_staged_copy_live_postgres``
+whenever PGHOST points at a real server.
 
 Transactionality at scale: per-partition COPY loses the single-commit
 semantics of the reference. ``staged_copy`` therefore loads into a
@@ -97,12 +101,159 @@ def _connect(dsn: str):
         pass
     try:
         import pg8000.dbapi  # type: ignore[import-not-found]
-    except ImportError as exc:
-        raise ImportError(
-            "PostgreSQL COPY fast path needs psycopg or pg8000 on the "
-            "executors; install one or use the JDBC INSERT loader."
-        ) from exc
-    return pg8000.dbapi.connect(**_parse_dsn(dsn))
+
+        return pg8000.dbapi.connect(**_parse_dsn(dsn))
+    except ImportError:
+        pass
+    import shutil
+
+    if shutil.which("psql"):
+        return PsqlCliConnection(dsn)
+    raise ImportError(
+        "PostgreSQL COPY fast path needs psycopg, pg8000, or the psql "
+        "CLI on the executors; install one or use the JDBC INSERT loader."
+    )
+
+
+_COPY_TEXT_UNESCAPE = {
+    "n": "\n",
+    "t": "\t",
+    "r": "\r",
+    "b": "\b",
+    "f": "\f",
+    "v": "\v",
+    "\\": "\\",
+}
+
+
+def _parse_copy_text(out: str) -> list[tuple]:
+    """Parse ``COPY ... TO STDOUT`` text-format output: tab-separated
+    fields, ``\\N`` for NULL, backslash escapes for control bytes —
+    the only psql output format that round-trips NULL-vs-empty and
+    embedded newlines losslessly."""
+
+    def unescape(field: str):
+        if field == "\\N":
+            return None
+        chars: list[str] = []
+        i = 0
+        while i < len(field):
+            if field[i] == "\\" and i + 1 < len(field):
+                chars.append(_COPY_TEXT_UNESCAPE.get(field[i + 1], field[i + 1]))
+                i += 2
+            else:
+                chars.append(field[i])
+                i += 1
+        return "".join(chars)
+
+    return [
+        tuple(unescape(f) for f in line.split("\t"))
+        for line in out.split("\n")
+        if line != ""
+    ]
+
+
+class PsqlCliCursor:
+    """Cursor facade over the ``psql`` binary (see ``PsqlCliConnection``)."""
+
+    def __init__(self, conn: "PsqlCliConnection"):
+        self._conn = conn
+        self._rows: list[tuple] = []
+
+    def execute(self, sql: str) -> None:
+        s = sql.lstrip()
+        if s[:6].upper() == "SELECT":
+            # lossless fetch path: route the query through COPY TEXT
+            self._conn._flush()
+            out = self._conn._run_capture(f"COPY ({sql.rstrip(';')}) TO STDOUT")
+            self._rows = _parse_copy_text(out)
+        else:
+            # queue DDL/DML; conn.commit() flushes the whole batch in
+            # ONE transaction (psql --single-transaction), preserving
+            # staged_copy's atomic-swap semantics
+            self._conn._pending.append(sql)
+            self._rows = []
+
+    def copy_stdin(self, copy_sql: str, chunks: Iterator[bytes]) -> None:
+        self._conn._flush()
+        self._conn._run_stdin(copy_sql, chunks)
+
+    def fetchall(self) -> list[tuple]:
+        return self._rows
+
+    def close(self) -> None:
+        pass
+
+
+class PsqlCliConnection:
+    """COPY transport over the ``psql`` CLI — no Python driver needed.
+
+    Statements queue until ``commit()``, which replays them inside one
+    ``psql --single-transaction`` invocation; COPY streams the chunk
+    iterator straight into the subprocess's stdin. All the byte-level
+    framing (``rows_to_csv_chunks``) is shared with the driver paths."""
+
+    def __init__(self, dsn: str):
+        self._dsn = dsn
+        self._pending: list[str] = []
+
+    def _argv(self, *extra: str) -> list[str]:
+        return ["psql", self._dsn, "-v", "ON_ERROR_STOP=1", "-q", *extra]
+
+    def _run_capture(self, sql: str) -> str:
+        import subprocess
+
+        res = subprocess.run(
+            self._argv("-c", sql), capture_output=True, text=True
+        )
+        if res.returncode:
+            raise RuntimeError(f"psql failed: {res.stderr.strip()}")
+        return res.stdout
+
+    def _run_stdin(self, copy_sql: str, chunks: Iterator[bytes]) -> None:
+        import subprocess
+
+        proc = subprocess.Popen(
+            self._argv("-c", copy_sql),
+            stdin=subprocess.PIPE,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.PIPE,
+        )
+        assert proc.stdin is not None
+        try:
+            for chunk in chunks:
+                proc.stdin.write(chunk)
+        except Exception:
+            proc.kill()
+            proc.wait()
+            raise
+        _, err = proc.communicate()  # flushes + closes stdin, waits
+        if proc.returncode:
+            raise RuntimeError(f"psql COPY failed: {err.decode().strip()}")
+
+    def _flush(self) -> None:
+        if not self._pending:
+            return
+        import subprocess
+
+        sql = ";\n".join(s.rstrip(";") for s in self._pending)
+        self._pending = []
+        res = subprocess.run(
+            self._argv("--single-transaction", "-c", sql),
+            capture_output=True,
+            text=True,
+        )
+        if res.returncode:
+            raise RuntimeError(f"psql failed: {res.stderr.strip()}")
+
+    def cursor(self) -> PsqlCliCursor:
+        return PsqlCliCursor(self)
+
+    def commit(self) -> None:
+        self._flush()
+
+    def close(self) -> None:
+        self._flush()
 
 
 class _ChunkStream(io.RawIOBase):
@@ -133,10 +284,13 @@ class _ChunkStream(io.RawIOBase):
 
 def _copy_with_connection(conn, copy_sql: str, chunks: Iterator[bytes]) -> None:
     """Drive one COPY stream on an open connection, dispatching on the
-    driver's COPY API (psycopg 3 ``cursor.copy``; pg8000 ``stream=``)."""
+    driver's COPY API (psql CLI stdin pipe; psycopg 3 ``cursor.copy``;
+    pg8000 ``stream=``)."""
     cur = conn.cursor()
     try:
-        if hasattr(cur, "copy"):  # psycopg 3
+        if hasattr(cur, "copy_stdin"):  # psql CLI transport
+            cur.copy_stdin(copy_sql, chunks)
+        elif hasattr(cur, "copy"):  # psycopg 3
             with cur.copy(copy_sql) as copy:
                 for chunk in chunks:
                     copy.write(chunk)
@@ -210,3 +364,15 @@ def staged_copy(
         conn.commit()
     finally:
         conn.close()
+
+
+def copy_loader(dsn: str, num_partitions: int | None = None):
+    """``SqlSink`` loader using the COPY fast path (K4): the sink's DDL
+    phases own DROP/CREATE/ANALYZE/INDEX; this streams every partition
+    into the freshly created table via COPY FROM STDIN (reference
+    import_sirene.py bulk_copy=True dispatch)."""
+
+    def load(df: DataFrame, table: str) -> None:
+        copy_dataframe(df, dsn, table, num_partitions)
+
+    return load

@@ -460,3 +460,46 @@ def test_import_sirene_orc_end_to_end_keeps_pushdown(spark, sirene_dir, tmp_path
     schemas = read_schemas(q)
     assert len(schemas) == 1
     assert "date_creation_unite_legale" not in schemas[0]  # pruned
+
+
+def test_import_sirene_live_postgres_bulk_copy(spark, sirene_dir, pg_dsn):
+    """The reference's bulk_copy=True path, executed against a real
+    PostgreSQL server: DDL phases (drop/create), distributed COPY FROM
+    STDIN data load, ANALYZE, and post-load hash index on siren — then
+    the loaded rows must match the source exactly (including the
+    empty-vs-NULL distinction the COPY CSV framing preserves)."""
+    from datagouv_tools_spark.sinks.pg_copy import _connect
+
+    out = import_sirene(spark, sirene_dir, rdbms="pg", dsn=pg_dsn, bulk_copy=True)
+    assert out == {"stock_unite_legale": "loaded"}
+
+    conn = _connect(pg_dsn)
+    try:
+        cur = conn.cursor()
+        cur.execute(
+            "SELECT siren, date_creation_unite_legale, annee_effectifs, "
+            'nombre_periodes FROM "stock_unite_legale" ORDER BY siren'
+        )
+        got = [tuple(str(v) if v is not None else None for v in r) for r in cur.fetchall()]
+        cur.execute(
+            "SELECT indexname FROM pg_indexes "
+            "WHERE tablename = 'stock_unite_legale'"
+        )
+        indexes = {r[0] for r in cur.fetchall()}
+        cur.close()
+        conn.commit()
+    finally:
+        conn.close()
+    from decimal import Decimal
+
+    # nombre_periodes is a numeric column (dessin type Numérique):
+    # compare as Decimal so scale representation doesn't matter
+    norm = [
+        (r[0], r[1], r[2], Decimal(r[3]) if r[3] is not None else None)
+        for r in got
+    ]
+    assert norm == [
+        ("123456789", "2001-05-04", "2020", Decimal(3)),
+        ("987654321", None, "1999", None),  # '' date -> NULL, 'x' -> NULL
+    ]
+    assert any("siren" in ix for ix in indexes), indexes

@@ -406,37 +406,16 @@ def test_copy_csv_empty_string_vs_null():
     assert body == b'1,""\n2,\n'
 
 
-def _pg_available() -> bool:
-    import importlib.util
-    import os
-
-    has_driver = (
-        importlib.util.find_spec("pg8000") is not None
-        or importlib.util.find_spec("psycopg") is not None
-    )
-    return has_driver and bool(os.environ.get("PGHOST"))
-
-
-@pytest.mark.skipif(
-    not _pg_available(),
-    reason="live COPY integration needs pg8000/psycopg + PGHOST "
-    "(neither driver nor server exists in this sandbox; the framing is "
-    "proven by the DuckDB round-trip above)",
-)
-def test_staged_copy_live_postgres(spark):
-    """Against a real server (PGHOST/PGPORT/PGUSER/PGPASSWORD/PGDATABASE):
-    staged_copy must move real bytes through COPY FROM STDIN and the
-    loaded table must match the DataFrame exactly."""
-    import os
-
+def test_staged_copy_live_postgres(spark, pg_dsn):
+    """Against a real server (PGHOST env, or the session-scoped
+    throwaway server the ``pg_dsn`` fixture bootstraps from local
+    PostgreSQL binaries): staged_copy must move real bytes through
+    COPY FROM STDIN and the loaded table must match the DataFrame
+    exactly. Transport dispatch (psycopg/pg8000/psql CLI) is exercised
+    as deployed — in this container that is the psql CLI pipe."""
     from datagouv_tools_spark.sinks.pg_copy import _connect, staged_copy
 
-    user = os.environ.get("PGUSER", "postgres")
-    pwd = os.environ.get("PGPASSWORD", "")
-    host = os.environ["PGHOST"]
-    port = os.environ.get("PGPORT", "5432")
-    db = os.environ.get("PGDATABASE", "postgres")
-    dsn = f"postgresql://{user}:{pwd}@{host}:{port}/{db}"
+    dsn = pg_dsn
 
     df = spark.createDataFrame(
         [(1, "plain"), (2, "comma, quote\" and\nnewline"), (3, None), (4, "")],
@@ -448,7 +427,8 @@ def test_staged_copy_live_postgres(spark):
     try:
         cur = conn.cursor()
         cur.execute('SELECT id, label FROM "dg_spark_copy_smoke" ORDER BY id')
-        got = [tuple(r) for r in cur.fetchall()]
+        # the psql-CLI transport returns text fields; real drivers return int
+        got = [(int(r[0]), r[1]) for r in cur.fetchall()]
         cur.execute('DROP TABLE "dg_spark_copy_smoke"')
         cur.close()
         conn.commit()
