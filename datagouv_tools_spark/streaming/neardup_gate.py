@@ -1,0 +1,174 @@
+"""Streaming NEAR-duplicate admission gate: MinHash-LSH against a
+persistent band-bucket store.
+
+`streaming/dedup_gate.py` admits exactly-new documents (normalized
+fingerprint equality); this gate generalizes admission to near-
+duplicates: a document is rejected when any of its LSH band buckets was
+already claimed by an admitted document — the streaming analog of
+``operators/dedup.minhash_cluster_edges`` blocking, with the same
+signature/banding parameters (k permutations, k//bands rows per band,
+``functions/xhash`` md5 option for cross-engine reproducibility).
+
+State is a persistent parquet store of (band_idx, band_hash) pairs,
+hash-partitioned into ``n_store_buckets`` directories — per batch only
+the touched store partitions are read (an anti-join against a bounded
+slice, never a history scan), and only admitted documents' bands merge
+back. Store size is admitted_docs × bands rows of two longs — orders
+of magnitude smaller than the corpus.
+
+Admission rule (deterministic, single aggregation, no iteration):
+a document d is admitted iff EVERY band bucket of d
+
+1. misses the store (no previously admitted near-neighbor), and
+2. has d as its minimum document id within the batch (no smaller-id
+   in-flight near-neighbor).
+
+This is the conservative greedy: a document whose bucket-mate was
+itself rejected may also be rejected (transitive chains inside one
+batch over-drop), which errs toward precision under duplicate floods —
+the failure mode that matters at ingest. Cross-batch, admission is
+exactly greedy-by-arrival (the store only ever contains admitted
+documents' bands).
+
+Replay idempotence mirrors dedup_gate: output partitioned by the
+checkpoint-stable micro-batch id is written FIRST (dynamic overwrite —
+a replay rewrites only its own slice), the store merge second; a
+replay against an already-merged store admits nothing and touches
+nothing. Exercised for in-order, out-of-order (batch N after N+1), and
+lost-store-merge replays in ``tests/test_streaming.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["neardup_gate_batch", "foreach_batch_neardup_gate"]
+
+
+def _store_bucket(n_store_buckets: int):
+    return F.pmod(
+        F.xxhash64(F.col("band_idx"), F.col("band_hash")), F.lit(n_store_buckets)
+    ).cast("int")
+
+
+def neardup_gate_batch(
+    batch: DataFrame,
+    store_path: str,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    token_hash: str = "xxhash64",
+    n_store_buckets: int = 16,
+    batch_id: int = 0,
+) -> None:
+    """Admit one (micro-)batch through the near-dup gate.
+
+    ``batch_id`` must be the streaming micro-batch id (stable across
+    checkpointed replays); it partitions the output so a replay
+    rewrites only its own slice."""
+    from datagouv_tools_spark.operators.dedup import _band_entries
+
+    spark = batch.sparkSession
+    entries = _band_entries(
+        batch, text_col, id_col, k, bands, seed, token_hash, band_key="hash"
+    ).withColumn("__bucket", _store_bucket(n_store_buckets))
+    touched = [r["__bucket"] for r in entries.select("__bucket").distinct().collect()]
+    if not touched:
+        return
+
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(store_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    store_exists = fs.exists(jpath)
+    if store_exists:
+        known = (
+            spark.read.parquet(store_path)
+            .filter(F.col("__bucket").isin(touched))
+            .select("band_idx", "band_hash")
+            .withColumn("__known", F.lit(True))
+        )
+        marked = entries.join(known, ["band_idx", "band_hash"], "left")
+    else:
+        marked = entries.withColumn("__known", F.lit(None).cast("boolean"))
+
+    # batch-local min id per bucket; a doc survives only if it owns the
+    # minimum in EVERY one of its buckets and none of them hit the store
+    batch_min = marked.groupBy("band_idx", "band_hash").agg(
+        F.min(id_col).alias("__batch_min")
+    )
+    verdict = (
+        marked.join(batch_min, ["band_idx", "band_hash"])
+        .groupBy(id_col)
+        .agg(
+            F.max(F.coalesce(F.col("__known"), F.lit(False)).cast("int")).alias(
+                "__any_known"
+            ),
+            F.max(
+                (F.col("__batch_min") != F.col(id_col)).cast("int")
+            ).alias("__any_not_min"),
+        )
+        .filter((F.col("__any_known") == 0) & (F.col("__any_not_min") == 0))
+        .select(id_col)
+    )
+    admitted = batch.join(verdict, id_col, "left_semi")
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # 1) output first (module docstring: the replay argument)
+        admitted.withColumn("__batch", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).partitionBy("__batch").parquet(out_path)
+        # 2) then the store: touched buckets ∪ admitted docs' bands
+        new_bands = (
+            entries.join(verdict, id_col, "left_semi")
+            .select("band_idx", "band_hash", "__bucket")
+            .distinct()
+        )
+        if store_exists:
+            merged = (
+                spark.read.parquet(store_path)
+                .filter(F.col("__bucket").isin(touched))
+                .select("band_idx", "band_hash", "__bucket")
+                .unionByName(new_bands)
+                .distinct()
+            )
+        else:
+            merged = new_bands
+        merged.write.mode("overwrite").partitionBy("__bucket").parquet(store_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def foreach_batch_neardup_gate(
+    store_path: str,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    token_hash: str = "xxhash64",
+    n_store_buckets: int = 16,
+):
+    """``writeStream.foreachBatch`` callback wiring ``neardup_gate_batch``."""
+
+    def run(batch: DataFrame, batch_id: int) -> None:
+        neardup_gate_batch(
+            batch,
+            store_path,
+            out_path,
+            text_col,
+            id_col,
+            k,
+            bands,
+            seed,
+            token_hash,
+            n_store_buckets,
+            batch_id,
+        )
+
+    return run

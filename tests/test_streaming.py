@@ -534,3 +534,108 @@ def test_dedup_gate_replay_after_lost_store_merge(spark, tmp_path):
     assert sorted(tuple(r) for r in spark.read.parquet(out).collect()) == snap_out
     dedup_gate_batch(b1, store, out, n_buckets=4, batch_id=1)
     assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {5, 7, 2}
+
+
+# --- streaming NEAR-dup gate (streaming/neardup_gate.py) ------------------
+
+TA = "alpha beta gamma delta epsilon zeta eta theta"
+TA_REORDER = "theta eta zeta epsilon delta gamma beta alpha alpha"  # same token set
+TB = "one two three four five six seven eight"
+TC = "red orange yellow green blue indigo violet ultraviolet"
+
+
+def test_neardup_gate_sequential_batches(spark, tmp_path):
+    """Greedy near-dup admission across batches: a later document whose
+    token SET matches an admitted one (identical MinHash signature ⇒
+    every band collides) is rejected; genuinely new content is
+    admitted; within a batch the min-id bucket owner wins."""
+    from datagouv_tools_spark.streaming.neardup_gate import neardup_gate_batch
+
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    b0 = spark.createDataFrame(
+        [(5, TA), (9, TA_REORDER), (7, TB)], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(1, TA_REORDER), (2, TC)], "doc_id long, text string"
+    )
+    neardup_gate_batch(b0, store, out, k=16, bands=8, batch_id=0)
+    # 9 rejected within-batch (5 owns its buckets); both admitted docs present
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {5, 7}
+    neardup_gate_batch(b1, store, out, k=16, bands=8, batch_id=1)
+    # 1 is a near-dup of ADMITTED 5 (store hit) despite its smaller id
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {5, 7, 2}
+    # store holds only admitted documents' bands: 3 docs × 8 bands max
+    assert spark.read.parquet(store).count() <= 3 * 8
+
+
+def test_neardup_gate_out_of_order_and_lost_store_replay(spark, tmp_path):
+    """Replay safety, same contract as dedup_gate: batch 0 replayed
+    after batch 1 committed admits nothing and changes nothing; batch 0
+    replayed after a LOST store merge recomputes the identical admitted
+    slice and repairs the store."""
+    import shutil
+
+    from datagouv_tools_spark.streaming.neardup_gate import neardup_gate_batch
+
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    b0 = spark.createDataFrame([(5, TA), (7, TB)], "doc_id long, text string")
+    b1 = spark.createDataFrame([(1, TA_REORDER), (2, TC)], "doc_id long, text string")
+
+    neardup_gate_batch(b0, store, out, k=16, bands=8, batch_id=0)
+    snap0 = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    # lost store merge: replay batch 0 against a missing store
+    shutil.rmtree(store)
+    neardup_gate_batch(b0, store, out, k=16, bands=8, batch_id=0)
+    assert sorted(tuple(r) for r in spark.read.parquet(out).collect()) == snap0
+
+    neardup_gate_batch(b1, store, out, k=16, bands=8, batch_id=1)
+    snap_out = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    snap_store = sorted(tuple(r) for r in spark.read.parquet(store).collect())
+    # out-of-order: batch 0 replays after batch 1 committed
+    neardup_gate_batch(b0, store, out, k=16, bands=8, batch_id=0)
+    assert sorted(tuple(r) for r in spark.read.parquet(out).collect()) == snap_out
+    assert (
+        sorted(tuple(r) for r in spark.read.parquet(store).collect()) == snap_store
+    )
+
+
+def test_neardup_gate_streaming_end_to_end(spark, tmp_path):
+    """foreachBatch wiring under a real availableNow replay: per-file
+    micro-batches, near-dups rejected across batch boundaries."""
+    from datagouv_tools_spark.streaming.neardup_gate import (
+        foreach_batch_neardup_gate,
+    )
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    batches = [
+        [(5, TA), (7, TB)],
+        [(10, TA_REORDER), (11, TC)],
+    ]
+    import time as _time
+
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(str(src / f"b{i}"))
+        _time.sleep(1.1)  # distinct mtimes pin file-source batch order
+
+    store = str(tmp_path / "fp_store")
+    out = str(tmp_path / "admitted")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_neardup_gate(store, out, k=16, bands=8)
+        )
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {5, 7, 11}
