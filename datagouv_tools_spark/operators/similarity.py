@@ -37,6 +37,7 @@ __all__ = [
     "ivf_assign",
     "ivf_topk",
     "random_projection",
+    "pq_adc_topk",
     "pq_codebooks",
     "pq_encode",
 ]
@@ -748,3 +749,62 @@ def random_projection(
         for plane in planes
     ]
     return df.withColumn(out_col, F.array(*dims))
+
+
+def pq_adc_topk(
+    df_codes: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k — the search side of product
+    quantization (``pq_encode`` is the index side): approximate
+    squared-L2 distance from ``query_vec`` to each encoded corpus row
+    as the sum of per-subspace lookup-table entries,
+
+        adc_dist(v) = Σ_s LUT[s][code_s(v)],
+        LUT[s][j] = ||query_s − codebook[s][j]||²  (left-assoc over dims)
+
+    The LUTs are computed driver-side from the query vector
+    (n_subspaces × n_codes doubles — trivially bounded) and inlined as
+    array literals; per corpus row the distance is n_subspaces array
+    indexings + adds — at 100 TB that replaces a 64-float kernel per
+    row with 8 lookups over an 8-byte code, pure map work, and the
+    top-k is a TakeOrdered (per-partition heaps, driver merge of k·P
+    rows), no global sort, no shuffle of the corpus.
+
+    Bit-exactness for the oracle: LUT entries are raw Python-float
+    sums in dimension order (IEEE doubles — identical to a SQL engine
+    summing the same terms in the same order); only the final
+    n_subspaces-term sum is rounded@``round_to``. Ties break to the
+    smaller id. ``df_codes`` must carry ``code_s`` columns as produced
+    by ``pq_encode``."""
+    luts: list[list[float]] = []
+    for s, book in enumerate(codebooks):
+        sub = len(book[0])
+        row = []
+        for code_vec in book:
+            acc = None
+            for d, c in enumerate(code_vec):
+                t = (float(query_vec[s * sub + d]) - float(c)) * (
+                    float(query_vec[s * sub + d]) - float(c)
+                )
+                acc = t if acc is None else acc + t
+            row.append(acc)
+        luts.append(row)
+    terms = []
+    for s, row in enumerate(luts):
+        lit = ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in row)
+        terms.append(f"element_at(array({lit}), code_{s} + 1)")
+    dist = terms[0]
+    for t in terms[1:]:
+        dist = f"({dist} + {t})"
+    return (
+        df_codes.select(
+            id_col, F.expr(f"ROUND({dist}, {int(round_to)})").alias("adc_dist")
+        )
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(k)
+    )

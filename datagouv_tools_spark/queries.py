@@ -4862,3 +4862,89 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc.select(
         "vec_id", *[f"code_{s}" for s in range(8)], "recon_err"
     ).orderBy("vec_id")
+
+
+def _sql_pq_adc_oracle() -> str:
+    """DuckDB twin of pq_encode + pq_adc_topk: codes are recomputed by
+    the same md5-sample/argmin rule as ``_sql_pq_oracle``; the LUT is
+    recomputed from the raw centroid and query-vector values with the
+    same dimension-order left-associative sums the Python driver uses
+    (IEEE doubles — bit-identical), and only the final 8-term sum is
+    rounded. Ties ORDER BY adc_dist, vec_id."""
+    dist_cols = []
+    lut_cols = []
+    for s in range(8):
+        enc_terms = " + ".join(
+            f"(e[{s * 8 + d + 1}]-cv[{s * 8 + d + 1}])*(e[{s * 8 + d + 1}]-cv[{s * 8 + d + 1}])"
+            for d in range(8)
+        )
+        dist_cols.append(f"ROUND({enc_terms}, 6) AS d{s}")
+        lut_terms = " + ".join(
+            f"(qe[{s * 8 + d + 1}]-cv[{s * 8 + d + 1}])*(qe[{s * 8 + d + 1}]-cv[{s * 8 + d + 1}])"
+            for d in range(8)
+        )
+        lut_cols.append(f"{lut_terms} AS l{s}")
+    argmins = ",\n    ".join(
+        f"a{s} AS (SELECT vec_id, code, "
+        f"ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d{s}, code) AS rk FROM d)"
+        for s in range(8)
+    )
+    joins = "\n    ".join(
+        f"JOIN (SELECT vec_id, code FROM a{s} WHERE rk = 1) a{s} USING (vec_id)\n"
+        f"    JOIN (SELECT code AS c{s}, l{s} FROM lut) lut{s} ON lut{s}.c{s} = a{s}.code"
+        for s in range(8)
+    )
+    adc = " + ".join(f"lut{s}.l{s}" for s in range(8))
+    return f"""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cent0 AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv,
+             ('0x' || substr(md5(vec_id::VARCHAR || '-42'), 1, 15))::BIGINT AS h
+      FROM embeddings ORDER BY h ASC, vec_id ASC LIMIT 16
+    ),
+    cent AS (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS code, cv FROM cent0),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+    lut AS (SELECT cent.code, {", ".join(lut_cols)} FROM cent, q),
+    d AS (SELECT c.vec_id, cent.code, {", ".join(dist_cols)} FROM c, cent),
+    {argmins}
+    SELECT v.vec_id, ROUND({adc}, 6) AS adc_dist
+    FROM (SELECT DISTINCT vec_id FROM c) v
+    {joins}
+    ORDER BY adc_dist, vec_id
+    LIMIT 10
+    """
+
+
+@query("emb_pq_adc_topk", _sql_pq_adc_oracle())
+def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance search (operators/similarity.pq_adc_topk):
+    top-10 nearest corpus vectors to the vec_id=0 query by summed
+    per-subspace lookup-table distances over the 8-byte PQ codes — the
+    search side of the PQ index whose encode side is ``emb_pq_codes``.
+
+    Scale: the whole corpus is touched only by scan-speed map work
+    (encode = HOF expression, distance = 8 array lookups + adds from a
+    128-double broadcast-as-literal LUT); top-k plans as
+    TakeOrderedAndProject (per-partition heaps, k·P driver merge) — no
+    corpus shuffle anywhere. The only driver materializations are the
+    16 sampled centroids and the single query vector."""
+    from datagouv_tools_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    books = pq_codebooks(
+        emb, "vec_id", "embedding", dim=64, n_subspaces=8, n_codes=16
+    )
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[
+            "embedding"
+        ]
+    ]
+    codes = pq_encode(emb.select("vec_id", "embedding"), books).select(
+        "vec_id", *[f"code_{s}" for s in range(8)]
+    )
+    return pq_adc_topk(codes, qv, books, k=10)

@@ -279,3 +279,14 @@ def test_range_by_writes_disjoint_file_ranges(spark, sf_dir, tmp_path):
         assert hi1 <= lo2, f"overlapping file ranges: ({lo1},{hi1}) vs ({lo2},{hi2})"
     # row preservation
     assert spark.read.parquet(path).count() == orders.count()
+
+
+def test_pq_adc_search_no_corpus_shuffle(spark, sf_dir):
+    """PQ asymmetric-distance search must stay pure map work + a
+    TakeOrdered: encode and LUT-lookup are projections, top-k is
+    per-partition heaps — ZERO exchanges touch the corpus at any
+    scale."""
+    df = q.QUERIES["emb_pq_adc_topk"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert exchange_count(df) == 0
