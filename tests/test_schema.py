@@ -517,3 +517,40 @@ def test_formats_orc_pushdown_and_pruning(spark, tmp_path):
     assert m, plan
     cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
     assert cols == {"o_orderkey", "o_totalprice", "o_orderstatus"}
+
+
+def test_copy_csv_adversarial_strings_roundtrip_live(spark, pg_dsn):
+    """Adversarial text through the real COPY path: every CSV-framing
+    and COPY-TEXT-escaping hazard (delimiters, quotes, CR/LF, tabs,
+    backslashes, unicode, the empty-vs-NULL distinction) must survive
+    Spark -> rows_to_csv_chunks -> COPY FROM STDIN -> SELECT back via
+    the CLI transport byte-for-byte."""
+    from datagouv_tools_spark.sinks.pg_copy import _connect, staged_copy
+
+    nasty = [
+        (1, "plain"),
+        (2, ""),
+        (3, None),
+        (4, 'quote " inside'),
+        (5, "comma, semicolon; pipe|"),
+        (6, "line\nbreak"),
+        (7, "carriage\rreturn"),
+        (8, "tab\tseparated"),
+        (9, "back\\slash and \\N literal"),
+        (10, "unicode: héllo wörld — emoji \U0001f600"),
+        (11, '""'),
+        (12, "\\"),
+    ]
+    df = spark.createDataFrame(nasty, "id int, label string")
+    staged_copy(df, pg_dsn, "dg_spark_copy_nasty", num_partitions=2)
+    conn = _connect(pg_dsn)
+    try:
+        cur = conn.cursor()
+        cur.execute('SELECT id, label FROM "dg_spark_copy_nasty" ORDER BY id')
+        got = [(int(r[0]), r[1]) for r in cur.fetchall()]
+        cur.execute('DROP TABLE "dg_spark_copy_nasty"')
+        cur.close()
+        conn.commit()
+    finally:
+        conn.close()
+    assert got == nasty
