@@ -4948,3 +4948,77 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", *[f"code_{s}" for s in range(8)]
     )
     return pq_adc_topk(codes, qv, books, k=10)
+
+
+@query(
+    "hybrid_dedup_clusters",
+    f"""
+    WITH RECURSIVE fp AS (
+      SELECT doc_id, {_SQL_FP} AS fp FROM documents
+    ), tmin AS (
+      SELECT fp, MIN(doc_id) AS id_a FROM fp GROUP BY fp
+    ), tedges AS (
+      SELECT tmin.id_a, fp.doc_id AS id_b
+      FROM fp JOIN tmin USING (fp) WHERE fp.doc_id <> tmin.id_a
+    ), c0 AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+    ), eedges AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM c0 a JOIN c0 b ON a.vec_id < b.vec_id
+      WHERE ROUND(list_dot_product(a.embedding, b.embedding)
+                  / (sqrt(list_dot_product(a.embedding, a.embedding))
+                     * sqrt(list_dot_product(b.embedding, b.embedding))), 6) >= 0.4
+    ), pe AS (
+      SELECT id_a, id_b FROM tedges
+      UNION
+      SELECT id_a, id_b FROM eedges
+    ), e AS (
+      SELECT id_a AS src, id_b AS dst FROM pe
+      UNION
+      SELECT id_b, id_a FROM pe
+    ), r(node, lbl) AS (
+      SELECT src, src FROM e
+      UNION
+      SELECT e.dst, r.lbl FROM r JOIN e ON e.src = r.node
+    )
+    SELECT node AS doc_id, MIN(lbl) AS cluster_id
+    FROM r GROUP BY node ORDER BY doc_id
+    """,
+)
+def hybrid_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal dedup: exact-text duplicate edges (normalized
+    fingerprint equality, star edges to the group-min doc — linear
+    output, the mass-duplication-proof shape) UNIONed with semantic
+    near-dup edges (embedding cosine >= 0.4 via the distributed
+    block-matrix kernel; doc_id ≡ vec_id in the testdata), then one
+    connected-components pass labels every document whose text OR
+    meaning duplicates another — the curation shape where a paraphrased
+    crawl copy and a byte-identical mirror land in the same cluster.
+
+    Scale: text edges are one groupBy-min + semi-join (no pair
+    blow-up); embedding edges are block-pair BLAS task groups (no
+    driver collect); the union feeds the same localCheckpoint-bounded
+    CC used everywhere else. The recursive-CTE oracle hash-checks the
+    full composite."""
+    from datagouv_tools_spark.functions.text import fingerprint_md5
+    from datagouv_tools_spark.operators.dedup import dedup_clusters
+    from datagouv_tools_spark.operators.similarity import cosine_pairs_blocked
+
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+    fp = docs.select("doc_id", fingerprint_md5("text").alias("fp"))
+    mins = fp.groupBy("fp").agg(F.min("doc_id").alias("id_a"))
+    text_edges = (
+        fp.join(mins, "fp")
+        .filter(F.col("doc_id") != F.col("id_a"))
+        .select("id_a", F.col("doc_id").alias("id_b"))
+    )
+    emb_edges = cosine_pairs_blocked(
+        emb, "vec_id", "embedding", threshold=0.4
+    ).select("id_a", "id_b")
+    edges = text_edges.unionByName(emb_edges).distinct()
+    return (
+        dedup_clusters(edges)
+        .select(F.col("node").alias("doc_id"), "cluster_id")
+        .orderBy("doc_id")
+    )
