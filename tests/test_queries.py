@@ -38,6 +38,24 @@ def test_query_runs(spark, sf_dir, name):
     assert df.count() >= 0
 
 
+def test_no_query_returns_nested_types(spark, sf_dir):
+    """The driver's pandas canonicalizer cannot hash array/map/struct
+    cells (``TypeError: unhashable type`` — the two CORRECTNESS_r03
+    reds): every declared query must emit scalar columns only. Flatten
+    arrays to q25/q50/q75-style scalars or ``array_join`` strings (see
+    customer_acctbal_quartiles / user_event_type_arrays)."""
+    from pyspark.sql import types as T
+
+    nested = (T.ArrayType, T.MapType, T.StructType)
+    offenders = []
+    for name, fn in QUERIES.items():
+        schema = fn(spark, sf_dir).schema
+        bad = [f.name for f in schema.fields if isinstance(f.dataType, nested)]
+        if bad:
+            offenders.append((name, bad))
+    assert not offenders, offenders
+
+
 @pytest.mark.parametrize("name", sorted(ORACLE))
 def test_query_matches_oracle(spark, sf_dir, duck, name):
     spark_pdf = QUERIES[name](spark, sf_dir).toPandas()
