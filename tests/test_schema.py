@@ -554,3 +554,28 @@ def test_copy_csv_adversarial_strings_roundtrip_live(spark, pg_dsn):
     finally:
         conn.close()
     assert got == nasty
+
+
+def test_psql_cli_connection_batches_are_atomic(pg_dsn):
+    """PsqlCliConnection queues DDL until commit() and replays it under
+    --single-transaction: if any statement in the batch fails, NONE of
+    the batch's effects may persist (the staged_copy swap relies on
+    drop+rename being atomic)."""
+    import pytest
+
+    from datagouv_tools_spark.sinks.pg_copy import PsqlCliConnection
+
+    conn = PsqlCliConnection(pg_dsn)
+    cur = conn.cursor()
+    cur.execute('CREATE TABLE "dg_atomic_probe" (id int)')
+    cur.execute("THIS IS NOT SQL")
+    with pytest.raises(RuntimeError):
+        conn.commit()
+    # the failed batch must have rolled back entirely
+    cur = conn.cursor()
+    cur.execute(
+        "SELECT COUNT(*) FROM information_schema.tables "
+        "WHERE table_name = 'dg_atomic_probe'"
+    )
+    assert [int(r[0]) for r in cur.fetchall()] == [0]
+    conn.close()
