@@ -35,7 +35,12 @@ def _snapshot_counts() -> dict[str, int]:
             seen = json.loads(path.read_text())
         except (OSError, ValueError):
             continue
-        for name in seen:
+        for name, entry in seen.items():
+            # an errored row (harness crash, e.g. the r03 array-shape
+            # TypeErrors) produced no verdict — treat as never checked
+            # so the fixed query rotates back to the front
+            if isinstance(entry, dict) and entry.get("err") is not None:
+                continue
             if name in counts:
                 counts[name] += 1
     return counts
