@@ -5022,3 +5022,56 @@ def hybrid_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").alias("doc_id"), "cluster_id")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "doc_split_assignment",
+    """
+    WITH h AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(doc_id::VARCHAR || '-split42'), 1, 15))::BIGINT
+               % 100 AS bucket
+      FROM documents
+    )
+    SELECT source,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id
+    FROM h
+    GROUP BY source, split
+    ORDER BY source, split
+    """,
+)
+def doc_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test corpus split (80/10/10) by seeded
+    md5 hash of the document id — the curation stage that must be
+    STABLE across reruns, engines, and cluster sizes so no example
+    ever migrates between splits (the classic eval-contamination bug
+    with random()-based splits). Pure map work + one aggregation; the
+    assignment expression is cross-engine (functions/xhash.md5_hash60),
+    so DuckDB reproduces every bucket exactly."""
+    from datagouv_tools_spark.functions.xhash import md5_hash60
+
+    docs = t(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        md5_hash60(F.concat_ws("-", F.col("doc_id").cast("string"), F.lit("split42"))),
+        F.lit(100),
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select("doc_id", "source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("source", "split")
+    )
