@@ -77,19 +77,26 @@ def import_deces(
     rdbms: str = "sqlite",
     connection: object | None = None,
     parquet_out: str | None = None,
+    dsn: str | None = None,
+    bulk_copy: bool = True,
 ) -> list[str] | str:
-    """Import the deaths table (reference loads only name columns)."""
+    """Import the deaths table (reference loads only name columns).
+    ``dsn`` + ``bulk_copy`` enable the live-PostgreSQL COPY path (see
+    sinks/sink.resolve_pg_load)."""
     df = deces_dataframe(spark, deces_path, full=False)
     if parquet_out:
         from datagouv_tools_spark.sinks.sink import ParquetSink
 
         return ParquetSink(parquet_out).write(df, "deces")
     dialect = get_dialect(rdbms)
+    from datagouv_tools_spark.sinks.sink import resolve_pg_load
+
+    connection, loader = resolve_pg_load(connection, dsn, bulk_copy, rdbms, dialect)
     sink = SqlSink(
         dialect=dialect,
         executor=DryRunExecutor() if connection is None else _db_executor(connection),
         index_provider=DecesIndexProvider(),
-        loader=None if connection is None else dbapi_insert_loader(connection, dialect),
+        loader=loader,
     )
     sink.write(df, "deces")
     return sink.executor.statements if isinstance(sink.executor, DryRunExecutor) else "ok"

@@ -65,9 +65,13 @@ def import_fantoir(
     connection: object | None = None,
     staging_dir: str | None = None,
     parquet_out: str | None = None,
+    dsn: str | None = None,
+    bulk_copy: bool = True,
 ) -> dict[str, list[str] | str]:
     """Import the three loaded record-type tables; dry-run statements
-    (connection=None) or parquet paths are returned per table."""
+    (connection=None) or parquet paths are returned per table. ``dsn``
+    + ``bulk_copy`` enable the live-PostgreSQL COPY path (see
+    sinks/sink.resolve_pg_load)."""
     tables = fantoir_tables(spark, fantoir_path, staging_dir)
     results: dict[str, list[str] | str] = {}
     for name in LOADED_RECORD_TYPES:
@@ -78,11 +82,16 @@ def import_fantoir(
             results[name] = ParquetSink(parquet_out).write(df, name)
         else:
             dialect = get_dialect(rdbms)
+            from datagouv_tools_spark.sinks.sink import resolve_pg_load
+
+            connection, loader = resolve_pg_load(
+                connection, dsn, bulk_copy, rdbms, dialect
+            )
             sink = SqlSink(
                 dialect=dialect,
                 executor=DryRunExecutor() if connection is None else _db_executor(connection),
                 index_provider=EmptyIndexProvider(),
-                loader=None if connection is None else dbapi_insert_loader(connection, dialect),
+                loader=loader,
             )
             sink.write(df, name)
             if isinstance(sink.executor, DryRunExecutor):

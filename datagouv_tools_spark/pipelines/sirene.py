@@ -97,18 +97,11 @@ def import_sirene(
             results[table] = ParquetSink(parquet_out, fmt=out_format).write(df, table)
         else:
             dialect = get_dialect(rdbms)
-            if connection is None and dsn is not None and rdbms == "pg":
-                from datagouv_tools_spark.sinks.pg_copy import _connect
+            from datagouv_tools_spark.sinks.sink import resolve_pg_load
 
-                connection = _connect(dsn)
-            if connection is None:
-                loader = None
-            elif bulk_copy and dsn is not None and rdbms == "pg":
-                from datagouv_tools_spark.sinks.pg_copy import copy_loader
-
-                loader = copy_loader(dsn)
-            else:
-                loader = dbapi_insert_loader(connection, dialect)
+            connection, loader = resolve_pg_load(
+                connection, dsn, bulk_copy, rdbms, dialect
+            )
             sink = SqlSink(
                 dialect=dialect,
                 executor=DryRunExecutor() if connection is None else _db_executor(connection),

@@ -326,3 +326,33 @@ def compact_parquet(
         ]
     )
     return n_before, n_after
+
+
+def resolve_pg_load(
+    connection,
+    dsn: str | None,
+    bulk_copy: bool,
+    rdbms: str,
+    dialect: "SqlDialect",
+):
+    """Shared connection/loader dispatch for the import pipelines
+    (sirene/fantoir/deces — the reference's bulk_copy flag):
+
+    - ``dsn`` set + rdbms "pg": DDL runs over a connection built from
+      the DSN; ``bulk_copy=True`` loads through the distributed COPY
+      fast path (sinks/pg_copy.copy_loader), else batched INSERTs.
+    - explicit ``connection``: batched INSERTs over it (sqlite et al.).
+    - neither: (None, None) — the caller wires a dry-run sink.
+
+    Returns (connection, loader)."""
+    if connection is None and dsn is not None and rdbms == "pg":
+        from datagouv_tools_spark.sinks.pg_copy import _connect
+
+        connection = _connect(dsn)
+    if connection is None:
+        return None, None
+    if bulk_copy and dsn is not None and rdbms == "pg":
+        from datagouv_tools_spark.sinks.pg_copy import copy_loader
+
+        return connection, copy_loader(dsn)
+    return connection, dbapi_insert_loader(connection, dialect)

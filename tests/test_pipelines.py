@@ -503,3 +503,51 @@ def test_import_sirene_live_postgres_bulk_copy(spark, sirene_dir, pg_dsn):
         ("987654321", None, "1999", None),  # '' date -> NULL, 'x' -> NULL
     ]
     assert any("siren" in ix for ix in indexes), indexes
+
+
+def test_import_fantoir_live_postgres_bulk_copy(spark, fantoir_file, pg_dsn):
+    """FANTOIR's multi-record demux loaded live: all three record-type
+    tables land in PostgreSQL through the COPY fast path with their
+    DDL, and the row contents survive."""
+    from datagouv_tools_spark.sinks.pg_copy import _connect
+
+    out = import_fantoir(spark, fantoir_file, rdbms="pg", dsn=pg_dsn, bulk_copy=True)
+    assert out == {"direction": "loaded", "commune": "loaded", "voie": "loaded"}
+    conn = _connect(pg_dsn)
+    try:
+        cur = conn.cursor()
+        counts = {}
+        for tbl in ("direction", "commune", "voie"):
+            cur.execute(f'SELECT COUNT(*) FROM "{tbl}"')
+            counts[tbl] = int(cur.fetchall()[0][0])
+            cur.execute(f'DROP TABLE "{tbl}"')
+        cur.close()
+        conn.commit()
+    finally:
+        conn.close()
+    assert counts == {"direction": 1, "commune": 1, "voie": 1}
+
+
+def test_import_deces_live_postgres_bulk_copy(spark, deces_file, pg_dsn):
+    """Deaths pipeline live: fixed-width parse -> name columns -> COPY
+    into PostgreSQL with the DecesIndexProvider's post-load hash index."""
+    from datagouv_tools_spark.sinks.pg_copy import _connect
+
+    out = import_deces(spark, deces_file, rdbms="pg", dsn=pg_dsn, bulk_copy=True)
+    assert out == "ok"
+    conn = _connect(pg_dsn)
+    try:
+        cur = conn.cursor()
+        cur.execute('SELECT nom, prenom1 FROM "deces" ORDER BY nom')
+        rows = [tuple(r) for r in cur.fetchall()]
+        cur.execute(
+            "SELECT indexname FROM pg_indexes WHERE tablename = 'deces'"
+        )
+        indexes = {r[0] for r in cur.fetchall()}
+        cur.execute('DROP TABLE "deces"')
+        cur.close()
+        conn.commit()
+    finally:
+        conn.close()
+    assert ("DUPONT", "JEAN") in rows
+    assert any("nom" in ix for ix in indexes), indexes
