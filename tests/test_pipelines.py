@@ -551,3 +551,25 @@ def test_import_deces_live_postgres_bulk_copy(spark, deces_file, pg_dsn):
         conn.close()
     assert ("DUPONT", "JEAN") in rows
     assert any("nom" in ix for ix in indexes), indexes
+
+
+def test_cli_dsn_live_postgres(spark, fantoir_file, pg_dsn, capsys):
+    """The console entry point's --dsn flag runs the whole import
+    against a live server through the COPY fast path."""
+    from datagouv_tools_spark.__main__ import main
+    from datagouv_tools_spark.sinks.pg_copy import _connect
+
+    rc = main(["-s", "fantoir", "-p", str(fantoir_file), "--dsn", pg_dsn])
+    assert rc == 0
+    assert "voie: loaded" in capsys.readouterr().out
+    conn = _connect(pg_dsn)
+    try:
+        cur = conn.cursor()
+        cur.execute('SELECT COUNT(*) FROM "voie"')
+        assert [int(r[0]) for r in cur.fetchall()] == [1]
+        for tbl in ("direction", "commune", "voie"):
+            cur.execute(f'DROP TABLE "{tbl}"')
+        cur.close()
+        conn.commit()
+    finally:
+        conn.close()
