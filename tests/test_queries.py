@@ -74,3 +74,24 @@ def test_compare_flags_int_float_dtype_drift():
     b = pd.DataFrame({"k": ["x"], "s": pd.array([99111.0], dtype="float64")})
     assert any("dtype kind mismatch" in p for p in compare(a, b))
     assert compare(a, a.copy()) == []
+
+
+def test_parity_comparator_detects_drift():
+    """The oracle gate is only as good as its comparator: row-count,
+    column-name, value, and dtype-kind drift must each be caught (a
+    comparator that silently passes everything would turn the whole
+    oracle suite green forever)."""
+    import pandas as pd
+
+    base = pd.DataFrame({"a": [1, 2], "b": ["x", "y"]})
+    assert compare(base, base.copy()) == []
+    # row-order insensitivity (the driver sorts before hashing)
+    assert compare(base, base.iloc[::-1].reset_index(drop=True)) == []
+    assert compare(base, base.head(1))  # row count
+    assert compare(base, base.rename(columns={"b": "c"}))  # column names
+    drift = base.copy()
+    drift.loc[0, "a"] = 99
+    assert compare(base, drift)  # value drift
+    kind = base.copy()
+    kind["a"] = kind["a"].astype(float)  # int64 vs float64 hash drift
+    assert compare(base, kind)
