@@ -1855,6 +1855,12 @@ def doc_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datagouv_tools_spark.functions.text import winnow_fingerprints
 
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    # The winnowing expression is interpreted (HOF CodegenFallback) and
+    # costs ~100 ms/doc — but the pushed-down doc_id filter leaves all
+    # surviving rows in ONE scan partition, serializing the expensive
+    # map. Spread the handful of rows across the cluster first: a
+    # 60-row round-robin exchange is free next to 60 × 100 ms serial.
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     # k=12 grams: the synthetic docs are short (~300 chars) and share
     # template vocabulary; small grams make every pair a candidate
     fps = docs.select(
@@ -1863,12 +1869,27 @@ def doc_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             winnow_fingerprints("text", k=12, window=8, gram_hash="md5")
         ).alias("fp"),
     ).distinct()
-    a, b = fps.alias("a"), fps.alias("b")
-    return (
-        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+    # Pairs are generated WITHIN each fingerprint bucket (sorted member
+    # list → i<j combinations) instead of a fp=fp self-join: the
+    # interpreted winnowing expression then evaluates ONCE and the plan
+    # drops from 11 exchanges to 6; with the repartition above the
+    # query goes 2.8 s → 0.9 s at sf0.1. Same quadratic-within-bucket
+    # output caveat as minhash_pairs — bound bucket width before using
+    # at scale, or take the star-edge route for cluster dedup.
+    pair = F.explode(
+        F.expr(
+            "flatten(transform(ids, (x, i) -> "
+            "transform(slice(ids, i + 2, size(ids) - i - 1), "
+            "y -> struct(x AS id_a, y AS id_b))))"
         )
+    )
+    return (
+        fps.groupBy("fp")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(pair.alias("p"))
+        .select("p.id_a", "p.id_b")
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= 5)
         .orderBy("id_a", "id_b")
