@@ -326,7 +326,8 @@ def dedup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
-    algorithm: str = "minlabel",
+    algorithm: str = "auto",
+    max_local_edges: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs → (node,
     cluster_id), cluster_id = min node id in the component. The
@@ -346,15 +347,88 @@ def dedup_clusters(
       at component minima, so long chains collapse in O(log²) rounds
       with the edge set (and thus per-round shuffle volume) shrinking
       as it converges. The swap-in for deep-chain graphs at 100 TB.
+    - ``algorithm="auto"`` (default) — bounded local finish: if the
+      edge set fits ``max_local_edges`` (proved by the same
+      limit-collect guard as cosine_pairs_exact — one action both
+      fetches and checks the bound), run union-find on the driver and
+      parallelize the labels back; otherwise fall through to minlabel.
+      Iterative distributed CC pays ~0.5 s of scheduling per round
+      regardless of |E| (7 rounds ≈ 4 s on a 500-edge graph at sf0.1);
+      a dedup edge list under the bound is a driver-sized array, and
+      finishing it locally is what production CC implementations do
+      once the frontier collapses. At 100 TB edge sets exceed the
+      bound and the distributed path runs — the bound is the contract,
+      not a hope. (Oversize inputs pay one extra pass of the pair-
+      generation lineage for the failed probe; that lineage is
+      checkpointed first thing by the distributed path.)
 
     Fixpoints are unique, so results are deterministic and
-    oracle-checkable (recursive CTE in SQL) for both.
+    oracle-checkable (recursive CTE in SQL) for all three.
     """
+    if algorithm == "auto":
+        local = _cc_local(pairs, id_a, id_b, max_local_edges)
+        if local is not None:
+            return local
+        return _cc_minlabel(pairs, id_a, id_b, max_iter)[0]
     if algorithm == "star":
         return _cc_star(pairs, id_a, id_b, max_iter)[0]
     if algorithm != "minlabel":
-        raise ValueError(f"unknown algorithm {algorithm!r}: minlabel|star")
+        raise ValueError(f"unknown algorithm {algorithm!r}: auto|minlabel|star")
     return _cc_minlabel(pairs, id_a, id_b, max_iter)[0]
+
+
+def _cc_local(
+    pairs: DataFrame, id_a: str, id_b: str, max_edges: int
+) -> DataFrame | None:
+    """Driver union-find over a BOUNDED edge list; None if over bound.
+
+    Path-compressed, union-by-size; cluster_id = min node id in the
+    component — byte-identical to the distributed fixpoints (the
+    equivalence is tested). Output is built with createDataFrame
+    sorted by node, so downstream ordering is deterministic."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        pairs.select(
+            F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
+        )
+        .limit(max_edges + 1)
+        .collect()
+    )
+    if len(rows) > max_edges:
+        return None
+    parent: dict[int, int] = {}
+    size: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = r[0], r[1]
+        for n in (a, b):
+            if n not in parent:
+                parent[n] = n
+                size[n] = 1
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if size[ra] < size[rb]:
+                ra, rb = rb, ra
+            parent[rb] = ra
+            size[ra] += size[rb]
+
+    cluster_min: dict[int, int] = {}
+    for n in parent:
+        root = find(n)
+        if root not in cluster_min or n < cluster_min[root]:
+            cluster_min[root] = n
+    labels = sorted((n, cluster_min[find(n)]) for n in parent)
+    spark = pairs.sparkSession
+    return spark.createDataFrame(labels, "node long, cluster_id long")
 
 
 def _cc_minlabel(

@@ -32,10 +32,13 @@ __all__ = [
     "cosine_topk",
     "cosine_pairs_exact",
     "cosine_pairs_blocked",
+    "cosine_pairs_lsh",
+    "lsh_band_buckets",
     "lsh_bucket",
     "lsh_topk",
     "ivf_assign",
     "ivf_topk",
+    "ivfpq_topk",
     "random_projection",
     "pq_adc_topk",
     "pq_codebooks",
@@ -335,6 +338,189 @@ def lsh_topk(
     )
 
 
+def lsh_band_buckets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_bands: int,
+    band_bits: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Banded sign-LSH bucket ids: one row per (vector, band) with a
+    ``band_bits``-bit bucket — the cosine analog of MinHash banding
+    (``operators/dedup.minhash_bands``). Plane ``band*band_bits + j``
+    contributes bit ``1 << j`` of band ``band``'s bucket.
+
+    Arrow ``mapInPandas`` kernel, NOT an expression tree: n_bands ×
+    band_bits hyperplane projections per row as one vectorized loop —
+    the 100-plane expression form would repeat the emb_pq_codes plan
+    blow-up (16 chained withColumns → 17.8 s; see pq_encode).
+    Projections accumulate sequentially over dimensions in float64,
+    matching DuckDB's ``list_dot_product`` element order, so a SQL
+    oracle recomputes identical sign bits from the same seeded plane
+    literals.
+
+    Scale shape: pure map work (no shuffle); output is |corpus| ×
+    n_bands rows, linear.
+    """
+    import numpy as np
+    import pandas as pd
+
+    n_planes = n_bands * band_bits
+    planes = np.array(_hyperplanes(dim, n_planes, seed), dtype=np.float64)
+    weights = (1 << np.arange(band_bits, dtype=np.int64)).astype(np.int64)
+    bands = np.arange(n_bands, dtype=np.int32)
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            acc = np.zeros((len(mat), n_planes), dtype=np.float64)
+            # sequential over dims == list_dot_product accumulation order
+            for d in range(dim):
+                acc += mat[:, d : d + 1] * planes[None, :, d][0]
+            bits = (acc > 0).astype(np.int64)
+            buckets = bits.reshape(len(mat), n_bands, band_bits) @ weights
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, n_bands),
+                    "__band": np.tile(bands, len(mat)),
+                    "__bucket": buckets.reshape(-1),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        gen, f"{id_col} bigint, __band int, __bucket bigint"
+    )
+
+
+def cosine_pairs_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    dim: int = 64,
+    n_bands: int = 10,
+    band_bits: int = 10,
+    seed: int = 42,
+    multiprobe: bool = True,
+    round_to: int = 6,
+) -> DataFrame:
+    """Candidate-bounded near-dup pairs: banded multiprobe sign-LSH
+    generates candidates, exact cosine verifies them — the corpus-scale
+    replacement for ``cosine_pairs_blocked`` when the contract is
+    "near-duplicate edges", not "every pair above t".
+
+    Plan shape (the point): bucket fan-out is linear (|corpus| ×
+    n_bands × (band_bits+1) rows), candidates come from an EQUI-JOIN on
+    (band, bucket) — never a block cross — and the exact kernel touches
+    candidates only. Every stage is linear in its input at 100 TB; the
+    only quadratic term is within-bucket pair count, bounded by
+    2^band_bits bucket granularity (same caveat, and same remedy, as
+    MinHash banding).
+
+    Recall is quantified, not hand-waved. With p(s) = 1 − acos(s)/π and
+    per-band hit q(s) = p^b + b·p^(b−1)(1−p)  (multiprobe: Hamming ≤ 1),
+    recall(s) = 1 − (1 − q(s))^L. Defaults (L=10, b=10): s=0.40 → 0.51,
+    s=0.50 → 0.67, s=0.70 → 0.93, s=0.90 → 0.9998. True near-dup pairs
+    (s ≥ 0.8) are essentially never missed; borderline-threshold pairs
+    are sampled.
+
+    Why not a zero-miss LSH front for the exact contract: at s* = 0.4
+    the LSH gap is tiny (p(0.4) = 0.631 vs p(0) = 0.5, exponent ρ =
+    ln 0.631/ln 0.5 ≈ 0.66). A banding with per-pair miss ≤ 1e-4 at
+    s = 0.4 and b=10 needs L ≈ 920 bands (9 200 projections/vector) and
+    STILL admits ~59% of uniformly-random pairs — the candidate
+    fraction for any fixed (b, L) is a constant in n, so guaranteed-
+    recall candidates stay Θ(n²); only the constant shrinks, at
+    astronomic projection cost. (On this corpus the ≥ 0.4 edge set
+    itself grows ~n² — it is the 3σ tail of a random-vector sim
+    distribution — so the exact output is quadratic regardless of
+    algorithm.) Exactness at a low threshold therefore stays with
+    ``cosine_pairs_blocked``; this operator is the scale contract.
+
+    Deterministic end-to-end (seeded planes, exact verify, rounded sims)
+    → full SQL oracle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    eb = lsh_band_buckets(df, id_col, vec_col, dim, n_bands, band_bits, seed)
+    if multiprobe:
+        masks = F.array(
+            F.lit(0).cast("bigint"),
+            *[F.lit(1 << j).cast("bigint") for j in range(band_bits)],
+        )
+        probes = eb.select(
+            F.col(id_col).alias("id_a"),
+            "__band",
+            F.explode(
+                F.transform(masks, lambda m: F.col("__bucket").bitwiseXOR(m))
+            ).alias("__bucket"),
+        )
+    else:
+        probes = eb.select(F.col(id_col).alias("id_a"), "__band", "__bucket")
+    exact = eb.select(F.col(id_col).alias("id_b"), "__band", "__bucket")
+    # A pair can collide in several bands (≤ n_bands duplicate rows);
+    # verification is idempotent, so dedup AFTER the threshold filter
+    # where survivors are few — one small distinct instead of a full
+    # shuffle of every candidate row.
+    cand = probes.join(exact, ["__band", "__bucket"]).filter(
+        F.col("id_a") < F.col("id_b")
+    ).select("id_a", "id_b")
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    scale = 10.0**round_to
+
+    # Arrow kernel, not the zip_with/aggregate HOF expression: Spark
+    # evaluates higher-order lambdas interpreted per element — 3 × 64
+    # terms × |candidates| dominated the runtime (~4 s at sf0.1).
+    # Accumulation is sequential over dims in float64 (same element
+    # order as list_dot_product / the JVM dot), rounding is half-away
+    # -from-zero (numpy rounds half-even; Spark/DuckDB ROUND is
+    # half-up), so sims are bit-identical to the expression form.
+    def verify(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a = np.array(list(pdf["__va"]), dtype=np.float64)
+            b = np.array(list(pdf["__vb"]), dtype=np.float64)
+            d = np.zeros(len(a))
+            na = np.zeros(len(a))
+            nb = np.zeros(len(a))
+            for k in range(dim):
+                d += a[:, k] * b[:, k]
+                na += a[:, k] * a[:, k]
+                nb += b[:, k] * b[:, k]
+            denom = np.sqrt(na) * np.sqrt(nb)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = d / denom
+            sims = np.where(
+                np.isfinite(sims),
+                np.trunc(np.abs(sims) * scale + 0.5) / scale * np.sign(sims),
+                np.nan,
+            )
+            keep = (denom > 0) & (sims >= threshold)
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy(dtype=np.int64)[keep],
+                    "id_b": pdf["id_b"].to_numpy(dtype=np.int64)[keep],
+                    "sim": sims[keep],
+                }
+            )
+
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", "__va", "__vb")
+        .mapInPandas(verify, "id_a bigint, id_b bigint, sim double")
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the coarse-quantizer scale path
 # ---------------------------------------------------------------------------
@@ -496,6 +682,82 @@ def ivf_topk(
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_lists: int = 8,
+    nprobe: int = 2,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 42,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF-ADC: the composed billion-vector index shape — probe the
+    query's ``nprobe`` nearest coarse lists (IVF), then score ONLY the
+    rows of those lists by PQ asymmetric distance (ADC lookup tables)
+    and TakeOrdered the top-k.
+
+    Composition of two already-oracle-checked halves: coarse
+    centroids / list assignment from ``ivf_assign`` (seeded md5-min
+    sample, cosine argmax) and codes / LUT distance from ``pq_encode``
+    / ``pq_adc_topk``. The query's probe set is computed driver-side
+    over the n_lists centroid vectors only (bounded — same category as
+    the centroid sample itself), with sequential-order float
+    accumulation and half-away rounding so a SQL oracle reselects the
+    identical lists.
+
+    Scale shape: the corpus is touched by map work only — assign
+    kernel → ``__list`` IN (probes) filter → encode → 8 LUT lookups —
+    then a TakeOrdered (per-partition heaps); ZERO corpus exchanges.
+    The list filter sits BEFORE encode, so PQ work runs on ~nprobe/
+    n_lists of the corpus; with a persisted index (codes stored
+    partitioned by ``__list``) the same filter becomes partition
+    pruning at the scan and the assign/encode stages disappear
+    entirely (see operators/ann_index.py)."""
+    import math
+
+    cents = _ivf_centroids(
+        corpus.select(id_col, vec_col), id_col, vec_col, n_lists, seed
+    )
+    ncents = _normalize_seq(cents)
+    qn_acc = 0.0
+    for x in query_vec:
+        qn_acc += float(x) * float(x)
+    qn = math.sqrt(qn_acc)
+    scale = 10.0**round_to
+    ranked = []
+    for li, cv in enumerate(ncents):
+        acc = 0.0
+        for d in range(dim):
+            acc += float(query_vec[d]) * cv[d]
+        csim = acc / qn if qn > 0 else float("-inf")
+        # round half away from zero, matching SQL ROUND
+        csim = math.trunc(abs(csim) * scale + 0.5) / scale * (
+            1.0 if csim >= 0 else -1.0
+        )
+        ranked.append((-csim, li))
+    probed = [li for _, li in sorted(ranked)[:nprobe]]
+
+    assigned = ivf_assign(
+        corpus.select(id_col, vec_col), vec_col, n_lists, seed,
+        cents=cents, id_col=id_col,
+    )
+    pruned = assigned.filter(F.col("__list").isin(probed))
+    books = pq_codebooks(
+        corpus, id_col, vec_col, dim=dim, n_subspaces=n_subspaces,
+        n_codes=n_codes, seed=seed,
+    )
+    codes = pq_encode(pruned.select(id_col, vec_col), books).select(
+        id_col, *[f"code_{s}" for s in range(n_subspaces)]
+    )
+    return pq_adc_topk(codes, query_vec, books, k=k, id_col=id_col,
+                       round_to=round_to)
 
 
 def pq_codebooks(

@@ -4971,9 +4971,145 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(codes, qv, books, k=10)
 
 
-@query(
-    "hybrid_dedup_clusters",
-    f"""
+def _sql_ivfpq_oracle() -> str:
+    """DuckDB twin of ivfpq_topk(n_lists=8, nprobe=2, 8×16 books,
+    query = vec_id 0): the IVF half reuses _SQL_IVF_ORACLE's CTE shapes
+    (md5-min centroid sample, cosine argmax assignment, probe ranking),
+    the PQ half reuses _sql_pq_adc_oracle's (md5-min code sample,
+    per-subspace argmin codes, LUT recomputed from raw values in
+    dimension order) — composed so ADC runs ONLY over rows whose
+    assigned list is probed by the query."""
+    dist_cols = []
+    lut_cols = []
+    for s in range(8):
+        enc_terms = " + ".join(
+            f"(e[{s * 8 + d + 1}]-cv[{s * 8 + d + 1}])*(e[{s * 8 + d + 1}]-cv[{s * 8 + d + 1}])"
+            for d in range(8)
+        )
+        dist_cols.append(f"ROUND({enc_terms}, 6) AS d{s}")
+        lut_terms = " + ".join(
+            f"(qe[{s * 8 + d + 1}]-cv[{s * 8 + d + 1}])*(qe[{s * 8 + d + 1}]-cv[{s * 8 + d + 1}])"
+            for d in range(8)
+        )
+        lut_cols.append(f"{lut_terms} AS l{s}")
+    argmins = ",\n    ".join(
+        f"a{s} AS (SELECT vec_id, code, "
+        f"ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d{s}, code) AS rk FROM d)"
+        for s in range(8)
+    )
+    joins = "\n    ".join(
+        f"JOIN (SELECT vec_id, code FROM a{s} WHERE rk = 1) a{s} USING (vec_id)\n"
+        f"    JOIN (SELECT code AS c{s}, l{s} FROM lut) lut{s} ON lut{s}.c{s} = a{s}.code"
+        for s in range(8)
+    )
+    adc = " + ".join(f"lut{s}.l{s}" for s in range(8))
+    return f"""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    icent0 AS (
+      SELECT vec_id, e AS cv0,
+             ('0x' || substr(md5(vec_id::VARCHAR || '-42'), 1, 15))::BIGINT AS h
+      FROM c ORDER BY h ASC, vec_id ASC LIMIT 8
+    ),
+    icent AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS list_id,
+             list_transform(cv0, x -> x / sqrt(list_dot_product(cv0, cv0))) AS cv
+      FROM icent0
+    ),
+    isims AS (
+      SELECT c.vec_id, icent.list_id,
+             ROUND(list_dot_product(c.e, icent.cv)
+                   / sqrt(list_dot_product(c.e, c.e)), 6) AS csim
+      FROM c, icent
+    ),
+    iranked AS (
+      SELECT vec_id, list_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, list_id) AS crk
+      FROM isims
+    ),
+    lists AS (SELECT vec_id, list_id FROM iranked WHERE crk = 1),
+    probes AS (SELECT list_id FROM iranked WHERE vec_id = 0 AND crk <= 2),
+    pruned AS (
+      SELECT c.vec_id, c.e FROM c
+      JOIN lists USING (vec_id)
+      WHERE lists.list_id IN (SELECT list_id FROM probes)
+    ),
+    pcent0 AS (
+      SELECT vec_id, e AS cv,
+             ('0x' || substr(md5(vec_id::VARCHAR || '-42'), 1, 15))::BIGINT AS h
+      FROM c ORDER BY h ASC, vec_id ASC LIMIT 16
+    ),
+    pcent AS (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS code, cv FROM pcent0),
+    q AS (SELECT e AS qe FROM c WHERE vec_id = 0),
+    lut AS (SELECT pcent.code, {", ".join(lut_cols)} FROM pcent, q),
+    d AS (SELECT p.vec_id, pcent.code, {", ".join(dist_cols)}
+          FROM (SELECT vec_id, e FROM pruned) p, pcent),
+    {argmins}
+    SELECT v.vec_id, ROUND({adc}, 6) AS adc_dist
+    FROM (SELECT DISTINCT vec_id FROM pruned) v
+    {joins}
+    ORDER BY adc_dist, vec_id
+    LIMIT 10
+    """
+
+
+@query("emb_ivfpq_topk", _sql_ivfpq_oracle())
+def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ADC composed search (operators/similarity.ivfpq_topk): the
+    query (vec_id 0) probes its 2 nearest of 8 coarse lists, and PQ
+    asymmetric distance scores ONLY rows assigned to those lists — the
+    actual billion-vector index shape (probe pruning × compressed
+    scan), composed from the separately-oracle-checked ivf_ann_topk
+    and emb_pq_adc_topk halves.
+
+    Scale: pure map work (assign kernel → list filter → encode → 8 LUT
+    lookups) + TakeOrdered; ZERO corpus exchanges (plan-guarded). The
+    list filter sits BEFORE encode, so compressed-domain scoring runs
+    on ~nprobe/n_lists of the corpus; with the persisted index the
+    filter becomes partition pruning at the scan."""
+    from datagouv_tools_spark.operators.similarity import ivfpq_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[
+            "embedding"
+        ]
+    ]
+    return ivfpq_topk(
+        emb, qv, k=10, n_lists=8, nprobe=2, n_subspaces=8, n_codes=16
+    )
+
+
+def _sql_hybrid_dedup_oracle() -> str:
+    """DuckDB twin of the LSH-fronted hybrid dedup: recomputes the 100
+    seeded hyperplanes as literals, the 10 band buckets per vector, the
+    Hamming<=1 multiprobe candidate join, the exact-cosine verification
+    at 0.4, and the SAME recursive-CTE connected components as every
+    other dedup oracle. The edge generator moved (all-pairs -> LSH
+    candidates) in BOTH engines, so this is still a full value-hash
+    oracle of the declared semantics."""
+    from datagouv_tools_spark.operators.similarity import _hyperplanes
+
+    n_bands, band_bits = 10, 10
+    planes = _hyperplanes(64, n_bands * band_bits, seed=42)
+
+    def band_expr(band: int) -> str:
+        return "\n           + ".join(
+            f"(CASE WHEN list_dot_product(embedding, "
+            f"[{', '.join(repr(v) for v in planes[band * band_bits + j])}]) > 0"
+            f" THEN {1 << j} ELSE 0 END)"
+            for j in range(band_bits)
+        )
+
+    bands_cols = ",\n        ".join(
+        f"{band_expr(i)} AS b{i}" for i in range(n_bands)
+    )
+    eb_union = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {i} AS band, b{i} AS bucket FROM cb"
+        for i in range(n_bands)
+    )
+    masks = ", ".join(str(m) for m in [0] + [1 << j for j in range(band_bits)])
+    return f"""
     WITH RECURSIVE fp AS (
       SELECT doc_id, {_SQL_FP} AS fp FROM documents
     ), tmin AS (
@@ -4983,9 +5119,24 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM fp JOIN tmin USING (fp) WHERE fp.doc_id <> tmin.id_a
     ), c0 AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+    ), cb AS (
+      SELECT vec_id, embedding,
+        {bands_cols}
+      FROM c0
+    ), eb AS (
+      {eb_union}
+    ), pr AS (
+      SELECT e.vec_id, e.band, xor(e.bucket, m.mask) AS bucket
+      FROM eb e CROSS JOIN (SELECT unnest([{masks}]) AS mask) m
+    ), cand AS (
+      SELECT DISTINCT p.vec_id AS id_a, e.vec_id AS id_b
+      FROM pr p JOIN eb e ON p.band = e.band AND p.bucket = e.bucket
+      WHERE p.vec_id < e.vec_id
     ), eedges AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM c0 a JOIN c0 b ON a.vec_id < b.vec_id
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN c0 a ON a.vec_id = c.id_a
+      JOIN c0 b ON b.vec_id = c.id_b
       WHERE ROUND(list_dot_product(a.embedding, b.embedding)
                   / (sqrt(list_dot_product(a.embedding, a.embedding))
                      * sqrt(list_dot_product(b.embedding, b.embedding))), 6) >= 0.4
@@ -5004,26 +5155,36 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT node AS doc_id, MIN(lbl) AS cluster_id
     FROM r GROUP BY node ORDER BY doc_id
-    """,
-)
+    """
+
+
+@query("hybrid_dedup_clusters", _sql_hybrid_dedup_oracle())
 def hybrid_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal dedup: exact-text duplicate edges (normalized
     fingerprint equality, star edges to the group-min doc — linear
     output, the mass-duplication-proof shape) UNIONed with semantic
-    near-dup edges (embedding cosine >= 0.4 via the distributed
-    block-matrix kernel; doc_id ≡ vec_id in the testdata), then one
-    connected-components pass labels every document whose text OR
-    meaning duplicates another — the curation shape where a paraphrased
-    crawl copy and a byte-identical mirror land in the same cluster.
+    near-dup edges (embedding cosine >= 0.4, candidate-bounded by
+    banded multiprobe sign-LSH — operators/similarity.cosine_pairs_lsh;
+    doc_id ≡ vec_id in the testdata), then one connected-components
+    pass labels every document whose text OR meaning duplicates
+    another — the curation shape where a paraphrased crawl copy and a
+    byte-identical mirror land in the same cluster.
 
     Scale: text edges are one groupBy-min + semi-join (no pair
-    blow-up); embedding edges are block-pair BLAS task groups (no
-    driver collect); the union feeds the same localCheckpoint-bounded
-    CC used everywhere else. The recursive-CTE oracle hash-checks the
-    full composite."""
+    blow-up); embedding edges are an equi-join on (band, bucket) —
+    linear fan-out, candidates only, NO corpus-wide all-pairs (the
+    O(n²) cosine_pairs_blocked stage this query shipped through round
+    4) — with exact-cosine verification of candidates; the union feeds
+    the same localCheckpoint-bounded CC used everywhere else. Recall of
+    the semantic edge stage is quantified in cosine_pairs_lsh's
+    docstring (~0.51 at the 0.40 boundary, 0.9998 at 0.9 — real
+    near-dups are essentially never missed); the oracle recomputes the
+    identical LSH front in SQL, so the full composite is value-hashed.
+    The exact all-pairs contract remains available (and driver-green)
+    via emb_cosine_pairs / cosine_pairs_blocked."""
     from datagouv_tools_spark.functions.text import fingerprint_md5
     from datagouv_tools_spark.operators.dedup import dedup_clusters
-    from datagouv_tools_spark.operators.similarity import cosine_pairs_blocked
+    from datagouv_tools_spark.operators.similarity import cosine_pairs_lsh
 
     docs = t(spark, sf_dir, "documents")
     emb = t(spark, sf_dir, "embeddings")
@@ -5034,10 +5195,12 @@ def hybrid_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") != F.col("id_a"))
         .select("id_a", F.col("doc_id").alias("id_b"))
     )
-    emb_edges = cosine_pairs_blocked(
-        emb, "vec_id", "embedding", threshold=0.4
+    emb_edges = cosine_pairs_lsh(
+        emb, "vec_id", "embedding", threshold=0.4, dim=64
     ).select("id_a", "id_b")
-    edges = text_edges.unionByName(emb_edges).distinct()
+    # no distinct: every CC algorithm dedups (or tolerates) duplicate
+    # edges internally — one less shuffle here
+    edges = text_edges.unionByName(emb_edges)
     return (
         dedup_clusters(edges)
         .select(F.col("node").alias("doc_id"), "cluster_id")

@@ -649,3 +649,37 @@ def test_pq_codebooks_kmeans_refinement_improves_recon_err(spark, sf01_dir):
 
     e0, e2 = total_err(books0), total_err(books2)
     assert e2 < e0, f"refined {e2} not better than sample {e0}"
+
+
+def test_dedup_clusters_auto_local_equivalence(spark):
+    """algorithm='auto' (the default): under max_local_edges the labels
+    come from driver union-find; over the bound it falls back to the
+    distributed minlabel path. Both must be byte-identical to
+    _cc_minlabel on every fixture shape — the bounded local finish is
+    an optimization, never a semantics change."""
+    from datagouv_tools_spark.operators.dedup import (
+        _cc_local,
+        _cc_minlabel,
+        dedup_clusters,
+    )
+
+    fixtures = {
+        "chain+islands": [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)],
+        "long_chain": [(i, i + 1) for i in range(64)],
+        "star_burst": [(0, i) for i in range(1, 30)] + [(100, 101)],
+        "dup_edges+self_loop": [(1, 2), (1, 2), (2, 1), (3, 3), (4, 5)],
+    }
+    for name, edges in fixtures.items():
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        ml, _ = _cc_minlabel(pairs, "id_a", "id_b", 60)
+        auto = dedup_clusters(pairs)  # default algorithm="auto"
+        assert sorted(map(tuple, ml.collect())) == sorted(
+            map(tuple, auto.collect())
+        ), f"auto/minlabel mismatch on {name}"
+    # over-bound probe returns None and dedup_clusters falls back to
+    # the distributed path with identical labels
+    pairs = spark.createDataFrame(fixtures["long_chain"], "id_a long, id_b long")
+    assert _cc_local(pairs, "id_a", "id_b", max_edges=3) is None
+    small = dedup_clusters(pairs, max_local_edges=3)
+    ml, _ = _cc_minlabel(pairs, "id_a", "id_b", 60)
+    assert sorted(map(tuple, small.collect())) == sorted(map(tuple, ml.collect()))

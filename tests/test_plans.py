@@ -290,3 +290,70 @@ def test_pq_adc_search_no_corpus_shuffle(spark, sf_dir):
     plan = physical_plan(df)
     assert "TakeOrderedAndProject" in plan
     assert exchange_count(df) == 0
+
+
+def test_hybrid_dedup_lsh_front_no_block_cross(spark, sf_dir):
+    """The round-4 verdict's top item, as an executable guard: the
+    hybrid dedup's embedding edge generator must be the banded-LSH
+    candidate equi-join (join on band+bucket keys), NEVER the
+    __gi × __gj block-pair replication of cosine_pairs_blocked — the
+    one corpus-scale O(n²) plan round 4 shipped. The bucket fan-out is
+    linear (corpus × bands × probes) and the exact-cosine kernel
+    touches candidates only.
+
+    The composite query localCheckpoints inside CC (which truncates the
+    inspectable lineage), so this asserts (a) on the edge-generator
+    stage's own plan with the query's exact parameters, and (b) at the
+    source level that hybrid_dedup_clusters wires that generator, not
+    the blocked all-pairs kernel."""
+    import inspect
+
+    from datagouv_tools_spark.operators.similarity import cosine_pairs_lsh
+    from datagouv_tools_spark.sources.catalog import load_table
+
+    src = inspect.getsource(q.hybrid_dedup_clusters)
+    assert "import cosine_pairs_lsh" in src
+    assert "import cosine_pairs_blocked" not in src
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = cosine_pairs_lsh(emb, "vec_id", "embedding", threshold=0.4, dim=64)
+    plan = physical_plan(df)
+    # no all-pairs shapes anywhere in the composite
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the blocked kernel's applyInPandas block-cross is gone...
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "__gi" not in plan and "__gj" not in plan
+    # ...replaced by the band-bucket mapInPandas + candidate equi-join
+    assert "MapInPandas" in plan
+    assert "__band" in plan and "__bucket" in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_ivfpq_list_pruning_no_corpus_shuffle(spark, sf_dir):
+    """IVF-ADC composition: the probe filter must prune lists BEFORE
+    the PQ encode (compressed-domain work on ~nprobe/n_lists of the
+    corpus, not all of it), and the whole search must stay map work +
+    TakeOrdered — zero corpus exchanges, like emb_pq_adc_topk but with
+    list pruning in front."""
+    df = q.QUERIES["emb_ivfpq_topk"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert exchange_count(df) == 0
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # assign kernel (+ encode kernel when the Arrow impl is chosen —
+    # Catalyst may instead collapse the HOF encode + ADC into one
+    # projection), nothing more
+    assert plan.count("MapInPandas") in (2, 4)
+    # the __list IN (...) probe filter exists and sits upstream of the
+    # ADC distance projection (formatted plans print nodes scan→root,
+    # so the filter must precede the adc_dist output)
+    import re
+
+    m = re.search(r"__list#\d+ IN ", plan)
+    assert m, "probe-list filter missing from plan"
+    assert "adc_dist" in plan
+    assert m.start() < plan.index("adc_dist")
