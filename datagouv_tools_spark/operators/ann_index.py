@@ -1,0 +1,210 @@
+"""Persisted ANN index artifacts — build once, search many.
+
+Every batch ANN operator in ``operators/similarity.py`` recomputes its
+index artifacts (coarse centroids, PQ codebooks, codes, LSH band
+buckets) per invocation; a production pipeline builds them ONCE and
+amortizes across queries — the exact shape the streaming near-dup gate
+already persists for its band store (``streaming/neardup_gate.py``).
+This module gives the batch side the same treatment.
+
+Layout under ``index_build(path)`` (all Spark-written parquet, so any
+Hadoop-compatible filesystem works — no driver-local file I/O):
+
+- ``meta.parquet``      — 1 row of build parameters (validated on open)
+- ``centroids.parquet`` — (list_id, v): the n_lists coarse centroids
+- ``codebooks.parquet`` — (subspace, code, v): n_subspaces × n_codes
+- ``codes``             — (vec_id, code_0..code_{S-1}) PARTITIONED BY
+  ``__list``: probed search prunes partitions at the scan — the filter
+  that was a post-kernel row filter in ``ivfpq_topk`` becomes
+  PartitionFilters, and the assign/encode stages disappear entirely
+- ``bands``             — (vec_id, __bucket) partitioned by ``__band``:
+  the sign-LSH band store for near-dup candidate generation without
+  re-running the projection kernel
+
+No reference analog (jferard/datagouv_tools has no vector operators);
+this is the scale-native conclusion of the similarity-search surface.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datagouv_tools_spark.operators.similarity import (
+    _ivf_centroids,
+    ivf_assign,
+    lsh_band_buckets,
+    pq_adc_topk,
+    pq_codebooks,
+    pq_encode,
+    query_probe_lists,
+)
+
+__all__ = ["AnnIndex", "index_build", "index_open"]
+
+
+@dataclass
+class AnnIndex:
+    """An opened index: bounded driver-resident artifacts (centroids,
+    codebooks — n_lists + n_subspaces × n_codes rows) plus lazy
+    DataFrames over the stored codes and band store."""
+
+    spark: SparkSession
+    path: str
+    meta: dict
+    centroids: list[list[float]]
+    codebooks: list[list[list[float]]]
+
+    def codes(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.path}/codes")
+
+    def bands(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.path}/bands")
+
+    def adc_topk(
+        self, query_vec: list[float], k: int = 10, nprobe: int | None = None
+    ) -> DataFrame:
+        """PQ asymmetric-distance top-k over the STORED codes.
+
+        ``nprobe=None`` scans every list (pure ADC — same results as
+        ``pq_adc_topk`` over freshly encoded codes); an integer probes
+        the query's nprobe nearest coarse lists, which the partitioned
+        layout turns into PartitionFilters at the scan (plan-guarded).
+        Either way: no assign kernel, no encode, no codebook
+        recomputation — the plan is scan → LUT projection →
+        TakeOrdered."""
+        df = self.codes()
+        if nprobe is not None:
+            probed = query_probe_lists(
+                query_vec, self.centroids, nprobe, int(self.meta["dim"])
+            )
+            df = df.filter(F.col("__list").isin(probed))
+        n_sub = int(self.meta["n_subspaces"])
+        codes = df.select(
+            self.meta["id_col"], *[f"code_{s}" for s in range(n_sub)]
+        )
+        return pq_adc_topk(
+            codes, query_vec, self.codebooks, k=k, id_col=self.meta["id_col"]
+        )
+
+    def band_candidates(self) -> DataFrame:
+        """Multiprobe (Hamming ≤ 1) candidate pairs from the STORED
+        band store — the candidate half of ``cosine_pairs_lsh`` without
+        re-running the projection kernel. Returns distinct (id_a, id_b),
+        id_a < id_b; verify with the exact kernel of your choice."""
+        id_col = self.meta["id_col"]
+        band_bits = int(self.meta["band_bits"])
+        eb = self.bands()
+        masks = F.array(
+            F.lit(0).cast("bigint"),
+            *[F.lit(1 << j).cast("bigint") for j in range(band_bits)],
+        )
+        probes = eb.select(
+            F.col(id_col).alias("id_a"),
+            "__band",
+            F.explode(
+                F.transform(masks, lambda m: F.col("__bucket").bitwiseXOR(m))
+            ).alias("__bucket"),
+        )
+        exact = eb.select(F.col(id_col).alias("id_b"), "__band", "__bucket")
+        return (
+            probes.join(exact, ["__band", "__bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+
+
+def index_build(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_lists: int = 8,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    n_bands: int = 10,
+    band_bits: int = 10,
+    seed: int = 42,
+) -> AnnIndex:
+    """Build and persist every ANN artifact for ``corpus``; returns the
+    opened index. Deterministic end-to-end (same seeded rules as the
+    per-query operators), so stored codes hash-match freshly computed
+    ones — the *_indexed queries reuse the non-indexed oracles."""
+    spark = corpus.sparkSession
+    cents = _ivf_centroids(
+        corpus.select(id_col, vec_col), id_col, vec_col, n_lists, seed
+    )
+    books = pq_codebooks(
+        corpus, id_col, vec_col, dim=dim, n_subspaces=n_subspaces,
+        n_codes=n_codes, seed=seed,
+    )
+    meta = {
+        "id_col": id_col, "vec_col": vec_col, "dim": dim,
+        "n_lists": n_lists, "n_subspaces": n_subspaces,
+        "n_codes": n_codes, "n_bands": n_bands, "band_bits": band_bits,
+        "seed": seed,
+    }
+    spark.createDataFrame([meta]).write.mode("overwrite").parquet(
+        f"{path}/meta.parquet"
+    )
+    spark.createDataFrame(
+        [(i, [float(x) for x in cv]) for i, cv in enumerate(cents)],
+        "list_id int, v array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/centroids.parquet")
+    spark.createDataFrame(
+        [
+            (s, c, [float(x) for x in cv])
+            for s, book in enumerate(books)
+            for c, cv in enumerate(book)
+        ],
+        "subspace int, code int, v array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/codebooks.parquet")
+    assigned = ivf_assign(
+        corpus.select(id_col, vec_col), vec_col, n_lists, seed,
+        cents=cents, id_col=id_col,
+    )
+    (
+        pq_encode(assigned, books, vec_col=vec_col)
+        .select(id_col, "__list", *[f"code_{s}" for s in range(n_subspaces)])
+        .write.mode("overwrite")
+        .partitionBy("__list")
+        .parquet(f"{path}/codes")
+    )
+    (
+        lsh_band_buckets(corpus, id_col, vec_col, dim, n_bands, band_bits, seed)
+        .write.mode("overwrite")
+        .partitionBy("__band")
+        .parquet(f"{path}/bands")
+    )
+    return index_open(spark, path)
+
+
+def index_open(spark: SparkSession, path: str) -> AnnIndex:
+    """Open a persisted index: loads meta + the bounded centroid/
+    codebook artifacts to the driver; codes and bands stay lazy. No
+    corpus-touching computation happens here or in any search method —
+    pinned by a test that stubs the builders out after open."""
+    meta = spark.read.parquet(f"{path}/meta.parquet").collect()[0].asDict()
+    cents_rows = (
+        spark.read.parquet(f"{path}/centroids.parquet")
+        .orderBy("list_id")
+        .collect()
+    )
+    centroids = [[float(x) for x in r["v"]] for r in cents_rows]
+    book_rows = (
+        spark.read.parquet(f"{path}/codebooks.parquet")
+        .orderBy("subspace", "code")
+        .collect()
+    )
+    n_sub = int(meta["n_subspaces"])
+    n_codes = int(meta["n_codes"])
+    codebooks: list[list[list[float]]] = [[] for _ in range(n_sub)]
+    for r in book_rows:
+        codebooks[int(r["subspace"])].append([float(x) for x in r["v"]])
+    if any(len(b) != n_codes for b in codebooks):
+        raise ValueError(f"corrupt codebooks at {path}")
+    return AnnIndex(spark, path, meta, centroids, codebooks)

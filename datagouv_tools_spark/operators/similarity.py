@@ -684,6 +684,40 @@ def ivf_topk(
     )
 
 
+def query_probe_lists(
+    query_vec: list[float],
+    cents: list[list[float]],
+    nprobe: int,
+    dim: int,
+    round_to: int = 6,
+) -> list[int]:
+    """The query's ``nprobe`` nearest coarse lists by cosine against the
+    (bounded, driver-resident) centroid set — pure Python with
+    sequential-order float accumulation and half-away rounding, so a
+    SQL oracle ranking ``ROUND(list_dot_product(..)/sqrt(..), 6) DESC,
+    list_id`` selects the identical lists."""
+    import math
+
+    ncents = _normalize_seq(cents)
+    qn_acc = 0.0
+    for x in query_vec:
+        qn_acc += float(x) * float(x)
+    qn = math.sqrt(qn_acc)
+    scale = 10.0**round_to
+    ranked = []
+    for li, cv in enumerate(ncents):
+        acc = 0.0
+        for d in range(dim):
+            acc += float(query_vec[d]) * cv[d]
+        csim = acc / qn if qn > 0 else float("-inf")
+        # round half away from zero, matching SQL ROUND
+        csim = math.trunc(abs(csim) * scale + 0.5) / scale * (
+            1.0 if csim >= 0 else -1.0
+        )
+        ranked.append((-csim, li))
+    return [li for _, li in sorted(ranked)[:nprobe]]
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     query_vec: list[float],
@@ -720,29 +754,10 @@ def ivfpq_topk(
     partitioned by ``__list``) the same filter becomes partition
     pruning at the scan and the assign/encode stages disappear
     entirely (see operators/ann_index.py)."""
-    import math
-
     cents = _ivf_centroids(
         corpus.select(id_col, vec_col), id_col, vec_col, n_lists, seed
     )
-    ncents = _normalize_seq(cents)
-    qn_acc = 0.0
-    for x in query_vec:
-        qn_acc += float(x) * float(x)
-    qn = math.sqrt(qn_acc)
-    scale = 10.0**round_to
-    ranked = []
-    for li, cv in enumerate(ncents):
-        acc = 0.0
-        for d in range(dim):
-            acc += float(query_vec[d]) * cv[d]
-        csim = acc / qn if qn > 0 else float("-inf")
-        # round half away from zero, matching SQL ROUND
-        csim = math.trunc(abs(csim) * scale + 0.5) / scale * (
-            1.0 if csim >= 0 else -1.0
-        )
-        ranked.append((-csim, li))
-    probed = [li for _, li in sorted(ranked)[:nprobe]]
+    probed = query_probe_lists(query_vec, cents, nprobe, dim, round_to)
 
     assigned = ivf_assign(
         corpus.select(id_col, vec_col), vec_col, n_lists, seed,
