@@ -153,32 +153,90 @@ def _parse_copy_text(out: str) -> list[tuple]:
     ]
 
 
+def _split_dsn_password(dsn: str) -> tuple[str, str | None]:
+    """Strip the password out of a DSN (URI or key=value form) so it
+    can travel via PGPASSWORD instead of a world-readable argv.
+
+    >>> _split_dsn_password("postgresql://u:sekret@h:5432/db")
+    ('postgresql://u@h:5432/db', 'sekret')
+    >>> _split_dsn_password("host=h dbname=db password=sekret user=u")
+    ('host=h dbname=db user=u', 'sekret')
+    >>> _split_dsn_password("host=h password='se kret' user=u")
+    ('host=h user=u', 'se kret')
+    >>> _split_dsn_password("postgresql://u@h/db")
+    ('postgresql://u@h/db', None)
+    """
+    import re
+    from urllib.parse import unquote, urlsplit, urlunsplit
+
+    if dsn.startswith(("postgresql://", "postgres://")):
+        parts = urlsplit(dsn)
+        if parts.password is None:
+            return dsn, None
+        host = parts.hostname or ""
+        netloc = (parts.username or "") + "@" if parts.username else ""
+        netloc += host
+        if parts.port is not None:
+            netloc += f":{parts.port}"
+        return (
+            urlunsplit((parts.scheme, netloc, parts.path, parts.query, parts.fragment)),
+            unquote(parts.password),
+        )
+    m = re.search(r"(?:^|\s)password\s*=\s*(?:'([^']*)'|(\S+))", dsn)
+    if not m:
+        return dsn, None
+    pw = m.group(1) if m.group(1) is not None else m.group(2)
+    stripped = (dsn[: m.start()] + " " + dsn[m.end() :]).strip()
+    return re.sub(r"\s+", " ", stripped), pw
+
+
 class PsqlCliCursor:
     """Cursor facade over the ``psql`` binary (see ``PsqlCliConnection``)."""
 
+    #: statement kinds that return rows and must take the COPY-TO-STDOUT
+    #: fetch path (anything else is queued as DDL/DML)
+    _FETCH_PREFIXES = ("SELECT", "WITH", "VALUES", "SHOW", "TABLE")
+
     def __init__(self, conn: "PsqlCliConnection"):
         self._conn = conn
-        self._rows: list[tuple] = []
+        self._rows: list[tuple] | None = None
 
     def execute(self, sql: str) -> None:
         s = sql.lstrip()
-        if s[:6].upper() == "SELECT":
-            # lossless fetch path: route the query through COPY TEXT
+        first = s.split(None, 1)[0].upper() if s else ""
+        if first in self._FETCH_PREFIXES:
+            # lossless fetch path: route the query through COPY TEXT.
+            # COPY's grammar only admits SELECT/VALUES/WITH, so SHOW
+            # and TABLE are rewritten to their exact SELECT equivalents
+            q = s.rstrip(";").rstrip()
+            if first == "SHOW":
+                setting = q.split(None, 1)[1].strip()
+                q = f"SELECT current_setting('{setting}')"
+            elif first == "TABLE":
+                q = "SELECT * FROM " + q.split(None, 1)[1]
             self._conn._flush()
-            out = self._conn._run_capture(f"COPY ({sql.rstrip(';')}) TO STDOUT")
+            out = self._conn._run_capture(f"COPY ({q}) TO STDOUT")
             self._rows = _parse_copy_text(out)
         else:
             # queue DDL/DML; conn.commit() flushes the whole batch in
             # ONE transaction (psql --single-transaction), preserving
             # staged_copy's atomic-swap semantics
             self._conn._pending.append(sql)
-            self._rows = []
+            self._rows = None
 
     def copy_stdin(self, copy_sql: str, chunks: Iterator[bytes]) -> None:
         self._conn._flush()
         self._conn._run_stdin(copy_sql, chunks)
 
     def fetchall(self) -> list[tuple]:
+        if self._rows is None:
+            # a queued DDL/DML statement produces no result set —
+            # returning stale/empty rows here would hide misuse
+            raise RuntimeError(
+                "fetchall() after a queued (non-row-returning) statement; "
+                "only SELECT/WITH/VALUES/SHOW/TABLE produce rows on the "
+                "psql CLI transport"
+            )
         return self._rows
 
     def close(self) -> None:
@@ -194,17 +252,30 @@ class PsqlCliConnection:
     framing (``rows_to_csv_chunks``) is shared with the driver paths."""
 
     def __init__(self, dsn: str):
-        self._dsn = dsn
+        # never put credentials in argv: process listings on shared
+        # hosts expose every subprocess's arguments, and COPY spawns
+        # one psql per partition. The password travels via PGPASSWORD
+        # in the subprocess environment instead.
+        self._dsn, self._password = _split_dsn_password(dsn)
         self._pending: list[str] = []
 
     def _argv(self, *extra: str) -> list[str]:
         return ["psql", self._dsn, "-v", "ON_ERROR_STOP=1", "-q", *extra]
 
+    def _env(self) -> dict[str, str]:
+        import os
+
+        env = dict(os.environ)
+        if self._password is not None:
+            env["PGPASSWORD"] = self._password
+        return env
+
     def _run_capture(self, sql: str) -> str:
         import subprocess
 
         res = subprocess.run(
-            self._argv("-c", sql), capture_output=True, text=True
+            self._argv("-c", sql), capture_output=True, text=True,
+            env=self._env(),
         )
         if res.returncode:
             raise RuntimeError(f"psql failed: {res.stderr.strip()}")
@@ -218,6 +289,7 @@ class PsqlCliConnection:
             stdin=subprocess.PIPE,
             stdout=subprocess.DEVNULL,
             stderr=subprocess.PIPE,
+            env=self._env(),
         )
         assert proc.stdin is not None
         try:
@@ -242,6 +314,7 @@ class PsqlCliConnection:
             self._argv("--single-transaction", "-c", sql),
             capture_output=True,
             text=True,
+            env=self._env(),
         )
         if res.returncode:
             raise RuntimeError(f"psql failed: {res.stderr.strip()}")

@@ -345,6 +345,13 @@ def resolve_pg_load(
     - neither: (None, None) — the caller wires a dry-run sink.
 
     Returns (connection, loader)."""
+    if dsn is not None and rdbms != "pg":
+        # silently ignoring the DSN would fall back to a dry-run sink
+        # that prints SQL and exits 0 — loud failure instead
+        raise ValueError(
+            f"--dsn is only supported for rdbms 'pg' (got {rdbms!r}); "
+            f"pass a DB-API connection for other databases"
+        )
     if connection is None and dsn is not None and rdbms == "pg":
         from datagouv_tools_spark.sinks.pg_copy import _connect
 

@@ -103,6 +103,12 @@ def dedup_gate_batch(
             )
         else:
             merged = new_fps.distinct()
+        # materialize the merged slice BEFORE overwriting the same
+        # path: with a direct-write/object-store committer, a write
+        # that still lazily reads its own target could lose touched
+        # buckets on task failure (then previously-admitted dups would
+        # be re-admitted). Bounded: touched buckets only.
+        merged = merged.localCheckpoint()
         merged.write.mode("overwrite").partitionBy("__bucket").parquet(store_path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -138,6 +138,10 @@ def neardup_gate_batch(
             )
         else:
             merged = new_bands
+        # materialize before overwriting the path being read (see
+        # dedup_gate: direct-write committers could otherwise corrupt
+        # touched buckets on task failure). Bounded: touched buckets.
+        merged = merged.localCheckpoint()
         merged.write.mode("overwrite").partitionBy("__bucket").parquet(store_path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -44,7 +44,17 @@ def _events_ts_is_nanos(sf_dir: str) -> bool:
     """
     import pyarrow.parquet as pq
 
-    ts_type = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
+    try:
+        ts_type = (
+            pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
+        )
+    except Exception:
+        # pyarrow only probes LOCAL paths; for hdfs://, s3a://, etc.
+        # (which the Spark reader itself accepts) default to the nanos
+        # encoding the testdata generator ships — callers on remote
+        # filesystems with microsecond timestamps can pass the schema
+        # explicitly via events_raw_schema(nanos=False)
+        return True
     return getattr(ts_type, "unit", None) == "ns" or str(ts_type) == "int64"
 
 

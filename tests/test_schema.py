@@ -579,3 +579,74 @@ def test_psql_cli_connection_batches_are_atomic(pg_dsn):
     )
     assert [int(r[0]) for r in cur.fetchall()] == [0]
     conn.close()
+
+
+def test_split_dsn_password_forms():
+    """Credentials must never reach psql argv (process listings are
+    world-readable); the splitter handles URI and key=value DSNs,
+    quoted values, and DSNs with no password at all."""
+    from datagouv_tools_spark.sinks.pg_copy import (
+        PsqlCliConnection,
+        _split_dsn_password,
+    )
+
+    assert _split_dsn_password("postgresql://u:sekret@h:5432/db") == (
+        "postgresql://u@h:5432/db",
+        "sekret",
+    )
+    assert _split_dsn_password("postgresql://u@h/db") == (
+        "postgresql://u@h/db",
+        None,
+    )
+    assert _split_dsn_password("host=h dbname=db password=sekret user=u") == (
+        "host=h dbname=db user=u",
+        "sekret",
+    )
+    assert _split_dsn_password("host=h password='se kret' user=u") == (
+        "host=h user=u",
+        "se kret",
+    )
+    conn = PsqlCliConnection("postgresql://u:topsecret@h:5432/db")
+    assert all("topsecret" not in a for a in conn._argv("-c", "SELECT 1"))
+    assert conn._env()["PGPASSWORD"] == "topsecret"
+
+
+def test_psql_cli_fetch_prefixes_and_loud_fetchall(pg_dsn):
+    """WITH/VALUES/SHOW must take the row-returning COPY fetch path
+    (round 4 routed only SELECT and silently queued everything else);
+    fetchall() after a queued DDL/DML statement must raise instead of
+    returning stale rows."""
+    import pytest
+
+    from datagouv_tools_spark.sinks.pg_copy import PsqlCliConnection
+
+    conn = PsqlCliConnection(pg_dsn)
+    try:
+        cur = conn.cursor()
+        cur.execute("WITH t AS (SELECT 41 + 1 AS x) SELECT x FROM t")
+        assert [int(r[0]) for r in cur.fetchall()] == [42]
+        cur.execute("VALUES (1), (2)")
+        assert sorted(int(r[0]) for r in cur.fetchall()) == [1, 2]
+        cur.execute("SHOW server_version_num")
+        assert int(cur.fetchall()[0][0]) > 0
+        cur.execute('CREATE TABLE "dg_fetch_probe" (id int)')
+        with pytest.raises(RuntimeError, match="queued"):
+            cur.fetchall()
+        cur.execute('DROP TABLE "dg_fetch_probe"')
+    finally:
+        conn.close()
+
+
+def test_resolve_pg_load_rejects_dsn_with_non_pg_rdbms():
+    """--dsn with -r sqlite/mariadb used to silently fall back to a
+    dry-run sink (SQL printed, exit 0, nothing loaded); it must fail
+    loudly instead."""
+    import pytest
+
+    from datagouv_tools_spark.schema.ddl import SqliteDialect
+    from datagouv_tools_spark.sinks.sink import resolve_pg_load
+
+    with pytest.raises(ValueError, match="only supported for rdbms 'pg'"):
+        resolve_pg_load(
+            None, "postgresql://u@h/db", True, "sqlite", SqliteDialect()
+        )
