@@ -64,21 +64,25 @@ def main() -> None:
     batch_total = round(sum(v for n, v in medians.items() if not _is_streaming(n)), 4)
     streaming_total = round(sum(v for n, v in medians.items() if _is_streaming(n)), 4)
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
-    print(
-        json.dumps(
-            {
-                "metric": "query_suite_total",
-                "value": round(batch_total + streaming_total, 4),
-                "unit": "sec",
-                "queries": medians,
-                "queries_min": minima,
-                "batch_total": batch_total,
-                "streaming_total": streaming_total,
-                "repeats": REPEATS,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "query_suite_total",
+        "value": round(batch_total + streaming_total, 4),
+        "unit": "sec",
+        "queries": medians,
+        "queries_min": minima,
+        "batch_total": batch_total,
+        "streaming_total": streaming_total,
+        "repeats": REPEATS,
+        "sf": sf,
+    }
+    print(json.dumps(payload))
+    # The driver's BENCH_r{N}.json keeps only the tail of stdout, which
+    # truncates the first ~50 per-query entries out of the stored
+    # record; a sidecar file preserves every row so rounds can be
+    # compared query-for-query.
+    full_path = os.environ.get("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
+    with open(full_path, "w") as fh:
+        json.dump(payload, fh, indent=1, sort_keys=True)
     spark.stop()
 
 

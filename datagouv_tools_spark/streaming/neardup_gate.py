@@ -52,6 +52,21 @@ def _store_bucket(n_store_buckets: int):
     ).cast("int")
 
 
+def _vacuum_expired_epochs(spark, store_path: str, min_epoch: int) -> None:
+    """Physically drop ``__epoch`` partition dirs older than
+    ``min_epoch`` — TTL expiry is a directory delete, never a rewrite."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(store_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return
+    glob = jvm.org.apache.hadoop.fs.Path(f"{store_path}/__bucket=*/__epoch=*")
+    for st in fs.globStatus(glob):
+        p = st.getPath()
+        if int(p.getName().split("=", 1)[1]) < min_epoch:
+            fs.delete(p, True)
+
+
 def neardup_gate_batch(
     batch: DataFrame,
     store_path: str,
@@ -64,15 +79,33 @@ def neardup_gate_batch(
     token_hash: str = "xxhash64",
     n_store_buckets: int = 16,
     batch_id: int = 0,
+    ttl_epochs: int | None = None,
+    epoch_batches: int = 1,
 ) -> None:
     """Admit one (micro-)batch through the near-dup gate.
 
     ``batch_id`` must be the streaming micro-batch id (stable across
     checkpointed replays); it partitions the output so a replay
-    rewrites only its own slice."""
+    rewrites only its own slice.
+
+    Store compaction (``ttl_epochs``): without it the band store grows
+    as admitted_docs × bands forever, and every touched bucket is fully
+    rewritten each batch — rewrite cost grows with store size. With
+    ``ttl_epochs=T`` the store is additionally partitioned by
+    ``__epoch = batch_id // epoch_batches``: the anti-join reads only
+    the last T epochs of touched buckets (partition pruning on both
+    keys), the merge rewrites ONLY the current epoch's slice (older
+    epoch files are never touched — pinned by a file-listing test), and
+    expiry is a directory delete. The admission contract becomes
+    greedy-by-arrival within a sliding window: a near-dup of a document
+    admitted more than T epochs ago is admitted again — the standard
+    retention trade a 100 TB ingest gate makes to bound state. Choose
+    the mode at store creation; the two layouts don't mix."""
     from datagouv_tools_spark.operators.dedup import _band_entries
 
     spark = batch.sparkSession
+    epoch_now = batch_id // max(1, epoch_batches)
+    min_epoch = None if ttl_epochs is None else epoch_now - ttl_epochs + 1
     entries = _band_entries(
         batch, text_col, id_col, k, bands, seed, token_hash, band_key="hash"
     ).withColumn("__bucket", _store_bucket(n_store_buckets))
@@ -84,11 +117,13 @@ def neardup_gate_batch(
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     store_exists = fs.exists(jpath)
     if store_exists:
-        known = (
-            spark.read.parquet(store_path)
-            .filter(F.col("__bucket").isin(touched))
-            .select("band_idx", "band_hash")
-            .withColumn("__known", F.lit(True))
+        known = spark.read.parquet(store_path).filter(
+            F.col("__bucket").isin(touched)
+        )
+        if min_epoch is not None:
+            known = known.filter(F.col("__epoch") >= min_epoch)
+        known = known.select("band_idx", "band_hash").withColumn(
+            "__known", F.lit(True)
         )
         marked = entries.join(known, ["band_idx", "band_hash"], "left")
     else:
@@ -128,21 +163,44 @@ def neardup_gate_batch(
             .select("band_idx", "band_hash", "__bucket")
             .distinct()
         )
-        if store_exists:
-            merged = (
-                spark.read.parquet(store_path)
-                .filter(F.col("__bucket").isin(touched))
-                .select("band_idx", "band_hash", "__bucket")
-                .unionByName(new_bands)
-                .distinct()
-            )
+        if min_epoch is None:
+            if store_exists:
+                merged = (
+                    spark.read.parquet(store_path)
+                    .filter(F.col("__bucket").isin(touched))
+                    .select("band_idx", "band_hash", "__bucket")
+                    .unionByName(new_bands)
+                    .distinct()
+                )
+            else:
+                merged = new_bands
+            part_cols = ["__bucket"]
         else:
-            merged = new_bands
+            # merge within the CURRENT epoch's slice only — older
+            # epochs are immutable and never rewritten
+            new_bands = new_bands.withColumn("__epoch", F.lit(epoch_now))
+            if store_exists:
+                merged = (
+                    spark.read.parquet(store_path)
+                    .filter(
+                        F.col("__bucket").isin(touched)
+                        & (F.col("__epoch") == epoch_now)
+                    )
+                    .select("band_idx", "band_hash", "__bucket", "__epoch")
+                    .unionByName(new_bands)
+                    .distinct()
+                )
+            else:
+                merged = new_bands
+            part_cols = ["__bucket", "__epoch"]
         # materialize before overwriting the path being read (see
         # dedup_gate: direct-write committers could otherwise corrupt
-        # touched buckets on task failure). Bounded: touched buckets.
+        # touched buckets on task failure). Bounded: touched buckets
+        # (current epoch only, under TTL).
         merged = merged.localCheckpoint()
-        merged.write.mode("overwrite").partitionBy("__bucket").parquet(store_path)
+        merged.write.mode("overwrite").partitionBy(*part_cols).parquet(store_path)
+        if min_epoch is not None:
+            _vacuum_expired_epochs(spark, store_path, min_epoch)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
@@ -157,6 +215,8 @@ def foreach_batch_neardup_gate(
     seed: int = 42,
     token_hash: str = "xxhash64",
     n_store_buckets: int = 16,
+    ttl_epochs: int | None = None,
+    epoch_batches: int = 1,
 ):
     """``writeStream.foreachBatch`` callback wiring ``neardup_gate_batch``."""
 
@@ -173,6 +233,8 @@ def foreach_batch_neardup_gate(
             token_hash,
             n_store_buckets,
             batch_id,
+            ttl_epochs,
+            epoch_batches,
         )
 
     return run

@@ -639,3 +639,82 @@ def test_neardup_gate_streaming_end_to_end(spark, tmp_path):
     )
     q.awaitTermination()
     assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {5, 7, 11}
+
+
+def test_neardup_gate_template_flood_bounds(spark, tmp_path):
+    """Adversarial band-bucket flood: 10^5 IDENTICAL documents land in
+    one micro-batch, making every one of their band buckets maximally
+    hot. The gate must stay linear — the within-batch resolution is a
+    groupBy-min per bucket plus a per-doc verdict aggregation, never a
+    pair join (a pair-shaped plan would materialize ~10^10 rows here) —
+    and the state written must be bounded by ADMITTED docs' bands, not
+    by the flood."""
+    from pyspark.sql import functions as F
+
+    from datagouv_tools_spark.streaming.neardup_gate import neardup_gate_batch
+
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    n = 100_000
+    flood = spark.range(n).select(
+        (F.col("id") + 100).alias("doc_id"), F.lit(TA).alias("text")
+    )
+    distinctive = spark.createDataFrame(
+        [(7, TB), (9, TC)], "doc_id long, text string"
+    )
+    batch = flood.unionByName(distinctive)
+    neardup_gate_batch(batch, store, out, k=16, bands=8, batch_id=0)
+    admitted = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    # exactly one survivor of the flood (the min id) + the two distinct
+    assert admitted == {100, 7, 9}
+    # store rows bounded by admitted docs x bands — 3 x 8, NOT 10^5 x 8
+    assert spark.read.parquet(store).count() <= 3 * 8
+
+
+def test_neardup_gate_ttl_expires_and_rewrites_only_current_epoch(spark, tmp_path):
+    """TTL-compacted store (ttl_epochs=2, one batch per epoch):
+
+    - a near-dup of a doc admitted within the window is rejected;
+      beyond the window it is admitted again (the retention contract)
+    - the merge rewrites ONLY the current epoch's partition dirs:
+      older epochs' files are byte-for-byte untouched (file-name set
+      equality — a rewrite would mint new part-file uuids)
+    - expired epoch dirs are physically vacuumed"""
+    import glob
+    import os
+
+    from datagouv_tools_spark.streaming.neardup_gate import neardup_gate_batch
+
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+
+    def files(pattern):
+        return {
+            p
+            for p in glob.glob(f"{store}/__bucket=*/{pattern}/*")
+            if os.path.basename(p).startswith("part-")
+        }
+
+    def run(batch_id, rows):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        neardup_gate_batch(
+            df, store, out, k=16, bands=8, batch_id=batch_id, ttl_epochs=2
+        )
+
+    run(0, [(5, TA), (7, TB)])
+    epoch0 = files("__epoch=0")
+    assert epoch0, "epoch-0 slice must exist"
+    # b1: TA still in window -> rejected; TC is new -> admitted
+    run(1, [(11, TA_REORDER), (12, TC)])
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {5, 7, 12}
+    # epoch-0 files untouched by the epoch-1 merge
+    assert files("__epoch=0") == epoch0
+    # b2: epoch 0 falls out of the window (min_epoch=1): TA re-admitted,
+    # TC (epoch 1, in window) still rejects its dup
+    run(2, [(21, TA), (22, TC)])
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {
+        5, 7, 12, 21,
+    }
+    # expired epoch physically vacuumed
+    assert not glob.glob(f"{store}/__bucket=*/__epoch=0")
+    assert glob.glob(f"{store}/__bucket=*/__epoch=1")
