@@ -311,9 +311,16 @@ def lsh_topk(
     survives.
     """
     n_probes = max(1, min(n_probes, n_planes + 1))
-    qb = queries.select(
-        query_id, query_vec, lsh_bucket(queries, query_vec, dim, n_planes, seed).alias("__bucket0")
-    )
+    # bucket via the Arrow band kernel (single band of n_planes bits —
+    # the same seeded planes and sign rule as the lsh_bucket
+    # expression, bit-identical by the sequential-accumulation
+    # argument): the 512-literal HOF expression costs plan-build time
+    # plus interpreted per-row lambda evaluation on BOTH sides
+    # (measured ~2x the whole query at sf0.1)
+    qb = lsh_band_buckets(
+        queries.select(query_id, query_vec), query_id, query_vec, dim,
+        1, n_planes, seed, keep_vec=True,
+    ).drop("__band").withColumnRenamed("__bucket", "__bucket0")
     probe_masks = F.array(
         F.lit(0).cast("bigint"),
         *[F.lit(1 << j).cast("bigint") for j in range(n_probes - 1)],
@@ -325,9 +332,10 @@ def lsh_topk(
             F.transform(probe_masks, lambda m: F.col("__bucket0").bitwiseXOR(m))
         ).alias("__bucket"),
     )
-    cb = corpus.select(
-        corpus_id, corpus_vec, lsh_bucket(corpus, corpus_vec, dim, n_planes, seed).alias("__bucket")
-    )
+    cb = lsh_band_buckets(
+        corpus.select(corpus_id, corpus_vec), corpus_id, corpus_vec, dim,
+        1, n_planes, seed, keep_vec=True,
+    ).drop("__band")
     pairs = F.broadcast(qb).join(cb, "__bucket").filter(F.col(query_id) != F.col(corpus_id))
     sim = F.round(cosine(query_vec, corpus_vec), round_to)
     w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(corpus_id))
@@ -346,6 +354,7 @@ def lsh_band_buckets(
     n_bands: int,
     band_bits: int,
     seed: int = 42,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Banded sign-LSH bucket ids: one row per (vector, band) with a
     ``band_bits``-bit bucket — the cosine analog of MinHash banding
@@ -362,21 +371,29 @@ def lsh_band_buckets(
     literals.
 
     Scale shape: pure map work (no shuffle); output is |corpus| ×
-    n_bands rows, linear.
+    n_bands rows, linear. ``keep_vec=True`` carries the vector column
+    through (for callers that score within buckets immediately, e.g.
+    ``lsh_topk`` with a single band — avoids a join back to the corpus
+    to recover vectors).
     """
     import numpy as np
-    import pandas as pd
 
     n_planes = n_bands * band_bits
     planes = np.array(_hyperplanes(dim, n_planes, seed), dtype=np.float64)
     weights = (1 << np.arange(band_bits, dtype=np.int64)).astype(np.int64)
     bands = np.arange(n_bands, dtype=np.int32)
+    base = df.select(id_col, vec_col) if keep_vec else df.select(id_col, vec_col)
+    kept = [id_col, vec_col] if keep_vec else [id_col]
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in base.schema.fields
+        if f.name in kept
+    )
 
     def gen(batches):
         for pdf in batches:
             if pdf.empty:
                 continue
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
             mat = np.array(list(pdf[vec_col]), dtype=np.float64)
             acc = np.zeros((len(mat), n_planes), dtype=np.float64)
             # sequential over dims == list_dot_product accumulation order
@@ -384,17 +401,13 @@ def lsh_band_buckets(
                 acc += mat[:, d : d + 1] * planes[None, :, d][0]
             bits = (acc > 0).astype(np.int64)
             buckets = bits.reshape(len(mat), n_bands, band_bits) @ weights
-            yield pd.DataFrame(
-                {
-                    id_col: np.repeat(ids, n_bands),
-                    "__band": np.tile(bands, len(mat)),
-                    "__bucket": buckets.reshape(-1),
-                }
-            )
+            idx = np.repeat(np.arange(len(pdf)), n_bands)
+            out = pdf.iloc[idx][kept].copy()
+            out["__band"] = np.tile(bands, len(pdf))
+            out["__bucket"] = buckets.reshape(-1)
+            yield out
 
-    return df.select(id_col, vec_col).mapInPandas(
-        gen, f"{id_col} bigint, __band int, __bucket bigint"
-    )
+    return base.mapInPandas(gen, f"{fields}, __band int, __bucket bigint")
 
 
 def cosine_pairs_lsh(

@@ -5137,14 +5137,12 @@ def emb_ivfpq_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.adc_topk(_query_vec0(spark, sf_dir), k=10, nprobe=2)
 
 
-def _sql_hybrid_dedup_oracle() -> str:
-    """DuckDB twin of the LSH-fronted hybrid dedup: recomputes the 100
-    seeded hyperplanes as literals, the 10 band buckets per vector, the
-    Hamming<=1 multiprobe candidate join, the exact-cosine verification
-    at 0.4, and the SAME recursive-CTE connected components as every
-    other dedup oracle. The edge generator moved (all-pairs -> LSH
-    candidates) in BOTH engines, so this is still a full value-hash
-    oracle of the declared semantics."""
+def _sql_lsh_band_ctes() -> str:
+    """Shared CTE block: seeded hyperplane literals → 10 band buckets
+    per vector → Hamming≤1 multiprobe fan-out → candidate equi-join —
+    the SQL twin of ``operators/similarity.cosine_pairs_lsh``'s
+    candidate half. Used by both the standalone pair query and the
+    hybrid dedup oracle."""
     from datagouv_tools_spark.operators.similarity import _hyperplanes
 
     n_bands, band_bits = 10, 10
@@ -5166,15 +5164,7 @@ def _sql_hybrid_dedup_oracle() -> str:
         for i in range(n_bands)
     )
     masks = ", ".join(str(m) for m in [0] + [1 << j for j in range(band_bits)])
-    return f"""
-    WITH RECURSIVE fp AS (
-      SELECT doc_id, {_SQL_FP} AS fp FROM documents
-    ), tmin AS (
-      SELECT fp, MIN(doc_id) AS id_a FROM fp GROUP BY fp
-    ), tedges AS (
-      SELECT tmin.id_a, fp.doc_id AS id_b
-      FROM fp JOIN tmin USING (fp) WHERE fp.doc_id <> tmin.id_a
-    ), c0 AS (
+    return f"""c0 AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
     ), cb AS (
       SELECT vec_id, embedding,
@@ -5189,7 +5179,59 @@ def _sql_hybrid_dedup_oracle() -> str:
       SELECT DISTINCT p.vec_id AS id_a, e.vec_id AS id_b
       FROM pr p JOIN eb e ON p.band = e.band AND p.bucket = e.bucket
       WHERE p.vec_id < e.vec_id
-    ), eedges AS (
+    )"""
+
+
+@query(
+    "emb_lsh_near_dup_pairs",
+    f"""
+    WITH {_sql_lsh_band_ctes()}
+    SELECT c.id_a, c.id_b,
+           ROUND(list_dot_product(a.embedding, b.embedding)
+                 / (sqrt(list_dot_product(a.embedding, a.embedding))
+                    * sqrt(list_dot_product(b.embedding, b.embedding))), 6) AS sim
+    FROM cand c
+    JOIN c0 a ON a.vec_id = c.id_a
+    JOIN c0 b ON b.vec_id = c.id_b
+    WHERE ROUND(list_dot_product(a.embedding, b.embedding)
+                / (sqrt(list_dot_product(a.embedding, a.embedding))
+                   * sqrt(list_dot_product(b.embedding, b.embedding))), 6) >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
+def emb_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-bounded near-dup pairs over embeddings
+    (operators/similarity.cosine_pairs_lsh) as a standalone query: the
+    scale-contract sibling of emb_near_dup_pairs (exact all-pairs via
+    the blocked kernel). Banded multiprobe sign-LSH candidates from an
+    equi-join on (band, bucket), exact cosine verified on candidates
+    only — the one embedding pair generator whose every stage is linear
+    at 100 TB; recall per sim level quantified in the operator
+    docstring. The oracle recomputes the identical LSH front."""
+    from datagouv_tools_spark.operators.similarity import cosine_pairs_lsh
+
+    emb = t(spark, sf_dir, "embeddings")
+    return cosine_pairs_lsh(
+        emb, "vec_id", "embedding", threshold=0.4, dim=64
+    ).orderBy("id_a", "id_b")
+
+
+def _sql_hybrid_dedup_oracle() -> str:
+    """DuckDB twin of the LSH-fronted hybrid dedup: the shared LSH
+    band/candidate CTEs (``_sql_lsh_band_ctes``), exact-cosine
+    verification at 0.4, and the SAME recursive-CTE connected
+    components as every other dedup oracle. The edge generator moved
+    (all-pairs -> LSH candidates) in BOTH engines, so this is still a
+    full value-hash oracle of the declared semantics."""
+    return f"""
+    WITH RECURSIVE fp AS (
+      SELECT doc_id, {_SQL_FP} AS fp FROM documents
+    ), tmin AS (
+      SELECT fp, MIN(doc_id) AS id_a FROM fp GROUP BY fp
+    ), tedges AS (
+      SELECT tmin.id_a, fp.doc_id AS id_b
+      FROM fp JOIN tmin USING (fp) WHERE fp.doc_id <> tmin.id_a
+    ), {_sql_lsh_band_ctes()}, eedges AS (
       SELECT c.id_a, c.id_b
       FROM cand c
       JOIN c0 a ON a.vec_id = c.id_a
