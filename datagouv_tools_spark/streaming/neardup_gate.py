@@ -1,5 +1,8 @@
-"""Streaming NEAR-duplicate admission gate: MinHash-LSH against a
-persistent band-bucket store.
+"""Streaming NEAR-duplicate admission gates: banded LSH against a
+persistent band-bucket store — MinHash bands over text
+(``neardup_gate_batch``) and sign-LSH bands over embeddings
+(``embdup_gate_batch``), sharing one admission engine
+(``_banded_admission_batch``).
 
 `streaming/dedup_gate.py` admits exactly-new documents (normalized
 fingerprint equality); this gate generalizes admission to near-
@@ -43,7 +46,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["neardup_gate_batch", "foreach_batch_neardup_gate"]
+__all__ = [
+    "embdup_gate_batch",
+    "foreach_batch_embdup_gate",
+    "foreach_batch_neardup_gate",
+    "neardup_gate_batch",
+]
 
 
 def _store_bucket(n_store_buckets: int):
@@ -103,12 +111,82 @@ def neardup_gate_batch(
     the mode at store creation; the two layouts don't mix."""
     from datagouv_tools_spark.operators.dedup import _band_entries
 
+    entries = _band_entries(
+        batch, text_col, id_col, k, bands, seed, token_hash, band_key="hash"
+    )
+    _banded_admission_batch(
+        entries, batch, store_path, out_path, id_col,
+        n_store_buckets, batch_id, ttl_epochs, epoch_batches,
+    )
+
+
+def embdup_gate_batch(
+    batch: DataFrame,
+    store_path: str,
+    out_path: str,
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    n_bands: int = 10,
+    band_bits: int = 10,
+    seed: int = 42,
+    n_store_buckets: int = 16,
+    batch_id: int = 0,
+    ttl_epochs: int | None = None,
+    epoch_batches: int = 1,
+) -> None:
+    """Streaming SEMANTIC near-dup admission gate: the embedding-modality
+    sibling of ``neardup_gate_batch`` — band buckets come from banded
+    sign-LSH over the embedding column (``operators/similarity.
+    lsh_band_buckets``, the same seeded projections as the batch-side
+    ``cosine_pairs_lsh``) instead of MinHash over tokens; the store,
+    admission rule, replay ordering, and TTL compaction are the shared
+    engine, so every property tested for the text gate (flood bounds,
+    out-of-order replay, epoch-bounded rewrite) carries over.
+
+    Admission is bucket-claimed ⇒ reject, unverified — the conservative
+    greedy the text gate also ships. Precision on RANDOM vectors: a
+    false rejection needs an exact ``band_bits``-bit bucket collision
+    in some band (≈ n_bands·2^-band_bits ≈ 1% at defaults); a true
+    near-dup at cosine 0.99 collides with probability ≈ 1 − (1 −
+    p^b)^L ≈ 0.9999 (p = 0.955). Tighten band_bits for precision,
+    raise n_bands for recall; exact-threshold semantics need the
+    batch-side verify (``cosine_pairs_lsh``)."""
+    from datagouv_tools_spark.operators.similarity import lsh_band_buckets
+
+    entries = lsh_band_buckets(
+        batch, id_col, vec_col, dim, n_bands, band_bits, seed
+    ).select(
+        id_col,
+        F.col("__band").alias("band_idx"),
+        F.col("__bucket").alias("band_hash"),
+    )
+    _banded_admission_batch(
+        entries, batch, store_path, out_path, id_col,
+        n_store_buckets, batch_id, ttl_epochs, epoch_batches,
+    )
+
+
+def _banded_admission_batch(
+    entries: DataFrame,
+    batch: DataFrame,
+    store_path: str,
+    out_path: str,
+    id_col: str,
+    n_store_buckets: int,
+    batch_id: int,
+    ttl_epochs: int | None,
+    epoch_batches: int,
+) -> None:
+    """Shared banded-admission engine: takes (id, band_idx, band_hash)
+    entries from any banding scheme (MinHash text bands, sign-LSH
+    embedding bands) and applies the store anti-join, the two-condition
+    admission rule, the output-first replay ordering, and the
+    TTL/epoch store discipline documented on ``neardup_gate_batch``."""
     spark = batch.sparkSession
     epoch_now = batch_id // max(1, epoch_batches)
     min_epoch = None if ttl_epochs is None else epoch_now - ttl_epochs + 1
-    entries = _band_entries(
-        batch, text_col, id_col, k, bands, seed, token_hash, band_key="hash"
-    ).withColumn("__bucket", _store_bucket(n_store_buckets))
+    entries = entries.withColumn("__bucket", _store_bucket(n_store_buckets))
     touched = [r["__bucket"] for r in entries.select("__bucket").distinct().collect()]
     if not touched:
         return
@@ -231,6 +309,41 @@ def foreach_batch_neardup_gate(
             bands,
             seed,
             token_hash,
+            n_store_buckets,
+            batch_id,
+            ttl_epochs,
+            epoch_batches,
+        )
+
+    return run
+
+
+def foreach_batch_embdup_gate(
+    store_path: str,
+    out_path: str,
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    n_bands: int = 10,
+    band_bits: int = 10,
+    seed: int = 42,
+    n_store_buckets: int = 16,
+    ttl_epochs: int | None = None,
+    epoch_batches: int = 1,
+):
+    """``writeStream.foreachBatch`` callback wiring ``embdup_gate_batch``."""
+
+    def run(batch: DataFrame, batch_id: int) -> None:
+        embdup_gate_batch(
+            batch,
+            store_path,
+            out_path,
+            vec_col,
+            id_col,
+            dim,
+            n_bands,
+            band_bits,
+            seed,
             n_store_buckets,
             batch_id,
             ttl_epochs,

@@ -718,3 +718,75 @@ def test_neardup_gate_ttl_expires_and_rewrites_only_current_epoch(spark, tmp_pat
     # expired epoch physically vacuumed
     assert not glob.glob(f"{store}/__bucket=*/__epoch=0")
     assert glob.glob(f"{store}/__bucket=*/__epoch=1")
+
+
+def test_embdup_gate_semantic_near_dups(spark, tmp_path):
+    """Embedding-modality near-dup gate (sign-LSH band store): an
+    identical vector re-delivered in a later batch is rejected; a
+    slightly-perturbed copy (cosine ≈ 0.999 — every band collides with
+    probability ≈ 1) is rejected as a SEMANTIC near-dup; orthogonal
+    content is admitted; within a batch the min-id owner wins."""
+    import numpy as np
+
+    from datagouv_tools_spark.streaming.neardup_gate import embdup_gate_batch
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(64)
+    base /= np.linalg.norm(base)
+    near = base.copy()
+    near[0] += 0.02  # cosine(base, near) ≈ 0.9998
+    near /= np.linalg.norm(near)
+    other = rng.standard_normal(64)
+    other /= np.linalg.norm(other)
+    third = rng.standard_normal(64)
+    third /= np.linalg.norm(third)
+
+    def df(rows):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows],
+            "doc_id long, embedding array<float>",
+        )
+
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    # batch 0: base twice (ids 9 and 5 — min wins) + other
+    embdup_gate_batch(df([(9, base), (5, base), (7, other)]), store, out, batch_id=0)
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {5, 7}
+    # batch 1: perturbed copy of base rejected (semantic near-dup of an
+    # ADMITTED doc), genuinely new content admitted
+    embdup_gate_batch(df([(1, near), (2, third)]), store, out, batch_id=1)
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {5, 7, 2}
+    # store bounded by admitted docs x bands
+    assert spark.read.parquet(store).count() <= 3 * 10
+
+
+def test_embdup_gate_replay_and_ttl(spark, tmp_path):
+    """The shared engine's replay and TTL properties hold for the
+    embedding gate too: an out-of-order replay changes nothing; with
+    ttl_epochs=2 a near-dup of an expired admission re-admits."""
+    import numpy as np
+
+    from datagouv_tools_spark.streaming.neardup_gate import embdup_gate_batch
+
+    rng = np.random.default_rng(11)
+    vs = rng.standard_normal((3, 64))
+    vs /= np.linalg.norm(vs, axis=1, keepdims=True)
+
+    def df(rows):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in vs[j]]) for i, j in rows],
+            "doc_id long, embedding array<float>",
+        )
+
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    embdup_gate_batch(df([(5, 0)]), store, out, batch_id=0, ttl_epochs=2)
+    embdup_gate_batch(df([(6, 1)]), store, out, batch_id=1, ttl_epochs=2)
+    snap_out = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    # out-of-order replay of batch 0: nothing changes
+    embdup_gate_batch(df([(5, 0)]), store, out, batch_id=0, ttl_epochs=2)
+    assert sorted(tuple(r) for r in spark.read.parquet(out).collect()) == snap_out
+    # batch 2: vector 0's admission (epoch 0) has expired -> re-admitted;
+    # vector 1 (epoch 1, in window) still rejects its dup
+    embdup_gate_batch(df([(20, 0), (21, 1)]), store, out, batch_id=2, ttl_epochs=2)
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {5, 6, 20}
