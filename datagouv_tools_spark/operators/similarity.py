@@ -33,6 +33,7 @@ __all__ = [
     "cosine_pairs_exact",
     "cosine_pairs_blocked",
     "cosine_pairs_lsh",
+    "cosine_star_edges_lsh",
     "lsh_band_buckets",
     "lsh_bucket",
     "lsh_topk",
@@ -694,6 +695,48 @@ def ivf_topk(
         pairs.select(query_id, corpus_id, sim.alias("sim"))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
+    )
+
+
+def cosine_star_edges_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bands: int = 10,
+    band_bits: int = 20,
+    seed: int = 42,
+) -> DataFrame:
+    """LINEAR-output candidate edges for embedding cluster dedup: within
+    each sign-LSH (band, bucket), connect every member to the bucket's
+    minimum id (a star) instead of materializing the O(m²) clique — the
+    embedding-modality twin of ``operators/dedup.minhash_cluster_edges``
+    and the mass-duplication escape hatch for ``cosine_pairs_lsh``
+    (whose bucket join is quadratic in bucket size: one template vector
+    × 10⁶ copies → 10¹² candidate pairs there, 10⁶·n_bands star edges
+    here).
+
+    A bucket's star spans exactly the same connected component as its
+    clique, so ``dedup_clusters`` over these edges equals clusters over
+    the bucket-clique candidates (pinned by test). Edges are
+    UNVERIFIED bucket-collision evidence — the default ``band_bits=20``
+    makes a random collision ≈ 2⁻²⁰ per band (vs 2⁻¹⁰ for the
+    pair-generator defaults) because star edges feed CC directly with
+    no cosine verify; identical/near-identical template vectors
+    (cosine ≥ 0.99) still collide in some band w.p. ≈ 0.99.
+
+    Shuffle shape: groupBy-min on (band, bucket) + join back — NOT a
+    window min: the aggregate combines map-side and AQE's skew join
+    splits the hot template bucket, while a window would put the whole
+    10⁶-copy bucket in one straggler task (same argument, and same
+    measured gap, as minhash_cluster_edges)."""
+    eb = lsh_band_buckets(df, id_col, vec_col, dim, n_bands, band_bits, seed)
+    mins = eb.groupBy("__band", "__bucket").agg(F.min(id_col).alias("__min"))
+    return (
+        eb.join(mins, ["__band", "__bucket"])
+        .filter(F.col(id_col) != F.col("__min"))
+        .select(F.col("__min").alias("id_a"), F.col(id_col).alias("id_b"))
+        .distinct()
     )
 
 

@@ -760,3 +760,72 @@ def test_ivfpq_adc_quality_on_incompressible_vectors(spark, sf01_dir):
     r2, r8 = recall(2), recall(8)
     assert r2 >= 1  # at least the self-match survives probe pruning
     assert r8 >= r2, f"recall dropped with more probes: {r8} < {r2}"
+
+
+def test_cosine_star_edges_span_bucket_cliques(spark, sf_dir):
+    """The star-vs-clique span argument for embeddings: connected
+    components over cosine_star_edges_lsh equal components over the
+    full bucket-clique candidate set (same bands/bits/seed), while
+    producing linearly many edges."""
+    from datagouv_tools_spark.operators.dedup import dedup_clusters
+    from datagouv_tools_spark.operators.similarity import (
+        cosine_star_edges_lsh,
+        lsh_band_buckets,
+    )
+    from datagouv_tools_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # b=10 here so buckets actually collide on this corpus; the span
+    # equivalence is parameter-independent
+    star = cosine_star_edges_lsh(emb, dim=64, n_bands=10, band_bits=10)
+    eb = lsh_band_buckets(emb, "vec_id", "embedding", 64, 10, 10)
+    clique = (
+        eb.alias("a")
+        .join(eb.alias("b"), ["__band", "__bucket"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+        .distinct()
+    )
+    cs = sorted(map(tuple, dedup_clusters(star).collect()))
+    cc = sorted(map(tuple, dedup_clusters(clique).collect()))
+    assert cs == cc
+    assert star.count() <= clique.count()
+
+
+def test_cosine_star_edges_survive_mass_duplication(spark, sf_dir):
+    """The 100 TB property: a template vector duplicated 5000× produces
+    O(dups · bands) star edges — the clique form would materialize
+    ~12.5M pairs for that one bucket. All copies land in ONE cluster
+    labeled by the min id."""
+    import numpy as np
+
+    from datagouv_tools_spark.operators.dedup import dedup_clusters
+    from datagouv_tools_spark.operators.similarity import cosine_star_edges_lsh
+    from datagouv_tools_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rng = np.random.default_rng(3)
+    tpl = rng.standard_normal(64)
+    tpl = [float(x) for x in tpl / np.linalg.norm(tpl)]
+    n_dup = 5000
+    flood = spark.range(n_dup).select(
+        (F.col("id") + 1_000_000).alias("vec_id"),
+        F.array(*[F.lit(x) for x in tpl]).cast("array<float>").alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(flood)
+    star = cosine_star_edges_lsh(corpus, dim=64, n_bands=10, band_bits=20)
+    n_edges = star.count()
+    # linear: ~n_dup edges from the flood (identical vectors share every
+    # band bucket -> min-star per band dedups to one edge per copy) plus
+    # at most a handful of random 2^-20 collisions from the base corpus
+    assert n_dup - 1 <= n_edges <= n_dup + 50, n_edges
+    labels = dedup_clusters(star)
+    flood_labels = {
+        r["cluster_id"]
+        for r in labels.filter(F.col("node") >= 1_000_000).collect()
+    }
+    assert flood_labels == {1_000_000}
