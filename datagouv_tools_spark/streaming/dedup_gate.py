@@ -55,13 +55,30 @@ def dedup_gate_batch(
     id_col: str = "doc_id",
     n_buckets: int = 16,
     batch_id: int = 0,
+    ttl_epochs: int | None = None,
+    epoch_batches: int = 1,
 ) -> None:
     """Admit one (micro-)batch through the fingerprint gate.
 
     ``batch_id`` must be the streaming micro-batch id (stable across
     checkpointed replays); it partitions the output so a replay
-    rewrites only its own slice."""
+    rewrites only its own slice.
+
+    ``ttl_epochs``: same store-compaction contract as
+    ``neardup_gate_batch`` — the store gains an
+    ``__epoch = batch_id // epoch_batches`` partition key, the
+    anti-join reads only the last T epochs of touched buckets, the
+    merge rewrites only the current epoch's slice, and expired epoch
+    dirs are vacuumed. A document re-delivered more than T epochs
+    after its admission is re-admitted (sliding-window exactly-once).
+    Choose the mode at store creation; the two layouts don't mix."""
+    from datagouv_tools_spark.streaming.neardup_gate import (
+        _vacuum_expired_epochs,
+    )
+
     spark = batch.sparkSession
+    epoch_now = batch_id // max(1, epoch_batches)
+    min_epoch = None if ttl_epochs is None else epoch_now - ttl_epochs + 1
     fp = (
         batch.withColumn("__fp", fingerprint_md5(text_col))
         .withColumn("__bucket", _bucket("__fp", n_buckets))
@@ -80,6 +97,8 @@ def dedup_gate_batch(
         known = spark.read.parquet(store_path).filter(
             F.col("__bucket").isin(touched)
         )
+        if min_epoch is not None:
+            known = known.filter(F.col("__epoch") >= min_epoch)
         admitted = fp.join(known, "__fp", "left_anti")
     else:
         admitted = fp
@@ -93,23 +112,43 @@ def dedup_gate_batch(
         ).partitionBy("__batch").parquet(out_path)
         # 2) then the store: touched buckets ∪ new fingerprints, distinct
         new_fps = admitted.select("__fp", "__bucket")
-        if store_exists:
-            merged = (
-                spark.read.parquet(store_path)
-                .filter(F.col("__bucket").isin(touched))
-                .select("__fp", "__bucket")
-                .unionByName(new_fps)
-                .distinct()
-            )
+        if min_epoch is None:
+            if store_exists:
+                merged = (
+                    spark.read.parquet(store_path)
+                    .filter(F.col("__bucket").isin(touched))
+                    .select("__fp", "__bucket")
+                    .unionByName(new_fps)
+                    .distinct()
+                )
+            else:
+                merged = new_fps.distinct()
+            part_cols = ["__bucket"]
         else:
-            merged = new_fps.distinct()
+            new_fps = new_fps.withColumn("__epoch", F.lit(epoch_now))
+            if store_exists:
+                merged = (
+                    spark.read.parquet(store_path)
+                    .filter(
+                        F.col("__bucket").isin(touched)
+                        & (F.col("__epoch") == epoch_now)
+                    )
+                    .select("__fp", "__bucket", "__epoch")
+                    .unionByName(new_fps)
+                    .distinct()
+                )
+            else:
+                merged = new_fps.distinct()
+            part_cols = ["__bucket", "__epoch"]
         # materialize the merged slice BEFORE overwriting the same
         # path: with a direct-write/object-store committer, a write
         # that still lazily reads its own target could lose touched
         # buckets on task failure (then previously-admitted dups would
         # be re-admitted). Bounded: touched buckets only.
         merged = merged.localCheckpoint()
-        merged.write.mode("overwrite").partitionBy("__bucket").parquet(store_path)
+        merged.write.mode("overwrite").partitionBy(*part_cols).parquet(store_path)
+        if min_epoch is not None:
+            _vacuum_expired_epochs(spark, store_path, min_epoch)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
@@ -120,12 +159,15 @@ def foreach_batch_dedup_gate(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 16,
+    ttl_epochs: int | None = None,
+    epoch_batches: int = 1,
 ):
     """``writeStream.foreachBatch`` callback wiring ``dedup_gate_batch``."""
 
     def run(batch: DataFrame, batch_id: int) -> None:
         dedup_gate_batch(
-            batch, store_path, out_path, text_col, id_col, n_buckets, batch_id
+            batch, store_path, out_path, text_col, id_col, n_buckets,
+            batch_id, ttl_epochs, epoch_batches,
         )
 
     return run

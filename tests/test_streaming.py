@@ -790,3 +790,29 @@ def test_embdup_gate_replay_and_ttl(spark, tmp_path):
     # vector 1 (epoch 1, in window) still rejects its dup
     embdup_gate_batch(df([(20, 0), (21, 1)]), store, out, batch_id=2, ttl_epochs=2)
     assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {5, 6, 20}
+
+
+def test_dedup_gate_ttl_sliding_window(spark, tmp_path):
+    """The exact-dup gate under ttl_epochs=2: a re-delivered document
+    is rejected within the window, re-admitted after its admission
+    epoch expires, and expired epoch dirs are vacuumed — the same
+    compaction contract as the near-dup gates."""
+    import glob
+
+    from datagouv_tools_spark.streaming.dedup_gate import dedup_gate_batch
+
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+
+    def run(batch_id, rows):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        dedup_gate_batch(df, store, out, batch_id=batch_id, ttl_epochs=2)
+
+    run(0, [(5, TA), (7, TB)])
+    run(1, [(11, TA), (12, TC)])  # TA in window -> rejected
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {5, 7, 12}
+    run(2, [(21, TA), (22, TC)])  # TA's epoch 0 expired; TC in window
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {
+        5, 7, 12, 21,
+    }
+    assert not glob.glob(f"{store}/__bucket=*/__epoch=0")
