@@ -383,7 +383,7 @@ def lsh_band_buckets(
     planes = np.array(_hyperplanes(dim, n_planes, seed), dtype=np.float64)
     weights = (1 << np.arange(band_bits, dtype=np.int64)).astype(np.int64)
     bands = np.arange(n_bands, dtype=np.int32)
-    base = df.select(id_col, vec_col) if keep_vec else df.select(id_col, vec_col)
+    base = df.select(id_col, vec_col)
     kept = [id_col, vec_col] if keep_vec else [id_col]
     fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"

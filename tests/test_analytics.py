@@ -829,3 +829,37 @@ def test_cosine_star_edges_survive_mass_duplication(spark, sf_dir):
         for r in labels.filter(F.col("node") >= 1_000_000).collect()
     }
     assert flood_labels == {1_000_000}
+
+
+def test_cosine_pairs_lsh_subset_of_exact(spark, sf_dir):
+    """The LSH pair generator's contract across parameterizations:
+    every emitted pair is a TRUE pair (its sim equals the exact
+    kernel's, and passes the threshold) — LSH bounds candidates, never
+    invents or rescores them. Checked for the query defaults and a
+    second band shape + seed."""
+    from datagouv_tools_spark.operators.similarity import (
+        cosine_pairs_exact,
+        cosine_pairs_lsh,
+    )
+    from datagouv_tools_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in cosine_pairs_exact(
+            emb, "vec_id", "embedding", threshold=0.4
+        ).collect()
+    }
+    for kwargs in (
+        {},  # the query defaults (L=10, b=10, multiprobe)
+        {"n_bands": 4, "band_bits": 6, "seed": 7, "multiprobe": False},
+    ):
+        got = {
+            (r["id_a"], r["id_b"]): r["sim"]
+            for r in cosine_pairs_lsh(
+                emb, "vec_id", "embedding", threshold=0.4, dim=64, **kwargs
+            ).collect()
+        }
+        assert set(got) <= set(exact), kwargs
+        assert all(got[k] == exact[k] for k in got), kwargs
+        assert got, kwargs  # finds something on this corpus
