@@ -34,6 +34,7 @@ from datagouv_tools_spark.functions.xhash import token_hash_expr
 __all__ = [
     "dedup_exact",
     "dedup_fingerprint",
+    "segment_dedup_marks",
     "minhash_signatures",
     "minhash_pairs",
     "minhash_cluster_edges",
@@ -74,6 +75,76 @@ def dedup_fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact dedup on the normalized-text fingerprint."""
     with_fp = df.withColumn("__fp", fingerprint_md5(text_col))
     return dedup_exact(with_fp, ["__fp"], id_col).drop("__fp")
+
+
+def segment_dedup_marks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_len: int = 8,
+    token_hash: str = "xxhash64",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Sub-document (paragraph-level) exact dedup: mark every text
+    segment as kept (global first occurrence) or duplicate.
+
+    The RefinedWeb/FineWeb curation stage between doc-level exact dedup
+    and MinHash near-dup: boilerplate paragraphs (navigation chrome,
+    license blocks, cookie banners) repeat across millions of documents
+    that are NOT document-level duplicates; dropping repeated segments
+    while keeping their first occurrence removes the repetition without
+    discarding whole documents. The testdata corpus has no newline
+    paragraph delimiters, so "paragraph" here is a fixed window of
+    ``seg_len`` whitespace tokens — the segmentation is a parameter, the
+    dedup machinery is the real operator.
+
+    Returns one row per segment: (id, seg_idx, seg_hash, kept, *keep_cols)
+    where ``kept`` is true iff this (id, seg_idx) is the corpus-wide
+    first occurrence of the segment, "first" = min (id, seg_idx) —
+    deterministic across runs, engines, and cluster sizes, never
+    "whichever task won".
+
+    Scale: segmentation is pure array expressions (no shuffle before the
+    posexplode, which is map-local). First-occurrence selection is the
+    skew-proof groupBy-min shape: min(struct(id, seg_idx)) is algebraic,
+    so a segment duplicated 10⁸× (a hot license block) collapses to one
+    row per map task before the exchange; the winner table (one row per
+    DISTINCT segment) then equi-joins back on the 8-byte hash — AQE
+    splits any residual hot hash. Only hashes shuffle, never segment
+    text. ``token_hash="md5"`` makes every hash DuckDB-recomputable.
+    """
+    ts = tokens(text_col)
+    n = F.size(ts)
+    n_segs = F.ceil(n.cast("double") / F.lit(float(seg_len))).cast("int")
+    # Guard n >= 1: sequence(0, -1) would step backwards, not be empty.
+    segs_arr = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_segs - F.lit(1)),
+            lambda i: F.array_join(
+                F.slice(ts, i * F.lit(seg_len) + F.lit(1), seg_len), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    segs = df.select(
+        F.col(id_col), *[F.col(c) for c in keep_cols],
+        F.posexplode(segs_arr).alias("seg_idx", "__seg"),
+    ).select(
+        id_col, *keep_cols, "seg_idx",
+        token_hash_expr(F.col("__seg"), token_hash).alias("seg_hash"),
+    )
+    winners = segs.groupBy("seg_hash").agg(
+        F.min(F.struct(F.col(id_col), F.col("seg_idx"))).alias("__w")
+    )
+    return (
+        segs.join(winners, "seg_hash")
+        .withColumn(
+            "kept",
+            (F.col(id_col) == F.col(f"__w.{id_col}"))
+            & (F.col("seg_idx") == F.col("__w.seg_idx")),
+        )
+        .drop("__w")
+    )
 
 
 def minhash_signatures(

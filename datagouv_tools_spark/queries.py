@@ -5358,3 +5358,91 @@ def doc_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "split")
     )
+
+
+def _sql_segment_dedup_oracle(seg_len: int = 8) -> str:
+    """DuckDB twin of operators/dedup.segment_dedup_marks (md5 hash
+    mode): identical tokenization, identical fixed-window segmentation,
+    first-occurrence = ROW_NUMBER ordered by (doc_id, seg_idx) — the
+    window form of Spark's min(struct(doc_id, seg_idx)). kept_xor folds
+    the exact kept (doc_id, seg_idx) set into one order-independent
+    value, so a single wrongly-kept segment flips the hash."""
+    L = seg_len
+    return f"""
+    WITH w AS (
+      SELECT doc_id, source, {_SQL_TOKENS} AS ws FROM documents
+    ), s AS (
+      SELECT doc_id, source, CAST(g.i AS INT) AS seg_idx,
+             ('0x' || substr(md5(array_to_string(ws[g.i*{L}+1 : g.i*{L}+{L}], ' ')), 1, 15))::BIGINT AS seg_hash
+      FROM w, LATERAL UNNEST(generate_series(0, CAST(ceil(len(ws) / {L}.0) AS BIGINT) - 1)) AS g(i)
+      WHERE len(ws) >= 1
+    ), m AS (
+      SELECT source, doc_id, seg_idx,
+             ROW_NUMBER() OVER (PARTITION BY seg_hash ORDER BY doc_id, seg_idx) AS rn
+      FROM s
+    )
+    SELECT source,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_segs,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           ROUND(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6) AS retained_ratio,
+           BIT_XOR(CASE WHEN rn = 1 THEN
+             ('0x' || substr(md5(doc_id::VARCHAR || ':' || seg_idx::VARCHAR), 1, 15))::BIGINT
+           END) AS kept_xor
+    FROM m
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+@query("doc_segment_dedup", _sql_segment_dedup_oracle())
+def doc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup (operators/dedup.segment_dedup_marks):
+    repeated sub-document segments (the boilerplate/license-block shape)
+    are marked, keeping the deterministic corpus-wide first occurrence —
+    the RefinedWeb/FineWeb curation tier between doc-level exact dedup
+    (doc_fingerprint_dedup) and MinHash near-dup (doc_dedup_pipeline).
+    Reported per source: segment counts, retained fraction, and an
+    order-independent bit_xor checksum of exactly which (doc_id,
+    seg_idx) survived — the full keep/drop decision is value-hashed,
+    not just its cardinality.
+
+    Scale: segmentation is map-local array expressions; first-occurrence
+    is skew-proof groupBy-min (algebraic partial agg collapses a
+    10⁸-times-repeated segment per map task) + an 8-byte-hash equi-join
+    back; only hashes shuffle, never text. See the operator docstring.
+    """
+    from datagouv_tools_spark.functions.xhash import md5_hash60
+    from datagouv_tools_spark.operators.dedup import segment_dedup_marks
+
+    docs = t(spark, sf_dir, "documents")
+    marks = segment_dedup_marks(
+        docs, "doc_id", "text", seg_len=8, token_hash="md5",
+        keep_cols=("source",),
+    )
+    kept_key = F.when(
+        F.col("kept"),
+        md5_hash60(
+            F.concat_ws(
+                ":",
+                F.col("doc_id").cast("string"),
+                F.col("seg_idx").cast("string"),
+            )
+        ),
+    )
+    return (
+        marks.withColumn("__kx", kept_key)
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum(F.col("kept").cast("int")).cast("bigint").alias("n_kept"),
+            F.round(
+                F.sum(F.col("kept").cast("int")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("retained_ratio"),
+            F.expr("bit_xor(__kx)").alias("kept_xor"),
+        )
+        .orderBy("source")
+    )

@@ -863,3 +863,47 @@ def test_cosine_pairs_lsh_subset_of_exact(spark, sf_dir):
         assert set(got) <= set(exact), kwargs
         assert all(got[k] == exact[k] for k in got), kwargs
         assert got, kwargs  # finds something on this corpus
+
+
+class TestSegmentDedup:
+    """Keep/drop semantics of the paragraph-level exact dedup
+    (operators/dedup.segment_dedup_marks) on a crafted corpus."""
+
+    @pytest.fixture(scope="class")
+    def marks(self, spark):
+        from datagouv_tools_spark.operators.dedup import segment_dedup_marks
+
+        boiler = "all rights reserved do not copy"  # 6 tokens = 2 segs at L=3
+        rows = [
+            (10, f"{boiler} unique alpha text"),
+            (20, f"{boiler} unique beta text"),
+            (30, "fresh content only here nothing shared"),
+            (40, "loop loop loop loop loop loop"),  # self-repeating doc
+            (50, ""),  # empty: no segments at all
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = segment_dedup_marks(df, "doc_id", "text", seg_len=3)
+        return {
+            (r["doc_id"], r["seg_idx"]): r["kept"] for r in out.collect()
+        }
+
+    def test_first_doc_keeps_boilerplate(self, marks):
+        assert marks[(10, 0)] and marks[(10, 1)]
+
+    def test_later_doc_drops_boilerplate_keeps_unique(self, marks):
+        assert not marks[(20, 0)] and not marks[(20, 1)]
+        assert marks[(20, 2)]  # "unique beta text" differs from doc 10's tail
+
+    def test_unshared_doc_fully_kept(self, marks):
+        assert marks[(30, 0)] and marks[(30, 1)]
+
+    def test_within_doc_repeat_keeps_first_occurrence_only(self, marks):
+        assert marks[(40, 0)] and not marks[(40, 1)]
+
+    def test_empty_doc_yields_no_segment_rows(self, marks):
+        assert not any(d == 50 for d, _ in marks)
+
+    def test_partial_tail_segment_is_its_own_unit(self, marks):
+        # doc 10: 9 tokens -> segs 0,1,2; seg 2 = "unique alpha text"
+        assert marks[(10, 2)]
+        assert len([k for k in marks if k[0] == 10]) == 3
