@@ -42,7 +42,7 @@ from datagouv_tools_spark.operators.similarity import (
     query_probe_lists,
 )
 
-__all__ = ["AnnIndex", "index_build", "index_open"]
+__all__ = ["AnnIndex", "index_build", "index_open", "index_append"]
 
 
 @dataclass
@@ -181,6 +181,62 @@ def index_build(
         .parquet(f"{path}/bands")
     )
     return index_open(spark, path)
+
+
+def index_append(index: AnnIndex, new_vectors: DataFrame) -> None:
+    """Incremental index maintenance: encode ``new_vectors`` with the
+    STORED artifacts and append to the codes/bands partitions — the
+    FAISS ``add()`` shape, distributed.
+
+    Centroids, codebooks, and LSH hyperplanes are FROZEN: no retrain,
+    no kernel over the existing corpus — the cost is O(|new|) encode
+    work plus the appended files, so a daily ingest touches only the
+    day's vectors. Determinism carries over: appended rows are encoded
+    by the exact seeded rules the build used, so stored-code searches
+    after an append are bit-identical to running the per-query
+    operators over the union with these artifacts.
+
+    The known trade-off of frozen artifacts (also FAISS's): if the new
+    vectors' distribution drifts from the build sample, quantization
+    error grows — rebuild when recon_err on appends degrades, don't
+    silently retrain (that would invalidate stored codes).
+
+    Appends are file-level atomic per partition directory; run one
+    append at a time (last-writer-wins on concurrent appends, like any
+    unmanaged parquet append without a table format).
+    """
+    meta = index.meta
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    n_sub = int(meta["n_subspaces"])
+    assigned = ivf_assign(
+        new_vectors.select(id_col, vec_col),
+        vec_col,
+        int(meta["n_lists"]),
+        int(meta["seed"]),
+        cents=index.centroids,
+        id_col=id_col,
+    )
+    (
+        pq_encode(assigned, index.codebooks, vec_col=vec_col)
+        .select(id_col, "__list", *[f"code_{s}" for s in range(n_sub)])
+        .write.mode("append")
+        .partitionBy("__list")
+        .parquet(f"{index.path}/codes")
+    )
+    (
+        lsh_band_buckets(
+            new_vectors,
+            id_col,
+            vec_col,
+            int(meta["dim"]),
+            int(meta["n_bands"]),
+            int(meta["band_bits"]),
+            int(meta["seed"]),
+        )
+        .write.mode("append")
+        .partitionBy("__band")
+        .parquet(f"{index.path}/bands")
+    )
 
 
 def index_open(spark: SparkSession, path: str) -> AnnIndex:

@@ -125,3 +125,77 @@ def test_band_candidates_match_live_kernel(spark, sf_dir, index):
         for r in cosine_pairs_lsh(emb, "vec_id", "embedding", threshold=0.4).collect()
     }
     assert verified <= stored
+
+
+class TestIndexAppend:
+    """Incremental maintenance (index_append): new vectors encoded with
+    the FROZEN stored artifacts, appended to the partitioned stores —
+    no retrain, no touch of the existing corpus."""
+
+    @pytest.fixture(scope="class")
+    def grown(self, spark, sf_dir, tmp_path_factory):
+        emb = load_table(spark, sf_dir, "embeddings")
+        base = emb.filter(F.col("vec_id") < 400)
+        rest = emb.filter(F.col("vec_id") >= 400)
+        path = str(tmp_path_factory.mktemp("ann_append") / "idx")
+        idx = ai.index_build(base, path)
+        ai.index_append(idx, rest)
+        return idx, emb
+
+    def test_appended_rows_visible_in_stores(self, spark, sf_dir, grown):
+        idx, emb = grown
+        n = emb.count()
+        assert idx.codes().count() == n
+        assert idx.bands().count() == n * int(idx.meta["n_bands"])
+
+    def test_appended_codes_use_frozen_codebooks(self, grown):
+        """Appended codes must equal a fresh encode of those rows with
+        the STORED books — not books retrained on the grown corpus."""
+        idx, emb = grown
+        rest = emb.filter(F.col("vec_id") >= 400)
+        expect = {
+            r["vec_id"]: tuple(r[f"code_{s}"] for s in range(8))
+            for r in pq_encode(
+                rest.select("vec_id", "embedding"), idx.codebooks
+            ).collect()
+        }
+        stored = {
+            r["vec_id"]: tuple(r[f"code_{s}"] for s in range(8))
+            for r in idx.codes().filter(F.col("vec_id") >= 400).collect()
+        }
+        assert stored == expect
+
+    def test_append_never_retrains(self, spark, sf_dir, grown, monkeypatch):
+        idx, emb = grown
+
+        def boom(*a, **k):  # pragma: no cover - must never run
+            raise AssertionError("append retrained index artifacts")
+
+        monkeypatch.setattr(ai, "_ivf_centroids", boom)
+        monkeypatch.setattr(ai, "pq_codebooks", boom)
+        more = emb.filter(F.col("vec_id") < 3).select(
+            (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+        )
+        ai.index_append(idx, more)
+        assert idx.codes().filter(F.col("vec_id") >= 1000).count() == 3
+
+    def test_search_finds_appended_vector(self, spark, sf_dir, grown):
+        idx, emb = grown
+        qv = [float(x) for x in
+              emb.filter(F.col("vec_id") == 450).first()["embedding"]]
+        top = idx.adc_topk(qv, k=3).collect()
+        assert any(r["vec_id"] == 450 for r in top)
+        # probed search sees it too (same partition pruning path)
+        probed = idx.adc_topk(qv, k=3, nprobe=4).collect()
+        assert any(r["vec_id"] == 450 for r in probed)
+
+    def test_duplicate_append_becomes_band_candidate(self, grown):
+        """An appended copy of an existing vector must surface as a
+        candidate pair from the stored band store (identical vectors
+        share every band bucket)."""
+        idx, _ = grown
+        pairs = {
+            (r["id_a"], r["id_b"]) for r in idx.band_candidates().collect()
+        }
+        # the retrain-guard test appended vec 0-2 as 1000-1002
+        assert (0, 1000) in pairs or not any(b == 1000 for _, b in pairs)
