@@ -183,7 +183,11 @@ def index_build(
     return index_open(spark, path)
 
 
-def index_append(index: AnnIndex, new_vectors: DataFrame) -> None:
+def index_append(
+    index: AnnIndex,
+    new_vectors: DataFrame,
+    anti_join_existing: bool = False,
+) -> None:
     """Incremental index maintenance: encode ``new_vectors`` with the
     STORED artifacts and append to the codes/bands partitions — the
     FAISS ``add()`` shape, distributed.
@@ -204,6 +208,12 @@ def index_append(index: AnnIndex, new_vectors: DataFrame) -> None:
     Appends are file-level atomic per partition directory; run one
     append at a time (last-writer-wins on concurrent appends, like any
     unmanaged parquet append without a table format).
+
+    ``anti_join_existing=True`` drops incoming ids already present in
+    the index before writing — the healing mode for at-least-once
+    replay (streaming/index_ingest.py): the membership probe reads ONLY
+    the ``__list`` partitions the batch's vectors assign to (partition-
+    pruned id-column scan), never the whole store.
     """
     meta = index.meta
     id_col, vec_col = meta["id_col"], meta["vec_col"]
@@ -216,6 +226,17 @@ def index_append(index: AnnIndex, new_vectors: DataFrame) -> None:
         cents=index.centroids,
         id_col=id_col,
     )
+    if anti_join_existing:
+        touched = [
+            r["__list"] for r in assigned.select("__list").distinct().collect()
+        ]
+        existing = (
+            index.codes()
+            .filter(F.col("__list").isin(touched))
+            .select(id_col)
+        )
+        assigned = assigned.join(existing, id_col, "left_anti")
+        new_vectors = new_vectors.join(existing, id_col, "left_anti")
     (
         pq_encode(assigned, index.codebooks, vec_col=vec_col)
         .select(id_col, "__list", *[f"code_{s}" for s in range(n_sub)])

@@ -199,3 +199,72 @@ class TestIndexAppend:
         }
         # the retrain-guard test appended vec 0-2 as 1000-1002
         assert (0, 1000) in pairs or not any(b == 1000 for _, b in pairs)
+
+
+class TestStreamIndexIngest:
+    """Streaming ingestion (streaming/index_ingest): micro-batches of
+    new vectors append to the stored index with exactly-once batch
+    application under replay."""
+
+    @pytest.fixture(scope="class")
+    def setup(self, spark, sf_dir, tmp_path_factory):
+        emb = load_table(spark, sf_dir, "embeddings")
+        root = tmp_path_factory.mktemp("ann_stream")
+        path = str(root / "idx")
+        idx = ai.index_build(emb.filter(F.col("vec_id") < 400), path)
+        # backlog: remaining vectors as two parquet files => two batches
+        src = str(root / "incoming")
+        emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 450)).coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{src}/f1")
+        emb.filter(F.col("vec_id") >= 450).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/f2")
+        return idx, emb, root, src
+
+    def _drain(self, spark, idx, src, ckpt):
+        from datagouv_tools_spark.streaming.index_ingest import stream_index_append
+
+        schema = "vec_id bigint, embedding array<float>, label int"
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/*")
+        )
+        q = stream_index_append(stream, idx, ckpt)
+        q.awaitTermination()
+
+    def test_backlog_appended_and_searchable(self, spark, setup):
+        idx, emb, root, src = setup
+        self._drain(spark, idx, src, str(root / "ckpt1"))
+        assert idx.codes().count() == emb.count()
+        qv = [float(x) for x in
+              emb.filter(F.col("vec_id") == 480).first()["embedding"]]
+        assert any(
+            r["vec_id"] == 480 for r in idx.adc_topk(qv, k=3, nprobe=4).collect()
+        )
+
+    def test_full_replay_appends_nothing_twice(self, spark, setup):
+        """A FRESH checkpoint re-delivers the whole backlog as the same
+        batch ids; the applied-batches ledger must skip every one."""
+        idx, emb, root, src = setup
+        before = idx.codes().count()
+        self._drain(spark, idx, src, str(root / "ckpt2"))
+        assert idx.codes().count() == before
+
+    def test_crash_window_replay_healed_by_anti_join(self, spark, setup):
+        """Simulate the crash-between-data-and-ledger window: data
+        applied but ledger row missing. Replaying that batch must heal
+        via the partition-pruned anti-join, not double-append."""
+        idx, emb, root, src = setup
+        before = idx.codes().count()
+        replayed = emb.filter(F.col("vec_id") >= 450)
+        ai.index_append(idx, replayed, anti_join_existing=True)
+        assert idx.codes().count() == before
+
+    def test_ledger_records_each_batch_once(self, spark, setup):
+        from datagouv_tools_spark.streaming.index_ingest import applied_batch_ids
+
+        idx, _, _, _ = setup
+        ids = applied_batch_ids(spark, idx.path)
+        assert ids == {0, 1}
