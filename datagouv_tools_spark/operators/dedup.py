@@ -84,6 +84,7 @@ def segment_dedup_marks(
     seg_len: int = 8,
     token_hash: str = "xxhash64",
     keep_cols: tuple[str, ...] = (),
+    keep_seg_text: bool = False,
 ) -> DataFrame:
     """Sub-document (paragraph-level) exact dedup: mark every text
     segment as kept (global first occurrence) or duplicate.
@@ -112,6 +113,12 @@ def segment_dedup_marks(
     DISTINCT segment) then equi-joins back on the 8-byte hash — AQE
     splits any residual hot hash. Only hashes shuffle, never segment
     text. ``token_hash="md5"`` makes every hash DuckDB-recomputable.
+
+    ``keep_seg_text=True`` carries the segment text through as ``seg``
+    for consumers that REASSEMBLE documents (boilerplate scrubbing —
+    see queries.doc_boilerplate_scrub); that variant pays text movement
+    through the winner join, which reassembly requires anyway. Leave it
+    off for audit/marking workloads: hashes-only shuffles.
     """
     ts = tokens(text_col)
     n = F.size(ts)
@@ -126,11 +133,12 @@ def segment_dedup_marks(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    seg_out = (F.col("__seg").alias("seg"),) if keep_seg_text else ()
     segs = df.select(
         F.col(id_col), *[F.col(c) for c in keep_cols],
         F.posexplode(segs_arr).alias("seg_idx", "__seg"),
     ).select(
-        id_col, *keep_cols, "seg_idx",
+        id_col, *keep_cols, "seg_idx", *seg_out,
         token_hash_expr(F.col("__seg"), token_hash).alias("seg_hash"),
     )
     winners = segs.groupBy("seg_hash").agg(

@@ -5395,6 +5395,112 @@ def _sql_segment_dedup_oracle(seg_len: int = 8) -> str:
     """
 
 
+def _sql_boilerplate_scrub_oracle(seg_len: int = 8) -> str:
+    """DuckDB twin of doc_boilerplate_scrub: same tokenization/
+    segmentation/keep-rule as the segment-dedup oracle, then documents
+    REASSEMBLED from kept segments (string_agg ordered by seg_idx) and
+    value-hashed per doc — a wrongly dropped, wrongly kept, or
+    reordered segment flips cleaned_xor."""
+    L = seg_len
+    return f"""
+    WITH w AS (
+      SELECT doc_id, source, {_SQL_TOKENS} AS ws FROM documents
+    ), s AS (
+      SELECT doc_id, source, CAST(g.i AS INT) AS seg_idx,
+             array_to_string(ws[g.i*{L}+1 : g.i*{L}+{L}], ' ') AS seg
+      FROM w, LATERAL UNNEST(generate_series(0, CAST(ceil(len(ws) / {L}.0) AS BIGINT) - 1)) AS g(i)
+      WHERE len(ws) >= 1
+    ), m AS (
+      SELECT source, doc_id, seg_idx, seg,
+             ROW_NUMBER() OVER (
+               PARTITION BY ('0x' || substr(md5(seg), 1, 15))::BIGINT
+               ORDER BY doc_id, seg_idx) AS rn
+      FROM s
+    ), d AS (
+      SELECT doc_id, source,
+             COUNT(*) AS n_segs,
+             SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+             COALESCE(SUM(CASE WHEN rn > 1 THEN len(string_split(seg, ' ')) END), 0) AS toks_removed,
+             COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx), '') AS cleaned
+      FROM m
+      GROUP BY doc_id, source
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n_kept < n_segs THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_changed,
+           CAST(SUM(toks_removed) AS BIGINT) AS tokens_removed,
+           BIT_XOR(('0x' || substr(md5(doc_id::VARCHAR || '#' || cleaned), 1, 15))::BIGINT) AS cleaned_xor
+    FROM d
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+@query("doc_boilerplate_scrub", _sql_boilerplate_scrub_oracle())
+def doc_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate REMOVAL (the transform, where doc_segment_dedup is
+    the audit): each document is reassembled from only its kept
+    segments — repeated license blocks / navigation chrome vanish from
+    every occurrence but the corpus-wide first. Per source: documents
+    touched, tokens removed, and a bit_xor value-hash of every cleaned
+    (doc_id, text) pair, so the oracle verifies the actual output
+    corpus, not summary counts.
+
+    Scale: same skew-proof hash-only winner selection as
+    doc_segment_dedup; reassembly additionally moves segment text
+    through the winner join and a per-doc aggregation — the floor cost
+    of any transform that must rewrite documents. collect_list is
+    per-doc bounded (a document's own segments), never corpus-wide.
+    """
+    from datagouv_tools_spark.functions.xhash import md5_hash60
+    from datagouv_tools_spark.operators.dedup import segment_dedup_marks
+
+    docs = t(spark, sf_dir, "documents")
+    marks = segment_dedup_marks(
+        docs, "doc_id", "text", seg_len=8, token_hash="md5",
+        keep_cols=("source",), keep_seg_text=True,
+    )
+    per_doc = marks.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.sum(F.col("kept").cast("int")).alias("n_kept"),
+        F.coalesce(
+            F.sum(
+                F.when(~F.col("kept"), F.size(F.split(F.col("seg"), " ")))
+            ),
+            F.lit(0),
+        ).alias("toks_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("kept"), F.struct("seg_idx", "seg"))
+                    )
+                ),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("cleaned"),
+    )
+    hashed = per_doc.withColumn(
+        "__doc_hash",
+        md5_hash60(
+            F.concat_ws("#", F.col("doc_id").cast("string"), F.col("cleaned"))
+        ),
+    )
+    return (
+        hashed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_kept") < F.col("n_segs")).cast("int"))
+            .cast("bigint")
+            .alias("n_docs_changed"),
+            F.sum("toks_removed").cast("bigint").alias("tokens_removed"),
+            F.expr("bit_xor(__doc_hash)").alias("cleaned_xor"),
+        )
+        .orderBy("source")
+    )
+
+
 @query("doc_segment_dedup", _sql_segment_dedup_oracle())
 def doc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paragraph-level exact dedup (operators/dedup.segment_dedup_marks):
