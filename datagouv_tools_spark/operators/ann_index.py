@@ -42,7 +42,7 @@ from datagouv_tools_spark.operators.similarity import (
     query_probe_lists,
 )
 
-__all__ = ["AnnIndex", "index_build", "index_open", "index_append"]
+__all__ = ["AnnIndex", "index_build", "index_open", "index_append", "index_compact"]
 
 
 @dataclass
@@ -258,6 +258,42 @@ def index_append(
         .partitionBy("__band")
         .parquet(f"{index.path}/bands")
     )
+
+
+def index_compact(index: AnnIndex, parallelism: int = 8) -> None:
+    """Compact the append-accumulated small files of the codes/bands
+    stores — the maintenance step that keeps scan cost flat after many
+    ``index_append`` batches (each append adds at least one file per
+    touched partition; a year of daily ingests is 365 files per list,
+    and open-file overhead starts to rival the read itself).
+
+    Rows are hash-clustered on the partition column across
+    ``parallelism`` tasks, so each partition directory is rewritten to
+    exactly ONE file (every list's rows land in a single task) while
+    up to ``parallelism`` directories rewrite concurrently. Only the
+    parquet layout changes, never a row, so every search result and
+    oracle is bit-identical before/after (pinned by test). The rewrite
+    stages through ``localCheckpoint`` before overwriting, the same
+    read-then-overwrite materialization contract as the streaming
+    stores (ADVICE r4: dynamic-overwrite of a path being read is only
+    safe once the read is materialized).
+    """
+    spark = index.spark
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        for sub, part_col in (("codes", "__list"), ("bands", "__band")):
+            df = spark.read.parquet(f"{index.path}/{sub}")
+            compacted = df.repartition(
+                parallelism, F.col(part_col)
+            ).localCheckpoint()
+            (
+                compacted.write.mode("overwrite")
+                .partitionBy(part_col)
+                .parquet(f"{index.path}/{sub}")
+            )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
 
 
 def index_open(spark: SparkSession, path: str) -> AnnIndex:

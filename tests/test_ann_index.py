@@ -268,3 +268,39 @@ class TestStreamIndexIngest:
         idx, _, _, _ = setup
         ids = applied_batch_ids(spark, idx.path)
         assert ids == {0, 1}
+
+
+class TestIndexCompact:
+    """index_compact: layout-only rewrite — fewer files, identical rows,
+    identical search results."""
+
+    def test_compact_shrinks_files_keeps_results(self, spark, sf_dir, tmp_path):
+        import glob
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        path = str(tmp_path / "idx")
+        idx = ai.index_build(emb.filter(F.col("vec_id") < 30), path)
+        # three small appends -> small files accumulate per partition
+        for lo, hi in ((30, 40), (40, 45), (45, 50)):
+            ai.index_append(
+                idx, emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+            )
+
+        def nfiles(sub):
+            return len(glob.glob(f"{path}/{sub}/*/part-*.parquet"))
+
+        def listdirs(sub):
+            return len(glob.glob(f"{path}/{sub}/*/"))
+
+        qv = [1.0] + [0.0] * 63
+        before_files = nfiles("codes")
+        before_rows = sorted(map(tuple, idx.codes().collect()))
+        before_top = [tuple(r) for r in idx.adc_topk(qv, k=5, nprobe=3).collect()]
+
+        ai.index_compact(idx)
+
+        assert nfiles("codes") == listdirs("codes")  # exactly 1 file/list
+        assert nfiles("codes") < before_files
+        assert nfiles("bands") == listdirs("bands")
+        assert sorted(map(tuple, idx.codes().collect())) == before_rows
+        assert [tuple(r) for r in idx.adc_topk(qv, k=5, nprobe=3).collect()] == before_top
