@@ -8,6 +8,8 @@ de-optimizes fails here instead of in production.
 
 from __future__ import annotations
 
+import re
+
 from datagouv_tools_spark import queries as q
 from datagouv_tools_spark.plans.inspect import (
     exchange_count,
@@ -357,3 +359,28 @@ def test_ivfpq_list_pruning_no_corpus_shuffle(spark, sf_dir):
     assert m, "probe-list filter missing from plan"
     assert "adc_dist" in plan
     assert m.start() < plan.index("adc_dist")
+
+
+def test_segment_dedup_shuffles_hashes_not_text(spark, sf_dir):
+    """The segment-dedup marking pass must exchange only the 8-byte
+    seg_hash (+ ids), never segment text: at 100 TB the shuffle volume
+    is the difference between hashes (~tens of GB) and the corpus
+    itself. keep_seg_text=False is the audit path — assert no string
+    segment column crosses an Exchange."""
+    from datagouv_tools_spark.operators.dedup import segment_dedup_marks
+    from datagouv_tools_spark.plans.inspect import physical_plan
+    from datagouv_tools_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    marks = segment_dedup_marks(docs, "doc_id", "text", seg_len=8)
+    plan = physical_plan(marks)
+    # detail blocks of every Exchange operator: "(9) Exchange\nInput [..]: [...]"
+    blocks = re.findall(r"\(\d+\) (?:Broadcast)?Exchange\n(?:.+\n)+?(?=\n)", plan)
+    assert blocks, "expected at least one exchange detail block"
+    for b in blocks:
+        cols = re.search(r"Input \[\d+\]: \[([^\]]*)\]", b).group(1)
+        assert "__seg" not in cols and "text#" not in cols, b
+    # the probe side itself never shuffles: the winner table comes back
+    # as a broadcast, so segment rows flow scan -> explode -> hash ->
+    # join with ZERO repartitioning of the corpus
+    assert "BroadcastHashJoin" in plan
