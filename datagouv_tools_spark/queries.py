@@ -5395,6 +5395,236 @@ def _sql_segment_dedup_oracle(seg_len: int = 8) -> str:
     """
 
 
+_SQL_EN_STOPS = "('the','a','of','and','to','in','is','on','for','with')"
+
+
+@query(
+    "doc_quality_logit",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_SQL_TOKENS} AS ts FROM documents
+    ), feat AS (
+      SELECT doc_id, source,
+             CASE WHEN len(ts) > 0
+                  THEN len(list_distinct(ts))::DOUBLE / len(ts)::DOUBLE
+                  ELSE 0.0 END AS dr,
+             LEAST(len(ts), 200)::DOUBLE / 200.0 AS lt,
+             CASE WHEN len(ts) > 0
+                  THEN len(list_filter(ts, x -> x IN {_SQL_EN_STOPS}))::DOUBLE
+                       / len(ts)::DOUBLE
+                  ELSE 0.0 END AS sw
+      FROM toks
+    ), scored AS (
+      SELECT source,
+             ROUND(1.7 * dr + 0.9 * lt + 2.1 * sw - 1.2, 6) AS z
+      FROM feat
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN z >= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           ROUND(SUM(CASE WHEN z >= 0.0 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6) AS keep_rate,
+           CAST(ROUND(SUM(CAST(z AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_z
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def doc_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: a deterministic linear classifier
+    (fixed public weights over distinct-token ratio, length term, and
+    stopword ratio — the shape of the fastText/edu-classifier stage in
+    FineWeb-style pipelines, with the learned weights replaced by
+    pinned constants so both engines score identically). Documents with
+    logit z >= 0 pass; per source: pass counts, rate, and the exact
+    decimal sum of rounded logits — hash-sensitive to every score.
+
+    Scale: pure map work (array expressions per doc) + one tiny
+    aggregation; nothing shuffles but (source, partial-agg) rows. The
+    logit (not sigmoid) keeps the score in +,*,/ arithmetic — bit-equal
+    across engines, monotone-equivalent for thresholding."""
+    from datagouv_tools_spark.functions.text import tokens
+
+    ts = tokens("text")
+    n = F.size(ts)
+    stops = F.array(*[F.lit(s) for s in
+                      ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")])
+    nz = n > 0
+    dr = F.when(nz, F.size(F.array_distinct(ts)).cast("double") / n.cast("double")).otherwise(0.0)
+    lt = F.least(n, F.lit(200)).cast("double") / F.lit(200.0)
+    sw = F.when(
+        nz,
+        F.size(F.filter(ts, lambda t: F.array_contains(stops, t))).cast("double")
+        / n.cast("double"),
+    ).otherwise(0.0)
+    z = F.round(
+        F.lit(1.7) * dr + F.lit(0.9) * lt + F.lit(2.1) * sw - F.lit(1.2), 6
+    )
+    docs = t(spark, sf_dir, "documents")
+    scored = docs.select("source", z.alias("z"))
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("z") >= 0.0).cast("int")).cast("bigint").alias("n_keep"),
+            F.round(
+                F.sum((F.col("z") >= 0.0).cast("int")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("keep_rate"),
+            dround(F.sum(F.col("z").cast("decimal(18,6)")), 4).alias("sum_z"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "doc_source_mixing",
+    """
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ), rates AS (
+      SELECT source, n_docs,
+             LEAST(1.0, (CASE WHEN source IN ('src0','src1','src2','src3')
+                              THEN 0.10 ELSE 0.03 END)
+                        * (SELECT COUNT(*) FROM documents)::DOUBLE
+                        / n_docs::DOUBLE) AS rate
+      FROM counts
+    ), sampled AS (
+      SELECT d.doc_id, d.source, r.n_docs, r.rate,
+             (('0x' || substr(md5(d.doc_id::VARCHAR || '-mix42'), 1, 15))::BIGINT::DOUBLE
+              / 1152921504606846976.0) < r.rate AS picked
+      FROM documents d JOIN rates r USING (source)
+    )
+    SELECT source,
+           MAX(n_docs) AS n_docs,
+           ROUND(MAX(rate), 6) AS accept_rate,
+           CAST(SUM(CASE WHEN picked THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           BIT_XOR(CASE WHEN picked THEN
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT END) AS sampled_xor
+    FROM sampled
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def doc_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing: re-weight the corpus toward target per-source
+    shares (here: 10% each for four up-weighted sources, 3% for the
+    rest) by computing a per-source acceptance rate from the observed
+    counts and sampling deterministically via a seeded md5 bucket —
+    the data-mixing stage of a pretraining pipeline, engine- and
+    cluster-stable (no random(): a doc's fate never depends on
+    partitioning or rerun).
+
+    Scale: one count aggregation; the per-source rate table is a few
+    rows and broadcasts; acceptance is map-side hash arithmetic over
+    the corpus scan. The sampled_xor folds exactly which doc_ids
+    survived into one value per source."""
+    from datagouv_tools_spark.functions.xhash import md5_hash60
+
+    docs = t(spark, sf_dir, "documents")
+    total = docs.count()
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    share = F.when(
+        F.col("source").isin("src0", "src1", "src2", "src3"), F.lit(0.10)
+    ).otherwise(F.lit(0.03))
+    rates = counts.select(
+        "source",
+        "n_docs",
+        F.least(
+            F.lit(1.0),
+            share * F.lit(float(total)) / F.col("n_docs").cast("double"),
+        ).alias("rate"),
+    )
+    picked = (
+        md5_hash60(
+            F.concat_ws("-", F.col("doc_id").cast("string"), F.lit("mix42"))
+        ).cast("double")
+        / F.lit(1152921504606846976.0)
+    ) < F.col("rate")
+    joined = docs.join(F.broadcast(rates), "source").withColumn("picked", picked)
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            F.round(F.max("rate"), 6).alias("accept_rate"),
+            F.sum(F.col("picked").cast("int")).cast("bigint").alias("n_sampled"),
+            F.expr(
+                "bit_xor(CASE WHEN picked THEN "
+                "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) END)"
+            ).alias("sampled_xor"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "doc_pack_bins",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, len({_SQL_TOKENS}) AS n_tok FROM documents
+    ), pos AS (
+      SELECT source, doc_id, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM toks
+    )
+    SELECT source,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(CEIL(SUM(n_tok) / 2048.0) AS BIGINT) AS n_bins,
+           CAST(SUM(CASE WHEN (cum - n_tok) // 2048 <> (cum - 1) // 2048
+                         AND n_tok > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs,
+           ROUND(SUM(n_tok)::DOUBLE / (CEIL(SUM(n_tok) / 2048.0) * 2048.0), 6) AS fill_ratio
+    FROM pos
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def doc_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing audit: documents are concatenated per source in
+    doc_id order and cut into 2048-token training sequences (the
+    contiguous-fill packing model); reports bins used, fill ratio, and
+    how many documents straddle a cut — the packing stage that turns a
+    curated corpus into fixed-length samples.
+
+    Scale: one window cumsum per source (the ordering IS the packing
+    contract) + one aggregation; integer token arithmetic end-to-end,
+    so both engines agree exactly. Skew note: a mega-source serializes
+    its own cumsum — shard the pack key (source, doc_id range) when one
+    source exceeds a task's comfort, same remedy as any global sort."""
+    from pyspark.sql.window import Window
+
+    from datagouv_tools_spark.functions.text import tokens
+
+    ts = tokens("text")
+    docs = t(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.size(ts).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pos = docs.withColumn("cum", F.sum("n_tok").over(w))
+    straddle = (
+        ((F.col("cum") - F.col("n_tok")) / F.lit(2048)).cast("bigint")
+        != ((F.col("cum") - 1) / F.lit(2048)).cast("bigint")
+    ) & (F.col("n_tok") > 0)
+    return (
+        pos.groupBy("source")
+        .agg(
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.ceil(F.sum("n_tok") / F.lit(2048.0)).cast("bigint").alias("n_bins"),
+            F.sum(straddle.cast("int")).cast("bigint").alias("n_boundary_docs"),
+            F.round(
+                F.sum("n_tok").cast("double")
+                / (F.ceil(F.sum("n_tok") / F.lit(2048.0)) * F.lit(2048.0)),
+                6,
+            ).alias("fill_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
 def _sql_boilerplate_scrub_oracle(seg_len: int = 8) -> str:
     """DuckDB twin of doc_boilerplate_scrub: same tokenization/
     segmentation/keep-rule as the segment-dedup oracle, then documents
