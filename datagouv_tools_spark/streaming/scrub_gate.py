@@ -1,0 +1,188 @@
+"""Streaming boilerplate-scrub gate: emit every document, minus the
+segments the corpus has already seen.
+
+The streaming twin of queries.doc_boilerplate_scrub (segment-level
+exact dedup, operators/dedup.segment_dedup_marks): documents arrive as
+a stream; each is re-emitted with its repeated segments removed — a
+license block keeps its corpus-wide FIRST occurrence and vanishes from
+every later delivery, across batches. Unlike the admission gates
+(dedup_gate / neardup_gate), no document is dropped: the unit of
+dedup is the segment, the unit of output is the cleaned document.
+
+State is a bucket-partitioned parquet segment-hash store, read only at
+the buckets a batch touches. Every store row carries the ``__batch``
+that added it, and the novelty anti-join filters ``__batch <
+batch_id`` — so a checkpoint-replayed batch sees EXACTLY the store
+state that preceded its original run and recomputes byte-identical
+output whether or not its store merge landed (a stronger replay
+contract than the admission gates' output-first ordering, needed here
+because every document emits: an unfiltered replay against a
+post-merge store would over-scrub its own segments to nothing).
+Output is partitioned by ``__batch``; a replay dynamically overwrites
+only its own slice with the same rows. At-least-once replay →
+exactly-once cleaned corpus + store state.
+
+At 100 TB: the store is one 8-byte hash (+bucket, +batch) per DISTINCT
+segment ever seen — the text itself never enters the store — and each
+batch costs its own segmentation plus an anti-join against touched
+buckets only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from datagouv_tools_spark.operators.dedup import segment_dedup_marks
+
+__all__ = ["scrub_gate_batch", "foreach_batch_scrub_gate", "stream_scrub"]
+
+
+def _bucket(col: str, n_buckets: int):
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(n_buckets)).cast("int")
+
+
+def scrub_gate_batch(
+    batch: DataFrame,
+    store_path: str,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_len: int = 8,
+    n_buckets: int = 16,
+    batch_id: int = 0,
+    token_hash: str = "xxhash64",
+) -> None:
+    """Scrub one (micro-)batch against the segment store.
+
+    Keep rule, composed of two tiers (both deterministic):
+    1. within the batch, a segment's first occurrence = min (id,
+       seg_idx) — segment_dedup_marks' rule;
+    2. across batches, a segment already in the store (from a batch
+       STRICTLY before this one) is dropped everywhere in this batch.
+    """
+    spark = batch.sparkSession
+    marks = segment_dedup_marks(
+        batch, id_col, text_col, seg_len=seg_len,
+        token_hash=token_hash, keep_seg_text=True,
+    ).withColumn("__bucket", _bucket("seg_hash", n_buckets))
+    touched = [
+        r["__bucket"] for r in marks.select("__bucket").distinct().collect()
+    ]
+    if not touched:
+        return
+
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(store_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    store_exists = fs.exists(jpath)
+    if store_exists:
+        known = (
+            spark.read.parquet(store_path)
+            .filter(F.col("__bucket").isin(touched))
+            .filter(F.col("__batch") < F.lit(batch_id))
+            .select("seg_hash")
+            .distinct()
+            .withColumn("__known", F.lit(True))
+        )
+        marks = (
+            marks.join(known, "seg_hash", "left")
+            .withColumn(
+                "kept",
+                F.col("kept") & ~F.coalesce(F.col("__known"), F.lit(False)),
+            )
+            .drop("__known")
+        )
+    cleaned = (
+        marks.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum(F.col("kept").cast("int")).cast("int").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("kept"), F.struct("seg_idx", "seg"))
+                        )
+                    ),
+                    lambda x: x["seg"],
+                ),
+                " ",
+            ).alias("cleaned_text"),
+        )
+    )
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # 1) cleaned docs to the output table (replay rewrites own slice)
+        cleaned.withColumn("__batch", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).partitionBy("__batch").parquet(out_path)
+        # 2) then the store: touched buckets ∪ this batch's novel kept
+        # segments, tagged with this batch id. localCheckpoint before
+        # overwriting the path being read (streaming-store contract).
+        novel = (
+            marks.filter(F.col("kept"))
+            .select("seg_hash", "__bucket")
+            .distinct()
+            .withColumn("__batch", F.lit(batch_id).cast("long"))
+        )
+        if store_exists:
+            # keep EVERY other batch's rows (an out-of-order replay of
+            # batch N after N+1 must not delete N+1's segments); only
+            # this batch's own rows are replaced by the recomputed set
+            existing = (
+                spark.read.parquet(store_path)
+                .filter(F.col("__bucket").isin(touched))
+                .filter(F.col("__batch") != F.lit(batch_id))
+            )
+            merged = existing.unionByName(novel).localCheckpoint()
+        else:
+            merged = novel.localCheckpoint()
+        merged.write.mode("overwrite").partitionBy("__bucket").parquet(
+            store_path
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def foreach_batch_scrub_gate(
+    store_path: str,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_len: int = 8,
+    n_buckets: int = 16,
+    token_hash: str = "xxhash64",
+):
+    """``foreachBatch`` adapter around :func:`scrub_gate_batch`."""
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        scrub_gate_batch(
+            batch, store_path, out_path,
+            text_col=text_col, id_col=id_col, seg_len=seg_len,
+            n_buckets=n_buckets, batch_id=int(batch_id),
+            token_hash=token_hash,
+        )
+
+    return apply
+
+
+def stream_scrub(
+    doc_stream: DataFrame,
+    store_path: str,
+    out_path: str,
+    checkpoint: str,
+    **kwargs,
+) -> StreamingQuery:
+    """Start the scrub stream (availableNow: drain backlog and stop)."""
+    return (
+        doc_stream.writeStream.foreachBatch(
+            foreach_batch_scrub_gate(store_path, out_path, **kwargs)
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -9,6 +9,7 @@ operator is checked against the batch groupBy totals.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from datagouv_tools_spark.sources.catalog import load_table
@@ -816,3 +817,120 @@ def test_dedup_gate_ttl_sliding_window(spark, tmp_path):
         5, 7, 12, 21,
     }
     assert not glob.glob(f"{store}/__bucket=*/__epoch=0")
+
+
+class TestScrubGate:
+    """Streaming boilerplate scrub (streaming/scrub_gate): every doc
+    emits, repeated segments vanish from all but their corpus-wide
+    first occurrence; replay is byte-stable even post-store-merge."""
+
+    BOILER = "all rights reserved do not copy"  # 2 segs at seg_len=3
+
+    @staticmethod
+    def _clean(spark, out_path, batch_id):
+        rows = (
+            spark.read.parquet(out_path)
+            .filter(F.col("__batch") == batch_id)
+            .orderBy("doc_id")
+            .collect()
+        )
+        return {r["doc_id"]: r["cleaned_text"] for r in rows}
+
+    @pytest.fixture(scope="class")
+    def gate(self, spark, tmp_path_factory):
+        from datagouv_tools_spark.streaming.scrub_gate import scrub_gate_batch
+
+        root = tmp_path_factory.mktemp("scrub")
+        store, out = str(root / "store"), str(root / "out")
+
+        def run(rows, batch_id):
+            df = spark.createDataFrame(rows, ["doc_id", "text"])
+            scrub_gate_batch(
+                df, store, out, seg_len=3, n_buckets=4, batch_id=batch_id
+            )
+
+        b0 = [
+            (1, f"{self.BOILER} unique alpha text"),
+            (2, f"{self.BOILER} unique beta text"),
+        ]
+        run(b0, 0)
+        b1 = [
+            (3, f"{self.BOILER} novel gamma words"),
+            (4, f"{self.BOILER} unique alpha text"),  # full re-delivery
+        ]
+        run(b1, 1)
+        return run, store, out
+
+    def test_within_batch_first_keeps_later_scrubs(self, spark, gate):
+        _, _, out = gate
+        got = self._clean(spark, out, 0)
+        assert got[1] == f"{self.BOILER} unique alpha text"
+        assert got[2] == "unique beta text"
+
+    def test_cross_batch_scrub_via_store(self, spark, gate):
+        _, _, out = gate
+        got = self._clean(spark, out, 1)
+        assert got[3] == "novel gamma words"
+        assert got[4] == ""  # every segment previously seen
+
+    def test_replay_after_store_merge_is_byte_stable(self, spark, gate):
+        """Replaying batch 0 AFTER batches 0 and 1 merged their
+        segments must reproduce the original batch-0 output: the
+        novelty check reads only store rows with __batch < 0's id."""
+        run, _, out = gate
+        before = self._clean(spark, out, 0)
+        run(
+            [
+                (1, f"{self.BOILER} unique alpha text"),
+                (2, f"{self.BOILER} unique beta text"),
+            ],
+            0,
+        )
+        assert self._clean(spark, out, 0) == before
+
+    def test_out_of_order_replay_preserves_later_batches_store(
+        self, spark, gate
+    ):
+        """The batch-0 replay above must NOT have deleted batch 1's
+        store rows: a third delivery of batch 1's novel segment is
+        still scrubbed."""
+        run, _, out = gate
+        run([(9, "novel gamma words end piece")], 2)
+        got = self._clean(spark, out, 2)
+        assert got[9] == "end piece"
+
+    def test_stream_wrapper_drains_backlog(self, spark, tmp_path):
+        from datagouv_tools_spark.streaming.scrub_gate import stream_scrub
+
+        src = str(tmp_path / "in")
+        spark.createDataFrame(
+            [(1, f"{self.BOILER} one off tail")], ["doc_id", "text"]
+        ).coalesce(1).write.parquet(f"{src}/f1")
+        spark.createDataFrame(
+            [(2, f"{self.BOILER} second doc body")], ["doc_id", "text"]
+        ).coalesce(1).write.parquet(f"{src}/f2")
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/*")
+        )
+        q = stream_scrub(
+            stream,
+            str(tmp_path / "store"),
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+            seg_len=3,
+            n_buckets=4,
+        )
+        q.awaitTermination()
+        all_rows = {
+            r["doc_id"]: r["cleaned_text"]
+            for r in spark.read.parquet(str(tmp_path / "out")).collect()
+        }
+        # one of the two docs was processed first and keeps the boiler;
+        # the other is scrubbed to its unique tail
+        boiler_keepers = [
+            d for d, t in all_rows.items() if t.startswith(self.BOILER)
+        ]
+        assert len(boiler_keepers) == 1
+        assert len(all_rows) == 2
