@@ -113,3 +113,47 @@ def test_tokenizer_and_hash_match_duckdb(spark, texts):
             [t],
         ).fetchone()
         assert got[i] == (n, fp, h), f"diverged on {t!r}: spark={got[i]} duckdb={(n, fp, h)}"
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(_nasty_text, min_size=1, max_size=6),
+    st.integers(min_value=1, max_value=5),
+)
+def test_segment_dedup_matches_bruteforce(spark, texts, seg_len):
+    """segment_dedup_marks (operators/dedup) vs a pure-Python
+    brute-force reference on adversarial strings: identical segment
+    counts and identical keep/drop verdicts — the distributed
+    groupBy-min + hash-join machinery must equal 'first occurrence in
+    (doc_id, seg_idx) order' exactly, including empty docs, whitespace
+    runs, and sub-seg_len tails."""
+    import math
+
+    from datagouv_tools_spark.operators.dedup import segment_dedup_marks
+
+    # Python reference, mirroring functions/text.tokens (split on the
+    # pinned whitespace class, lowercase, drop empties)
+    ref_segs = []
+    for doc_id, text in enumerate(texts):
+        toks = [t for t in re.split("[ \t\r\n\f\x0b]+", text.lower()) if t]
+        for i in range(math.ceil(len(toks) / seg_len)):
+            ref_segs.append(
+                (doc_id, i, " ".join(toks[i * seg_len: (i + 1) * seg_len]))
+            )
+    first: dict[str, tuple[int, int]] = {}
+    for doc_id, i, seg in sorted(ref_segs):
+        first.setdefault(seg, (doc_id, i))
+    expect = {
+        (doc_id, i): first[seg] == (doc_id, i) for doc_id, i, seg in ref_segs
+    }
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["seg_idx"]): r["kept"]
+        for r in segment_dedup_marks(
+            df, "doc_id", "text", seg_len=seg_len
+        ).collect()
+    }
+    assert got == expect, f"texts={texts!r} seg_len={seg_len}"
