@@ -934,3 +934,41 @@ class TestScrubGate:
         ]
         assert len(boiler_keepers) == 1
         assert len(all_rows) == 2
+
+
+def test_scrub_gate_template_flood_bounds(spark, tmp_path):
+    """Mass re-delivery (the crawler failure mode): one micro-batch of
+    20k IDENTICAL docs + 2 distinct. The within-batch winner selection
+    is groupBy-min over segment hashes — algebraic, so the flood
+    collapses map-side; no pair join ever forms. Exactly one copy keeps
+    the template text, every other copy scrubs to empty, and the store
+    grows by |template segments| + |distinct segments| rows, not by
+    anything proportional to the flood."""
+    from datagouv_tools_spark.streaming.scrub_gate import scrub_gate_batch
+
+    template = "spark scan shuffle join agg sort window stream batch line"
+    n_flood = 20_000
+    flood = spark.range(n_flood).select(
+        F.col("id").alias("doc_id"), F.lit(template).alias("text")
+    )
+    distinct = spark.createDataFrame(
+        [
+            (n_flood, "totally fresh alpha content body"),
+            (n_flood + 1, "another novel beta document tail"),
+        ],
+        ["doc_id", "text"],
+    )
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    scrub_gate_batch(
+        flood.unionByName(distinct), store, out, seg_len=3, n_buckets=4,
+        batch_id=0,
+    )
+    res = spark.read.parquet(out)
+    assert res.count() == n_flood + 2
+    keepers = res.filter(F.col("cleaned_text") != "").count()
+    assert keepers == 3  # doc 0 (min id) + the two distinct docs
+    assert res.filter(
+        (F.col("doc_id") == 0) & (F.col("cleaned_text") == template)
+    ).count() == 1
+    # store: 4 template segs (10 toks / 3) + 2+2 distinct segs
+    assert spark.read.parquet(store).count() == 8
