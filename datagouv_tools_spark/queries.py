@@ -5360,6 +5360,95 @@ def doc_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("doc_scrub_stream")  # shares doc_boilerplate_scrub's oracle (below)
+def doc_scrub_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The boilerplate scrub as a REAL stream (streaming/scrub_gate):
+    documents replay as two doc_id-ordered micro-batches through the
+    segment-store gate, and the cleaned corpus is aggregated exactly
+    like doc_boilerplate_scrub — against the SAME full value-hash
+    oracle. The equivalence is not luck: batch 1 holds all doc_ids
+    below the split, so the gate's two-tier rule (within-batch min
+    (doc_id, seg_idx), then earlier-batch store hits) coincides with
+    the global first-occurrence rule the batch oracle encodes. A
+    wrongly admitted, wrongly scrubbed, or replay-duplicated segment
+    anywhere in the gate flips cleaned_xor.
+
+    Scale: the gate's per-batch cost is segmentation + touched-bucket
+    anti-joins (see streaming/scrub_gate.py); this query adds one
+    doc_id-partitioned replay and the same reassembly join as the
+    batch twin."""
+    import os
+    import shutil
+    import tempfile
+
+    from datagouv_tools_spark.functions.text import tokens
+    from datagouv_tools_spark.functions.xhash import md5_hash60
+    from datagouv_tools_spark.streaming.scrub_gate import stream_scrub
+
+    docs = t(spark, sf_dir, "documents")
+    split_id = docs.agg(
+        F.percentile_approx("doc_id", 0.5, 1000000)
+    ).collect()[0][0]
+    tmp = tempfile.mkdtemp(prefix="scrub_stream_")
+    src = f"{tmp}/in"
+    docs.filter(F.col("doc_id") < split_id).select("doc_id", "text").coalesce(
+        1
+    ).write.parquet(f"{src}/f1")
+    docs.filter(F.col("doc_id") >= split_id).select("doc_id", "text").coalesce(
+        1
+    ).write.parquet(f"{src}/f2")
+    # deterministic batch order: FileStreamSource sorts by mtime — pin
+    # f1 strictly earlier so batch 0 is always the low-doc_id half
+    t0 = 1_600_000_000
+    for sub, ts_ in (("f1", t0), ("f2", t0 + 100)):
+        for name in os.listdir(f"{src}/{sub}"):
+            os.utime(f"{src}/{sub}/{name}", (ts_, ts_))
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    q = stream_scrub(
+        stream, f"{tmp}/store", f"{tmp}/out", f"{tmp}/ckpt", seg_len=8
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(f"{tmp}/out").select(
+        "doc_id", "n_segs", "n_kept", "cleaned_text"
+    )
+    joined = out.join(
+        docs.select("doc_id", "source", F.size(tokens("text")).alias("__nt")),
+        "doc_id",
+    )
+    per_doc = joined.select(
+        "source",
+        (F.col("n_kept") < F.col("n_segs")).cast("int").alias("changed"),
+        (
+            F.col("__nt")
+            - F.when(F.col("cleaned_text") == "", F.lit(0)).otherwise(
+                F.size(F.split(F.col("cleaned_text"), " "))
+            )
+        ).alias("toks_removed"),
+        md5_hash60(
+            F.concat_ws(
+                "#", F.col("doc_id").cast("string"), F.col("cleaned_text")
+            )
+        ).alias("__doc_hash"),
+    )
+    result = (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("changed").cast("bigint").alias("n_docs_changed"),
+            F.sum("toks_removed").cast("bigint").alias("tokens_removed"),
+            F.expr("bit_xor(__doc_hash)").alias("cleaned_xor"),
+        )
+        .orderBy("source")
+        .localCheckpoint()
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return result
+
+
 def _sql_segment_dedup_oracle(seg_len: int = 8) -> str:
     """DuckDB twin of operators/dedup.segment_dedup_marks (md5 hash
     mode): identical tokenization, identical fixed-window segmentation,
@@ -5729,6 +5818,11 @@ def doc_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# The streaming replay is oracle-checked against the SAME ground truth
+# as its batch twin (equivalence argued in doc_scrub_stream's docstring).
+ORACLE["doc_scrub_stream"] = _sql_boilerplate_scrub_oracle()
 
 
 @query("doc_segment_dedup", _sql_segment_dedup_oracle())
