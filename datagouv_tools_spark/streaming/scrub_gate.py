@@ -9,10 +9,12 @@ every later delivery, across batches. Unlike the admission gates
 (dedup_gate / neardup_gate), no document is dropped: the unit of
 dedup is the segment, the unit of output is the cleaned document.
 
-State is a bucket-partitioned parquet segment-hash store, read only at
-the buckets a batch touches. Every store row carries the ``__batch``
-that added it, and the novelty anti-join filters ``__batch <
-batch_id`` — so a checkpoint-replayed batch sees EXACTLY the store
+State is a parquet segment-hash store partitioned by (bucket, epoch),
+read only at the buckets a batch touches; merges rewrite only the
+current epoch's slice (bounded by ``epoch_batches`` of admissions —
+older epochs' files are never rewritten). Every store row carries the
+``__batch`` that added it, and the novelty anti-join filters
+``__batch < batch_id`` — so a checkpoint-replayed batch sees EXACTLY the store
 state that preceded its original run and recomputes byte-identical
 output whether or not its store merge landed (a stronger replay
 contract than the admission gates' output-first ordering, needed here
@@ -53,6 +55,7 @@ def scrub_gate_batch(
     n_buckets: int = 16,
     batch_id: int = 0,
     token_hash: str = "xxhash64",
+    epoch_batches: int = 8,
 ) -> None:
     """Scrub one (micro-)batch against the segment store.
 
@@ -61,8 +64,16 @@ def scrub_gate_batch(
        seg_idx) — segment_dedup_marks' rule;
     2. across batches, a segment already in the store (from a batch
        STRICTLY before this one) is dropped everywhere in this batch.
+
+    Store layout: partitioned by (__bucket, __epoch = batch_id //
+    epoch_batches), rows keep their exact ``__batch``. The merge
+    rewrites ONLY the current epoch's slice of touched buckets (bounded
+    by epoch_batches of admissions, never store history — the
+    dedup_gate/neardup_gate compaction contract); the novelty read
+    prunes to touched buckets across epochs.
     """
     spark = batch.sparkSession
+    epoch_now = batch_id // max(1, epoch_batches)
     marks = segment_dedup_marks(
         batch, id_col, text_col, seg_len=seg_len,
         token_hash=token_hash, keep_seg_text=True,
@@ -127,22 +138,27 @@ def scrub_gate_batch(
             .select("seg_hash", "__bucket")
             .distinct()
             .withColumn("__batch", F.lit(batch_id).cast("long"))
+            .withColumn("__epoch", F.lit(epoch_now).cast("long"))
         )
         if store_exists:
-            # keep EVERY other batch's rows (an out-of-order replay of
-            # batch N after N+1 must not delete N+1's segments); only
-            # this batch's own rows are replaced by the recomputed set
+            # merge within the CURRENT epoch slice only: keep that
+            # slice's rows from every other batch (an out-of-order
+            # replay of batch N after N+1 must not delete N+1's
+            # segments) and replace this batch's own rows with the
+            # recomputed set. Older epochs' partitions are never read
+            # or rewritten here — bounded merge cost.
             existing = (
                 spark.read.parquet(store_path)
                 .filter(F.col("__bucket").isin(touched))
+                .filter(F.col("__epoch") == F.lit(epoch_now))
                 .filter(F.col("__batch") != F.lit(batch_id))
             )
             merged = existing.unionByName(novel).localCheckpoint()
         else:
             merged = novel.localCheckpoint()
-        merged.write.mode("overwrite").partitionBy("__bucket").parquet(
-            store_path
-        )
+        merged.write.mode("overwrite").partitionBy(
+            "__bucket", "__epoch"
+        ).parquet(store_path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
@@ -155,6 +171,7 @@ def foreach_batch_scrub_gate(
     seg_len: int = 8,
     n_buckets: int = 16,
     token_hash: str = "xxhash64",
+    epoch_batches: int = 8,
 ):
     """``foreachBatch`` adapter around :func:`scrub_gate_batch`."""
 
@@ -163,7 +180,7 @@ def foreach_batch_scrub_gate(
             batch, store_path, out_path,
             text_col=text_col, id_col=id_col, seg_len=seg_len,
             n_buckets=n_buckets, batch_id=int(batch_id),
-            token_hash=token_hash,
+            token_hash=token_hash, epoch_batches=epoch_batches,
         )
 
     return apply

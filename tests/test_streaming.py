@@ -972,3 +972,37 @@ def test_scrub_gate_template_flood_bounds(spark, tmp_path):
     ).count() == 1
     # store: 4 template segs (10 toks / 3) + 2+2 distinct segs
     assert spark.read.parquet(store).count() == 8
+
+
+def test_scrub_gate_merge_rewrites_only_current_epoch(spark, tmp_path):
+    """Bounded merge: with epoch_batches=1 every batch owns its own
+    epoch partitions, so a later batch's store merge must leave earlier
+    epochs' part-files byte-untouched (same contract, and same
+    file-name-set check, as the near-dup gate's TTL store)."""
+    import glob
+
+    from datagouv_tools_spark.streaming.scrub_gate import scrub_gate_batch
+
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    scrub_gate_batch(
+        spark.createDataFrame(
+            [(1, "alpha beta gamma shared tail here")], ["doc_id", "text"]
+        ),
+        store, out, seg_len=3, n_buckets=4, batch_id=0, epoch_batches=1,
+    )
+    epoch0 = sorted(glob.glob(f"{store}/*/__epoch=0/part-*.parquet"))
+    assert epoch0
+    scrub_gate_batch(
+        spark.createDataFrame(
+            [(2, "alpha beta gamma novel second doc")], ["doc_id", "text"]
+        ),
+        store, out, seg_len=3, n_buckets=4, batch_id=1, epoch_batches=1,
+    )
+    assert sorted(glob.glob(f"{store}/*/__epoch=0/part-*.parquet")) == epoch0
+    # cross-epoch novelty still enforced: the shared leading segment
+    # was scrubbed from doc 2
+    got = {
+        r["doc_id"]: r["cleaned_text"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[2] == "novel second doc"
