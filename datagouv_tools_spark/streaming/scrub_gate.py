@@ -56,6 +56,7 @@ def scrub_gate_batch(
     batch_id: int = 0,
     token_hash: str = "xxhash64",
     epoch_batches: int = 8,
+    ttl_epochs: int | None = None,
 ) -> None:
     """Scrub one (micro-)batch against the segment store.
 
@@ -71,9 +72,16 @@ def scrub_gate_batch(
     by epoch_batches of admissions, never store history — the
     dedup_gate/neardup_gate compaction contract); the novelty read
     prunes to touched buckets across epochs.
+
+    ``ttl_epochs=T`` bounds BOTH state and the novelty read to the last
+    T epochs (expired epoch dirs are vacuumed — a directory delete,
+    never a rewrite) at the standard retention cost: boilerplate whose
+    first occurrence is older than T epochs is treated as novel again
+    and re-kept once.
     """
     spark = batch.sparkSession
     epoch_now = batch_id // max(1, epoch_batches)
+    min_epoch = None if ttl_epochs is None else epoch_now - ttl_epochs + 1
     marks = segment_dedup_marks(
         batch, id_col, text_col, seg_len=seg_len,
         token_hash=token_hash, keep_seg_text=True,
@@ -92,9 +100,11 @@ def scrub_gate_batch(
             spark.read.parquet(store_path)
             .filter(F.col("__bucket").isin(touched))
             .filter(F.col("__batch") < F.lit(batch_id))
-            .select("seg_hash")
-            .distinct()
-            .withColumn("__known", F.lit(True))
+        )
+        if min_epoch is not None:
+            known = known.filter(F.col("__epoch") >= F.lit(min_epoch))
+        known = (
+            known.select("seg_hash").distinct().withColumn("__known", F.lit(True))
         )
         marks = (
             marks.join(known, "seg_hash", "left")
@@ -159,6 +169,12 @@ def scrub_gate_batch(
         merged.write.mode("overwrite").partitionBy(
             "__bucket", "__epoch"
         ).parquet(store_path)
+        if min_epoch is not None:
+            from datagouv_tools_spark.streaming.neardup_gate import (
+                _vacuum_expired_epochs,
+            )
+
+            _vacuum_expired_epochs(spark, store_path, min_epoch)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 

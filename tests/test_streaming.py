@@ -1006,3 +1006,38 @@ def test_scrub_gate_merge_rewrites_only_current_epoch(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert got[2] == "novel second doc"
+
+
+def test_scrub_gate_ttl_expires_and_rekeeps(spark, tmp_path):
+    """TTL retention: boilerplate first seen more than ttl_epochs ago is
+    treated as novel again (re-kept once), and expired epoch dirs are
+    physically vacuumed."""
+    import glob
+
+    from datagouv_tools_spark.streaming.scrub_gate import scrub_gate_batch
+
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+
+    def run(doc_id, text, batch_id):
+        scrub_gate_batch(
+            spark.createDataFrame([(doc_id, text)], ["doc_id", "text"]),
+            store, out, seg_len=3, n_buckets=4, batch_id=batch_id,
+            epoch_batches=1, ttl_epochs=2,
+        )
+
+    boiler = "alpha beta gamma"
+    run(1, f"{boiler} one tail x", 0)
+    run(2, f"{boiler} two tail y", 1)   # within TTL: scrubbed
+    run(3, f"{boiler} tri tail z", 3)   # epoch-0 admission now expired
+    got = {
+        r["doc_id"]: r["cleaned_text"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[1].startswith(boiler)
+    assert got[2] == "two tail y"
+    # boiler was only stored at epoch 0 (kept by doc 1); by batch 3
+    # (epoch 3, TTL=2 -> window {2,3}) that admission expired, so the
+    # template is novel again and re-kept exactly once
+    assert got[3].startswith(boiler)
+    # expired epoch dirs vacuumed
+    assert not glob.glob(f"{store}/*/__epoch=0")
