@@ -573,3 +573,67 @@ def test_cli_dsn_live_postgres(spark, fantoir_file, pg_dsn, capsys):
         conn.commit()
     finally:
         conn.close()
+
+
+class TestCurateCorpus:
+    """End-to-end curation pipeline (pipelines/curate.py): funnel
+    monotonicity, determinism, and the semantics of each stage on the
+    real testdata corpus."""
+
+    @pytest.fixture(scope="class")
+    def result(self, spark, sf_dir, tmp_path_factory):
+        from datagouv_tools_spark.pipelines.curate import curate_corpus
+        from datagouv_tools_spark.sources.catalog import load_table
+
+        out = str(tmp_path_factory.mktemp("curate") / "corpus")
+        docs = load_table(spark, sf_dir, "documents")
+        report = curate_corpus(docs, out)
+        return report, out
+
+    def test_funnel_monotone(self, result):
+        r, _ = result
+        assert (
+            r.n_input
+            >= r.n_after_exact_dedup
+            >= r.n_after_scrub
+            >= r.n_after_quality
+            == sum(r.split_counts.values())
+        )
+        assert r.n_after_quality > 0
+
+    def test_output_partitioned_by_split(self, spark, result):
+        _, out = result
+        df = spark.read.parquet(out)
+        assert set(df.select("split").distinct().toPandas()["split"]) <= {
+            "train", "val", "test"
+        }
+        assert {"doc_id", "text", "source", "lang", "split"} <= set(df.columns)
+
+    def test_rerun_is_deterministic(self, spark, sf_dir, result, tmp_path):
+        from datagouv_tools_spark.pipelines.curate import curate_corpus
+        from datagouv_tools_spark.sources.catalog import load_table
+
+        r1, out1 = result
+        out2 = str(tmp_path / "corpus2")
+        r2 = curate_corpus(load_table(spark, sf_dir, "documents"), out2)
+        assert r1 == r2
+        a = sorted(
+            map(tuple, spark.read.parquet(out1).select("doc_id", "text", "split").collect())
+        )
+        b = sorted(
+            map(tuple, spark.read.parquet(out2).select("doc_id", "text", "split").collect())
+        )
+        assert a == b
+
+    def test_scrub_stage_removed_repeated_segments(self, spark, result):
+        """At least one surviving document was actually rewritten (the
+        corpus has cross-doc repeated segments at sf0.001)."""
+        _, out = result
+        from datagouv_tools_spark.sources.catalog import load_table
+
+        cur = spark.read.parquet(out).select("doc_id", F.col("text").alias("t2"))
+        orig = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+            "doc_id", "text"
+        )
+        changed = cur.join(orig, "doc_id").filter(F.col("t2") != F.col("text"))
+        assert changed.count() > 0
