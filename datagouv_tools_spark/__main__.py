@@ -18,6 +18,7 @@ Examples::
     python -m datagouv_tools_spark -s fantoir -p /data/FANTOIR.txt --parquet-out /lake
     python -m datagouv_tools_spark -s deces   -p /data/deces.txt -r sqlite --database deces.db
     python -m datagouv_tools_spark -s sirene  -p /data/sirene --dsn postgresql://u@host/db
+    python -m datagouv_tools_spark -s curate  -p /lake/documents.parquet --parquet-out /lake/curated
 """
 
 from __future__ import annotations
@@ -35,8 +36,10 @@ def build_parser() -> argparse.ArgumentParser:
         description="Import sirene/fantoir/deces into an RDBMS or a parquet lake",
     )
     parser.add_argument(
-        "-s", "--source", default="sirene", choices=("sirene", "fantoir", "deces"),
-        help="data source to import",
+        "-s", "--source", default="sirene",
+        choices=("sirene", "fantoir", "deces", "curate"),
+        help="data source to import, or 'curate' to run the corpus "
+        "curation funnel over a documents parquet table",
     )
     parser.add_argument(
         "-r", "--rdbms", default="pg",
@@ -90,6 +93,18 @@ def _connect(rdbms: str, database: str, user: str | None, password: str | None):
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     path = Path(args.path)
+
+    if args.source == "curate":
+        if not args.parquet_out:
+            print("error: -s curate requires --parquet-out", file=sys.stderr)
+            return 2
+        spark = get_spark("datagouv-tools-spark-curate")
+        from datagouv_tools_spark.pipelines.curate import curate_corpus
+
+        report = curate_corpus(spark.read.parquet(str(path)), args.parquet_out)
+        for stage, count in report.as_rows():
+            print(f"{stage}: {count}")
+        return 0
 
     connection = None
     if not args.dry_run and not args.parquet_out and not args.dsn:

@@ -637,3 +637,30 @@ class TestCurateCorpus:
         )
         changed = cur.join(orig, "doc_id").filter(F.col("t2") != F.col("text"))
         assert changed.count() > 0
+
+
+def test_cli_curate(spark, tmp_path, capsys):
+    """-s curate runs the curation funnel over a documents parquet and
+    writes the split-partitioned corpus to --parquet-out."""
+    from datagouv_tools_spark.__main__ import main
+
+    out = str(tmp_path / "curated")
+    rc = main(
+        [
+            "-s", "curate",
+            "-p", "/root/testdata/sf0.001/documents.parquet",
+            "--parquet-out", out,
+        ]
+    )
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "input: 500" in printed and "quality:" in printed
+    assert spark.read.parquet(out).count() > 0
+
+
+def test_cli_curate_requires_out(capsys):
+    from datagouv_tools_spark.__main__ import main
+
+    rc = main(["-s", "curate", "-p", "/root/testdata/sf0.001/documents.parquet"])
+    assert rc == 2
+    assert "requires --parquet-out" in capsys.readouterr().err
