@@ -5360,6 +5360,102 @@ def doc_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_hourly_anomalies",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             COUNT(*) AS cnt
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ), win AS (
+      SELECT event_type, hr, cnt,
+             SUM(cnt) OVER w AS s1,
+             SUM(cnt * cnt) OVER w AS s2,
+             COUNT(*) OVER w AS n
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    ), z AS (
+      SELECT event_type, hr, cnt,
+             ROUND((cnt - s1 / 24.0)
+                   / sqrt((s2 - (s1 * s1) / 24.0) / 24.0), 6) AS zscore
+      FROM win
+      WHERE n = 24 AND (s2 - (s1 * s1) / 24.0) / 24.0 > 0
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY zscore DESC, hr) AS rk
+      FROM z
+    )
+    SELECT event_type,
+           COUNT(*) AS n_eval,
+           CAST(SUM(CASE WHEN zscore > 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+           MAX(CASE WHEN rk = 1 THEN zscore END) AS max_z,
+           MAX(CASE WHEN rk = 1 THEN hr END) AS peak_hour
+    FROM ranked
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series anomaly detection: per event type, each hour's count
+    is z-scored against its trailing 24 OBSERVED hours (rows-frame, so
+    gaps don't change the window size), flagging count spikes — the
+    ops-monitoring shape over the events stream.
+
+    Determinism without trusting stddev implementations: the trailing
+    moment sums s1=Σcnt, s2=Σcnt² are exact BIGINT window sums; mean
+    and variance derive from them in one pinned double expression
+    ((s2 − s1²/24)/24), and IEEE sqrt is correctly rounded — so both
+    engines compute bit-identical z-scores (Spark's stddev_samp and
+    DuckDB's use different streaming algorithms and would drift at the
+    6th decimal). Peak hour ties break on earliest hour.
+
+    Scale: one shuffle to hourly aggregates (map-side combine over the
+    raw scan), one window per event_type over the tiny hourly series —
+    the window input is |types| × |hours|, not |events|."""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-24, -1)
+    )
+    win = hourly.select(
+        "event_type", "hr", "cnt",
+        F.sum("cnt").over(w).alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).alias("s2"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    var = (F.col("s2").cast("double") - (F.col("s1") * F.col("s1")) / F.lit(24.0)) / F.lit(24.0)
+    z = (
+        win.filter((F.col("n") == 24) & (var > 0))
+        .withColumn(
+            "zscore",
+            F.round(
+                (F.col("cnt") - F.col("s1") / F.lit(24.0)) / F.sqrt(var), 6
+            ),
+        )
+    )
+    rk = Window.partitionBy("event_type").orderBy(
+        F.desc("zscore"), F.asc("hr")
+    )
+    ranked = z.withColumn("rk", F.row_number().over(rk))
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.sum((F.col("zscore") > 3.0).cast("int")).cast("bigint").alias("n_anomalies"),
+            F.max(F.when(F.col("rk") == 1, F.col("zscore"))).alias("max_z"),
+            F.max(F.when(F.col("rk") == 1, F.col("hr"))).alias("peak_hour"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @query("doc_scrub_stream")  # shares doc_boilerplate_scrub's oracle (below)
 def doc_scrub_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The boilerplate scrub as a REAL stream (streaming/scrub_gate):
