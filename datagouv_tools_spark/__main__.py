@@ -95,6 +95,11 @@ def main(argv: list[str] | None = None) -> int:
     path = Path(args.path)
 
     if args.source == "curate":
+        if args.dry_run:
+            # no statement-log equivalent exists for the funnel; running
+            # anyway would overwrite --parquet-out despite "dry run"
+            print("error: -s curate does not support --dry-run", file=sys.stderr)
+            return 2
         if not args.parquet_out:
             print("error: -s curate requires --parquet-out", file=sys.stderr)
             return 2

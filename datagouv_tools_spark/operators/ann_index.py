@@ -230,13 +230,23 @@ def index_append(
         touched = [
             r["__list"] for r in assigned.select("__list").distinct().collect()
         ]
-        existing = (
+        codes_existing = (
             index.codes()
             .filter(F.col("__list").isin(touched))
             .select(id_col)
         )
-        assigned = assigned.join(existing, id_col, "left_anti")
-        new_vectors = new_vectors.join(existing, id_col, "left_anti")
+        assigned = assigned.join(codes_existing, id_col, "left_anti")
+        # The bands side heals against the BANDS store, not the codes
+        # store: a crash between the codes append and the bands append
+        # leaves the two stores disagreeing, and filtering bands by
+        # codes membership would then drop the replayed batch's band
+        # rows forever. Every vector appears in EVERY band, so probing
+        # the __band=0 partition is a complete membership check at
+        # 1/n_bands of the store.
+        bands_existing = (
+            index.bands().filter(F.col("__band") == 0).select(id_col)
+        )
+        new_vectors = new_vectors.join(bands_existing, id_col, "left_anti")
     (
         pq_encode(assigned, index.codebooks, vec_col=vec_col)
         .select(id_col, "__list", *[f"code_{s}" for s in range(n_sub)])

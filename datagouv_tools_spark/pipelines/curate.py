@@ -35,9 +35,15 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from datagouv_tools_spark.functions.text import fingerprint_md5, tokens
-from datagouv_tools_spark.functions.xhash import md5_hash60
-from datagouv_tools_spark.operators.dedup import segment_dedup_marks
+from datagouv_tools_spark.functions.curation import (
+    quality_logit,
+    reassembled_kept_text,
+    split_assignment,
+)
+from datagouv_tools_spark.operators.dedup import (
+    dedup_fingerprint,
+    segment_dedup_marks,
+)
 
 __all__ = ["CurationReport", "curate_corpus"]
 
@@ -61,42 +67,6 @@ class CurationReport:
         return rows
 
 
-def _quality_logit() -> F.Column:
-    """doc_quality_logit's pinned linear classifier (see queries.py)."""
-    ts = tokens("text")
-    n = F.size(ts)
-    stops = F.array(*[F.lit(s) for s in
-                      ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")])
-    nz = n > 0
-    dr = F.when(
-        nz, F.size(F.array_distinct(ts)).cast("double") / n.cast("double")
-    ).otherwise(0.0)
-    lt = F.least(n, F.lit(200)).cast("double") / F.lit(200.0)
-    sw = F.when(
-        nz,
-        F.size(F.filter(ts, lambda t: F.array_contains(stops, t))).cast("double")
-        / n.cast("double"),
-    ).otherwise(0.0)
-    return F.round(
-        F.lit(1.7) * dr + F.lit(0.9) * lt + F.lit(2.1) * sw - F.lit(1.2), 6
-    )
-
-
-def _split_col(id_col: str, seed: str = "split42") -> F.Column:
-    """doc_split_assignment's 80/10/10 seeded bucket rule."""
-    bucket = F.pmod(
-        md5_hash60(
-            F.concat_ws("-", F.col(id_col).cast("string"), F.lit(seed))
-        ),
-        F.lit(100),
-    )
-    return (
-        F.when(bucket < 80, F.lit("train"))
-        .when(bucket < 90, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
-
-
 def curate_corpus(
     docs: DataFrame,
     out_dir: str,
@@ -106,50 +76,57 @@ def curate_corpus(
     keep_cols: tuple[str, ...] = ("source", "lang"),
 ) -> CurationReport:
     """Run the curation funnel over ``docs`` and write the cleaned,
-    split-partitioned corpus to ``out_dir``. Returns stage counts."""
+    split-partitioned corpus to ``out_dir``. Returns stage counts.
+
+    The dedup/scrub stage results are persisted (MEMORY_AND_DISK)
+    before their counts: without it, each ``count()`` plus the final
+    write would re-execute the segment-explode + winner-join lineage —
+    the pipeline's dominant, text-moving cost — three separate times."""
+    from pyspark.storagelevel import StorageLevel
+
     n_input = docs.count()
 
-    # 1. exact dedup (min-id representative per normalized fingerprint)
-    fp = docs.withColumn("__fp", fingerprint_md5(text_col))
-    winners = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
-    deduped = fp.join(winners, ["__fp", id_col], "left_semi").drop("__fp")
-    n_dedup = deduped.count()
-
-    # 2. boilerplate scrub: reassemble from kept segments only
-    marks = segment_dedup_marks(
-        deduped, id_col, text_col, seg_len=seg_len,
-        keep_cols=keep_cols, keep_seg_text=True,
+    # 1. exact dedup — the library operator (operators/dedup.py), not a
+    # reimplementation: the min-id-representative rule has one home
+    deduped = dedup_fingerprint(docs, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    scrubbed = (
-        marks.groupBy(id_col, *keep_cols)
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(F.col("kept"), F.struct("seg_idx", "seg"))
-                        )
-                    ),
-                    lambda x: x["seg"],
-                ),
-                " ",
-            ).alias(text_col)
+    try:
+        n_dedup = deduped.count()
+
+        # 2. boilerplate scrub: reassemble from kept segments only
+        marks = segment_dedup_marks(
+            deduped, id_col, text_col, seg_len=seg_len,
+            keep_cols=keep_cols, keep_seg_text=True,
         )
-        .filter(F.col(text_col) != "")
-    )
-    n_scrub = scrubbed.count()
+        scrubbed = (
+            marks.groupBy(id_col, *keep_cols)
+            .agg(reassembled_kept_text().alias(text_col))
+            .filter(F.col(text_col) != "")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        try:
+            n_scrub = scrubbed.count()
 
-    # 3. quality filter (pinned linear classifier)
-    scored = scrubbed.withColumn("__z", _quality_logit())
-    kept = scored.filter(F.col("__z") >= 0.0).drop("__z")
-    n_quality = kept.count()
+            # 3. quality filter (the shared pinned classifier)
+            kept = scrubbed.filter(quality_logit(text_col) >= 0.0)
 
-    # 4. split + 5. write (partitioned by split)
-    final = kept.withColumn("split", _split_col(id_col))
-    final.write.mode("overwrite").partitionBy("split").parquet(out_dir)
-    out = final.sparkSession.read.parquet(out_dir)
-    split_counts = {
-        r["split"]: r["n"]
-        for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
+            # 4. split + 5. write (partitioned by split); n_quality and
+            # split counts both come from the WRITTEN output — one
+            # execution of the post-scrub lineage, and the report
+            # describes what actually landed on disk
+            final = kept.withColumn("split", split_assignment(id_col))
+            final.write.mode("overwrite").partitionBy("split").parquet(out_dir)
+            out = docs.sparkSession.read.parquet(out_dir)
+            split_counts = {
+                r["split"]: r["n"]
+                for r in out.groupBy("split")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+        finally:
+            scrubbed.unpersist()
+    finally:
+        deduped.unpersist()
+    n_quality = sum(split_counts.values())
     return CurationReport(n_input, n_dedup, n_scrub, n_quality, split_counts)

@@ -5335,21 +5335,15 @@ def doc_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever migrates between splits (the classic eval-contamination bug
     with random()-based splits). Pure map work + one aggregation; the
     assignment expression is cross-engine (functions/xhash.md5_hash60),
-    so DuckDB reproduces every bucket exactly."""
-    from datagouv_tools_spark.functions.xhash import md5_hash60
+    so DuckDB reproduces every bucket exactly. The rule is the SHARED
+    functions/curation.split_assignment — the same column
+    pipelines/curate.py partitions by, so this oracle verifies the
+    production stage too."""
+    from datagouv_tools_spark.functions.curation import split_assignment
 
     docs = t(spark, sf_dir, "documents")
-    bucket = F.pmod(
-        md5_hash60(F.concat_ws("-", F.col("doc_id").cast("string"), F.lit("split42"))),
-        F.lit(100),
-    )
-    split = (
-        F.when(bucket < 80, F.lit("train"))
-        .when(bucket < 90, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
     return (
-        docs.select("doc_id", "source", split.alias("split"))
+        docs.select("doc_id", "source", split_assignment("doc_id").alias("split"))
         .groupBy("source", "split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -5369,18 +5363,20 @@ def doc_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY event_type, date_trunc('hour', ts)
     ), win AS (
       SELECT event_type, hr, cnt,
-             SUM(cnt) OVER w AS s1,
-             SUM(cnt * cnt) OVER w AS s2,
+             CAST(SUM(cnt) OVER w AS DECIMAL(38,0)) AS s1,
+             SUM(CAST(cnt AS DECIMAL(38,0)) * cnt) OVER w AS s2,
              COUNT(*) OVER w AS n
       FROM hourly
       WINDOW w AS (PARTITION BY event_type ORDER BY hr
                    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
     ), z AS (
       SELECT event_type, hr, cnt,
-             ROUND((cnt - s1 / 24.0)
-                   / sqrt((s2 - (s1 * s1) / 24.0) / 24.0), 6) AS zscore
+             ROUND((cnt - CAST(s1 AS DOUBLE) / 24.0)
+                   / sqrt((CAST(s2 AS DOUBLE)
+                           - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / 24.0) / 24.0), 6) AS zscore
       FROM win
-      WHERE n = 24 AND (s2 - (s1 * s1) / 24.0) / 24.0 > 0
+      WHERE n = 24 AND (CAST(s2 AS DOUBLE)
+                        - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / 24.0) / 24.0 > 0
     ), ranked AS (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
                                    ORDER BY zscore DESC, hr) AS rk
@@ -5424,19 +5420,22 @@ def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hr")
         .rowsBetween(-24, -1)
     )
+    # exact decimal moment sums (no int64 wrap at any corpus scale),
+    # converted to double in ONE pinned expression shared with the SQL
     win = hourly.select(
         "event_type", "hr", "cnt",
-        F.sum("cnt").over(w).alias("s1"),
-        F.sum(F.col("cnt") * F.col("cnt")).over(w).alias("s2"),
+        F.sum(F.col("cnt").cast("decimal(38,0)")).over(w).alias("s1"),
+        F.sum(F.col("cnt").cast("decimal(38,0)") * F.col("cnt")).over(w).alias("s2"),
         F.count(F.lit(1)).over(w).alias("n"),
     )
-    var = (F.col("s2").cast("double") - (F.col("s1") * F.col("s1")) / F.lit(24.0)) / F.lit(24.0)
+    s1d = F.col("s1").cast("double")
+    var = (F.col("s2").cast("double") - (s1d * s1d) / F.lit(24.0)) / F.lit(24.0)
     z = (
         win.filter((F.col("n") == 24) & (var > 0))
         .withColumn(
             "zscore",
             F.round(
-                (F.col("cnt") - F.col("s1") / F.lit(24.0)) / F.sqrt(var), 6
+                (F.col("cnt") - s1d / F.lit(24.0)) / F.sqrt(var), 6
             ),
         )
     )
@@ -5626,26 +5625,14 @@ def doc_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: pure map work (array expressions per doc) + one tiny
     aggregation; nothing shuffles but (source, partial-agg) rows. The
     logit (not sigmoid) keeps the score in +,*,/ arithmetic — bit-equal
-    across engines, monotone-equivalent for thresholding."""
-    from datagouv_tools_spark.functions.text import tokens
+    across engines, monotone-equivalent for thresholding. The classifier
+    expression is the SHARED functions/curation.quality_logit — the same
+    column pipelines/curate.py filters on, so this oracle verifies the
+    production stage too."""
+    from datagouv_tools_spark.functions.curation import quality_logit
 
-    ts = tokens("text")
-    n = F.size(ts)
-    stops = F.array(*[F.lit(s) for s in
-                      ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")])
-    nz = n > 0
-    dr = F.when(nz, F.size(F.array_distinct(ts)).cast("double") / n.cast("double")).otherwise(0.0)
-    lt = F.least(n, F.lit(200)).cast("double") / F.lit(200.0)
-    sw = F.when(
-        nz,
-        F.size(F.filter(ts, lambda t: F.array_contains(stops, t))).cast("double")
-        / n.cast("double"),
-    ).otherwise(0.0)
-    z = F.round(
-        F.lit(1.7) * dr + F.lit(0.9) * lt + F.lit(2.1) * sw - F.lit(1.2), 6
-    )
     docs = t(spark, sf_dir, "documents")
-    scored = docs.select("source", z.alias("z"))
+    scored = docs.select("source", quality_logit("text").alias("z"))
     return (
         scored.groupBy("source")
         .agg(
@@ -5866,7 +5853,11 @@ def doc_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the winner join and a per-doc aggregation — the floor cost
     of any transform that must rewrite documents. collect_list is
     per-doc bounded (a document's own segments), never corpus-wide.
+    Reassembly is the SHARED functions/curation.reassembled_kept_text —
+    the same expression pipelines/curate.py and streaming/scrub_gate.py
+    use, so this oracle verifies all three consumers.
     """
+    from datagouv_tools_spark.functions.curation import reassembled_kept_text
     from datagouv_tools_spark.functions.xhash import md5_hash60
     from datagouv_tools_spark.operators.dedup import segment_dedup_marks
 
@@ -5884,17 +5875,7 @@ def doc_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.lit(0),
         ).alias("toks_removed"),
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(F.col("kept"), F.struct("seg_idx", "seg"))
-                    )
-                ),
-                lambda x: x["seg"],
-            ),
-            " ",
-        ).alias("cleaned"),
+        reassembled_kept_text().alias("cleaned"),
     )
     hashed = per_doc.withColumn(
         "__doc_hash",

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from datagouv_tools_spark.functions.curation import reassembled_kept_text
 from datagouv_tools_spark.operators.dedup import segment_dedup_marks
 
 __all__ = ["scrub_gate_batch", "foreach_batch_scrub_gate", "stream_scrub"]
@@ -119,17 +120,7 @@ def scrub_gate_batch(
         .agg(
             F.count(F.lit(1)).alias("n_segs"),
             F.sum(F.col("kept").cast("int")).cast("int").alias("n_kept"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(F.col("kept"), F.struct("seg_idx", "seg"))
-                        )
-                    ),
-                    lambda x: x["seg"],
-                ),
-                " ",
-            ).alias("cleaned_text"),
+            reassembled_kept_text().alias("cleaned_text"),
         )
     )
 
@@ -188,6 +179,7 @@ def foreach_batch_scrub_gate(
     n_buckets: int = 16,
     token_hash: str = "xxhash64",
     epoch_batches: int = 8,
+    ttl_epochs: int | None = None,
 ):
     """``foreachBatch`` adapter around :func:`scrub_gate_batch`."""
 
@@ -197,6 +189,7 @@ def foreach_batch_scrub_gate(
             text_col=text_col, id_col=id_col, seg_len=seg_len,
             n_buckets=n_buckets, batch_id=int(batch_id),
             token_hash=token_hash, epoch_batches=epoch_batches,
+            ttl_epochs=ttl_epochs,
         )
 
     return apply

@@ -192,13 +192,17 @@ class TestIndexAppend:
     def test_duplicate_append_becomes_band_candidate(self, grown):
         """An appended copy of an existing vector must surface as a
         candidate pair from the stored band store (identical vectors
-        share every band bucket)."""
-        idx, _ = grown
+        share every band bucket). Self-sufficient: appends its own
+        duplicates, asserts the pair unconditionally."""
+        idx, emb = grown
+        dup = emb.filter(F.col("vec_id") == 7).select(
+            F.lit(2007).cast("bigint").alias("vec_id"), "embedding"
+        )
+        ai.index_append(idx, dup)
         pairs = {
             (r["id_a"], r["id_b"]) for r in idx.band_candidates().collect()
         }
-        # the retrain-guard test appended vec 0-2 as 1000-1002
-        assert (0, 1000) in pairs or not any(b == 1000 for _, b in pairs)
+        assert (7, 2007) in pairs
 
 
 class TestStreamIndexIngest:
@@ -262,12 +266,21 @@ class TestStreamIndexIngest:
         ai.index_append(idx, replayed, anti_join_existing=True)
         assert idx.codes().count() == before
 
-    def test_ledger_records_each_batch_once(self, spark, setup):
-        from datagouv_tools_spark.streaming.index_ingest import applied_batch_ids
+    def test_ledger_records_each_batch_once_per_run(self, spark, setup):
+        """The ledger is namespaced by checkpoint-derived run key: both
+        drains recorded their batches under their own key, and an
+        unknown key sees an empty ledger (its batches would be treated
+        as new work, healed by the anti-join — not silently dropped)."""
+        from datagouv_tools_spark.streaming.index_ingest import (
+            applied_batch_ids,
+            run_key_for_checkpoint,
+        )
 
-        idx, _, _, _ = setup
-        ids = applied_batch_ids(spark, idx.path)
-        assert ids == {0, 1}
+        idx, _, root, _ = setup
+        for ckpt in ("ckpt1", "ckpt2"):
+            key = run_key_for_checkpoint(str(root / ckpt))
+            assert applied_batch_ids(spark, idx.path, key) == {0, 1}
+        assert applied_batch_ids(spark, idx.path, "fresh-run") == set()
 
 
 class TestIndexCompact:
@@ -304,3 +317,31 @@ class TestIndexCompact:
         assert nfiles("bands") == listdirs("bands")
         assert sorted(map(tuple, idx.codes().collect())) == before_rows
         assert [tuple(r) for r in idx.adc_topk(qv, k=5, nprobe=3).collect()] == before_top
+
+
+def test_crash_between_codes_and_bands_appends_heals_both(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """A crash AFTER the codes append but BEFORE the bands append
+    leaves the two stores desynchronized; the healed replay must bring
+    the bands store up WITHOUT double-appending codes — each store
+    anti-joins against itself, not the other."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = ai.index_build(emb.filter(F.col("vec_id") < 400), str(tmp_path / "idx"))
+    batch = emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 420))
+
+    real_bands = ai.lsh_band_buckets
+    monkeypatch.setattr(
+        ai, "lsh_band_buckets", lambda *a, **k: real_bands(*a, **k).limit(0)
+    )
+    ai.index_append(idx, batch)  # "crashes" with bands unwritten
+    monkeypatch.setattr(ai, "lsh_band_buckets", real_bands)
+    assert idx.codes().filter(F.col("vec_id") >= 400).count() == 20
+    assert idx.bands().filter(F.col("vec_id") >= 400).count() == 0
+
+    ai.index_append(idx, batch, anti_join_existing=True)  # healed replay
+    assert idx.codes().filter(F.col("vec_id") >= 400).count() == 20  # no dup
+    assert (
+        idx.bands().filter(F.col("vec_id") >= 400).count()
+        == 20 * int(idx.meta["n_bands"])
+    )
