@@ -130,3 +130,43 @@ def curate_corpus(
         deduped.unpersist()
     n_quality = sum(split_counts.values())
     return CurationReport(n_input, n_dedup, n_scrub, n_quality, split_counts)
+
+
+def stream_curate(
+    doc_stream: DataFrame,
+    store_path: str,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_len: int = 8,
+    keep_cols: tuple[str, ...] = ("source", "lang"),
+    **gate_kwargs,
+):
+    """The curation funnel as a CONTINUOUS stream: documents flow
+    through the segment-scrub gate (streaming/scrub_gate.py), and its
+    ``post_transform`` seam applies the remaining batch stages —
+    drop empty-scrubbed docs (which subsumes doc-level exact dedup: an
+    exact duplicate's every segment was already seen, so it scrubs to
+    empty), drop quality-logit failures, stamp the split — before each
+    micro-batch's output lands. Same shared expressions as
+    ``curate_corpus``, so the streamed corpus equals the batch corpus
+    when batches arrive in id order (pinned by test).
+
+    Returns the started StreamingQuery (availableNow by default via
+    stream_scrub's trigger)."""
+    from datagouv_tools_spark.streaming.scrub_gate import stream_scrub
+
+    def post(cleaned: DataFrame) -> DataFrame:
+        return (
+            cleaned.filter(F.col("cleaned_text") != "")
+            .withColumnRenamed("cleaned_text", text_col)
+            .filter(quality_logit(text_col) >= 0.0)
+            .withColumn("split", split_assignment(id_col))
+        )
+
+    return stream_scrub(
+        doc_stream, store_path, out_path, checkpoint,
+        id_col=id_col, text_col=text_col, seg_len=seg_len,
+        keep_cols=keep_cols, post_transform=post, **gate_kwargs,
+    )

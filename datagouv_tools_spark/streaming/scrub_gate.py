@@ -58,8 +58,19 @@ def scrub_gate_batch(
     token_hash: str = "xxhash64",
     epoch_batches: int = 8,
     ttl_epochs: int | None = None,
+    post_transform=None,
+    keep_cols: tuple[str, ...] = (),
 ) -> None:
     """Scrub one (micro-)batch against the segment store.
+
+    ``post_transform(cleaned_df) -> DataFrame`` hooks between
+    reassembly and the output write — the seam streaming curation uses
+    to drop empty/low-quality docs and stamp split assignments WITHOUT
+    duplicating the gate engine. It must be a pure column-level
+    transform (rows in → filtered/extended rows out); the store merge
+    is NOT affected by it (segment novelty is decided before the hook,
+    so a quality-dropped doc still claims its novel segments — exactly
+    like the batch funnel, where scrub precedes the quality filter).
 
     Keep rule, composed of two tiers (both deterministic):
     1. within the batch, a segment's first occurrence = min (id,
@@ -85,7 +96,7 @@ def scrub_gate_batch(
     min_epoch = None if ttl_epochs is None else epoch_now - ttl_epochs + 1
     marks = segment_dedup_marks(
         batch, id_col, text_col, seg_len=seg_len,
-        token_hash=token_hash, keep_seg_text=True,
+        token_hash=token_hash, keep_seg_text=True, keep_cols=keep_cols,
     ).withColumn("__bucket", _bucket("seg_hash", n_buckets))
     touched = [
         r["__bucket"] for r in marks.select("__bucket").distinct().collect()
@@ -116,7 +127,7 @@ def scrub_gate_batch(
             .drop("__known")
         )
     cleaned = (
-        marks.groupBy(id_col)
+        marks.groupBy(id_col, *keep_cols)
         .agg(
             F.count(F.lit(1)).alias("n_segs"),
             F.sum(F.col("kept").cast("int")).cast("int").alias("n_kept"),
@@ -128,6 +139,8 @@ def scrub_gate_batch(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         # 1) cleaned docs to the output table (replay rewrites own slice)
+        if post_transform is not None:
+            cleaned = post_transform(cleaned)
         cleaned.withColumn("__batch", F.lit(batch_id)).write.mode(
             "overwrite"
         ).partitionBy("__batch").parquet(out_path)
@@ -180,6 +193,8 @@ def foreach_batch_scrub_gate(
     token_hash: str = "xxhash64",
     epoch_batches: int = 8,
     ttl_epochs: int | None = None,
+    post_transform=None,
+    keep_cols: tuple[str, ...] = (),
 ):
     """``foreachBatch`` adapter around :func:`scrub_gate_batch`."""
 
@@ -189,7 +204,8 @@ def foreach_batch_scrub_gate(
             text_col=text_col, id_col=id_col, seg_len=seg_len,
             n_buckets=n_buckets, batch_id=int(batch_id),
             token_hash=token_hash, epoch_batches=epoch_batches,
-            ttl_epochs=ttl_epochs,
+            ttl_epochs=ttl_epochs, post_transform=post_transform,
+            keep_cols=keep_cols,
         )
 
     return apply

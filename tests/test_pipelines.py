@@ -664,3 +664,49 @@ def test_cli_curate_requires_out(capsys):
     rc = main(["-s", "curate", "-p", "/root/testdata/sf0.001/documents.parquet"])
     assert rc == 2
     assert "requires --parquet-out" in capsys.readouterr().err
+
+
+def test_stream_curate_equals_batch_curate(spark, sf_dir, tmp_path):
+    """The streaming curation funnel (pipelines/curate.stream_curate:
+    scrub gate + post_transform quality/split) must produce EXACTLY the
+    batch funnel's corpus when batches arrive in doc_id order — the
+    empty-scrub drop subsumes doc-level exact dedup, and every other
+    stage is the same shared expression."""
+    import os
+
+    from datagouv_tools_spark.pipelines.curate import curate_corpus, stream_curate
+    from datagouv_tools_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch_out = str(tmp_path / "batch")
+    curate_corpus(docs, batch_out)
+
+    src = str(tmp_path / "in")
+    docs.filter(F.col("doc_id") < 250).coalesce(1).write.parquet(f"{src}/f1")
+    docs.filter(F.col("doc_id") >= 250).coalesce(1).write.parquet(f"{src}/f2")
+    t0 = 1_600_000_000
+    for sub, ts_ in (("f1", t0), ("f2", t0 + 100)):
+        for name in os.listdir(f"{src}/{sub}"):
+            os.utime(f"{src}/{sub}/{name}", (ts_, ts_))
+    stream = (
+        spark.readStream.schema(
+            "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    stream_out = str(tmp_path / "stream")
+    q = stream_curate(
+        stream, str(tmp_path / "store"), stream_out, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+
+    cols = ["doc_id", "text", "source", "lang", "split"]
+    batch_rows = sorted(
+        map(tuple, spark.read.parquet(batch_out).select(*cols).collect())
+    )
+    stream_rows = sorted(
+        map(tuple, spark.read.parquet(stream_out).select(*cols).collect())
+    )
+    assert stream_rows == batch_rows
+    assert batch_rows  # non-vacuous
