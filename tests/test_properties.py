@@ -157,3 +157,54 @@ def test_segment_dedup_matches_bruteforce(spark, texts, seg_len):
         ).collect()
     }
     assert got == expect, f"texts={texts!r} seg_len={seg_len}"
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(_nasty_text, min_size=1, max_size=5),
+    st.integers(min_value=1, max_value=4),
+)
+def test_scrub_reassembly_matches_bruteforce(spark, texts, seg_len):
+    """Boilerplate-scrub reassembly (segment_dedup_marks +
+    functions/curation.reassembled_kept_text — the expression shared by
+    the batch query, the curate pipeline, and the streaming gate) vs a
+    pure-Python reference: per-doc cleaned text must match exactly on
+    adversarial strings."""
+    import math
+
+    from datagouv_tools_spark.functions.curation import reassembled_kept_text
+    from datagouv_tools_spark.operators.dedup import segment_dedup_marks
+
+    ref_segs = []
+    for doc_id, text in enumerate(texts):
+        toks = [t for t in re.split("[ \t\r\n\f\x0b]+", text.lower()) if t]
+        for i in range(math.ceil(len(toks) / seg_len)):
+            ref_segs.append(
+                (doc_id, i, " ".join(toks[i * seg_len: (i + 1) * seg_len]))
+            )
+    first: dict[str, tuple[int, int]] = {}
+    for doc_id, i, seg in sorted(ref_segs):
+        first.setdefault(seg, (doc_id, i))
+    expect = {
+        doc_id: " ".join(
+            seg
+            for d2, i, seg in sorted(ref_segs)
+            if d2 == doc_id and first[seg] == (d2, i)
+        )
+        for doc_id in range(len(texts))
+        if any(d == doc_id for d, _, _ in ref_segs)
+    }
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    marks = segment_dedup_marks(
+        df, "doc_id", "text", seg_len=seg_len, keep_seg_text=True
+    )
+    got = {
+        r["doc_id"]: r["cleaned"]
+        for r in marks.groupBy("doc_id")
+        .agg(reassembled_kept_text().alias("cleaned"))
+        .collect()
+    }
+    assert got == expect, f"texts={texts!r} seg_len={seg_len}"
