@@ -42,7 +42,14 @@ from datagouv_tools_spark.operators.similarity import (
     query_probe_lists,
 )
 
-__all__ = ["AnnIndex", "index_build", "index_open", "index_append", "index_compact"]
+__all__ = [
+    "AnnIndex",
+    "index_build",
+    "index_open",
+    "index_append",
+    "index_compact",
+    "index_delete",
+]
 
 
 @dataclass
@@ -58,10 +65,38 @@ class AnnIndex:
     codebooks: list[list[list[float]]]
 
     def codes(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.path}/codes")
+        return self._minus_tombstones(
+            self.spark.read.parquet(f"{self.path}/codes")
+        )
 
     def bands(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.path}/bands")
+        return self._minus_tombstones(
+            self.spark.read.parquet(f"{self.path}/bands")
+        )
+
+    def tombstones(self) -> DataFrame | None:
+        """Soft-deleted ids (see ``index_delete``), or None if none."""
+        jpath = self.spark._jvm.org.apache.hadoop.fs.Path(
+            f"{self.path}/tombstones"
+        )
+        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            return None
+        return self.spark.read.parquet(f"{self.path}/tombstones")
+
+    def _minus_tombstones(self, df: DataFrame) -> DataFrame:
+        """Mask soft-deleted ids out of a store view. The tombstone set
+        is tiny relative to the corpus (deletions are rare events), so
+        the anti-join broadcasts — search cost is unchanged until
+        ``index_compact`` physically removes the rows."""
+        ts = self.tombstones()
+        if ts is None:
+            return df
+        return df.join(
+            F.broadcast(ts.select(self.meta["id_col"])),
+            self.meta["id_col"],
+            "left_anti",
+        )
 
     def adc_topk(
         self, query_vec: list[float], k: int = 10, nprobe: int | None = None
@@ -270,6 +305,42 @@ def index_append(
     )
 
 
+def index_delete(index: AnnIndex, ids: DataFrame) -> None:
+    """Soft-delete vectors (the GDPR / right-to-erasure shape): ``ids``
+    (a one-column DataFrame of ``id_col`` values) are appended to a
+    tombstone set that every store view (``codes()``, ``bands()``, and
+    therefore every search) anti-joins away immediately.
+
+    Deleting by rewriting would cost a full band-store rewrite per
+    call (an id lives in every ``__band`` partition); tombstones make
+    the delete O(|ids|) and defer the physical removal to the next
+    ``index_compact``, which rewrites anyway — the standard
+    soft-delete + merge-on-compaction pattern. The tombstone set stays
+    broadcast-small because erasure events are rare relative to corpus
+    size; if deletions ever rival the corpus, rebuild instead.
+
+    A tombstoned id STAYS deleted even if re-appended (the masked
+    membership probe admits the new rows, but the mask hides them too,
+    and the next compaction drops both) — resurrecting an id requires
+    compacting first, then appending. This keeps "deleted" a stable
+    fact rather than one that a replayed ingest batch could silently
+    undo.
+    """
+    id_col = index.meta["id_col"]
+    ids.select(id_col).distinct().write.mode("append").parquet(
+        f"{index.path}/tombstones"
+    )
+
+
+def _clear_tombstones(index: AnnIndex) -> None:
+    """Drop the tombstone set (compaction has physically applied it)."""
+    spark = index.spark
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(f"{index.path}/tombstones")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
+
+
 def index_compact(index: AnnIndex, parallelism: int = 8) -> None:
     """Compact the append-accumulated small files of the codes/bands
     stores — the maintenance step that keeps scan cost flat after many
@@ -288,22 +359,26 @@ def index_compact(index: AnnIndex, parallelism: int = 8) -> None:
     stores (ADVICE r4: dynamic-overwrite of a path being read is only
     safe once the read is materialized).
     """
-    spark = index.spark
-    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        for sub, part_col in (("codes", "__list"), ("bands", "__band")):
-            df = spark.read.parquet(f"{index.path}/{sub}")
-            compacted = df.repartition(
-                parallelism, F.col(part_col)
-            ).localCheckpoint()
-            (
-                compacted.write.mode("overwrite")
-                .partitionBy(part_col)
-                .parquet(f"{index.path}/{sub}")
-            )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+    # read through the tombstone-masked views so compaction also
+    # PHYSICALLY applies pending deletes (then clears the mask). The
+    # write is an explicit STATIC whole-store overwrite: compaction
+    # rewrites every partition anyway, and dynamic mode would leave a
+    # fully-tombstoned partition's old files in place — resurrecting
+    # its rows the moment the mask cleared.
+    for df, sub, part_col in (
+        (index.codes(), "codes", "__list"),
+        (index.bands(), "bands", "__band"),
+    ):
+        compacted = df.repartition(
+            parallelism, F.col(part_col)
+        ).localCheckpoint()
+        (
+            compacted.write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .partitionBy(part_col)
+            .parquet(f"{index.path}/{sub}")
+        )
+    _clear_tombstones(index)
 
 
 def index_open(spark: SparkSession, path: str) -> AnnIndex:

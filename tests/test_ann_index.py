@@ -345,3 +345,55 @@ def test_crash_between_codes_and_bands_appends_heals_both(
         idx.bands().filter(F.col("vec_id") >= 400).count()
         == 20 * int(idx.meta["n_bands"])
     )
+
+
+class TestIndexDelete:
+    """Soft-delete + merge-on-compaction (index_delete): searches
+    exclude deleted ids immediately; compaction removes them
+    physically; deletion is stable under re-append until compacted."""
+
+    @pytest.fixture(scope="class")
+    def idx(self, spark, sf_dir, tmp_path_factory):
+        emb = load_table(spark, sf_dir, "embeddings")
+        path = str(tmp_path_factory.mktemp("ann_del") / "idx")
+        index = ai.index_build(emb, path)
+        ai.index_delete(
+            index, spark.createDataFrame([(3,), (7,)], ["vec_id"])
+        )
+        return index, emb
+
+    def test_search_excludes_deleted_immediately(self, spark, idx):
+        index, emb = idx
+        qv = [float(x) for x in
+              emb.filter(F.col("vec_id") == 3).first()["embedding"]]
+        top = index.adc_topk(qv, k=5).collect()
+        assert all(r["vec_id"] not in (3, 7) for r in top)
+        assert index.codes().filter(F.col("vec_id").isin(3, 7)).count() == 0
+        assert index.bands().filter(F.col("vec_id").isin(3, 7)).count() == 0
+
+    def test_reappend_does_not_resurrect(self, spark, idx):
+        index, emb = idx
+        ai.index_append(
+            index, emb.filter(F.col("vec_id") == 3), anti_join_existing=True
+        )
+        assert index.codes().filter(F.col("vec_id") == 3).count() == 0
+
+    def test_compact_applies_physically_and_clears(self, spark, idx):
+        import glob
+
+        index, emb = idx
+        ai.index_compact(index)
+        assert index.tombstones() is None
+        raw = spark.read.parquet(f"{index.path}/codes")
+        assert raw.filter(F.col("vec_id").isin(3, 7)).count() == 0
+        # the re-appended-while-tombstoned copy of id 3 was dropped too
+        assert raw.count() == emb.count() - 2
+        assert not glob.glob(f"{index.path}/tombstones")
+
+    def test_fresh_append_after_compact_resurrects(self, spark, idx):
+        index, emb = idx
+        ai.index_append(index, emb.filter(F.col("vec_id") == 3))
+        assert index.codes().filter(F.col("vec_id") == 3).count() == 1
+        qv = [float(x) for x in
+              emb.filter(F.col("vec_id") == 3).first()["embedding"]]
+        assert any(r["vec_id"] == 3 for r in index.adc_topk(qv, k=3).collect())
