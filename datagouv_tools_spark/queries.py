@@ -5953,3 +5953,146 @@ def doc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "events_distinct_sketch",
+    """
+    WITH hv AS (
+      SELECT event_type,
+             ('0x' || substr(md5(user_id::VARCHAR || ':ds'), 1, 15))::BIGINT AS h
+      FROM events
+    ), bm AS (
+      SELECT event_type, h % 64 AS b, MIN(h // 128) AS mv
+      FROM hv GROUP BY event_type, h % 64
+    ), sk AS (
+      SELECT event_type,
+             COUNT(*) AS n_buckets,
+             SUM((9007199254740992000 // (mv + 1) - 1000)::DECIMAL(38,0))
+               AS est_distinct_mille
+      FROM bm GROUP BY event_type
+    ), ex AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY event_type
+    )
+    SELECT ex.event_type, n_exact, n_buckets, est_distinct_mille
+    FROM ex JOIN sk USING (event_type)
+    ORDER BY ex.event_type
+    """,
+)
+def events_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketch (MinCount / KMV with stochastic
+    averaging, Giroire 2005 family): hash each user into one of 64
+    buckets, keep the per-bucket MINIMUM of the remaining 53 hash bits,
+    and estimate |distinct| as sum_b(2^53/(m_b+1) - 1). The exact
+    count rides along for calibration.
+
+    Why this shape at 100 TB: the sketch state is 64 bigints per group
+    and MIN is algebraic, so the whole estimate is one map-side-combining
+    aggregation — no count-distinct expansion, no second shuffle of raw
+    ids, and sketches from different days/partitions merge by taking
+    bucket-wise mins (the property HyperLogLog deployments rely on).
+    All estimator arithmetic is integer division (term scaled by 1000),
+    so the DuckDB oracle reproduces it bit-for-bit — no transcendental
+    or float-sum divergence. The exact-count branch exists only for the
+    comparison column; a production rollup ships the sketch alone.
+    """
+    from datagouv_tools_spark.functions.xhash import md5_hash60
+
+    ev = t(spark, sf_dir, "events")
+    h = md5_hash60(F.concat(F.col("user_id").cast("string"), F.lit(":ds")))
+    hv = ev.select("event_type", h.alias("h"))
+    bm = (
+        hv.select(
+            "event_type",
+            F.expr("h % 64").alias("b"),
+            F.expr("h DIV 128").alias("v"),
+        )
+        .groupBy("event_type", "b")
+        .agg(F.min("v").alias("mv"))
+    )
+    sk = (
+        bm.withColumn(
+            "em",
+            F.expr("9007199254740992000L DIV (mv + 1) - 1000").cast("decimal(38,0)"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("em").alias("est_distinct_mille"),
+        )
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return (
+        ex.join(sk, "event_type")
+        .select("event_type", "n_exact", "n_buckets", "est_distinct_mille")
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "doc_pps_sample",
+    f"""
+    WITH t1 AS (
+      SELECT source, doc_id, len({_SQL_TOKENS}) + 1 AS w FROM documents
+    ), t2 AS (
+      SELECT source, doc_id, w,
+             SUM(w) OVER (PARTITION BY source ORDER BY doc_id) AS cum,
+             SUM(w) OVER (PARTITION BY source) AS total
+      FROM t1
+    )
+    SELECT source, doc_id, (w - 1)::BIGINT AS n_tokens,
+           ((4 * cum) // total)::BIGINT AS rk
+    FROM t2
+    WHERE (4 * cum) // total > (4 * (cum - w)) // total
+    ORDER BY source, doc_id
+    """,
+)
+def doc_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling, probability proportional to
+    size (systematic PPS): per source, walk the docs in doc_id order,
+    accumulate token-count weights, and keep each doc whose cumulative
+    weight crosses one of k=4 evenly spaced thresholds — long documents
+    are proportionally more likely to be picked, short ones still get a
+    chance, and the choice is a pure function of the corpus (no rand(),
+    byte-stable across engines, runs, and cluster layouts — the
+    training-data reproducibility contract).
+
+    Selection is pure integer arithmetic (k·cum DIV total changing
+    value at a threshold crossing), so the oracle matches exactly.
+    Scale: one window per source — the same per-source sequential shape
+    as doc_pack_bins; a source that outgrows one task gets sharded on a
+    sub-key and sampled per shard (estimates stay unbiased because
+    thresholds are per-shard totals).
+    """
+    from pyspark.sql.window import Window
+
+    from datagouv_tools_spark.functions.text import token_count
+
+    docs = t(spark, sf_dir, "documents")
+    t1 = docs.select(
+        "source", "doc_id", (token_count("text") + F.lit(1)).alias("w")
+    )
+    t2 = t1.select(
+        "source",
+        "doc_id",
+        "w",
+        F.sum("w")
+        .over(Window.partitionBy("source").orderBy("doc_id"))
+        .alias("cum"),
+        F.sum("w").over(Window.partitionBy("source")).alias("total"),
+    )
+    return (
+        t2.filter(
+            F.expr("(4 * cum) DIV total > (4 * (cum - w)) DIV total")
+        )
+        .select(
+            "source",
+            "doc_id",
+            (F.col("w") - 1).cast("bigint").alias("n_tokens"),
+            F.expr("(4 * cum) DIV total").cast("bigint").alias("rk"),
+        )
+        .orderBy("source", "doc_id")
+    )
