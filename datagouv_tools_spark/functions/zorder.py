@@ -1,0 +1,101 @@
+"""Z-order (Morton) keys for multi-dimensional data-skipping layout.
+
+Parquet scans prune at two granularities: partition directories and
+row-group/file min-max statistics. Sorting a table by ONE column makes
+its min-max ranges tight for that column only — a filter on any other
+column still reads every file. Interleaving the bits of k columns into
+one Morton key and range-partition-sorting by it gives every file a
+small HYPER-RECTANGLE of the key space, so min-max pruning works for
+EVERY interleaved column at once — the layout trick behind
+Delta/Iceberg ``OPTIMIZE ZORDER BY`` (public algorithm: Morton 1966;
+same bit-spreading as the classic interleave-by-magic-masks).
+
+Everything here is integer bit arithmetic on JVM-side expressions
+(shiftleft/&/| inside whole-stage codegen — no UDFs), and the identical
+operators exist in DuckDB, so Morton keys are oracle-checkable
+cross-engine (``sql_morton2``).
+
+Scale: ``zorder_write`` is one repartitionByRange shuffle (range
+exchange on the key, AQE-coalescible) + a within-partition sort — the
+same cost as any sorted write; the payoff is that subsequent selective
+scans on ANY keyed dimension skip most files. Re-cluster periodically
+as data arrives (the compaction hook ``sinks/sink.py compact_parquet``
+is the natural place).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["spread_bits2", "morton2", "sql_morton2", "zorder_write"]
+
+#: magic masks spreading bits to even positions (dilate-by-2)
+_SPREAD_MASKS_2D = [
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+]
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def spread_bits2(col: Column | str, bits: int = 21) -> Column:
+    """Spread the low ``bits`` (≤21) bits of a non-negative bigint so
+    consecutive input bits land two positions apart (positions 0,2,4…)."""
+    if not 1 <= bits <= 21:
+        raise ValueError("2-D spread supports 1..21 bits per dimension")
+    x = _c(col).cast("bigint").bitwiseAND(F.lit((1 << bits) - 1))
+    for shift, mask in _SPREAD_MASKS_2D:
+        x = (x.bitwiseOR(F.shiftleft(x, shift))).bitwiseAND(F.lit(mask))
+    return x
+
+
+def morton2(colx: Column | str, coly: Column | str, bits: int = 21) -> Column:
+    """2-D Morton key: bits of x on even positions, y on odd. Inputs
+    must be non-negative; clamp/shift signed or continuous values into
+    [0, 2^bits) first (rank or fixed-width binning both work)."""
+    return spread_bits2(colx, bits).bitwiseOR(
+        F.shiftleft(spread_bits2(coly, bits), 1)
+    )
+
+
+def _sql_spread2(expr: str, bits: int = 21) -> str:
+    s = f"(({expr}) & {(1 << bits) - 1})"
+    for shift, mask in _SPREAD_MASKS_2D:
+        s = f"((({s} | ({s} << {shift})) & {mask}))"
+    return s
+
+
+def sql_morton2(expr_x: str, expr_y: str, bits: int = 21) -> str:
+    """DuckDB twin of :func:`morton2` (same masks, same operators)."""
+    return f"({_sql_spread2(expr_x, bits)} | ({_sql_spread2(expr_y, bits)} << 1))"
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: tuple[str, str],
+    *,
+    bits: int = 21,
+    num_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as parquet clustered by the Morton key of two
+    integer columns: range-partition on the key (each output file owns
+    a contiguous key range = a small rectangle of (x, y) space), sort
+    within partitions (tight row-group stats), drop the key from the
+    stored schema. Readers need no cooperation — plain parquet min-max
+    pruning on either column now skips non-matching files."""
+    keyed = df.withColumn("__zkey", morton2(cols[0], cols[1], bits))
+    (
+        keyed.repartitionByRange(num_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -6096,3 +6096,53 @@ def doc_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "doc_id")
     )
+
+
+@query(
+    "events_zorder_cells",
+    """
+    WITH k AS (
+      SELECT user_id AS x, CAST(floor(value) AS BIGINT) AS y, value
+      FROM events
+    ), z AS (
+      SELECT ((((((((((((((((((x) & 1023) | (((x) & 1023) << 16)) & 281470681808895)) | ((((((x) & 1023) | (((x) & 1023) << 16)) & 281470681808895)) << 8)) & 71777214294589695)) | (((((((((x) & 1023) | (((x) & 1023) << 16)) & 281470681808895)) | ((((((x) & 1023) | (((x) & 1023) << 16)) & 281470681808895)) << 8)) & 71777214294589695)) << 4)) & 1085102592571150095)) | ((((((((((((x) & 1023) | (((x) & 1023) << 16)) & 281470681808895)) | ((((((x) & 1023) | (((x) & 1023) << 16)) & 281470681808895)) << 8)) & 71777214294589695)) | (((((((((x) & 1023) | (((x) & 1023) << 16)) & 281470681808895)) | ((((((x) & 1023) | (((x) & 1023) << 16)) & 281470681808895)) << 8)) & 71777214294589695)) << 4)) & 1085102592571150095)) << 2)) & 3689348814741910323)) | (((((((((((((((x) & 1023) | (((x) & 1023) << 16)) & 281470681808895)) | ((((((x) & 1023) | (((x) & 1023) << 16)) & 281470681808895)) << 8)) & 71777214294589695)) | (((((((((x) & 1023) | (((x) & 1023) << 16)) & 281470681808895)) | ((((((x) & 1023) | (((x) & 1023) << 16)) & 281470681808895)) << 8)) & 71777214294589695)) << 4)) & 1085102592571150095)) | ((((((((((((x) & 1023) | (((x) & 1023) << 16)) & 281470681808895)) | ((((((x) & 1023) | (((x) & 1023) << 16)) & 281470681808895)) << 8)) & 71777214294589695)) | (((((((((x) & 1023) | (((x) & 1023) << 16)) & 281470681808895)) | ((((((x) & 1023) | (((x) & 1023) << 16)) & 281470681808895)) << 8)) & 71777214294589695)) << 4)) & 1085102592571150095)) << 2)) & 3689348814741910323)) << 1)) & 6148914691236517205)) | ((((((((((((((((((y) & 1023) | (((y) & 1023) << 16)) & 281470681808895)) | ((((((y) & 1023) | (((y) & 1023) << 16)) & 281470681808895)) << 8)) & 71777214294589695)) | (((((((((y) & 1023) | (((y) & 1023) << 16)) & 281470681808895)) | ((((((y) & 1023) | (((y) & 1023) << 16)) & 281470681808895)) << 8)) & 71777214294589695)) << 4)) & 1085102592571150095)) | ((((((((((((y) & 1023) | (((y) & 1023) << 16)) & 281470681808895)) | ((((((y) & 1023) | (((y) & 1023) << 16)) & 281470681808895)) << 8)) & 71777214294589695)) | (((((((((y) & 1023) | (((y) & 1023) << 16)) & 281470681808895)) | ((((((y) & 1023) | (((y) & 1023) << 16)) & 281470681808895)) << 8)) & 71777214294589695)) << 4)) & 1085102592571150095)) << 2)) & 3689348814741910323)) | (((((((((((((((y) & 1023) | (((y) & 1023) << 16)) & 281470681808895)) | ((((((y) & 1023) | (((y) & 1023) << 16)) & 281470681808895)) << 8)) & 71777214294589695)) | (((((((((y) & 1023) | (((y) & 1023) << 16)) & 281470681808895)) | ((((((y) & 1023) | (((y) & 1023) << 16)) & 281470681808895)) << 8)) & 71777214294589695)) << 4)) & 1085102592571150095)) | ((((((((((((y) & 1023) | (((y) & 1023) << 16)) & 281470681808895)) | ((((((y) & 1023) | (((y) & 1023) << 16)) & 281470681808895)) << 8)) & 71777214294589695)) | (((((((((y) & 1023) | (((y) & 1023) << 16)) & 281470681808895)) | ((((((y) & 1023) | (((y) & 1023) << 16)) & 281470681808895)) << 8)) & 71777214294589695)) << 4)) & 1085102592571150095)) << 2)) & 3689348814741910323)) << 1)) & 6148914691236517205)) << 1)) AS zkey, value
+      FROM k
+    )
+    SELECT zkey // 4096 AS zcell,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+    FROM z
+    GROUP BY zkey // 4096
+    ORDER BY zcell
+    """,
+)
+def events_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) spatial binning (functions/zorder.py): interleave
+    (user_id, floor(value)) into one key and aggregate per coarse
+    z-cell — the clustering key `zorder_write` lays files out by, here
+    surfaced as a queryable binning so the DuckDB oracle pins the bit
+    interleave exactly (same masks, same shifts, both engines).
+
+    Scale: the key is pure JVM bit arithmetic inside codegen; one
+    map-side-combining aggregation on the cell id. The layout payoff is
+    measured (not asserted by prose) in tests/test_zorder.py: with
+    z-ordered files a filter on EITHER dimension prunes most files via
+    parquet footer stats, where single-column sort prunes only its own
+    column."""
+    from datagouv_tools_spark.functions.zorder import morton2
+
+    ev = t(spark, sf_dir, "events")
+    k = ev.select(
+        F.col("user_id").alias("x"),
+        F.floor("value").cast("bigint").alias("y"),
+        "value",
+    )
+    z = k.select(morton2("x", "y", bits=10).alias("zkey"), "value")
+    return (
+        z.groupBy(F.expr("zkey DIV 4096").alias("zcell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.sum(dec("value")), 2).alias("total_value"),
+        )
+        .orderBy("zcell")
+    )

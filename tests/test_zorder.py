@@ -1,0 +1,143 @@
+"""Z-order layout (functions/zorder.py): key correctness against a
+pure-Python bit-interleave reference, cross-engine key parity with
+DuckDB, and the actual data-skipping claim measured from parquet
+file-level min-max statistics."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from datagouv_tools_spark.functions.zorder import (
+    morton2,
+    spread_bits2,
+    sql_morton2,
+    zorder_write,
+)
+
+
+def _py_spread(x: int) -> int:
+    out = 0
+    for i in range(21):
+        out |= ((x >> i) & 1) << (2 * i)
+    return out
+
+
+def _py_morton(x: int, y: int) -> int:
+    return _py_spread(x & 0x1FFFFF) | (_py_spread(y & 0x1FFFFF) << 1)
+
+
+def test_morton_key_matches_bitwise_reference(spark):
+    vals = [
+        (0, 0),
+        (1, 0),
+        (0, 1),
+        (3, 5),
+        (2**21 - 1, 2**21 - 1),
+        (123456, 654321),
+        (2**20, 1),
+    ]
+    df = spark.createDataFrame(vals, "x bigint, y bigint")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select("x", "y", morton2("x", "y").alias("z")).collect()
+    }
+    for x, y in vals:
+        assert got[(x, y)] == _py_morton(x, y), (x, y)
+
+
+def test_morton_key_cross_engine_duckdb(spark):
+    import duckdb
+
+    vals = [(i * 7919 % (2**21), i * 104729 % (2**21)) for i in range(200)]
+    df = spark.createDataFrame(vals, "x bigint, y bigint")
+    spark_keys = [
+        r.z for r in df.select(morton2("x", "y").alias("z")).orderBy("z").collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE v(x BIGINT, y BIGINT)")
+    con.executemany("INSERT INTO v VALUES (?, ?)", vals)
+    duck_keys = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {sql_morton2('x', 'y')} AS z FROM v ORDER BY z"
+        ).fetchall()
+    ]
+    assert spark_keys == duck_keys
+
+
+def test_spread_bits_validates_range():
+    with pytest.raises(ValueError):
+        spread_bits2("x", bits=22)
+
+
+def _file_stats(path: str, columns: list[str]) -> list[dict[str, tuple]]:
+    """Per-parquet-file (min, max) of each column, via the footer
+    statistics a pruning scan would consult."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in sorted(glob.glob(path + "/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        mins: dict[str, object] = {}
+        maxs: dict[str, object] = {}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                if name not in columns or col.statistics is None:
+                    continue
+                st = col.statistics
+                mins[name] = min(mins.get(name, st.min), st.min)
+                maxs[name] = max(maxs.get(name, st.max), st.max)
+        if mins:
+            out.append({c: (mins[c], maxs[c]) for c in columns})
+    return out
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """The skipping claim, measured the way a pruning scan would: for
+    every point filter on x (resp. y), count the files whose [min,max]
+    footer interval contains the value. Linear sort on x is perfect for
+    x (1 file) and useless for y (all 8); z-order balances — it pays
+    some x-selectivity to make BOTH dimensions prune, and its worst
+    dimension reads strictly fewer files than linear's worst (the
+    number that matters for a mixed filter workload)."""
+    import itertools
+
+    rows = [(x, y) for x, y in itertools.product(range(64), range(64))]
+    df = spark.createDataFrame(rows, "x bigint, y bigint").repartition(8)
+
+    linear = str(tmp_path / "linear")
+    (
+        df.repartitionByRange(8, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(linear)
+    )
+    zpath = str(tmp_path / "zorder")
+    zorder_write(df, zpath, ("x", "y"), bits=6, num_files=8)
+
+    def avg_hits(path: str, dim: str) -> float:
+        st = _file_stats(path, ["x", "y"])
+        assert len(st) == 8
+        return sum(
+            sum(1 for s in st if s[dim][0] <= v <= s[dim][1]) for v in range(64)
+        ) / 64.0
+
+    # linear: every y-filter reads every file
+    assert avg_hits(linear, "x") == 1.0
+    assert avg_hits(linear, "y") == 8.0
+
+    z_x, z_y = avg_hits(zpath, "x"), avg_hits(zpath, "y")
+    # z-order: the dimension linear can't skip now reads ≤half the
+    # files on average; x stays prunable; the worst dimension beats
+    # linear's worst (8.0). Measured on this grid: x≈4.7, y≈2.8.
+    assert z_y <= 4.0, z_y
+    assert z_x <= 6.0, z_x
+    assert max(z_x, z_y) < 8.0
+
+    # and the data survives the round trip regardless of layout
+    assert spark.read.parquet(zpath).count() == 64 * 64
