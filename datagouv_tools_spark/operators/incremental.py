@@ -1,0 +1,164 @@
+"""Incremental rollup maintenance: keep a grouped aggregate fresh by
+applying change deltas instead of recomputing from 100 TB of base data.
+
+The classic materialized-view maintenance split (Gupta & Mumick's
+taxonomy, standard in warehouse engines):
+
+- **Self-maintainable measures** — ``count``, ``sum`` (hence ``avg``):
+  the new state is a pure function of (old state, delta). ``apply`` is
+  one aggregation over the delta (|delta| rows, map-side combining)
+  plus one outer merge join on the group key against the stored rollup
+  — the base table is NEVER read. Deletes subtract; keys whose live
+  row count reaches zero leave the rollup.
+- **Non-self-maintainable measures** — ``min``/``max``: an insert can
+  only improve them (mergeable), but a delete that removes the current
+  extremum needs a look at surviving base rows. ``dirty_keys`` returns
+  exactly the groups where that can happen (a delete value equal to
+  the stored extremum); the caller recomputes min/max for those keys
+  only, partition-pruned if the base is keyed/bucketed — cost is
+  O(affected partitions), not O(base).
+
+``maintain_rollup`` composes the two: delta-merge everything algebraic,
+recompute extrema only for dirty keys. The equality contract (delta
+maintenance == full recompute over base∪delta) is pinned by
+tests/test_incremental.py, including delete-the-minimum,
+delete-the-whole-group, and re-insert-after-delete cases.
+
+Delta format: one row per change with ``op_col`` ∈ {insert, delete} —
+an update is modeled as delete(old)+insert(new), the standard CDC
+decomposition (Debezium "before"/"after" images).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["aggregate_base", "apply_delta", "dirty_keys", "maintain_rollup"]
+
+
+def _keys(key_cols: Sequence[str] | str) -> list[str]:
+    return [key_cols] if isinstance(key_cols, str) else list(key_cols)
+
+
+def aggregate_base(
+    base: DataFrame, key_cols: Sequence[str] | str, value_col: str
+) -> DataFrame:
+    """The rollup shape this module maintains: per-key count, sum
+    (exact decimal), min, max of ``value_col``."""
+    ks = _keys(key_cols)
+    return base.groupBy(*ks).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(value_col).cast("decimal(28,6)")).alias("total"),
+        F.min(value_col).alias("vmin"),
+        F.max(value_col).alias("vmax"),
+    )
+
+
+def apply_delta(
+    rollup: DataFrame,
+    delta: DataFrame,
+    key_cols: Sequence[str] | str,
+    value_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Merge a change delta into the stored rollup WITHOUT reading the
+    base table. count/sum are exact; min/max are exact for pure-insert
+    deltas and an upper/lower BOUND for groups with deletes — run
+    :func:`dirty_keys` + targeted recompute (or use
+    :func:`maintain_rollup`) when exact extrema matter.
+
+    Returns the merged rollup (groups with zero surviving rows dropped).
+    """
+    ks = _keys(key_cols)
+    sign = F.when(F.col(op_col) == delete_op, F.lit(-1)).otherwise(F.lit(1))
+    d = delta.groupBy(*ks).agg(
+        F.sum(sign).alias("__dn"),
+        F.sum(sign * F.col(value_col).cast("decimal(28,6)")).alias("__dtotal"),
+        F.min(
+            F.when(F.col(op_col) != delete_op, F.col(value_col))
+        ).alias("__dmin"),
+        F.max(
+            F.when(F.col(op_col) != delete_op, F.col(value_col))
+        ).alias("__dmax"),
+    )
+    r = rollup.select(
+        *ks,
+        F.col("n").alias("__n"),
+        F.col("total").alias("__total"),
+        F.col("vmin").alias("__vmin"),
+        F.col("vmax").alias("__vmax"),
+    )
+    merged = r.join(d, ks, "full_outer").select(
+        *ks,
+        (F.coalesce("__n", F.lit(0)) + F.coalesce("__dn", F.lit(0))).alias("n"),
+        (
+            F.coalesce(F.col("__total"), F.lit(0).cast("decimal(28,6)"))
+            + F.coalesce(F.col("__dtotal"), F.lit(0).cast("decimal(28,6)"))
+        ).cast("decimal(28,6)").alias("total"),
+        F.least("__vmin", "__dmin").alias("vmin"),
+        F.greatest("__vmax", "__dmax").alias("vmax"),
+    )
+    return merged.filter(F.col("n") > 0)
+
+
+def dirty_keys(
+    rollup: DataFrame,
+    delta: DataFrame,
+    key_cols: Sequence[str] | str,
+    value_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Groups whose min/max can no longer be derived from (state,
+    delta): a delete matched the stored extremum, so the second-best
+    value is unknown without looking at surviving base rows. Keys-only
+    DataFrame — broadcast it into a partition-pruned base scan."""
+    ks = _keys(key_cols)
+    dels = delta.filter(F.col(op_col) == delete_op).select(
+        *ks, F.col(value_col).alias("__dv")
+    )
+    return (
+        dels.join(rollup.select(*ks, "vmin", "vmax"), ks, "inner")
+        .filter((F.col("__dv") == F.col("vmin")) | (F.col("__dv") == F.col("vmax")))
+        .select(*ks)
+        .distinct()
+    )
+
+
+def maintain_rollup(
+    rollup: DataFrame,
+    delta: DataFrame,
+    base_after: DataFrame,
+    key_cols: Sequence[str] | str,
+    value_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Exact incremental maintenance: algebraic delta merge for every
+    group + min/max recompute restricted to :func:`dirty_keys`.
+
+    ``base_after`` is the post-delta base table (or a reader for it) —
+    it is touched ONLY via a semi-join on the dirty keys, so with a
+    key-partitioned/bucketed base the scan prunes to the affected
+    partitions. Equality with a full recompute is the tested contract.
+    """
+    ks = _keys(key_cols)
+    merged = apply_delta(rollup, delta, ks, value_col, op_col, delete_op)
+    dk = dirty_keys(rollup, delta, ks, value_col, op_col, delete_op)
+    fixed = aggregate_base(
+        base_after.join(F.broadcast(dk), ks, "left_semi"), ks, value_col
+    ).select(*ks, F.col("vmin").alias("__fmin"), F.col("vmax").alias("__fmax"))
+    return (
+        merged.join(F.broadcast(fixed), ks, "left_outer")
+        .select(
+            *ks,
+            "n",
+            "total",
+            F.coalesce("__fmin", "vmin").alias("vmin"),
+            F.coalesce("__fmax", "vmax").alias("vmax"),
+        )
+    )

@@ -6146,3 +6146,76 @@ def events_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zcell")
     )
+
+
+@query(
+    "orders_incremental_rollup",
+    """
+    WITH base_after AS (
+      SELECT o_orderpriority, o_totalprice FROM orders
+      WHERE (o_orderkey % 10 != 0 AND o_orderkey % 7 != 0)
+         OR o_orderkey % 10 = 0
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS total,
+           MIN(o_totalprice) AS vmin,
+           MAX(o_totalprice) AS vmax
+    FROM base_after
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def orders_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-rollup maintenance
+    (operators/incremental.py): the stored per-priority rollup of
+    "yesterday's" orders (orderkey%10!=0) is brought up to date by a
+    changelog — deletes of every %7 key, inserts of the %10 keys —
+    WITHOUT re-aggregating the base: count/sum merge algebraically from
+    the delta alone; min/max recompute only for dirty keys (groups
+    whose delete hit the stored extremum), reached through a
+    broadcast-semi-join that a key-partitioned base would prune to the
+    affected partitions. The oracle is the full recompute over the
+    post-delta base — equality IS the maintenance contract.
+
+    Scale: the delta aggregation shuffles |delta| rows; the merge joins
+    two rollup-sized (i.e. tiny) tables; the base is touched only under
+    the dirty-key semi-join. A nightly 100 TB re-aggregation becomes
+    minutes of delta work.
+    """
+    from datagouv_tools_spark.operators.incremental import maintain_rollup
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    base = orders.filter(F.col("o_orderkey") % 10 != 0)
+    inserts = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderpriority", "o_totalprice", F.lit("I").alias("op")
+    )
+    deletes = base.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderpriority", "o_totalprice", F.lit("D").alias("op")
+    )
+    delta = inserts.unionByName(deletes)
+    base_after = base.filter(F.col("o_orderkey") % 7 != 0).unionByName(
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+    )
+    from datagouv_tools_spark.operators.incremental import aggregate_base
+
+    rollup = aggregate_base(base, "o_orderpriority", "o_totalprice").select(
+        "o_orderpriority",
+        "n",
+        F.col("total").cast("decimal(28,6)").alias("total"),
+        "vmin",
+        "vmax",
+    )
+    return (
+        maintain_rollup(rollup, delta, base_after, "o_orderpriority", "o_totalprice")
+        .select(
+            "o_orderpriority",
+            "n",
+            F.round(F.col("total"), 2).cast("double").alias("total"),
+            "vmin",
+            "vmax",
+        )
+        .orderBy("o_orderpriority")
+    )
