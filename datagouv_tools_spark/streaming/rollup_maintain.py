@@ -1,0 +1,179 @@
+"""Continuously maintain a keyed rollup from a CDC changelog stream.
+
+The batch operator (``operators/incremental.py``) proves the pure
+delta-algebra contract: count/sum from the delta alone, min/max
+repaired for dirty keys only. The STREAMING maintainer has one extra
+obligation batch mode doesn't: ``foreachBatch`` is at-least-once, so a
+replayed micro-batch must not double-apply. Two designs exist:
+
+- **delta mode**: apply the algebraic merge per batch and track applied
+  batch ids in a run-scoped ledger (the ``streaming/index_ingest.py``
+  pattern, including its crash-window heal probes). Cheapest per batch
+  (delta-sized work + an id-column probe), more moving parts.
+- **recompute-bounded mode** (implemented here): keep BOTH stores
+  bucket-partitioned by the same key hash; per batch, bring the touched
+  base buckets up to date with an id-membership *effective delta*
+  (inserts anti-joined on existing ids, deletes semi-joined — so a
+  replayed batch reduces to a no-op), then REAGGREGATE only those
+  buckets into the rollup partitions. Idempotence needs no ledger:
+  every write is a pure function of the post-batch base slice, so any
+  crash/replay interleaving converges on the next delivery. Per-batch
+  cost is O(touched buckets), never O(table).
+
+The trade is explicit: recompute-bounded re-aggregates touched-bucket
+rows instead of only delta rows. With B buckets and a batch touching
+t of them, that re-reads t/B of the table — size B so a bucket is an
+executor-friendly unit and t/B stays small. When batches are huge or
+buckets hot, switch to delta mode and inherit the ledger machinery.
+
+Consistency contract (tested): after any prefix of batches — including
+replays and redeliveries — the rollup equals ``aggregate_base`` of the
+base store, and both equal a from-scratch batch computation over the
+surviving changelog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datagouv_tools_spark.operators.incremental import aggregate_base
+
+__all__ = ["maintain_rollup_batch", "foreach_batch_rollup_maintainer", "read_rollup"]
+
+
+def _bucket(key_cols: list[str], n: int):
+    return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n)).cast("int")
+
+
+def _exists(spark, path: str) -> bool:
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.exists(jpath)
+
+
+def _overwrite_partitions(df: DataFrame, path: str, touched: list[int]) -> None:
+    """Dynamic partition overwrite of the touched ``__bucket`` dirs.
+    ``df`` MUST already be materialized (localCheckpoint) when its plan
+    reads the same path — the caller holds that invariant so ONE
+    checkpoint serves both store writes.
+
+    Dynamic overwrite only rewrites partitions PRESENT in the written
+    data — a touched bucket whose every row was deleted would silently
+    keep its stale files (resurrecting a fully-deleted group), so those
+    buckets are removed explicitly."""
+    spark = df.sparkSession
+    with_rows = {r["__bucket"] for r in df.select("__bucket").distinct().collect()}
+    if with_rows:
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            df.write.mode("overwrite").partitionBy("__bucket").parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    elif not _exists(spark, path):
+        # nothing to write and no store yet: creating an empty parquet
+        # dir would just break later schema inference
+        return
+    fs_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = fs_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    for b in touched:
+        if b not in with_rows:
+            fs.delete(
+                spark._jvm.org.apache.hadoop.fs.Path(f"{path}/__bucket={b}"), True
+            )
+
+
+def maintain_rollup_batch(
+    delta: DataFrame,
+    base_path: str,
+    rollup_path: str,
+    key_cols: list[str],
+    id_col: str,
+    value_col: str,
+    n_buckets: int = 16,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> None:
+    """Apply one changelog micro-batch (rows: key cols + ``id_col`` +
+    ``value_col`` + ``op_col``) to the base store and its rollup.
+
+    ``id_col`` must uniquely identify a base row (the CDC primary key);
+    idempotence is defined against it — re-inserting an id that exists
+    or re-deleting one that doesn't is a no-op, which is exactly what a
+    replayed micro-batch reduces to.
+    """
+    spark = delta.sparkSession
+    keyed = delta.withColumn("__bucket", _bucket(key_cols, n_buckets))
+    touched = [r["__bucket"] for r in keyed.select("__bucket").distinct().collect()]
+    if not touched:
+        return
+
+    data_cols = [*key_cols, id_col, value_col, "__bucket"]
+    if _exists(spark, base_path):
+        # the previous batch overwrote these partitions; drop any cached
+        # file listing or the scan resolves to deleted part-files
+        spark.catalog.refreshByPath(base_path)
+        base_slice = (
+            spark.read.parquet(base_path)
+            .filter(F.col("__bucket").isin(touched))
+            .select(*data_cols)
+        )
+    else:
+        base_slice = keyed.select(*data_cols).filter(F.lit(False))
+
+    ins = keyed.filter(F.col(op_col) != delete_op).select(*data_cols)
+    dels = keyed.filter(F.col(op_col) == delete_op).select(id_col)
+    # effective delta = the not-yet-applied part; a full replay of an
+    # applied batch makes both sides empty and the writes below rewrite
+    # the slice to its current state (byte-stable no-op)
+    eff_ins = ins.join(base_slice.select(id_col), id_col, "left_anti")
+    # materialize ONCE, before the overwrite below invalidates the very
+    # files this plan reads — both the base write and the rollup
+    # aggregation then run off the checkpointed slice, not the store
+    new_base_slice = (
+        base_slice.join(dels, id_col, "left_anti")
+        .unionByName(eff_ins)
+        .localCheckpoint(eager=True)
+    )
+    _overwrite_partitions(new_base_slice, base_path, touched)
+
+    new_rollup_slice = aggregate_base(new_base_slice, key_cols, value_col).withColumn(
+        "__bucket", _bucket(key_cols, n_buckets)
+    )
+    _overwrite_partitions(new_rollup_slice, rollup_path, touched)
+
+
+def foreach_batch_rollup_maintainer(
+    base_path: str,
+    rollup_path: str,
+    key_cols: list[str],
+    id_col: str,
+    value_col: str,
+    n_buckets: int = 16,
+    op_col: str = "op",
+    delete_op: str = "D",
+):
+    """``writeStream.foreachBatch`` callback wiring
+    :func:`maintain_rollup_batch`."""
+
+    def run(batch: DataFrame, batch_id: int) -> None:
+        maintain_rollup_batch(
+            batch,
+            base_path,
+            rollup_path,
+            key_cols,
+            id_col,
+            value_col,
+            n_buckets,
+            op_col,
+            delete_op,
+        )
+
+    return run
+
+
+def read_rollup(spark, rollup_path: str) -> DataFrame:
+    """The maintained rollup, sans layout column."""
+    spark.catalog.refreshByPath(rollup_path)
+    return spark.read.parquet(rollup_path).drop("__bucket")
