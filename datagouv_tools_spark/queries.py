@@ -6219,3 +6219,88 @@ def orders_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "events_sampled_quantiles",
+    """
+    WITH s AS (
+      SELECT event_type, value, event_id
+      FROM events
+      WHERE ('0x' || substr(md5(event_id::VARCHAR || ':qs'), 1, 15))::BIGINT % 4 = 0
+    ), rs AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM s
+    ), re AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ), qs AS (
+      SELECT event_type,
+             MAX(n) AS n_sample,
+             MAX(CASE WHEN rk = CAST(ceil(0.5 * n) AS BIGINT) THEN value END) AS p50_sample,
+             MAX(CASE WHEN rk = CAST(ceil(0.9 * n) AS BIGINT) THEN value END) AS p90_sample
+      FROM rs GROUP BY event_type
+    ), qe AS (
+      SELECT event_type,
+             MAX(CASE WHEN rk = CAST(ceil(0.5 * n) AS BIGINT) THEN value END) AS p50_exact
+      FROM re GROUP BY event_type
+    )
+    SELECT qs.event_type, n_sample, p50_sample, p90_sample, p50_exact
+    FROM qs JOIN qe USING (event_type)
+    ORDER BY qs.event_type
+    """,
+)
+def events_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation over a deterministic hash sample: keep the
+    25% of events whose seeded md5 falls in residue class 0 (the same
+    rows on every engine, run, and cluster layout — no rand()), then
+    take DISCRETE per-type quantiles (rank ceil(q·n), ties broken by
+    id) from the sample; the exact median rides along to show the
+    error.
+
+    Scale: exact grouped quantiles need a per-group sort of ALL values
+    — the sample bounds that sort to the kept fraction, and the kept
+    set is stable under repartitioning, so estimates reproduce
+    byte-for-byte. Discrete (value-from-the-data) quantiles keep the
+    oracle exact: no interpolation arithmetic to diverge. A production
+    variant drops the exact branch and tunes the residue modulus to the
+    accuracy target (stderr ~ 1/sqrt(f·n))."""
+    from pyspark.sql.window import Window
+
+    from datagouv_tools_spark.functions.xhash import md5_hash60
+
+    ev = t(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    h = md5_hash60(F.concat(F.col("event_id").cast("string"), F.lit(":qs")))
+    s = ev.filter(h % 4 == 0)
+
+    def ranked(df):
+        w = Window.partitionBy("event_type").orderBy("value", "event_id")
+        wc = Window.partitionBy("event_type")
+        return df.select(
+            "event_type",
+            "value",
+            F.row_number().over(w).alias("rk"),
+            F.count(F.lit(1)).over(wc).alias("n"),
+        )
+
+    def pick(df, q, name):
+        at = F.ceil(F.lit(q) * F.col("n")).cast("bigint")
+        return F.max(F.when(F.col("rk") == at, F.col("value"))).alias(name)
+
+    rs = ranked(s)
+    qs = rs.groupBy("event_type").agg(
+        F.max("n").alias("n_sample"),
+        pick(rs, 0.5, "p50_sample"),
+        pick(rs, 0.9, "p90_sample"),
+    )
+    re_ = ranked(ev)
+    qe = re_.groupBy("event_type").agg(pick(re_, 0.5, "p50_exact"))
+    return (
+        qs.join(qe, "event_type")
+        .select("event_type", "n_sample", "p50_sample", "p90_sample", "p50_exact")
+        .orderBy("event_type")
+    )

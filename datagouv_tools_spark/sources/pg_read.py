@@ -72,10 +72,11 @@ def pg_table_schema(dsn: str, table: str) -> T.StructType:
     conn = _connect(dsn)
     try:
         cur = conn.cursor()
+        lit = table.replace("'", "''")
         cur.execute(
             "SELECT column_name, data_type, numeric_precision, numeric_scale"
             " FROM information_schema.columns"
-            f" WHERE table_name = '{table}' AND table_schema = 'public'"
+            f" WHERE table_name = '{lit}' AND table_schema = 'public'"
             " ORDER BY ordinal_position"
         )
         rows = cur.fetchall()

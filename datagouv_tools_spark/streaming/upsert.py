@@ -66,6 +66,10 @@ def upsert_batch(
     merged = apply_changelog(
         merged_src.withColumn("__op", F.lit("U")), key_cols, order_cols, op_col="__op"
     )
+    # the merge READS the partitions the write below overwrites —
+    # materialize first so a direct-write committer (object stores)
+    # cannot delete inputs mid-job (same fix as the streaming gates)
+    merged = merged.localCheckpoint(eager=True)
 
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
