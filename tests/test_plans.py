@@ -384,3 +384,43 @@ def test_segment_dedup_shuffles_hashes_not_text(spark, sf_dir):
     # as a broadcast, so segment rows flow scan -> explode -> hash ->
     # join with ZERO repartitioning of the corpus
     assert "BroadcastHashJoin" in plan
+
+
+def test_incremental_rollup_dirty_repair_broadcasts(spark, sf_dir):
+    """The maintenance query's extrema repair must reach the base via a
+    BROADCAST semi-join on dirty keys (a shuffled semi-join would drag
+    the 100 TB base through an exchange), and the algebraic merge must
+    not re-aggregate the base: the plan carries at most the rollup,
+    delta, and dirty-key aggregations."""
+    df = q.QUERIES["orders_incremental_rollup"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    # the dirty-key semi-join and the repaired-extrema patch join are
+    # both broadcasts — LeftSemi must never appear as a SortMergeJoin
+    assert not re.search(r"SortMergeJoin.*LeftSemi", plan)
+
+
+def test_distinct_sketch_single_ordinary_shuffle(spark, sf_dir):
+    """The sketch path must stay one map-side-combining aggregation:
+    partial min per (group, bucket) before the exchange — no
+    count-distinct expansion of the sketch branch (the exact branch
+    keeps its own distinct aggregate; at production the exact branch is
+    dropped)."""
+    df = q.QUERIES["events_distinct_sketch"](spark, sf_dir)
+    plan = physical_plan(df)
+    # partial aggregation happens before the shuffle on both branches
+    assert plan.count("HashAggregate") >= 4
+    # the sketch estimate itself is integer expressions, not a UDF
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_zorder_key_stays_in_codegen(spark, sf_dir):
+    """Morton keys are bit expressions inside whole-stage codegen —
+    never Python evaluation."""
+    df = q.QUERIES["events_zorder_cells"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the interleave shows up as shiftleft/& expressions in the project,
+    # i.e. JVM expression evaluation, and partial-aggregates pre-shuffle
+    assert "shiftleft" in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
