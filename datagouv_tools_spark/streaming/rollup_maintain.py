@@ -6,10 +6,11 @@ repaired for dirty keys only. The STREAMING maintainer has one extra
 obligation batch mode doesn't: ``foreachBatch`` is at-least-once, so a
 replayed micro-batch must not double-apply. Two designs exist:
 
-- **delta mode**: apply the algebraic merge per batch and track applied
-  batch ids in a run-scoped ledger (the ``streaming/index_ingest.py``
-  pattern, including its crash-window heal probes). Cheapest per batch
-  (delta-sized work + an id-column probe), more moving parts.
+- **delta mode** (not implemented here — compose it from
+  ``operators/incremental.py`` plus the ``streaming/index_ingest.py``
+  run-scoped ledger and heal probes if a workload needs it): apply the
+  algebraic merge per batch and track applied batch ids. Cheapest per
+  batch (delta-sized work + an id-column probe), more moving parts.
 - **recompute-bounded mode** (implemented here): keep BOTH stores
   bucket-partitioned by the same key hash; per batch, bring the touched
   base buckets up to date with an id-membership *effective delta*
@@ -24,7 +25,7 @@ The trade is explicit: recompute-bounded re-aggregates touched-bucket
 rows instead of only delta rows. With B buckets and a batch touching
 t of them, that re-reads t/B of the table — size B so a bucket is an
 executor-friendly unit and t/B stays small. When batches are huge or
-buckets hot, switch to delta mode and inherit the ledger machinery.
+buckets hot, build delta mode from the pieces named above.
 
 Consistency contract (tested): after any prefix of batches — including
 replays and redeliveries — the rollup equals ``aggregate_base`` of the

@@ -183,3 +183,51 @@ def test_read_pg_parallel_unknown_column_raises(spark, pg_dsn):
             conn.commit()
         finally:
             conn.close()
+
+
+def test_north_star_loop_parquet_copy_readback(spark, sf_dir, pg_dsn):
+    """The full north-star loop at real (sf0.001) data shape: parquet
+    scan → DataFrame transform → distributed COPY into PostgreSQL →
+    executor-parallel read-back → aggregate equality with the
+    original. Timestamps go through NTZ on both legs."""
+    from datagouv_tools_spark.sinks.pg_copy import _connect, staged_copy
+
+    orders = (
+        spark.read.parquet(sf_dir + "/orders.parquet")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast(T.DecimalType(18, 2)).alias("o_totalprice"),
+        )
+    )
+    staged_copy(orders, pg_dsn, "dg_spark_orders_rt", num_partitions=4)
+    try:
+        back = read_pg_parallel(
+            spark,
+            pg_dsn,
+            "dg_spark_orders_rt",
+            partition_column="o_orderkey",
+            num_partitions=6,
+        )
+        want = orders.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").alias("s"),
+            F.countDistinct("o_custkey").alias("c"),
+        ).collect()[0]
+        got = back.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").alias("s"),
+            F.countDistinct("o_custkey").alias("c"),
+        ).collect()[0]
+        assert (got.n, got.s, got.c) == (want.n, want.s, want.c)
+        assert back.rdd.getNumPartitions() == 6
+    finally:
+        conn = _connect(pg_dsn)
+        try:
+            cur = conn.cursor()
+            cur.execute('DROP TABLE "dg_spark_orders_rt"')
+            cur.close()
+            conn.commit()
+        finally:
+            conn.close()
