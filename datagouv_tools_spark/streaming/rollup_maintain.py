@@ -6,12 +6,15 @@ repaired for dirty keys only. The STREAMING maintainer has one extra
 obligation batch mode doesn't: ``foreachBatch`` is at-least-once, so a
 replayed micro-batch must not double-apply. Two designs exist:
 
-- **delta mode** (not implemented here — compose it from
-  ``operators/incremental.py`` plus the ``streaming/index_ingest.py``
-  run-scoped ledger and heal probes if a workload needs it): apply the
-  algebraic merge per batch and track applied batch ids. Cheapest per
-  batch (delta-sized work + an id-column probe), more moving parts.
-- **recompute-bounded mode** (implemented here): keep BOTH stores
+- **delta mode** (``delta_maintain_batch``): pure algebraic merge —
+  per batch, a |delta|-sized aggregation + a rollup-bucket-sized
+  full-outer merge; the base is NEVER read, so only count/sum (and
+  derived avg) are maintained. Idempotence comes from per-bucket
+  (run_key, batch id) tags stored IN the state rows: marker and state
+  commit atomically per partition, closing the data-vs-ledger crash
+  window by construction instead of healing it.
+- **recompute-bounded mode** (``maintain_rollup_batch``): keep BOTH
+  stores
   bucket-partitioned by the same key hash; per batch, bring the touched
   base buckets up to date with an id-membership *effective delta*
   (inserts anti-joined on existing ids, deletes semi-joined — so a
@@ -25,7 +28,7 @@ The trade is explicit: recompute-bounded re-aggregates touched-bucket
 rows instead of only delta rows. With B buckets and a batch touching
 t of them, that re-reads t/B of the table — size B so a bucket is an
 executor-friendly unit and t/B stays small. When batches are huge or
-buckets hot, build delta mode from the pieces named above.
+buckets hot, delta mode below avoids the re-read entirely.
 
 Consistency contract (tested): after any prefix of batches — including
 replays and redeliveries — the rollup equals ``aggregate_base`` of the
@@ -40,7 +43,14 @@ from pyspark.sql import functions as F
 
 from datagouv_tools_spark.operators.incremental import aggregate_base
 
-__all__ = ["maintain_rollup_batch", "foreach_batch_rollup_maintainer", "read_rollup"]
+__all__ = [
+    "maintain_rollup_batch",
+    "foreach_batch_rollup_maintainer",
+    "read_rollup",
+    "delta_maintain_batch",
+    "foreach_batch_delta_maintainer",
+    "read_delta_rollup",
+]
 
 
 def _bucket(key_cols: list[str], n: int):
@@ -178,3 +188,147 @@ def read_rollup(spark, rollup_path: str) -> DataFrame:
     """The maintained rollup, sans layout column."""
     spark.catalog.refreshByPath(rollup_path)
     return spark.read.parquet(rollup_path).drop("__bucket")
+
+
+# --- delta mode -----------------------------------------------------------
+#
+# Algebraic measures only (count/sum; avg derives) — the cheapest
+# maintenance: per batch, |delta| aggregation + a rollup-bucket-sized
+# merge, the base NEVER read (min/max need the recompute-bounded mode
+# above, or the batch operator with a base). Idempotence without a
+# ledger: every bucket partition's rows carry the (run_key, batch id)
+# that last wrote them, so the applied-marker and the state COMMIT
+# ATOMICALLY per partition — the crash window between "data written"
+# and "ledger written" that forces index_ingest's heal probes cannot
+# exist. A redelivered batch sees its own tag (or a newer one) on a
+# bucket and skips it; buckets the crashed attempt never wrote carry
+# the older tag and get the delta applied; a bucket the crashed attempt
+# emptied re-applies the same net-nonpositive delta to nothing and
+# stays empty. Restarting the SOURCE from scratch against a maintained
+# rollup (fresh checkpoint ⇒ fresh run_key) is reprocessing, not
+# replay — delta aggregates cannot detect it (no ids survive in the
+# state); keep the changelog offsets with the checkpoint.
+
+
+def delta_maintain_batch(
+    delta: DataFrame,
+    rollup_path: str,
+    key_cols: list[str],
+    value_col: str,
+    run_key: str,
+    batch_id: int,
+    n_buckets: int = 16,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> None:
+    """Apply one changelog micro-batch to an algebraic (n, total)
+    rollup by pure delta merge, idempotent per (run_key, batch id) via
+    in-state bucket tags."""
+    spark = delta.sparkSession
+    keyed = delta.withColumn("__bucket", _bucket(key_cols, n_buckets))
+    touched = [r["__bucket"] for r in keyed.select("__bucket").distinct().collect()]
+    if not touched:
+        return
+
+    state_cols = [*key_cols, "n", "total", "__run", "__seq", "__bucket"]
+    if _exists(spark, rollup_path):
+        spark.catalog.refreshByPath(rollup_path)
+        slice_ = (
+            spark.read.parquet(rollup_path)
+            .filter(F.col("__bucket").isin(touched))
+            .select(*state_cols)
+        )
+        applied = {
+            r["__bucket"]
+            for r in slice_.select("__bucket", "__run", "__seq")
+            .distinct()
+            .collect()
+            if r["__run"] == run_key and int(r["__seq"]) >= batch_id
+        }
+    else:
+        slice_ = (
+            keyed.select(*key_cols)
+            .withColumn("n", F.lit(0).cast("bigint"))
+            .withColumn("total", F.lit(0).cast("decimal(28,6)"))
+            .withColumn("__run", F.lit(""))
+            .withColumn("__seq", F.lit(0).cast("bigint"))
+            .withColumn("__bucket", F.lit(0))
+            .filter(F.lit(False))
+        )
+        applied = set()
+
+    apply_buckets = [b for b in touched if b not in applied]
+    if not apply_buckets:
+        return
+
+    sign = F.when(F.col(op_col) == delete_op, F.lit(-1)).otherwise(F.lit(1))
+    d = (
+        keyed.filter(F.col("__bucket").isin(apply_buckets))
+        .groupBy(*key_cols)
+        .agg(
+            F.sum(sign).cast("bigint").alias("__dn"),
+            F.sum(sign * F.col(value_col).cast("decimal(28,6)")).alias("__dtotal"),
+        )
+    )
+    old = slice_.filter(F.col("__bucket").isin(apply_buckets)).select(
+        *key_cols, F.col("n").alias("__n"), F.col("total").alias("__total")
+    )
+    merged = (
+        old.join(d, key_cols, "full_outer")
+        .select(
+            *key_cols,
+            (F.coalesce("__n", F.lit(0)) + F.coalesce("__dn", F.lit(0)))
+            .cast("bigint")
+            .alias("n"),
+            (
+                F.coalesce(F.col("__total"), F.lit(0).cast("decimal(28,6)"))
+                + F.coalesce(F.col("__dtotal"), F.lit(0).cast("decimal(28,6)"))
+            )
+            .cast("decimal(28,6)")
+            .alias("total"),
+        )
+        .filter(F.col("n") > 0)
+        .withColumn("__run", F.lit(run_key))
+        .withColumn("__seq", F.lit(int(batch_id)).cast("bigint"))
+        .withColumn("__bucket", _bucket(key_cols, n_buckets))
+        .localCheckpoint(eager=True)
+    )
+    _overwrite_partitions(merged, rollup_path, apply_buckets)
+
+
+def foreach_batch_delta_maintainer(
+    rollup_path: str,
+    key_cols: list[str],
+    value_col: str,
+    checkpoint: str,
+    n_buckets: int = 16,
+    op_col: str = "op",
+    delete_op: str = "D",
+):
+    """``writeStream.foreachBatch`` callback for delta mode; the run
+    key derives from the checkpoint path exactly like
+    ``streaming/index_ingest.run_key_for_checkpoint``."""
+    from datagouv_tools_spark.streaming.index_ingest import run_key_for_checkpoint
+
+    rk = run_key_for_checkpoint(checkpoint)
+
+    def run(batch: DataFrame, batch_id: int) -> None:
+        delta_maintain_batch(
+            batch,
+            rollup_path,
+            key_cols,
+            value_col,
+            rk,
+            int(batch_id),
+            n_buckets,
+            op_col,
+            delete_op,
+        )
+
+    return run
+
+
+def read_delta_rollup(spark, rollup_path: str) -> DataFrame:
+    """The maintained algebraic rollup, sans layout/tag columns."""
+    spark.catalog.refreshByPath(rollup_path)
+    return spark.read.parquet(rollup_path).drop("__bucket", "__run", "__seq")

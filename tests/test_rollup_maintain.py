@@ -166,3 +166,153 @@ def test_streaming_end_to_end_equals_batch(spark, tmp_path):
             if time.time() + 1 > deadline:
                 raise
             time.sleep(1)
+
+
+# --- delta mode -----------------------------------------------------------
+
+
+def _delta_ref(batches):
+    """Reference: net count/sum per key over all applied batches."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    n = defaultdict(int)
+    tot = defaultdict(lambda: Decimal(0))
+    for rows in batches:
+        for k, _id, v, op in rows:
+            s = -1 if op == "D" else 1
+            n[k] += s
+            tot[k] += s * Decimal(v)
+    return {k: (n[k], tot[k]) for k in n if n[k] > 0}
+
+
+def _read_delta(spark, path):
+    from datagouv_tools_spark.streaming.rollup_maintain import read_delta_rollup
+
+    return {
+        r["k"]: (r["n"], r["total"])
+        for r in read_delta_rollup(spark, path).collect()
+    }
+
+
+def test_delta_mode_sequential_and_crash_replay(spark, tmp_path):
+    from datagouv_tools_spark.streaming.rollup_maintain import delta_maintain_batch
+
+    path = str(tmp_path / "droll")
+    b0 = [("a", 1, 10, "I"), ("a", 2, 20, "I"), ("b", 3, 5, "I")]
+    b1 = [("a", 2, 20, "D"), ("c", 4, 9, "I")]
+    delta_maintain_batch(_delta(spark, b0), path, ["k"], "v", "run1", 0, n_buckets=4)
+    delta_maintain_batch(_delta(spark, b1), path, ["k"], "v", "run1", 1, n_buckets=4)
+    want = _delta_ref([b0, b1])
+    got = _read_delta(spark, path)
+    assert {k: (n, t) for k, (n, t) in got.items()} == {
+        k: (n, t) for k, (n, t) in want.items()
+    }
+
+    # same-run redelivery of batch 1: every touched bucket carries the
+    # (run1, 1) tag, so the whole batch is a no-op — no double apply
+    delta_maintain_batch(_delta(spark, b1), path, ["k"], "v", "run1", 1, n_buckets=4)
+    assert _read_delta(spark, path) == got
+
+    # out-of-order replay of batch 0 after batch 1: tags are newer → no-op
+    delta_maintain_batch(_delta(spark, b0), path, ["k"], "v", "run1", 0, n_buckets=4)
+    assert _read_delta(spark, path) == got
+
+
+def test_delta_mode_partial_crash_applies_only_missing_buckets(spark, tmp_path):
+    """Simulate a crash that committed SOME bucket partitions of a
+    batch: the replay must apply the delta only to the buckets still
+    carrying the older tag."""
+    import shutil
+
+    from datagouv_tools_spark.streaming.rollup_maintain import delta_maintain_batch
+
+    path = str(tmp_path / "droll")
+    # keys spread across buckets (n_buckets=4)
+    b0 = [("a", 1, 10, "I"), ("b", 2, 5, "I"), ("zz", 3, 7, "I")]
+    delta_maintain_batch(_delta(spark, b0), path, ["k"], "v", "run1", 0, n_buckets=4)
+    state0 = _read_delta(spark, path)
+
+    b1 = [("a", 4, 1, "I"), ("b", 5, 2, "I"), ("zz", 6, 3, "I")]
+    delta_maintain_batch(_delta(spark, b1), path, ["k"], "v", "run1", 1, n_buckets=4)
+    # find the bucket holding key 'a' and roll it back to its batch-0
+    # state (as if batch 1's write to that partition never committed)
+    import glob
+
+    full = _read_delta(spark, path)
+    spark.catalog.refreshByPath(path)
+    bucket_of = {
+        r["k"]: r["__bucket"]
+        for r in spark.read.parquet(path).select("k", "__bucket").collect()
+    }
+    abucket = bucket_of["a"]
+    shutil.rmtree(f"{path}/__bucket={abucket}")
+    # rebuild the WHOLE bucket at its pre-batch-1 state (several keys
+    # may share it)
+    pre = spark.createDataFrame(
+        [
+            (k, state0[k][0], str(state0[k][1]), "run1", 0, int(abucket))
+            for k, b in bucket_of.items()
+            if b == abucket
+        ],
+        "k string, n bigint, total string, __run string, __seq bigint, __bucket int",
+    ).select(
+        "k",
+        "n",
+        F.col("total").cast("decimal(28,6)").alias("total"),
+        "__run",
+        "__seq",
+        "__bucket",
+    )
+    pre.write.mode("append").partitionBy("__bucket").parquet(path)
+
+    # redelivery: only 'a''s bucket is behind; others must not double
+    delta_maintain_batch(_delta(spark, b1), path, ["k"], "v", "run1", 1, n_buckets=4)
+    assert _read_delta(spark, path) == full
+
+
+def test_delta_mode_group_deleted_to_zero_disappears_and_converges(spark, tmp_path):
+    from datagouv_tools_spark.streaming.rollup_maintain import delta_maintain_batch
+
+    path = str(tmp_path / "droll")
+    b0 = [("a", 1, 10, "I"), ("zz", 2, 4, "I")]
+    b1 = [("a", 1, 10, "D")]
+    delta_maintain_batch(_delta(spark, b0), path, ["k"], "v", "r", 0, n_buckets=4)
+    delta_maintain_batch(_delta(spark, b1), path, ["k"], "v", "r", 1, n_buckets=4)
+    assert set(_read_delta(spark, path)) == {"zz"}
+    # the emptied bucket lost its tag with its rows; replaying the
+    # delete against nothing converges back to empty
+    delta_maintain_batch(_delta(spark, b1), path, ["k"], "v", "r", 1, n_buckets=4)
+    assert set(_read_delta(spark, path)) == {"zz"}
+
+
+def test_delta_mode_streaming_end_to_end(spark, tmp_path):
+    from datagouv_tools_spark.streaming.rollup_maintain import (
+        foreach_batch_delta_maintainer,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    path = str(tmp_path / "droll")
+    ckpt = str(tmp_path / "ckpt")
+    b0 = [("a", 1, 10, "I"), ("a", 2, 20, "I"), ("b", 3, 5, "I")]
+    b1 = [("a", 1, 10, "D"), ("c", 4, 9, "I")]
+    _delta(spark, b0).coalesce(1).write.parquet(str(src / "f1"))
+    _delta(spark, b1).coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_delta_maintainer(path, ["k"], "v", ckpt, n_buckets=4)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    want = _delta_ref([b0, b1])
+    assert _read_delta(spark, path) == want
