@@ -907,3 +907,34 @@ class TestSegmentDedup:
         # doc 10: 9 tokens -> segs 0,1,2; seg 2 = "unique alpha text"
         assert marks[(10, 2)]
         assert len([k for k in marks if k[0] == 10]) == 3
+
+
+def test_distinct_sketch_merges_bucketwise(spark, sf_dir):
+    """The scale claim behind events_distinct_sketch: the sketch of a
+    union equals the bucket-wise MIN-merge of per-part sketches, so
+    per-day/per-partition sketches roll up without touching raw ids."""
+    from pyspark.sql import functions as F
+
+    from datagouv_tools_spark.functions.xhash import md5_hash60
+    from datagouv_tools_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    h = md5_hash60(F.concat(F.col("user_id").cast("string"), F.lit(":ds")))
+    hv = ev.select(
+        (F.col("event_id") % 2 == 0).alias("part"),
+        (h % 64).alias("b"),
+        h.alias("h"),
+    ).select("part", "b", F.expr("h DIV 128").alias("v"))
+
+    whole = (
+        hv.groupBy("b").agg(F.min("v").alias("mv")).orderBy("b").collect()
+    )
+    parts = (
+        hv.groupBy("part", "b")
+        .agg(F.min("v").alias("mv"))
+        .groupBy("b")
+        .agg(F.min("mv").alias("mv"))
+        .orderBy("b")
+        .collect()
+    )
+    assert [(r.b, r.mv) for r in whole] == [(r.b, r.mv) for r in parts]

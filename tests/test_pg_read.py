@@ -231,3 +231,42 @@ def test_north_star_loop_parquet_copy_readback(spark, sf_dir, pg_dsn):
             conn.commit()
         finally:
             conn.close()
+
+
+def test_slice_predicates_tile_exactly_property():
+    """Every integer key (and NULL) matches EXACTLY one slice — the
+    property that makes wrong bounds skew but never drop/duplicate."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.integers(-1000, 1000),
+        st.integers(1, 2000),
+        st.integers(1, 40),
+        st.integers(-3000, 3000),
+    )
+    def check(lower, span, n, probe):
+        preds = slice_predicates("k", lower, lower + span, n)
+
+        def matches(pred: str, v) -> bool:
+            # evaluate the SQL fragment in Python (same operators)
+            import re
+
+            if pred == "TRUE":
+                return True
+            if v is None:
+                return "IS NULL" in pred
+            clauses = re.findall(r'"k" (>=|<) (-?\d+)', pred)
+            joiner_and = " AND " in pred
+            results = [
+                (v >= int(b)) if op == ">=" else (v < int(b))
+                for op, b in clauses
+            ]
+            return all(results) if joiner_and else any(results)
+
+        hits = sum(1 for p in preds if matches(p, probe))
+        assert hits == 1, (preds, probe)
+        assert sum(1 for p in preds if matches(p, None)) == 1
+
+    check()
