@@ -6304,3 +6304,54 @@ def events_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n_sample", "p50_sample", "p90_sample", "p50_exact")
         .orderBy("event_type")
     )
+
+
+@query(
+    "lineitem_bloom_prefilter",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 480000)
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def lineitem_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue of lineitems belonging to very-large orders, computed
+    through an explicit broadcast Bloom pre-filter (functions/bloom.py):
+    the selective order-key set becomes an 8 KiB bit array inlined in
+    the lineitem scan's plan, so non-member rows die MAP-SIDE before
+    the semi-join shuffle; the real join then removes the filter's
+    false positives, making the result exact for any filter sizing —
+    which is why the oracle is the plain semi-join.
+
+    Scale: this is the runtime-filter pattern made explicit and
+    deterministic. At 100 TB the semi-join would otherwise shuffle
+    every lineitem row; with ~4% of orders qualifying, ~97% of the
+    probe side never leaves its scan task (the drop is asserted by
+    tests/test_bloom.py, not claimed). Build cost is one tiny bit_or
+    aggregation; the filter rides the closure, no broadcast join node
+    needed for the pre-filter itself."""
+    from datagouv_tools_spark.functions.bloom import bloom_prefilter_join
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    big = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 480000)
+    joined = bloom_prefilter_join(
+        li, big.select("o_orderkey"), "l_orderkey", "o_orderkey"
+    )
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dround(
+                F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
