@@ -6355,3 +6355,79 @@ def lineitem_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "doc_token_cms",
+    f"""
+    WITH toks AS (
+      SELECT unnest({_SQL_TOKENS}) AS tok FROM documents
+    ), cells AS (
+      SELECT i, ('0x' || substr(md5(tok || ':cms' || i::VARCHAR), 1, 15))::BIGINT
+               % 1024 AS idx,
+             COUNT(*) AS c
+      FROM toks, (SELECT unnest([0, 1, 2, 3]) AS i)
+      GROUP BY i, idx
+    ), exact AS (
+      SELECT tok, COUNT(*) AS n_exact FROM toks GROUP BY tok
+      ORDER BY n_exact DESC, tok LIMIT 20
+    ), probes AS (
+      SELECT tok, n_exact, i,
+             ('0x' || substr(md5(tok || ':cms' || i::VARCHAR), 1, 15))::BIGINT
+               % 1024 AS idx
+      FROM exact, (SELECT unnest([0, 1, 2, 3]) AS i)
+    )
+    SELECT tok, MAX(n_exact) AS n_exact, MIN(c) AS n_est
+    FROM probes JOIN cells USING (i, idx)
+    GROUP BY tok
+    ORDER BY n_exact DESC, tok
+    """,
+)
+def doc_token_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the token stream (Cormode & Muthukrishnan
+    2005): d=4 hash rows × w=1024 counters estimate any token's
+    frequency with bounded OVERcount (est ≥ exact always; error ≤
+    2N/w with prob 1-2^-d) in constant state. The exact top-20 rides
+    along so the overcount is visible, and the oracle recomputes the
+    identical sketch cell-for-cell.
+
+    Scale: exact vocabulary counts shuffle one row per distinct token —
+    unbounded state on web-scale text. The CMS is 4×1024 bigints no
+    matter the vocabulary, built by ONE map-side-combining aggregation
+    over the (token-occurrence × 4) stream, and sketches from corpus
+    shards merge by cell-wise addition. The estimate probe for the
+    reported tokens joins a 20×4-row table against the 4096-cell
+    sketch — driver-free, broadcast-sized."""
+    from datagouv_tools_spark.functions.text import tokens as _toks
+
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(_toks("text")).alias("tok"))
+    )
+    rows = F.array(*[F.lit(i) for i in range(4)])
+    from datagouv_tools_spark.functions.xhash import md5_hash60
+
+    def idx(tok, i):
+        return md5_hash60(F.concat(tok, F.lit(":cms"), i.cast("string"))) % 1024
+
+    cells = (
+        toks.select("tok", F.explode(rows).alias("i"))
+        .select("i", idx(F.col("tok"), F.col("i")).alias("idx"))
+        .groupBy("i", "idx")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), "tok")
+        .limit(20)
+    )
+    probes = exact.select(
+        "tok", "n_exact", F.explode(rows).alias("i")
+    ).select("tok", "n_exact", "i", idx(F.col("tok"), F.col("i")).alias("idx"))
+    return (
+        probes.join(cells, ["i", "idx"])
+        .groupBy("tok")
+        .agg(F.max("n_exact").alias("n_exact"), F.min("c").alias("n_est"))
+        .orderBy(F.desc("n_exact"), "tok")
+    )

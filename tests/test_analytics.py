@@ -938,3 +938,47 @@ def test_distinct_sketch_merges_bucketwise(spark, sf_dir):
         .collect()
     )
     assert [(r.b, r.mv) for r in whole] == [(r.b, r.mv) for r in parts]
+
+
+def test_cms_never_undercounts_and_merges(spark, sf_dir):
+    """CMS contract: estimate >= exact for EVERY probed token, and the
+    sketch of a corpus equals the cell-wise SUM of per-part sketches
+    (the shard-merge property)."""
+    from pyspark.sql import functions as F
+
+    from datagouv_tools_spark import queries as q
+
+    out = q.QUERIES["doc_token_cms"](spark, sf_dir).collect()
+    assert len(out) == 20
+    assert all(r["n_est"] >= r["n_exact"] for r in out)
+
+    from datagouv_tools_spark.functions.text import tokens
+    from datagouv_tools_spark.functions.xhash import md5_hash60
+    from datagouv_tools_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.col("doc_id") % 2 == 0).alias("part"),
+        F.explode(tokens("text")).alias("tok"),
+    )
+    rows = F.array(*[F.lit(i) for i in range(4)])
+    cells_src = toks.select(
+        "part", F.explode(rows).alias("i"), F.col("tok")
+    ).select(
+        "part",
+        "i",
+        (md5_hash60(F.concat("tok", F.lit(":cms"), F.col("i").cast("string"))) % 1024).alias(
+            "idx"
+        ),
+    )
+    whole = (
+        cells_src.groupBy("i", "idx").agg(F.count(F.lit(1)).alias("c")).orderBy("i", "idx")
+    ).collect()
+    merged = (
+        cells_src.groupBy("part", "i", "idx")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("i", "idx")
+        .agg(F.sum("c").alias("c"))
+        .orderBy("i", "idx")
+    ).collect()
+    assert [(r.i, r.idx, r.c) for r in whole] == [(r.i, r.idx, r.c) for r in merged]
