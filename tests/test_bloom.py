@@ -61,6 +61,19 @@ def test_map_side_drop_measured(spark, sf_dir):
     assert kept / total <= sel + 0.05, (kept, total, sel)
 
 
+def test_md5_mode_is_deterministic_and_correct(spark):
+    """md5 hash mode: identical words across builds and partitionings
+    (the cross-engine reproducibility mode), and no false negatives."""
+    keys = spark.createDataFrame([(i,) for i in range(100)], "k bigint")
+    b1 = bloom_build(keys, "k", m_bits=4096, hash_mode="md5")
+    b2 = bloom_build(keys.repartition(7), "k", m_bits=4096, hash_mode="md5")
+    assert b1 == b2 and len(b1) == 64
+    hits = keys.filter(
+        bloom_contains(b1, F.col("k"), hash_mode="md5")
+    ).count()
+    assert hits == 100
+
+
 def test_build_validates_word_size(spark):
     import pytest
 

@@ -424,3 +424,13 @@ def test_zorder_key_stays_in_codegen(spark, sf_dir):
     # i.e. JVM expression evaluation, and partial-aggregates pre-shuffle
     assert "shiftleft" in plan
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_bloom_prefilter_sits_before_the_shuffle(spark, sf_dir):
+    """The bloom membership test must be a Filter on the probe scan
+    side (map-side, pre-exchange) — not applied after the join."""
+    df = q.QUERIES["lineitem_bloom_prefilter"](spark, sf_dir)
+    plan = physical_plan(df)
+    # the probe filter's signature expressions: xxhash64 + element_at
+    assert "xxhash64" in plan and "element_at" in plan
+    assert "BatchEvalPython" not in plan
