@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["spread_bits2", "morton2", "sql_morton2", "zorder_write"]
+__all__ = ["spread_bits2", "morton2", "sql_morton2", "zorder_write", "spread_bits3", "morton3"]
 
 #: magic masks spreading bits to even positions (dilate-by-2)
 _SPREAD_MASKS_2D = [
@@ -98,4 +98,39 @@ def zorder_write(
         .drop("__zkey")
         .write.mode(mode)
         .parquet(path)
+    )
+
+
+#: magic masks spreading bits to every third position (dilate-by-3)
+_SPREAD_MASKS_3D = [
+    (32, 0x1F00000000FFFF),
+    (16, 0x1F0000FF0000FF),
+    (8, 0x100F00F00F00F00F),
+    (4, 0x10C30C30C30C30C3),
+    (2, 0x1249249249249249),
+]
+
+
+def spread_bits3(col: Column | str, bits: int = 21) -> Column:
+    """Spread the low ``bits`` (≤21) bits so consecutive input bits land
+    three positions apart (positions 0,3,6… — the 3-D interleave)."""
+    if not 1 <= bits <= 21:
+        raise ValueError("3-D spread supports 1..21 bits per dimension")
+    x = _c(col).cast("bigint").bitwiseAND(F.lit((1 << bits) - 1))
+    for shift, mask in _SPREAD_MASKS_3D:
+        x = (x.bitwiseOR(F.shiftleft(x, shift))).bitwiseAND(F.lit(mask))
+    return x
+
+
+def morton3(
+    colx: Column | str, coly: Column | str, colz: Column | str, bits: int = 21
+) -> Column:
+    """3-D Morton key: x on positions ≡0 (mod 3), y ≡1, z ≡2 — three
+    filter dimensions sharing one clustering key (the practical ceiling:
+    per-dimension selectivity decays as the root of the dimension count,
+    so beyond 3-4 columns min-max pruning stops paying)."""
+    return (
+        spread_bits3(colx, bits)
+        .bitwiseOR(F.shiftleft(spread_bits3(coly, bits), 1))
+        .bitwiseOR(F.shiftleft(spread_bits3(colz, bits), 2))
     )

@@ -141,3 +141,23 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
 
     # and the data survives the round trip regardless of layout
     assert spark.read.parquet(zpath).count() == 64 * 64
+
+
+def test_morton3_matches_bitwise_reference(spark):
+    def py_spread3(x: int) -> int:
+        out = 0
+        for i in range(21):
+            out |= ((x >> i) & 1) << (3 * i)
+        return out
+
+    from datagouv_tools_spark.functions.zorder import morton3
+
+    vals = [(0, 0, 0), (1, 2, 4), (7, 7, 7), (2**21 - 1, 0, 2**20), (123, 456, 789)]
+    df = spark.createDataFrame(vals, "x bigint, y bigint, z bigint")
+    got = {
+        (r.x, r.y, r.z): r.m
+        for r in df.select("x", "y", "z", morton3("x", "y", "z").alias("m")).collect()
+    }
+    for x, y, z in vals:
+        want = py_spread3(x) | (py_spread3(y) << 1) | (py_spread3(z) << 2)
+        assert got[(x, y, z)] == want, (x, y, z)
