@@ -16,10 +16,14 @@ same semantics, same determinism guarantees):
    dropped.
 3. **Quality filter** — the deterministic linear quality classifier
    (doc_quality_logit's pinned weights); logit < 0 drops.
-4. **Split assignment** — seeded md5 train/val/test buckets
+4. **Optional PPS cap** — ``sample_per_source=k`` keeps ~k docs per
+   source with probability proportional to token count (systematic PPS,
+   operators/sampling.py — the doc_pps_sample rule): a deterministic
+   corpus-size cap that still favors substantive documents.
+5. **Split assignment** — seeded md5 train/val/test buckets
    (doc_split_assignment's rule): stable across engines, reruns, and
    cluster sizes.
-5. **Write** — parquet partitioned by split.
+6. **Write** — parquet partitioned by split.
 
 Everything is rerun-deterministic: a doc's fate never depends on
 partitioning, task order, or time. At 100 TB each stage is the shuffle
@@ -55,6 +59,7 @@ class CurationReport:
     n_after_scrub: int
     n_after_quality: int
     split_counts: dict[str, int]
+    n_after_sample: int | None = None
 
     def as_rows(self) -> list[tuple[str, int]]:
         rows = [
@@ -74,6 +79,7 @@ def curate_corpus(
     text_col: str = "text",
     seg_len: int = 8,
     keep_cols: tuple[str, ...] = ("source", "lang"),
+    sample_per_source: int | None = None,
 ) -> CurationReport:
     """Run the curation funnel over ``docs`` and write the cleaned,
     split-partitioned corpus to ``out_dir``. Returns stage counts.
@@ -111,7 +117,26 @@ def curate_corpus(
             # 3. quality filter (the shared pinned classifier)
             kept = scrubbed.filter(quality_logit(text_col) >= 0.0)
 
-            # 4. split + 5. write (partitioned by split); n_quality and
+            # 4. optional deterministic PPS cap per source; the
+            # pre-sample quality count is cheap here (filter over the
+            # persisted scrub stage)
+            n_quality = None
+            if sample_per_source is not None:
+                n_quality = kept.count()
+                from datagouv_tools_spark.functions.text import token_count
+                from datagouv_tools_spark.operators.sampling import (
+                    pps_systematic,
+                )
+
+                kept = pps_systematic(
+                    kept,
+                    "source",
+                    id_col,
+                    token_count(text_col) + F.lit(1),
+                    k=sample_per_source,
+                )
+
+            # 5. split + 6. write (partitioned by split); n_quality and
             # split counts both come from the WRITTEN output — one
             # execution of the post-scrub lineage, and the report
             # describes what actually landed on disk
@@ -128,8 +153,12 @@ def curate_corpus(
             scrubbed.unpersist()
     finally:
         deduped.unpersist()
-    n_quality = sum(split_counts.values())
-    return CurationReport(n_input, n_dedup, n_scrub, n_quality, split_counts)
+    n_out = sum(split_counts.values())
+    if sample_per_source is None:
+        return CurationReport(n_input, n_dedup, n_scrub, n_out, split_counts)
+    return CurationReport(
+        n_input, n_dedup, n_scrub, n_quality, split_counts, n_after_sample=n_out
+    )
 
 
 def stream_curate(

@@ -6067,35 +6067,22 @@ def doc_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-key and sampled per shard (estimates stay unbiased because
     thresholds are per-shard totals).
     """
-    from pyspark.sql.window import Window
-
     from datagouv_tools_spark.functions.text import token_count
+    from datagouv_tools_spark.operators.sampling import pps_systematic
 
     docs = t(spark, sf_dir, "documents")
     t1 = docs.select(
         "source", "doc_id", (token_count("text") + F.lit(1)).alias("w")
     )
-    t2 = t1.select(
+    sel = pps_systematic(
+        t1, "source", "doc_id", F.col("w"), k=4, rank_col="rk"
+    )
+    return sel.select(
         "source",
         "doc_id",
-        "w",
-        F.sum("w")
-        .over(Window.partitionBy("source").orderBy("doc_id"))
-        .alias("cum"),
-        F.sum("w").over(Window.partitionBy("source")).alias("total"),
-    )
-    return (
-        t2.filter(
-            F.expr("(4 * cum) DIV total > (4 * (cum - w)) DIV total")
-        )
-        .select(
-            "source",
-            "doc_id",
-            (F.col("w") - 1).cast("bigint").alias("n_tokens"),
-            F.expr("(4 * cum) DIV total").cast("bigint").alias("rk"),
-        )
-        .orderBy("source", "doc_id")
-    )
+        (F.col("w") - 1).cast("bigint").alias("n_tokens"),
+        "rk",
+    ).orderBy("source", "doc_id")
 
 
 @query(

@@ -710,3 +710,28 @@ def test_stream_curate_equals_batch_curate(spark, sf_dir, tmp_path):
     )
     assert stream_rows == batch_rows
     assert batch_rows  # non-vacuous
+
+
+def test_curate_corpus_pps_cap(spark, sf_dir, tmp_path):
+    """The optional PPS stage caps each source at ~k docs, favoring
+    longer documents, deterministically (two runs, identical output)."""
+    from datagouv_tools_spark.pipelines.curate import curate_corpus
+    from datagouv_tools_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "cur")
+    rep = curate_corpus(docs, out, sample_per_source=2)
+    assert rep.n_after_sample is not None
+    assert rep.n_after_sample <= rep.n_after_quality
+    got = spark.read.parquet(out)
+    per_source = {
+        r["source"]: r["n"]
+        for r in got.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_source and all(n <= 2 for n in per_source.values())
+
+    out2 = str(tmp_path / "cur2")
+    rep2 = curate_corpus(docs, out2, sample_per_source=2)
+    a = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    b = sorted(tuple(r) for r in spark.read.parquet(out2).collect())
+    assert a == b and rep2.n_after_sample == rep.n_after_sample
