@@ -68,6 +68,8 @@ class CurationReport:
             ("scrub_nonempty", self.n_after_scrub),
             ("quality", self.n_after_quality),
         ]
+        if self.n_after_sample is not None:
+            rows.append(("pps_sample", self.n_after_sample))
         rows += [(f"split_{k}", v) for k, v in sorted(self.split_counts.items())]
         return rows
 
