@@ -5997,20 +5997,10 @@ def events_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     or float-sum divergence. The exact-count branch exists only for the
     comparison column; a production rollup ships the sketch alone.
     """
-    from datagouv_tools_spark.functions.xhash import md5_hash60
+    from datagouv_tools_spark.operators.sketches import mincount_buckets
 
     ev = t(spark, sf_dir, "events")
-    h = md5_hash60(F.concat(F.col("user_id").cast("string"), F.lit(":ds")))
-    hv = ev.select("event_type", h.alias("h"))
-    bm = (
-        hv.select(
-            "event_type",
-            F.expr("h % 64").alias("b"),
-            F.expr("h DIV 128").alias("v"),
-        )
-        .groupBy("event_type", "b")
-        .agg(F.min("v").alias("mv"))
-    )
+    bm = mincount_buckets(ev, ["event_type"], F.col("user_id"))
     sk = (
         bm.withColumn(
             "em",
@@ -6387,22 +6377,15 @@ def doc_token_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch — driver-free, broadcast-sized."""
     from datagouv_tools_spark.functions.text import tokens as _toks
 
+    from datagouv_tools_spark.operators.sketches import cms_cells, cms_index
+
     toks = (
         t(spark, sf_dir, "documents")
         .select(F.explode(_toks("text")).alias("tok"))
     )
     rows = F.array(*[F.lit(i) for i in range(4)])
-    from datagouv_tools_spark.functions.xhash import md5_hash60
-
-    def idx(tok, i):
-        return md5_hash60(F.concat(tok, F.lit(":cms"), i.cast("string"))) % 1024
-
-    cells = (
-        toks.select("tok", F.explode(rows).alias("i"))
-        .select("i", idx(F.col("tok"), F.col("i")).alias("idx"))
-        .groupBy("i", "idx")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    idx = cms_index
+    cells = cms_cells(toks)
     exact = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n_exact"))

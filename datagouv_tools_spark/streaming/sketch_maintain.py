@@ -1,0 +1,132 @@
+"""Continuously maintain mergeable sketches from a document stream.
+
+The batch sketches (`operators/sketches.py`) earn their keep in
+streaming: because merge is exact and state is CONSTANT-SIZE, a
+micro-batch updates the store by reading ~KBs, never the corpus — the
+sketch-sized analog of the rollup maintainers. Per batch:
+
+    new_cells = stored_cells  ⊕  cells(batch)       (⊕ = ADD for CMS,
+                                                      MIN for MinCount)
+
+Idempotence uses the in-state tag design proven by
+``streaming/rollup_maintain.delta_maintain_batch``: every store row
+carries the (run_key, batch id) that last wrote it, so the
+applied-marker commits atomically with the state (the store is one
+rewrite — at ≤ d·w rows it is KBs — so "partial commit" cannot even
+arise), and a redelivered batch sees its own tag and skips. The CMS
+add is NOT idempotent by itself (re-adding double-counts — unlike the
+rollup's id-membership deltas there are no ids to probe), which is
+exactly why the tag is load-bearing here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datagouv_tools_spark.operators.sketches import cms_cells
+
+__all__ = ["cms_maintain_batch", "foreach_batch_cms_maintainer", "read_cms", "cms_estimate"]
+
+
+def _exists(spark, path: str) -> bool:
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.exists(jpath)
+
+
+def cms_maintain_batch(
+    batch_tokens: DataFrame,
+    store_path: str,
+    run_key: str,
+    batch_id: int,
+    token_col: str = "tok",
+    depth: int = 4,
+    width: int = 1024,
+) -> None:
+    """Fold one micro-batch of token occurrences into the CMS store."""
+    spark = batch_tokens.sparkSession
+    if _exists(spark, store_path):
+        spark.catalog.refreshByPath(store_path)
+        stored = spark.read.parquet(store_path)
+        tag = stored.select("__run", "__seq").first()
+        if tag is not None and tag["__run"] == run_key and int(tag["__seq"]) >= batch_id:
+            return
+        old = stored.select("i", "idx", F.col("c").alias("__oc"))
+    else:
+        old = None
+
+    inc = cms_cells(batch_tokens, token_col, depth, width).select(
+        "i", "idx", F.col("c").alias("__ic")
+    )
+    if old is not None:
+        merged = (
+            old.join(inc, ["i", "idx"], "full_outer")
+            .select(
+                "i",
+                "idx",
+                (
+                    F.coalesce("__oc", F.lit(0)) + F.coalesce("__ic", F.lit(0))
+                ).cast("bigint").alias("c"),
+            )
+        )
+    else:
+        merged = inc.select("i", "idx", F.col("__ic").cast("bigint").alias("c"))
+    out = (
+        merged.withColumn("__run", F.lit(run_key))
+        .withColumn("__seq", F.lit(int(batch_id)).cast("bigint"))
+        .withColumn("__width", F.lit(width))
+        .localCheckpoint(eager=True)  # the plan reads the path it replaces
+    )
+    out.write.mode("overwrite").parquet(store_path)
+
+
+def foreach_batch_cms_maintainer(
+    store_path: str,
+    checkpoint: str,
+    token_col: str = "tok",
+    depth: int = 4,
+    width: int = 1024,
+):
+    """``writeStream.foreachBatch`` callback: each micro-batch must be
+    (or be transformable to) a frame with ``token_col`` rows."""
+    from datagouv_tools_spark.streaming.index_ingest import run_key_for_checkpoint
+
+    rk = run_key_for_checkpoint(checkpoint)
+
+    def run(batch: DataFrame, batch_id: int) -> None:
+        cms_maintain_batch(
+            batch, store_path, rk, int(batch_id), token_col, depth, width
+        )
+
+    return run
+
+
+def read_cms(spark, store_path: str) -> DataFrame:
+    """The maintained cells, sans tag columns."""
+    spark.catalog.refreshByPath(store_path)
+    return spark.read.parquet(store_path).drop("__run", "__seq", "__width")
+
+
+def cms_estimate(spark, store_path: str, tokens: list[str]) -> dict[str, int]:
+    """Point estimates for ``tokens`` from the maintained store
+    (min over depth rows; never undercounts)."""
+    from datagouv_tools_spark.operators.sketches import cms_index
+
+    spark.catalog.refreshByPath(store_path)
+    raw = spark.read.parquet(store_path)
+    meta = raw.select(F.max("i"), F.first("__width")).first()
+    depth, width = int(meta[0]) + 1, int(meta[1])
+    cells = raw.drop("__run", "__seq", "__width")
+    probes = (
+        spark.createDataFrame([(t,) for t in tokens], "tok string")
+        .select("tok", F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("i"))
+        .select("tok", "i", cms_index(F.col("tok"), F.col("i"), width).alias("idx"))
+    )
+    got = (
+        probes.join(cells, ["i", "idx"], "left")
+        .groupBy("tok")
+        .agg(F.min(F.coalesce("c", F.lit(0))).alias("est"))
+        .collect()
+    )
+    return {r["tok"]: int(r["est"]) for r in got}
