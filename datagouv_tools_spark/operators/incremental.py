@@ -114,16 +114,39 @@ def dirty_keys(
     delete_op: str = "D",
 ) -> DataFrame:
     """Groups whose min/max can no longer be derived from (state,
-    delta): a delete matched the stored extremum, so the second-best
-    value is unknown without looking at surviving base rows. Keys-only
-    DataFrame — broadcast it into a partition-pruned base scan."""
+    delta): a delete matched the group's CANDIDATE extremum — the
+    merge of the stored extremum with the delta's own inserts — so the
+    second-best value is unknown without looking at surviving base
+    rows. Comparing against the stored extremum alone is not enough:
+    a delta that inserts 10 into a group whose stored max is 5 and
+    then deletes a 10 would otherwise leave the rollup claiming
+    max=10 (found by the hypothesis sweep in
+    tests/test_incremental.py). Keys-only DataFrame — broadcast it
+    into a partition-pruned base scan."""
     ks = _keys(key_cols)
+    ins_ext = (
+        delta.filter(F.col(op_col) != delete_op)
+        .groupBy(*ks)
+        .agg(
+            F.min(value_col).alias("__imin"),
+            F.max(value_col).alias("__imax"),
+        )
+    )
+    cand = (
+        rollup.select(*ks, "vmin", "vmax")
+        .join(ins_ext, ks, "full_outer")
+        .select(
+            *ks,
+            F.least("vmin", "__imin").alias("__cmin"),
+            F.greatest("vmax", "__imax").alias("__cmax"),
+        )
+    )
     dels = delta.filter(F.col(op_col) == delete_op).select(
         *ks, F.col(value_col).alias("__dv")
     )
     return (
-        dels.join(rollup.select(*ks, "vmin", "vmax"), ks, "inner")
-        .filter((F.col("__dv") == F.col("vmin")) | (F.col("__dv") == F.col("vmax")))
+        dels.join(cand, ks, "inner")
+        .filter((F.col("__dv") == F.col("__cmin")) | (F.col("__dv") == F.col("__cmax")))
         .select(*ks)
         .distinct()
     )

@@ -150,3 +150,35 @@ def test_property_delta_maintenance_equals_recompute(spark, base_pairs, data):
             cur.append((k, v))
             delta_rows.append((k, v, "I"))
     _check(spark, base_rows, delta_rows)
+
+
+def test_delta_inserts_then_deletes_its_own_maximum(spark):
+    """Regression (hypothesis-found): a delta inserting a new maximum
+    into a group and deleting it again must mark the group dirty
+    against the CANDIDATE extremum, not the stored one — otherwise the
+    rollup reports the deleted value as max."""
+    # group absent from the stored rollup entirely
+    _check(
+        spark,
+        [("b", 0)],
+        [
+            ("a", 1, "I"),
+            ("a", 0, "I"),
+            ("a", 0, "I"),
+            ("b", 0, "D"),
+            ("a", 0, "I"),
+            ("a", 1, "D"),
+        ],
+    )
+    # group present, delta raises then removes the max
+    _check(
+        spark,
+        [("a", 5), ("a", 1)],
+        [("a", 10, "I"), ("a", 10, "D")],
+    )
+    # ...and the min-side twin
+    _check(
+        spark,
+        [("a", 5), ("a", 8)],
+        [("a", 1, "I"), ("a", 1, "D")],
+    )
