@@ -79,19 +79,26 @@ def sql_morton2(expr_x: str, expr_y: str, bits: int = 21) -> str:
 def zorder_write(
     df: DataFrame,
     path: str,
-    cols: tuple[str, str],
+    cols: tuple[str, ...],
     *,
     bits: int = 21,
     num_files: int = 8,
     mode: str = "overwrite",
 ) -> None:
-    """Write ``df`` as parquet clustered by the Morton key of two
-    integer columns: range-partition on the key (each output file owns
-    a contiguous key range = a small rectangle of (x, y) space), sort
-    within partitions (tight row-group stats), drop the key from the
-    stored schema. Readers need no cooperation — plain parquet min-max
-    pruning on either column now skips non-matching files."""
-    keyed = df.withColumn("__zkey", morton2(cols[0], cols[1], bits))
+    """Write ``df`` as parquet clustered by the Morton key of two or
+    three integer columns: range-partition on the key (each output file
+    owns a contiguous key range = a small hyper-rectangle of the
+    clustered space), sort within partitions (tight row-group stats),
+    drop the key from the stored schema. Readers need no cooperation —
+    plain parquet min-max pruning on any clustered column now skips
+    non-matching files."""
+    if len(cols) == 2:
+        key = morton2(cols[0], cols[1], bits)
+    elif len(cols) == 3:
+        key = morton3(cols[0], cols[1], cols[2], bits)
+    else:
+        raise ValueError("zorder_write clusters 2 or 3 columns")
+    keyed = df.withColumn("__zkey", key)
     (
         keyed.repartitionByRange(num_files, "__zkey")
         .sortWithinPartitions("__zkey")

@@ -26,7 +26,14 @@ from pyspark.sql import functions as F
 
 from datagouv_tools_spark.operators.sketches import cms_cells
 
-__all__ = ["cms_maintain_batch", "foreach_batch_cms_maintainer", "read_cms", "cms_estimate"]
+__all__ = [
+    "cms_maintain_batch",
+    "foreach_batch_cms_maintainer",
+    "read_cms",
+    "cms_estimate",
+    "mincount_maintain_batch",
+    "mincount_estimate",
+]
 
 
 def _exists(spark, path: str) -> bool:
@@ -130,3 +137,69 @@ def cms_estimate(spark, store_path: str, tokens: list[str]) -> dict[str, int]:
         .collect()
     )
     return {r["tok"]: int(r["est"]) for r in got}
+
+
+# --- MinCount distinct sketch ---------------------------------------------
+#
+# The designed contrast with the CMS above: the MinCount merge is MIN,
+# which is IDEMPOTENT — folding the same batch twice cannot change a
+# bucket minimum — so replay safety needs no tag at all. The tag
+# column is still written (observability: which batch last touched the
+# store) but is never consulted for skipping.
+
+
+def mincount_maintain_batch(
+    batch: DataFrame,
+    store_path: str,
+    group_cols: list[str],
+    key_col: str,
+    run_key: str,
+    batch_id: int,
+    n_buckets: int = 64,
+) -> None:
+    """Fold one micro-batch of keys into the per-group MinCount store
+    (rows: group cols + b + mv)."""
+    from datagouv_tools_spark.operators.sketches import mincount_buckets
+
+    spark = batch.sparkSession
+    inc = mincount_buckets(batch, group_cols, F.col(key_col), n_buckets).select(
+        *group_cols, "b", F.col("mv").alias("__imv")
+    )
+    if _exists(spark, store_path):
+        spark.catalog.refreshByPath(store_path)
+        old = spark.read.parquet(store_path).select(
+            *group_cols, "b", F.col("mv").alias("__omv")
+        )
+        merged = old.join(inc, [*group_cols, "b"], "full_outer").select(
+            *group_cols,
+            "b",
+            F.least("__omv", "__imv").alias("mv"),
+        )
+    else:
+        merged = inc.select(*group_cols, "b", F.col("__imv").alias("mv"))
+    out = (
+        merged.withColumn("__run", F.lit(run_key))
+        .withColumn("__seq", F.lit(int(batch_id)).cast("bigint"))
+        .localCheckpoint(eager=True)
+    )
+    out.write.mode("overwrite").parquet(store_path)
+
+
+def mincount_estimate(spark, store_path: str) -> DataFrame:
+    """Per-group distinct estimates from the maintained buckets (the
+    events_distinct_sketch estimator: Σ_b (2^53/(m_b+1) − 1), scaled
+    ×1000 integer-exact)."""
+    spark.catalog.refreshByPath(store_path)
+    cells = spark.read.parquet(store_path).drop("__run", "__seq")
+    group_cols = [c for c in cells.columns if c not in ("b", "mv")]
+    return (
+        cells.withColumn(
+            "em",
+            F.expr("9007199254740992000 DIV (mv + 1) - 1000").cast("decimal(38,0)"),
+        )
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("em").alias("est_distinct_mille"),
+        )
+    )

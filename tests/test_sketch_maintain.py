@@ -88,3 +88,51 @@ def test_streaming_end_to_end(spark, tmp_path):
         for r in cms_cells(_toks(spark, B0 + B1), width=64).collect()
     )
     assert _cells(spark, path) == want
+
+
+def test_mincount_maintenance_merge_is_naturally_idempotent(spark, tmp_path):
+    """MIN-merge needs no replay tag: folding a batch twice (or out of
+    order) is a no-op BY ALGEBRA, and the maintained store equals the
+    batch sketch of the union. Estimates match the
+    events_distinct_sketch arithmetic."""
+    from datagouv_tools_spark.operators.sketches import mincount_buckets
+    from datagouv_tools_spark.streaming.sketch_maintain import (
+        mincount_estimate,
+        mincount_maintain_batch,
+    )
+
+    path = str(tmp_path / "mc")
+    b0 = [("t1", i) for i in range(40)] + [("t2", i) for i in range(5)]
+    b1 = [("t1", i) for i in range(20, 60)] + [("t2", 99)]
+
+    def df(rows):
+        return spark.createDataFrame(rows, "g string, uid bigint")
+
+    mincount_maintain_batch(df(b0), path, ["g"], "uid", "r", 0)
+    mincount_maintain_batch(df(b1), path, ["g"], "uid", "r", 1)
+
+    want = sorted(
+        (r["g"], r["b"], r["mv"])
+        for r in mincount_buckets(df(b0 + b1), ["g"], F.col("uid")).collect()
+    )
+    spark.catalog.refreshByPath(path)
+    got = sorted(
+        (r["g"], r["b"], r["mv"])
+        for r in spark.read.parquet(path).drop("__run", "__seq").collect()
+    )
+    assert got == want
+
+    # replay both batches, out of order — algebraically a no-op
+    mincount_maintain_batch(df(b1), path, ["g"], "uid", "r", 1)
+    mincount_maintain_batch(df(b0), path, ["g"], "uid", "r", 0)
+    spark.catalog.refreshByPath(path)
+    again = sorted(
+        (r["g"], r["b"], r["mv"])
+        for r in spark.read.parquet(path).drop("__run", "__seq").collect()
+    )
+    assert again == want
+
+    est = {r["g"]: r for r in mincount_estimate(spark, path).collect()}
+    # t1 has 60 distinct, t2 has 6 — estimates in a loose band
+    assert 20_000 <= int(est["t1"]["est_distinct_mille"]) <= 200_000
+    assert 1_000 <= int(est["t2"]["est_distinct_mille"]) <= 30_000

@@ -161,3 +161,28 @@ def test_morton3_matches_bitwise_reference(spark):
     for x, y, z in vals:
         want = py_spread3(x) | (py_spread3(y) << 1) | (py_spread3(z) << 2)
         assert got[(x, y, z)] == want, (x, y, z)
+
+
+def test_zorder_write_three_columns(spark, tmp_path):
+    import itertools
+
+    from datagouv_tools_spark.functions.zorder import zorder_write
+
+    rows = [
+        (x, y, z)
+        for x, y, z in itertools.product(range(8), range(8), range(8))
+    ]
+    df = spark.createDataFrame(rows, "x bigint, y bigint, z bigint")
+    path = str(tmp_path / "z3")
+    zorder_write(df, path, ("x", "y", "z"), bits=3, num_files=8)
+    assert spark.read.parquet(path).count() == 512
+    # every dimension's per-file range is bounded below the full domain
+    stats = _file_stats(path, ["x", "y", "z"])
+    for dim in ("x", "y", "z"):
+        avg_span = sum(s[dim][1] - s[dim][0] for s in stats) / len(stats)
+        assert avg_span < 7.0, (dim, avg_span)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        zorder_write(df, path, ("x",))
