@@ -125,7 +125,7 @@ def test_reinsert_after_full_delete(spark):
     )
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=20, deadline=None)
 @given(
     st.lists(
         st.tuples(st.sampled_from("abc"), st.integers(0, 9)),
