@@ -5969,13 +5969,15 @@ def doc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              COUNT(*) AS n_buckets,
              SUM((9007199254740992000 // (mv + 1) - 1000)::DECIMAL(38,0))
-               AS est_distinct_mille
+               AS est
       FROM bm GROUP BY event_type
     ), ex AS (
       SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
       FROM events GROUP BY event_type
     )
-    SELECT ex.event_type, n_exact, n_buckets, est_distinct_mille
+    SELECT ex.event_type, n_exact, n_buckets,
+           (est // 1000000000)::BIGINT AS est_mille_hi,
+           (est % 1000000000)::BIGINT AS est_mille_lo
     FROM ex JOIN sk USING (event_type)
     ORDER BY ex.event_type
     """,
@@ -5996,6 +5998,12 @@ def events_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the DuckDB oracle reproduces it bit-for-bit — no transcendental
     or float-sum divergence. The exact-count branch exists only for the
     comparison column; a production rollup ships the sketch alone.
+
+    The estimate crosses the correctness harness as TWO BIGINT columns
+    (hi = est DIV 1e9, lo = est MOD 1e9) rather than one DECIMAL(38,0):
+    the r05 driver run hash-mismatched on the decimal column while the
+    Spark, DuckDB, and plain-Python computations were bit-identical
+    locally, so no wide decimal is allowed through the value hasher.
     """
     from datagouv_tools_spark.operators.sketches import mincount_buckets
 
@@ -6009,7 +6017,7 @@ def events_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_buckets"),
-            F.sum("em").alias("est_distinct_mille"),
+            F.sum("em").alias("est"),
         )
     )
     ex = ev.groupBy("event_type").agg(
@@ -6017,7 +6025,13 @@ def events_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ex.join(sk, "event_type")
-        .select("event_type", "n_exact", "n_buckets", "est_distinct_mille")
+        .select(
+            "event_type",
+            "n_exact",
+            "n_buckets",
+            F.expr("CAST(est DIV 1000000000 AS BIGINT)").alias("est_mille_hi"),
+            F.expr("CAST(est % 1000000000 AS BIGINT)").alias("est_mille_lo"),
+        )
         .orderBy("event_type")
     )
 

@@ -56,6 +56,28 @@ def test_no_query_returns_nested_types(spark, sf_dir):
     assert not offenders, offenders
 
 
+def test_no_query_returns_decimal_types(spark, sf_dir):
+    """The driver's value hasher mishandled a DECIMAL(38,0) output in
+    r05 (``events_distinct_sketch`` red while Spark==DuckDB==Python were
+    bit-identical locally): decimals are fine as INTERNAL exact
+    arithmetic but must never cross the harness — surface them as
+    BIGINT (split hi/lo if wider than 2^63), double (via dround), or
+    string."""
+    from pyspark.sql import types as T
+
+    offenders = []
+    for name, fn in QUERIES.items():
+        schema = fn(spark, sf_dir).schema
+        bad = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, T.DecimalType)
+        ]
+        if bad:
+            offenders.append((name, bad))
+    assert not offenders, offenders
+
+
 @pytest.mark.parametrize("name", sorted(ORACLE))
 def test_query_matches_oracle(spark, sf_dir, duck, name):
     spark_pdf = QUERIES[name](spark, sf_dir).toPandas()
