@@ -28,7 +28,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["spread_bits2", "morton2", "sql_morton2", "zorder_write", "spread_bits3", "morton3"]
+__all__ = [
+    "spread_bits2",
+    "morton2",
+    "sql_morton2",
+    "sql_morton3",
+    "zorder_write",
+    "spread_bits3",
+    "morton3",
+]
 
 #: magic masks spreading bits to even positions (dilate-by-2)
 _SPREAD_MASKS_2D = [
@@ -64,16 +72,55 @@ def morton2(colx: Column | str, coly: Column | str, bits: int = 21) -> Column:
     )
 
 
-def _sql_spread2(expr: str, bits: int = 21) -> str:
-    s = f"(({expr}) & {(1 << bits) - 1})"
-    for shift, mask in _SPREAD_MASKS_2D:
-        s = f"((({s} | ({s} << {shift})) & {mask}))"
-    return s
+def _sql_spread(expr: str, masks: list[tuple[int, int]], bits: int, tag: str) -> str:
+    """Linear-size SQL twin of the mask chain. Each step references the
+    previous one ONCE through a named derived-table alias — textual
+    substitution of the accumulated string (the r5 shape) doubled the
+    expression per step (2^5 = 32 copies of the input), making higher
+    bit counts and the 3-D twin impractical. The chain nests inside a
+    correlated scalar subquery, so the result is still a plain SQL
+    EXPRESSION embeddable anywhere a column is (DuckDB decorrelates
+    it; ``tag`` keeps sibling spreads' aliases distinct).
+
+    Intermediates are HUGEINT: Spark's shiftleft silently wraps at 64
+    bits (Java semantics) while DuckDB RAISES on BIGINT shift overflow
+    — the 3-D chain's ``<< 32`` hits that. Shifting in 128-bit keeps
+    the would-wrap bits, and the step mask (< 2^63) discards exactly
+    the bits wrapping would have lost, so the engines still agree
+    bit-for-bit; the final cast returns to BIGINT."""
+    inner = f"(SELECT (({expr}) & {(1 << bits) - 1})::HUGEINT AS __{tag}0)"
+    for i, (shift, mask) in enumerate(masks):
+        prev, cur = f"__{tag}{i}", f"__{tag}{i + 1}"
+        inner = (
+            f"(SELECT (({prev} | ({prev} << {shift})) & {mask}) AS {cur} "
+            f"FROM {inner} AS __q{tag}{i})"
+        )
+    return (
+        f"(SELECT (__{tag}{len(masks)})::BIGINT "
+        f"FROM {inner} AS __q{tag}{len(masks)})"
+    )
+
+
+def _sql_spread2(expr: str, bits: int = 21, tag: str = "sx") -> str:
+    return _sql_spread(expr, _SPREAD_MASKS_2D, bits, tag)
 
 
 def sql_morton2(expr_x: str, expr_y: str, bits: int = 21) -> str:
     """DuckDB twin of :func:`morton2` (same masks, same operators)."""
-    return f"({_sql_spread2(expr_x, bits)} | ({_sql_spread2(expr_y, bits)} << 1))"
+    return (
+        f"({_sql_spread2(expr_x, bits, 'sx')} | "
+        f"({_sql_spread2(expr_y, bits, 'sy')} << 1))"
+    )
+
+
+def sql_morton3(expr_x: str, expr_y: str, expr_z: str, bits: int = 21) -> str:
+    """DuckDB twin of :func:`morton3` — practical now that the spread
+    is linear-size (the quadratic textual form made 3-D prohibitive)."""
+    return (
+        f"({_sql_spread(expr_x, _SPREAD_MASKS_3D, bits, 'tx')} | "
+        f"({_sql_spread(expr_y, _SPREAD_MASKS_3D, bits, 'ty')} << 1) | "
+        f"({_sql_spread(expr_z, _SPREAD_MASKS_3D, bits, 'tz')} << 2))"
+    )
 
 
 def zorder_write(

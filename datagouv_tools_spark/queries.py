@@ -6096,7 +6096,7 @@ def doc_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id AS x, CAST(floor(value) AS BIGINT) AS y, value
       FROM events
     ), z AS (
-      SELECT ((((((((((((((((((x) & 1023) | (((x) & 1023) << 16)) & 281470681808895)) | ((((((x) & 1023) | (((x) & 1023) << 16)) & 281470681808895)) << 8)) & 71777214294589695)) | (((((((((x) & 1023) | (((x) & 1023) << 16)) & 281470681808895)) | ((((((x) & 1023) | (((x) & 1023) << 16)) & 281470681808895)) << 8)) & 71777214294589695)) << 4)) & 1085102592571150095)) | ((((((((((((x) & 1023) | (((x) & 1023) << 16)) & 281470681808895)) | ((((((x) & 1023) | (((x) & 1023) << 16)) & 281470681808895)) << 8)) & 71777214294589695)) | (((((((((x) & 1023) | (((x) & 1023) << 16)) & 281470681808895)) | ((((((x) & 1023) | (((x) & 1023) << 16)) & 281470681808895)) << 8)) & 71777214294589695)) << 4)) & 1085102592571150095)) << 2)) & 3689348814741910323)) | (((((((((((((((x) & 1023) | (((x) & 1023) << 16)) & 281470681808895)) | ((((((x) & 1023) | (((x) & 1023) << 16)) & 281470681808895)) << 8)) & 71777214294589695)) | (((((((((x) & 1023) | (((x) & 1023) << 16)) & 281470681808895)) | ((((((x) & 1023) | (((x) & 1023) << 16)) & 281470681808895)) << 8)) & 71777214294589695)) << 4)) & 1085102592571150095)) | ((((((((((((x) & 1023) | (((x) & 1023) << 16)) & 281470681808895)) | ((((((x) & 1023) | (((x) & 1023) << 16)) & 281470681808895)) << 8)) & 71777214294589695)) | (((((((((x) & 1023) | (((x) & 1023) << 16)) & 281470681808895)) | ((((((x) & 1023) | (((x) & 1023) << 16)) & 281470681808895)) << 8)) & 71777214294589695)) << 4)) & 1085102592571150095)) << 2)) & 3689348814741910323)) << 1)) & 6148914691236517205)) | ((((((((((((((((((y) & 1023) | (((y) & 1023) << 16)) & 281470681808895)) | ((((((y) & 1023) | (((y) & 1023) << 16)) & 281470681808895)) << 8)) & 71777214294589695)) | (((((((((y) & 1023) | (((y) & 1023) << 16)) & 281470681808895)) | ((((((y) & 1023) | (((y) & 1023) << 16)) & 281470681808895)) << 8)) & 71777214294589695)) << 4)) & 1085102592571150095)) | ((((((((((((y) & 1023) | (((y) & 1023) << 16)) & 281470681808895)) | ((((((y) & 1023) | (((y) & 1023) << 16)) & 281470681808895)) << 8)) & 71777214294589695)) | (((((((((y) & 1023) | (((y) & 1023) << 16)) & 281470681808895)) | ((((((y) & 1023) | (((y) & 1023) << 16)) & 281470681808895)) << 8)) & 71777214294589695)) << 4)) & 1085102592571150095)) << 2)) & 3689348814741910323)) | (((((((((((((((y) & 1023) | (((y) & 1023) << 16)) & 281470681808895)) | ((((((y) & 1023) | (((y) & 1023) << 16)) & 281470681808895)) << 8)) & 71777214294589695)) | (((((((((y) & 1023) | (((y) & 1023) << 16)) & 281470681808895)) | ((((((y) & 1023) | (((y) & 1023) << 16)) & 281470681808895)) << 8)) & 71777214294589695)) << 4)) & 1085102592571150095)) | ((((((((((((y) & 1023) | (((y) & 1023) << 16)) & 281470681808895)) | ((((((y) & 1023) | (((y) & 1023) << 16)) & 281470681808895)) << 8)) & 71777214294589695)) | (((((((((y) & 1023) | (((y) & 1023) << 16)) & 281470681808895)) | ((((((y) & 1023) | (((y) & 1023) << 16)) & 281470681808895)) << 8)) & 71777214294589695)) << 4)) & 1085102592571150095)) << 2)) & 3689348814741910323)) << 1)) & 6148914691236517205)) << 1)) AS zkey, value
+      SELECT ((SELECT (__sx5)::BIGINT FROM (SELECT ((__sx4 | (__sx4 << 1)) & 6148914691236517205) AS __sx5 FROM (SELECT ((__sx3 | (__sx3 << 2)) & 3689348814741910323) AS __sx4 FROM (SELECT ((__sx2 | (__sx2 << 4)) & 1085102592571150095) AS __sx3 FROM (SELECT ((__sx1 | (__sx1 << 8)) & 71777214294589695) AS __sx2 FROM (SELECT ((__sx0 | (__sx0 << 16)) & 281470681808895) AS __sx1 FROM (SELECT ((x) & 1023)::HUGEINT AS __sx0) AS __qsx0) AS __qsx1) AS __qsx2) AS __qsx3) AS __qsx4) AS __qsx5) | ((SELECT (__sy5)::BIGINT FROM (SELECT ((__sy4 | (__sy4 << 1)) & 6148914691236517205) AS __sy5 FROM (SELECT ((__sy3 | (__sy3 << 2)) & 3689348814741910323) AS __sy4 FROM (SELECT ((__sy2 | (__sy2 << 4)) & 1085102592571150095) AS __sy3 FROM (SELECT ((__sy1 | (__sy1 << 8)) & 71777214294589695) AS __sy2 FROM (SELECT ((__sy0 | (__sy0 << 16)) & 281470681808895) AS __sy1 FROM (SELECT ((y) & 1023)::HUGEINT AS __sy0) AS __qsy0) AS __qsy1) AS __qsy2) AS __qsy3) AS __qsy4) AS __qsy5) << 1)) AS zkey, value
       FROM k
     )
     SELECT zkey // 4096 AS zcell,

@@ -239,6 +239,16 @@ class PsqlCliCursor:
             )
         return self._rows
 
+    def fetchmany(self, size: int) -> list[tuple]:
+        """DB-API chunked fetch. The psql transport necessarily buffers
+        the full COPY output in memory (the binary already returned),
+        so this only windows over that buffer — the memory-bounding
+        win of fetchmany belongs to the typed drivers; here it is
+        interface parity so callers can stream uniformly."""
+        rows = self.fetchall()
+        chunk, self._rows = rows[:size], rows[size:]
+        return chunk
+
     def close(self) -> None:
         pass
 

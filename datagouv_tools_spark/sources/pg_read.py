@@ -227,20 +227,34 @@ def read_pg_parallel(
                 try:
                     cur = conn.cursor()
                     cur.execute(spec.sql)
-                    rows = cur.fetchall()
+                    # stream the slice in bounded chunks: fetchall()
+                    # would materialize the whole slice as Python
+                    # objects in one worker before any Arrow batching —
+                    # a large slice OOMs the Python process. fetchmany
+                    # keeps peak memory at one chunk regardless of
+                    # slice size (a server-side cursor would also bound
+                    # the DRIVER-side buffer, but not every transport
+                    # here supports named cursors; chunked fetch is the
+                    # common denominator).
+                    while True:
+                        rows = cur.fetchmany(50_000)
+                        if not rows:
+                            break
+                        data = {
+                            c: [_to_copy_text(r[j]) for r in rows]
+                            for j, c in enumerate(cols)
+                        }
+                        yield pd.DataFrame(data, dtype=object)
                 finally:
                     conn.close()
-                if not rows:
-                    continue
-                data = {
-                    c: [_to_copy_text(r[j]) for r in rows]
-                    for j, c in enumerate(cols)
-                }
-                yield pd.DataFrame(data, dtype=object)
 
+    # repartitionByRange places slice i alone in partition i (range
+    # boundaries fall between consecutive integers); a hash
+    # repartition() can collide several slice indexes into one
+    # partition and leave others empty, serializing the pulls
     idx_df = spark.createDataFrame(
         [(i,) for i in range(len(specs))], "__slice int"
-    ).repartition(len(specs), "__slice")
+    ).repartitionByRange(len(specs), "__slice")
     raw = idx_df.mapInPandas(pull, schema=str_schema)
 
     # JVM-side casts to the inferred schema (inside codegen; the Python

@@ -57,6 +57,89 @@ def _bucket(key_cols: list[str], n: int):
     return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n)).cast("int")
 
 
+def _net_batch(
+    keyed: DataFrame,
+    data_cols: list[str],
+    id_col: str,
+    op_col: str,
+    delete_op: str,
+    seq_col: str | None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Collapse one micro-batch to at most ONE effective op per id.
+
+    Same-id ops inside a single batch are real CDC traffic — an update
+    is delete(old)+insert(new) (the documented delta format in
+    operators/incremental.py), and Debezium-style feeds can carry
+    create+delete of the same id in one poll. Applying inserts and
+    deletes against the PRE-batch base independently mishandles both
+    (an update would silently delete the row; insert-then-delete would
+    leave it alive), so the batch is netted per id first:
+
+    - ``seq_col`` given (an intra-batch ordering such as the changelog
+      offset): last-op-wins. The final op per id is the one with the
+      highest seq (ties broken insert-over-delete, the CDC convention
+      where before/after images share a source offset). A chain whose
+      final op is an insert preceded by any delete nets to REPLACE
+      (delete old row + insert new values) — exactly the update
+      semantics; a final delete nets to delete; an insert-only chain
+      nets to a membership insert (applied only if the id is absent,
+      which keeps full-batch replays no-ops).
+    - no ``seq_col``: there is no way to order the chain, so an id with
+      several inserts, or with both an insert and a delete, is REJECTED
+      with a ValueError naming the ids — silent corruption is worse
+      than a loud contract. Repeated deletes of one id are fine
+      (idempotent) and are collapsed.
+
+    Returns ``(inserts, replaces, delete_ids)`` where inserts/replaces
+    carry ``data_cols`` and delete_ids carries ``id_col`` only;
+    replaces must evict the stored row for their id before landing.
+    """
+    is_del = F.col(op_col) == delete_op
+    if seq_col is None:
+        stats = keyed.groupBy(id_col).agg(
+            F.sum(F.when(~is_del, 1).otherwise(0)).alias("__ni"),
+            F.sum(F.when(is_del, 1).otherwise(0)).alias("__nd"),
+        )
+        bad = (
+            stats.filter(
+                (F.col("__ni") > 1) | ((F.col("__ni") > 0) & (F.col("__nd") > 0))
+            )
+            .select(id_col)
+            .limit(5)
+            .collect()
+        )
+        if bad:
+            ids = [r[id_col] for r in bad]
+            raise ValueError(
+                "micro-batch carries multiple ops for id(s) "
+                f"{ids}: without seq_col the net effect is ambiguous "
+                "(delete+insert is an update, insert+delete is a "
+                "tombstone — indistinguishable unordered). Pass "
+                "seq_col=<intra-batch ordering column> for "
+                "last-op-wins netting."
+            )
+        ins = keyed.filter(~is_del).select(*data_cols)
+        return ins, ins.filter(F.lit(False)), keyed.filter(is_del).select(
+            id_col
+        ).distinct()
+
+    from pyspark.sql.window import Window
+
+    w_last = Window.partitionBy(id_col).orderBy(
+        F.col(seq_col).desc(), is_del.cast("int").asc()
+    )
+    flagged = keyed.withColumn("__rn", F.row_number().over(w_last)).withColumn(
+        "__had_del",
+        F.max(is_del.cast("int")).over(Window.partitionBy(id_col)),
+    )
+    last = flagged.filter(F.col("__rn") == 1)
+    dels = last.filter(is_del).select(id_col)
+    final_ins = last.filter(~is_del)
+    ins = final_ins.filter(F.col("__had_del") == 0).select(*data_cols)
+    repl = final_ins.filter(F.col("__had_del") == 1).select(*data_cols)
+    return ins, repl, dels
+
+
 def _exists(spark, path: str) -> bool:
     jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -121,6 +204,7 @@ def maintain_rollup_batch(
     n_buckets: int = 16,
     op_col: str = "op",
     delete_op: str = "D",
+    seq_col: str | None = None,
 ) -> None:
     """Apply one changelog micro-batch (rows: key cols + ``id_col`` +
     ``value_col`` + ``op_col``) to the base store and its rollup.
@@ -128,7 +212,14 @@ def maintain_rollup_batch(
     ``id_col`` must uniquely identify a base row (the CDC primary key);
     idempotence is defined against it — re-inserting an id that exists
     or re-deleting one that doesn't is a no-op, which is exactly what a
-    replayed micro-batch reduces to.
+    replayed micro-batch reduces to. Same-id ops WITHIN one batch (a
+    CDC update's delete+insert pair, or insert-then-delete of a fresh
+    id) are netted per id first — ordered by ``seq_col`` when given,
+    rejected as ambiguous when not (see :func:`_net_batch`). A netted
+    update replaces the stored row, so replaying the batch rewrites the
+    same bytes; replaying an OLD update after a newer one re-applies
+    the old image, the same behavior every CDC consumer has for
+    redelivered updates.
     """
     spark = delta.sparkSession
     keyed = delta.withColumn("__bucket", _bucket(key_cols, n_buckets))
@@ -149,17 +240,22 @@ def maintain_rollup_batch(
     else:
         base_slice = keyed.select(*data_cols).filter(F.lit(False))
 
-    ins = keyed.filter(F.col(op_col) != delete_op).select(*data_cols)
-    dels = keyed.filter(F.col(op_col) == delete_op).select(id_col)
+    ins, repl, dels = _net_batch(
+        keyed, data_cols, id_col, op_col, delete_op, seq_col
+    )
     # effective delta = the not-yet-applied part; a full replay of an
-    # applied batch makes both sides empty and the writes below rewrite
-    # the slice to its current state (byte-stable no-op)
-    eff_ins = ins.join(base_slice.select(id_col), id_col, "left_anti")
+    # applied batch makes the membership sides empty (and the replace
+    # side rewrite identical rows), so the writes below rewrite the
+    # slice to its current state (byte-stable no-op)
+    eff_ins = ins.join(base_slice.select(id_col), id_col, "left_anti").unionByName(
+        repl
+    )
+    evicted = dels.unionByName(repl.select(id_col))
     # materialize ONCE, before the overwrite below invalidates the very
     # files this plan reads — both the base write and the rollup
     # aggregation then run off the checkpointed slice, not the store
     new_base_slice = (
-        base_slice.join(dels, id_col, "left_anti")
+        base_slice.join(evicted, id_col, "left_anti")
         .unionByName(eff_ins)
         .localCheckpoint(eager=True)
     )
@@ -180,6 +276,7 @@ def foreach_batch_rollup_maintainer(
     n_buckets: int = 16,
     op_col: str = "op",
     delete_op: str = "D",
+    seq_col: str | None = None,
 ):
     """``writeStream.foreachBatch`` callback wiring
     :func:`maintain_rollup_batch`."""
@@ -195,6 +292,7 @@ def foreach_batch_rollup_maintainer(
             n_buckets,
             op_col,
             delete_op,
+            seq_col,
         )
 
     return run

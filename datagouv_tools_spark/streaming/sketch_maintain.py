@@ -11,12 +11,24 @@ sketch-sized analog of the rollup maintainers. Per batch:
 Idempotence uses the in-state tag design proven by
 ``streaming/rollup_maintain.delta_maintain_batch``: every store row
 carries the (run_key, batch id) that last wrote it, so the
-applied-marker commits atomically with the state (the store is one
-rewrite — at ≤ d·w rows it is KBs — so "partial commit" cannot even
-arise), and a redelivered batch sees its own tag and skips. The CMS
-add is NOT idempotent by itself (re-adding double-counts — unlike the
-rollup's id-membership deltas there are no ids to probe), which is
-exactly why the tag is load-bearing here.
+applied-marker commits atomically with the state, and a redelivered
+batch sees its own tag and skips. The CMS add is NOT idempotent by
+itself (re-adding double-counts — unlike the rollup's id-membership
+deltas there are no ids to probe), which is exactly why the tag is
+load-bearing here.
+
+Durability: the store is VERSIONED, never overwritten in place. A
+plain ``mode("overwrite")`` of the store directory deletes the
+accumulated state before the new job commits — a crash mid-write would
+lose EVERYTHING, and the at-least-once redelivery would rebuild the
+sketch from only the redelivered batch: a silent permanent undercount
+that breaks the "never undercounts" contract. Instead each commit
+writes a fresh ``v{N}`` subdirectory (N strictly increasing), readers
+resolve to the highest version whose ``_SUCCESS`` marker exists, and
+older versions are pruned only AFTER the new one is fully committed.
+Every crash window therefore leaves a complete previous version in
+place: a died write leaves an ignored marker-less dir that the
+redelivery supersedes.
 """
 
 from __future__ import annotations
@@ -32,14 +44,55 @@ __all__ = [
     "read_cms",
     "cms_estimate",
     "mincount_maintain_batch",
+    "read_mincount",
     "mincount_estimate",
 ]
 
 
-def _exists(spark, path: str) -> bool:
+def _fs(spark, path: str):
     jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return fs.exists(jpath)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _versions(spark, store_path: str) -> list[tuple[int, str, bool]]:
+    """All ``v{N}`` subdirs as (N, path, committed) — committed means
+    the Spark job's ``_SUCCESS`` marker exists."""
+    fs, root = _fs(spark, store_path)
+    if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith("v") and name[1:].isdigit():
+            p = f"{store_path}/{name}"
+            ok = fs.exists(spark._jvm.org.apache.hadoop.fs.Path(f"{p}/_SUCCESS"))
+            out.append((int(name[1:]), p, ok))
+    return out
+
+
+def _read_current(spark, store_path: str) -> DataFrame | None:
+    """The highest COMMITTED version of the store, or None."""
+    committed = [(n, p) for n, p, ok in _versions(spark, store_path) if ok]
+    if not committed:
+        return None
+    path = max(committed)[1]
+    spark.catalog.refreshByPath(path)
+    return spark.read.parquet(path)
+
+
+def _commit_version(df: DataFrame, store_path: str) -> None:
+    """Write ``df`` as the store's next version, then prune the rest.
+    The write reads the previous version's files, which stay in place
+    until after this commit — no checkpoint needed, no crash window in
+    which the accumulated state is gone."""
+    spark = df.sparkSession
+    existing = _versions(spark, store_path)
+    nxt = max((n for n, _, _ in existing), default=-1) + 1
+    target = f"{store_path}/v{nxt}"
+    df.write.mode("overwrite").parquet(target)
+    fs, _ = _fs(spark, store_path)
+    for _n, p, _ok in existing:
+        fs.delete(spark._jvm.org.apache.hadoop.fs.Path(p), True)
 
 
 def cms_maintain_batch(
@@ -53,9 +106,8 @@ def cms_maintain_batch(
 ) -> None:
     """Fold one micro-batch of token occurrences into the CMS store."""
     spark = batch_tokens.sparkSession
-    if _exists(spark, store_path):
-        spark.catalog.refreshByPath(store_path)
-        stored = spark.read.parquet(store_path)
+    stored = _read_current(spark, store_path)
+    if stored is not None:
         tag = stored.select("__run", "__seq").first()
         if tag is not None and tag["__run"] == run_key and int(tag["__seq"]) >= batch_id:
             return
@@ -83,9 +135,8 @@ def cms_maintain_batch(
         merged.withColumn("__run", F.lit(run_key))
         .withColumn("__seq", F.lit(int(batch_id)).cast("bigint"))
         .withColumn("__width", F.lit(width))
-        .localCheckpoint(eager=True)  # the plan reads the path it replaces
     )
-    out.write.mode("overwrite").parquet(store_path)
+    _commit_version(out, store_path)
 
 
 def foreach_batch_cms_maintainer(
@@ -111,8 +162,7 @@ def foreach_batch_cms_maintainer(
 
 def read_cms(spark, store_path: str) -> DataFrame:
     """The maintained cells, sans tag columns."""
-    spark.catalog.refreshByPath(store_path)
-    return spark.read.parquet(store_path).drop("__run", "__seq", "__width")
+    return _read_current(spark, store_path).drop("__run", "__seq", "__width")
 
 
 def cms_estimate(spark, store_path: str, tokens: list[str]) -> dict[str, int]:
@@ -120,8 +170,7 @@ def cms_estimate(spark, store_path: str, tokens: list[str]) -> dict[str, int]:
     (min over depth rows; never undercounts)."""
     from datagouv_tools_spark.operators.sketches import cms_index
 
-    spark.catalog.refreshByPath(store_path)
-    raw = spark.read.parquet(store_path)
+    raw = _read_current(spark, store_path)
     meta = raw.select(F.max("i"), F.first("__width")).first()
     depth, width = int(meta[0]) + 1, int(meta[1])
     cells = raw.drop("__run", "__seq", "__width")
@@ -165,11 +214,9 @@ def mincount_maintain_batch(
     inc = mincount_buckets(batch, group_cols, F.col(key_col), n_buckets).select(
         *group_cols, "b", F.col("mv").alias("__imv")
     )
-    if _exists(spark, store_path):
-        spark.catalog.refreshByPath(store_path)
-        old = spark.read.parquet(store_path).select(
-            *group_cols, "b", F.col("mv").alias("__omv")
-        )
+    stored = _read_current(spark, store_path)
+    if stored is not None:
+        old = stored.select(*group_cols, "b", F.col("mv").alias("__omv"))
         merged = old.join(inc, [*group_cols, "b"], "full_outer").select(
             *group_cols,
             "b",
@@ -177,20 +224,22 @@ def mincount_maintain_batch(
         )
     else:
         merged = inc.select(*group_cols, "b", F.col("__imv").alias("mv"))
-    out = (
-        merged.withColumn("__run", F.lit(run_key))
-        .withColumn("__seq", F.lit(int(batch_id)).cast("bigint"))
-        .localCheckpoint(eager=True)
+    out = merged.withColumn("__run", F.lit(run_key)).withColumn(
+        "__seq", F.lit(int(batch_id)).cast("bigint")
     )
-    out.write.mode("overwrite").parquet(store_path)
+    _commit_version(out, store_path)
+
+
+def read_mincount(spark, store_path: str) -> DataFrame:
+    """The maintained MinCount buckets, sans tag columns."""
+    return _read_current(spark, store_path).drop("__run", "__seq")
 
 
 def mincount_estimate(spark, store_path: str) -> DataFrame:
     """Per-group distinct estimates from the maintained buckets (the
     events_distinct_sketch estimator: Σ_b (2^53/(m_b+1) − 1), scaled
     ×1000 integer-exact)."""
-    spark.catalog.refreshByPath(store_path)
-    cells = spark.read.parquet(store_path).drop("__run", "__seq")
+    cells = read_mincount(spark, store_path)
     group_cols = [c for c in cells.columns if c not in ("b", "mv")]
     return (
         cells.withColumn(

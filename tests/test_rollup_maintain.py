@@ -334,37 +334,40 @@ def test_property_streaming_maintenance_random_histories(spark, tmp_path):
         base_path, rollup_path = str(d / "base"), str(d / "rollup")
         live: dict[int, tuple[str, int]] = {}
         next_id = itertools.count(1)
+        next_seq = itertools.count(0)
         batches = []
         for _b in range(3):
             rows = []
             for _ in range(rng.randint(1, 6)):
+                # same-id insert+delete can land in ONE batch — the
+                # seq column orders the chain so netting resolves it
                 if live and rng.random() < 0.4:
                     i = rng.choice(list(live))
                     k, v = live.pop(i)
-                    rows.append((k, i, v, "D"))
+                    rows.append((k, i, v, "D", next(next_seq)))
                 else:
                     i = next(next_id)
                     k = rng.choice("ab")
                     v = rng.randint(0, 9)
                     live[i] = (k, v)
-                    rows.append((k, i, v, "I"))
+                    rows.append((k, i, v, "I", next(next_seq)))
             batches.append(rows)
         for rows in batches:
             maintain_rollup_batch(
-                _delta(spark, rows), base_path, rollup_path, ["k"], "id", "v",
-                n_buckets=4,
+                _sdelta(spark, rows), base_path, rollup_path, ["k"], "id", "v",
+                n_buckets=4, seq_col="seq",
             )
         # replay a random batch (at-least-once redelivery)
         maintain_rollup_batch(
-            _delta(spark, rng.choice(batches)), base_path, rollup_path,
-            ["k"], "id", "v", n_buckets=4,
+            _sdelta(spark, rng.choice(batches)), base_path, rollup_path,
+            ["k"], "id", "v", n_buckets=4, seq_col="seq",
         )
         # NB: replaying an old batch can legitimately re-insert ids whose
         # deletes came in LATER batches (documented id-membership
         # semantics) — so replay the LAST batch only for strict equality
         maintain_rollup_batch(
-            _delta(spark, batches[-1]), base_path, rollup_path,
-            ["k"], "id", "v", n_buckets=4,
+            _sdelta(spark, batches[-1]), base_path, rollup_path,
+            ["k"], "id", "v", n_buckets=4, seq_col="seq",
         )
         # the random mid-history replay may have resurrected ids deleted
         # later; recompute expectation from the store's own base — the
@@ -390,3 +393,103 @@ def test_property_streaming_maintenance_random_histories(spark, tmp_path):
             }
         )
         assert got == from_base, (_case, batches)
+
+
+# --- same-id ops within ONE micro-batch (CDC update / tombstone) ----------
+
+SEQ_SCHEMA = "k string, id bigint, v int, op string, seq bigint"
+
+
+def _sdelta(spark, rows):
+    return spark.createDataFrame(rows, SEQ_SCHEMA)
+
+
+def test_intra_batch_update_replaces_row(spark, tmp_path):
+    """A CDC update (delete old + insert new, same id, one batch,
+    ordered by seq) must land the NEW value — not silently delete the
+    row (the pre-fix behavior: the insert was anti-joined away against
+    the pre-delete base and only the delete applied)."""
+    base_path = str(tmp_path / "base")
+    rollup_path = str(tmp_path / "rollup")
+    maintain_rollup_batch(
+        _sdelta(spark, [("a", 1, 10, "I", 0), ("a", 2, 20, "I", 1)]),
+        base_path, rollup_path, ["k"], "id", "v", seq_col="seq",
+    )
+    # the update batch: id=1 goes 10 -> 99
+    maintain_rollup_batch(
+        _sdelta(spark, [("a", 1, 10, "D", 2), ("a", 1, 99, "I", 3)]),
+        base_path, rollup_path, ["k"], "id", "v", seq_col="seq",
+    )
+    _check_consistent(spark, base_path, rollup_path, [("a", 1, 99), ("a", 2, 20)])
+
+    # replaying the update batch is byte-stable
+    before = _snapshot(spark, rollup_path)
+    maintain_rollup_batch(
+        _sdelta(spark, [("a", 1, 10, "D", 2), ("a", 1, 99, "I", 3)]),
+        base_path, rollup_path, ["k"], "id", "v", seq_col="seq",
+    )
+    _check_consistent(spark, base_path, rollup_path, [("a", 1, 99), ("a", 2, 20)])
+    assert _snapshot(spark, rollup_path)[0] == before[0]
+
+
+def test_intra_batch_insert_then_delete_is_tombstone(spark, tmp_path):
+    """insert-then-delete of a NEW id inside one batch nets to absent
+    (pre-fix: the delete only probed the prior base, so the id
+    survived)."""
+    base_path = str(tmp_path / "base")
+    rollup_path = str(tmp_path / "rollup")
+    maintain_rollup_batch(
+        _sdelta(
+            spark,
+            [("a", 1, 10, "I", 0), ("a", 7, 5, "I", 1), ("a", 7, 5, "D", 2)],
+        ),
+        base_path, rollup_path, ["k"], "id", "v", seq_col="seq",
+    )
+    _check_consistent(spark, base_path, rollup_path, [("a", 1, 10)])
+
+
+def test_intra_batch_chain_last_op_wins(spark, tmp_path):
+    """create + update of one id in one batch: the highest-seq insert's
+    value lands, exactly once."""
+    base_path = str(tmp_path / "base")
+    rollup_path = str(tmp_path / "rollup")
+    maintain_rollup_batch(
+        _sdelta(
+            spark,
+            [("a", 1, 1, "I", 0), ("a", 1, 1, "D", 1), ("a", 1, 42, "I", 2)],
+        ),
+        base_path, rollup_path, ["k"], "id", "v", seq_col="seq",
+    )
+    _check_consistent(spark, base_path, rollup_path, [("a", 1, 42)])
+
+
+def test_intra_batch_multi_op_without_seq_is_rejected(spark, tmp_path):
+    """Without an intra-batch ordering there is no way to tell an
+    update from a tombstone — the maintainer must refuse loudly, never
+    guess."""
+    import pytest
+
+    base_path = str(tmp_path / "base")
+    rollup_path = str(tmp_path / "rollup")
+    with pytest.raises(ValueError, match="seq_col"):
+        maintain_rollup_batch(
+            _delta(spark, [("a", 1, 10, "D"), ("a", 1, 99, "I")]),
+            base_path, rollup_path, ["k"], "id", "v",
+        )
+    with pytest.raises(ValueError, match="seq_col"):
+        maintain_rollup_batch(
+            _delta(spark, [("a", 1, 10, "I"), ("a", 1, 11, "I")]),
+            base_path, rollup_path, ["k"], "id", "v",
+        )
+    # repeated deletes of one id stay legal (idempotent) and collapse
+    maintain_rollup_batch(
+        _delta(spark, [("a", 1, 10, "I")]), base_path, rollup_path,
+        ["k"], "id", "v",
+    )
+    maintain_rollup_batch(
+        _delta(spark, [("a", 1, 10, "D"), ("a", 1, 10, "D")]),
+        base_path, rollup_path, ["k"], "id", "v",
+    )
+    assert read_rollup(spark, base_path) is None or read_rollup(
+        spark, rollup_path
+    ) is None

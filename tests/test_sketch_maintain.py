@@ -99,6 +99,7 @@ def test_mincount_maintenance_merge_is_naturally_idempotent(spark, tmp_path):
     from datagouv_tools_spark.streaming.sketch_maintain import (
         mincount_estimate,
         mincount_maintain_batch,
+        read_mincount,
     )
 
     path = str(tmp_path / "mc")
@@ -115,20 +116,18 @@ def test_mincount_maintenance_merge_is_naturally_idempotent(spark, tmp_path):
         (r["g"], r["b"], r["mv"])
         for r in mincount_buckets(df(b0 + b1), ["g"], F.col("uid")).collect()
     )
-    spark.catalog.refreshByPath(path)
     got = sorted(
         (r["g"], r["b"], r["mv"])
-        for r in spark.read.parquet(path).drop("__run", "__seq").collect()
+        for r in read_mincount(spark, path).collect()
     )
     assert got == want
 
     # replay both batches, out of order — algebraically a no-op
     mincount_maintain_batch(df(b1), path, ["g"], "uid", "r", 1)
     mincount_maintain_batch(df(b0), path, ["g"], "uid", "r", 0)
-    spark.catalog.refreshByPath(path)
     again = sorted(
         (r["g"], r["b"], r["mv"])
-        for r in spark.read.parquet(path).drop("__run", "__seq").collect()
+        for r in read_mincount(spark, path).collect()
     )
     assert again == want
 
@@ -136,3 +135,40 @@ def test_mincount_maintenance_merge_is_naturally_idempotent(spark, tmp_path):
     # t1 has 60 distinct, t2 has 6 — estimates in a loose band
     assert 20_000 <= int(est["t1"]["est_distinct_mille"]) <= 200_000
     assert 1_000 <= int(est["t2"]["est_distinct_mille"]) <= 30_000
+
+
+def test_crash_mid_write_preserves_accumulated_state(spark, tmp_path):
+    """The r5 design overwrote the store dir in place: Spark deletes
+    the path BEFORE the job commits, so a crash mid-write lost all
+    accumulated counts and the redelivery silently rebuilt from one
+    batch. The versioned store must survive that window: a marker-less
+    (died) version dir is invisible to readers and superseded by the
+    redelivery."""
+    import os
+    import pathlib
+
+    path = str(tmp_path / "cms")
+    cms_maintain_batch(_toks(spark, B0), path, "r", 0, width=64)
+    state_after_b0 = _cells(spark, path)
+
+    # simulate batch 1 dying mid-write: a version dir exists but its
+    # _SUCCESS marker never landed
+    versions = sorted(os.listdir(path))
+    dead = pathlib.Path(path) / f"v{int(versions[-1][1:]) + 1}"
+    dead.mkdir()
+    (dead / "part-00000-dead.snappy.parquet").write_bytes(b"not parquet")
+
+    # the accumulated state is still what readers resolve
+    assert _cells(spark, path) == state_after_b0
+
+    # redelivery of batch 1 applies on top of the SURVIVING state and
+    # produces the same store as a clean run
+    cms_maintain_batch(_toks(spark, B1), path, "r", 1, width=64)
+    want = sorted(
+        (r["i"], r["idx"], r["c"])
+        for r in cms_cells(_toks(spark, B0 + B1), width=64).collect()
+    )
+    assert _cells(spark, path) == want
+    # commit pruned every older/dead version: exactly one committed dir
+    left = [d for d in os.listdir(path) if d.startswith("v")]
+    assert len(left) == 1 and (pathlib.Path(path) / left[0] / "_SUCCESS").exists()

@@ -186,3 +186,32 @@ def test_zorder_write_three_columns(spark, tmp_path):
 
     with pytest.raises(ValueError):
         zorder_write(df, path, ("x",))
+
+
+def test_morton3_cross_engine_duckdb(spark):
+    """The 3-D SQL twin exists only because the spread became
+    linear-size (the r5 textual form was 32 copies of the input per
+    dimension); pin it bit-for-bit against the Spark key."""
+    import duckdb
+
+    from datagouv_tools_spark.functions.zorder import morton3, sql_morton3
+
+    vals = [
+        (i * 7919 % (2**21), i * 104729 % (2**21), i * 131 % (2**21))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(vals, "x bigint, y bigint, z bigint")
+    spark_keys = [
+        r.k
+        for r in df.select(morton3("x", "y", "z").alias("k")).orderBy("k").collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE v(x BIGINT, y BIGINT, z BIGINT)")
+    con.executemany("INSERT INTO v VALUES (?, ?, ?)", vals)
+    duck_keys = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {sql_morton3('x', 'y', 'z')} AS k FROM v ORDER BY k"
+        ).fetchall()
+    ]
+    assert spark_keys == duck_keys
