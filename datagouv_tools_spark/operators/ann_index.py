@@ -49,6 +49,8 @@ __all__ = [
     "index_append",
     "index_compact",
     "index_delete",
+    "index_drift",
+    "index_rebuild_if",
 ]
 
 
@@ -164,18 +166,24 @@ def index_build(
     n_bands: int = 10,
     band_bits: int = 10,
     seed: int = 42,
+    refine_iters: int = 0,
 ) -> AnnIndex:
     """Build and persist every ANN artifact for ``corpus``; returns the
     opened index. Deterministic end-to-end (same seeded rules as the
     per-query operators), so stored codes hash-match freshly computed
-    ones — the *_indexed queries reuse the non-indexed oracles."""
+    ones — the *_indexed queries reuse the non-indexed oracles.
+
+    ``refine_iters > 0`` runs that many Lloyd iterations on the PQ
+    codebooks (still deterministic, but no longer SQL-oracle
+    reproducible — keep 0 for oracle-checked indexes; use it for
+    production rebuilds where recon_err matters more)."""
     spark = corpus.sparkSession
     cents = _ivf_centroids(
         corpus.select(id_col, vec_col), id_col, vec_col, n_lists, seed
     )
     books = pq_codebooks(
         corpus, id_col, vec_col, dim=dim, n_subspaces=n_subspaces,
-        n_codes=n_codes, seed=seed,
+        n_codes=n_codes, seed=seed, refine_iters=refine_iters,
     )
     meta = {
         "id_col": id_col, "vec_col": vec_col, "dim": dim,
@@ -202,9 +210,9 @@ def index_build(
         corpus.select(id_col, vec_col), vec_col, n_lists, seed,
         cents=cents, id_col=id_col,
     )
+    enc = pq_encode(assigned, books, vec_col=vec_col)
     (
-        pq_encode(assigned, books, vec_col=vec_col)
-        .select(id_col, "__list", *[f"code_{s}" for s in range(n_subspaces)])
+        enc.select(id_col, "__list", *[f"code_{s}" for s in range(n_subspaces)])
         .write.mode("overwrite")
         .partitionBy("__list")
         .parquet(f"{path}/codes")
@@ -215,7 +223,32 @@ def index_build(
         .partitionBy("__band")
         .parquet(f"{path}/bands")
     )
+    # drift watermark: the corpus-wide mean quantization error under the
+    # freshly trained codebooks — the bar appended batches are compared
+    # against (index_drift / index_rebuild_if). One extra encode pass
+    # (map-only, no shuffle); a pipeline that can't afford it persists
+    # `enc` before the codes write.
+    _record_drift(spark, path, "build", enc, overwrite=True)
     return index_open(spark, path)
+
+
+def _record_drift(
+    spark, path: str, kind: str, enc: DataFrame, overwrite: bool = False
+) -> None:
+    """Append one (kind, n, mean_recon_err) row to the drift ledger."""
+    row = enc.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("recon_err").alias("m")
+    ).first()
+    n, m = int(row["n"]), row["m"]
+    if n == 0:
+        if not overwrite:
+            return
+        m = 0.0
+    spark.createDataFrame(
+        [(kind, n, float(m))], "kind string, n bigint, mean_recon_err double"
+    ).write.mode("overwrite" if overwrite else "append").parquet(
+        f"{path}/drift.parquet"
+    )
 
 
 def index_append(
@@ -282,13 +315,16 @@ def index_append(
             index.bands().filter(F.col("__band") == 0).select(id_col)
         )
         new_vectors = new_vectors.join(bands_existing, id_col, "left_anti")
+    enc = pq_encode(assigned, index.codebooks, vec_col=vec_col)
     (
-        pq_encode(assigned, index.codebooks, vec_col=vec_col)
-        .select(id_col, "__list", *[f"code_{s}" for s in range(n_sub)])
+        enc.select(id_col, "__list", *[f"code_{s}" for s in range(n_sub)])
         .write.mode("append")
         .partitionBy("__list")
         .parquet(f"{index.path}/codes")
     )
+    # the appended batch's quantization error under the FROZEN
+    # codebooks, ledgered for the rebuild trigger (index_rebuild_if)
+    _record_drift(index.spark, index.path, "append", enc)
     (
         lsh_band_buckets(
             new_vectors,
@@ -406,3 +442,116 @@ def index_open(spark: SparkSession, path: str) -> AnnIndex:
     if any(len(b) != n_codes for b in codebooks):
         raise ValueError(f"corrupt codebooks at {path}")
     return AnnIndex(spark, path, meta, centroids, codebooks)
+
+
+def index_drift(index: AnnIndex) -> dict:
+    """The index's quantization-drift state, from the ledger the build
+    and every append wrote:
+
+    - ``watermark``: corpus mean recon_err at build time (the error the
+      frozen codebooks were TRAINED to give);
+    - ``append_n`` / ``append_mean_err``: row count and row-weighted
+      mean recon_err across all appended batches;
+    - ``ratio``: append_mean_err / watermark — 1.0 means appends
+      quantize as well as the build corpus; growth measures
+      distribution drift the frozen artifacts can't follow (FAISS
+      ``add()`` has the same blind spot; the cure there and here is a
+      rebuild, never a silent retrain that would invalidate stored
+      codes).
+
+    Reading the ledger is O(#batches) tiny rows; no corpus work.
+    """
+    jpath = index.spark._jvm.org.apache.hadoop.fs.Path(
+        f"{index.path}/drift.parquet"
+    )
+    fs = jpath.getFileSystem(index.spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return {"watermark": None, "append_n": 0, "append_mean_err": None,
+                "ratio": None}
+    rows = index.spark.read.parquet(f"{index.path}/drift.parquet").collect()
+    wm = next(
+        (r["mean_recon_err"] for r in rows if r["kind"] == "build"), None
+    )
+    app = [(int(r["n"]), r["mean_recon_err"]) for r in rows if r["kind"] == "append"]
+    n_app = sum(n for n, _ in app)
+    mean_app = (
+        sum(n * m for n, m in app) / n_app if n_app else None
+    )
+    ratio = (
+        mean_app / wm if (wm not in (None, 0.0) and mean_app is not None) else None
+    )
+    return {
+        "watermark": wm,
+        "append_n": n_app,
+        "append_mean_err": mean_app,
+        "ratio": ratio,
+    }
+
+
+def index_rebuild_if(
+    index: AnnIndex,
+    corpus: DataFrame,
+    *,
+    ratio: float = 1.5,
+    min_appended: int = 1,
+    refine_iters: int = 0,
+) -> AnnIndex | None:
+    """Rebuild the index when accumulated append drift says the frozen
+    artifacts no longer fit the data — the policy layer on top of
+    :func:`index_drift`.
+
+    Fires when ≥ ``min_appended`` rows were appended AND their weighted
+    mean quantization error exceeds ``ratio`` × the build watermark.
+    Returns the rebuilt (reopened) index, or None when the trigger
+    doesn't fire — callers put this at the end of an ingest cycle and
+    pay the rebuild only when it buys recall back.
+
+    ``corpus`` must be the CURRENT full vector set (the index stores
+    codes, not vectors — reconstruction would bake the very
+    quantization error we're escaping); tombstoned ids are excluded
+    here, so a rebuild also acts as a physical purge. The rebuild
+    stages into a sibling directory and swaps via two renames — the
+    store keeps a complete index through every crash window except
+    between the renames (old moved aside, new not yet in place), where
+    the surviving ``__old``/``__rebuild`` dirs make manual recovery a
+    single rename.
+    """
+    d = index_drift(index)
+    if (
+        d["ratio"] is None
+        or d["append_n"] < min_appended
+        or d["ratio"] < ratio
+    ):
+        return None
+
+    spark = index.spark
+    meta = index.meta
+    ts = index.tombstones()
+    if ts is not None:
+        corpus = corpus.join(
+            F.broadcast(ts.select(meta["id_col"])), meta["id_col"], "left_anti"
+        )
+    staging = f"{index.path}__rebuild"
+    old = f"{index.path}__old"
+    index_build(
+        corpus,
+        staging,
+        id_col=meta["id_col"],
+        vec_col=meta["vec_col"],
+        dim=int(meta["dim"]),
+        n_lists=int(meta["n_lists"]),
+        n_subspaces=int(meta["n_subspaces"]),
+        n_codes=int(meta["n_codes"]),
+        n_bands=int(meta["n_bands"]),
+        band_bits=int(meta["band_bits"]),
+        seed=int(meta["seed"]),
+        refine_iters=refine_iters,
+    )
+    P = spark._jvm.org.apache.hadoop.fs.Path
+    fs = P(index.path).getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(P(old)):
+        fs.delete(P(old), True)
+    fs.rename(P(index.path), P(old))
+    fs.rename(P(staging), P(index.path))
+    fs.delete(P(old), True)
+    return index_open(spark, index.path)

