@@ -980,6 +980,77 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+@query(
+    "multimodal_decode_ppm",
+    """
+    WITH px AS (
+      SELECT d.doc_id,
+             ((d.doc_id * 7 + r.r * 5 + c.c * 3) % 256)      AS vr,
+             ((d.doc_id * 7 + r.r * 5 + c.c * 3 + 11) % 256) AS vg,
+             ((d.doc_id * 7 + r.r * 5 + c.c * 3 + 22) % 256) AS vb
+      FROM documents d, range(0, 12) r(r), range(0, 16) c(c)
+      WHERE d.doc_id < 40
+    )
+    SELECT doc_id AS media_id,
+           CAST(16 AS INTEGER) AS width,
+           CAST(12 AS INTEGER) AS height,
+           SUM(vr)::BIGINT AS sum_r, SUM(vg)::BIGINT AS sum_g,
+           SUM(vb)::BIGINT AS sum_b,
+           SUM(vr * vr)::BIGINT AS sumsq_r,
+           SUM(vg * vg)::BIGINT AS sumsq_g,
+           SUM(vb * vb)::BIGINT AS sumsq_b
+    FROM px GROUP BY doc_id ORDER BY media_id
+    """,
+)
+def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel decode, end-to-end: per document a 16×12 P6 (PPM)
+    image is synthesized by a deterministic per-pixel rule, serialized
+    to genuine Netpbm bytes (magic + ASCII header + raw RGB raster),
+    then DECODED BACK by the pure-numpy parser
+    (operators/multimodal.decode_ppm — the one codec this container
+    can run honestly: numpy ships, PIL/pyvips don't) and reduced to
+    exact per-channel Σv/Σv² stats.
+
+    The oracle never sees the bytes: it recomputes the stats from the
+    same generative rule, so any header mis-parse, raster offset slip,
+    or channel swap in the decoder shifts the sums and fails the hash
+    — the decode path, not the fixture, is what's pinned. Integer sums
+    (uint8 samples) cross engines exactly; means/stds derive downstream.
+
+    Scale: build+decode are one Arrow mapInPandas pass, map-local per
+    batch (no shuffle until the tiny per-image aggregate); real corpora
+    skip the builder and feed stored payload columns straight to
+    image_channel_stats."""
+    import pandas as pd
+
+    from datagouv_tools_spark.operators.multimodal import (
+        encode_ppm,
+        image_channel_stats,
+    )
+
+    def build(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                r = np.arange(12).reshape(12, 1, 1)
+                c = np.arange(16).reshape(1, 16, 1)
+                k = np.arange(3).reshape(1, 1, 3)
+                px = ((int(did) * 7 + r * 5 + c * 3 + k * 11) % 256).astype(
+                    np.uint8
+                )
+                ids.append(did)
+                payloads.append(encode_ppm(px))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    media = docs.select("doc_id").mapInPandas(
+        build, "media_id bigint, payload binary"
+    )
+    return image_channel_stats(media).orderBy("media_id")
+
+
 # ---------------------------------------------------------------------------
 # Streaming surface (streaming/windows.py, streaming/stateful.py) — each
 # batch query here is the oracle-checkable twin of the streaming operator;

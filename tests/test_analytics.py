@@ -982,3 +982,91 @@ def test_cms_never_undercounts_and_merges(spark, sf_dir):
         .orderBy("i", "idx")
     ).collect()
     assert [(r.i, r.idx, r.c) for r in whole] == [(r.i, r.idx, r.c) for r in merged]
+
+
+class TestPpmDecode:
+    """The real codec path: pure-numpy Netpbm P6 decode
+    (operators/multimodal.decode_ppm) — the honest exception to the
+    decode-is-stubbed rule, since numpy ships and PIL doesn't."""
+
+    def _img(self, w=5, h=3, seed=7):
+        import numpy as np
+
+        r = np.arange(h).reshape(h, 1, 1)
+        c = np.arange(w).reshape(1, w, 1)
+        k = np.arange(3).reshape(1, 1, 3)
+        return ((seed + r * 5 + c * 3 + k * 11) % 256).astype(np.uint8)
+
+    def test_round_trip(self):
+        import numpy as np
+
+        from datagouv_tools_spark.operators.multimodal import (
+            decode_ppm,
+            encode_ppm,
+        )
+
+        px = self._img()
+        w, h, back = decode_ppm(encode_ppm(px))
+        assert (w, h) == (5, 3)
+        assert np.array_equal(back, px)
+
+    def test_header_comments_and_whitespace_variants(self):
+        import numpy as np
+
+        from datagouv_tools_spark.operators.multimodal import decode_ppm
+
+        px = self._img(w=2, h=2)
+        raster = px.tobytes()
+        # comments between tokens, CRLF-ish whitespace, multi-space
+        hdr = b"P6 # a comment\n  2\t2 # dims\n255\n"
+        w, h, back = decode_ppm(hdr + raster)
+        assert (w, h) == (2, 2) and np.array_equal(back, px)
+
+    def test_decode_image_batch_routes_p6_and_rejects_rest(self):
+        from datagouv_tools_spark.operators.multimodal import (
+            decode_image_batch,
+            encode_ppm,
+        )
+
+        w, h, _ = decode_image_batch(encode_ppm(self._img()))
+        assert (w, h) == (5, 3)
+        with pytest.raises(NotImplementedError):
+            decode_image_batch(b"\x89PNG\r\n...")
+
+    def test_errors_are_loud(self):
+        from datagouv_tools_spark.operators.multimodal import (
+            decode_ppm,
+            encode_ppm,
+        )
+
+        full = encode_ppm(self._img())
+        with pytest.raises(ValueError, match="truncated P6 raster"):
+            decode_ppm(full[:-4])
+        with pytest.raises(ValueError, match="maxval"):
+            decode_ppm(b"P6\n2 2\n65535\n" + b"\x00" * 24)
+        with pytest.raises(ValueError, match="not a P6"):
+            decode_ppm(b"P5\n2 2\n255\n" + b"\x00" * 4)
+
+    def test_channel_stats_match_numpy(self, spark):
+        import numpy as np
+
+        from datagouv_tools_spark.operators.multimodal import (
+            encode_ppm,
+            image_channel_stats,
+        )
+
+        imgs = {i: self._img(w=4, h=6, seed=i * 13) for i in (1, 2, 3)}
+        df = spark.createDataFrame(
+            [(i, encode_ppm(px)) for i, px in imgs.items()],
+            "media_id long, payload binary",
+        )
+        got = {r["media_id"]: r for r in image_channel_stats(df).collect()}
+        for i, px in imgs.items():
+            flat = px.reshape(-1, 3).astype(np.int64)
+            assert got[i]["width"] == 4 and got[i]["height"] == 6
+            assert [got[i][f"sum_{ch}"] for ch in "rgb"] == list(
+                flat.sum(axis=0)
+            )
+            assert [got[i][f"sumsq_{ch}"] for ch in "rgb"] == list(
+                (flat * flat).sum(axis=0)
+            )
