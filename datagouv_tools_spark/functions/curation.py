@@ -23,6 +23,9 @@ __all__ = [
     "quality_logit",
     "split_assignment",
     "reassembled_kept_text",
+    "mixing_accept",
+    "source_mixing_rates",
+    "mixing_rate_expr",
 ]
 
 #: English stopword set shared by the quality features (and mirrored
@@ -89,4 +92,63 @@ def reassembled_kept_text() -> Column:
             lambda x: x["seg"],
         ),
         " ",
+    )
+
+
+def mixing_accept(
+    rate: Column, id_col: str = "doc_id", seed: str = "mix42"
+) -> Column:
+    """The doc_source_mixing acceptance rule: a doc survives when its
+    seeded md5 bucket (uniform in [0, 1)) falls below the per-source
+    ``rate``. Pure hash arithmetic — a doc's fate depends only on its
+    id and the rate, never on partitioning, arrival order, or rerun,
+    which is exactly what lets the STREAMING funnel apply the same
+    mixing as the batch funnel and produce the identical corpus."""
+    return (
+        md5_hash60(
+            F.concat_ws("-", F.col(id_col).cast("string"), F.lit(seed))
+        ).cast("double")
+        / F.lit(1152921504606846976.0)  # 2^60
+    ) < rate
+
+
+def source_mixing_rates(
+    docs,
+    shares: dict[str, float],
+    default_share: float,
+    source_col: str = "source",
+) -> dict[str, float]:
+    """Profile a corpus into per-source acceptance rates for the target
+    ``shares`` (doc_source_mixing's rule: rate = min(1, share · total /
+    n_source)). This is the PROFILING pass a production mixing stage
+    runs once over a reference corpus; the resulting rates are a small
+    frozen artifact the batch and streaming funnels both apply
+    map-side — freezing them is what makes stream == batch exact
+    (computing rates from counts-observed-so-far would drift as the
+    stream accumulates)."""
+    rows = (
+        docs.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    total = float(sum(r["n"] for r in rows))
+    return {
+        r[source_col]: min(
+            1.0, shares.get(r[source_col], default_share) * total / r["n"]
+        )
+        for r in rows
+    }
+
+
+def mixing_rate_expr(
+    mix_rates: dict[str, float], source_col: str = "source"
+) -> Column:
+    """The frozen rate table as a map-side expression (a literal map —
+    a handful of sources — so no join, no shuffle); sources absent
+    from the table keep everything (rate 1.0)."""
+    pairs: list[Column] = []
+    for s, r in sorted(mix_rates.items()):
+        pairs += [F.lit(s), F.lit(float(r))]
+    return F.coalesce(
+        F.element_at(F.create_map(*pairs), F.col(source_col)), F.lit(1.0)
     )

@@ -40,6 +40,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from datagouv_tools_spark.functions.curation import (
+    mixing_accept,
+    mixing_rate_expr,
     quality_logit,
     reassembled_kept_text,
     split_assignment,
@@ -82,9 +84,17 @@ def curate_corpus(
     seg_len: int = 8,
     keep_cols: tuple[str, ...] = ("source", "lang"),
     sample_per_source: int | None = None,
+    mix_rates: dict[str, float] | None = None,
 ) -> CurationReport:
     """Run the curation funnel over ``docs`` and write the cleaned,
     split-partitioned corpus to ``out_dir``. Returns stage counts.
+
+    ``mix_rates`` (source → acceptance rate, the frozen artifact from
+    ``functions.curation.source_mixing_rates``) inserts the domain-
+    mixing stage between quality and the PPS cap: map-side seeded-hash
+    acceptance, the doc_source_mixing rule. Rates are frozen inputs —
+    not recomputed from this corpus — so the streaming funnel applying
+    the same table yields the identical corpus.
 
     The dedup/scrub stage results are persisted (MEMORY_AND_DISK)
     before their counts: without it, each ``count()`` plus the final
@@ -118,6 +128,12 @@ def curate_corpus(
 
             # 3. quality filter (the shared pinned classifier)
             kept = scrubbed.filter(quality_logit(text_col) >= 0.0)
+
+            # 3b. optional domain mixing against the frozen rate table
+            if mix_rates is not None:
+                kept = kept.filter(
+                    mixing_accept(mixing_rate_expr(mix_rates), id_col)
+                )
 
             # 4. optional deterministic PPS cap per source; the
             # pre-sample quality count is cheap here (filter over the
@@ -172,6 +188,7 @@ def stream_curate(
     text_col: str = "text",
     seg_len: int = 8,
     keep_cols: tuple[str, ...] = ("source", "lang"),
+    mix_rates: dict[str, float] | None = None,
     **gate_kwargs,
 ):
     """The curation funnel as a CONTINUOUS stream: documents flow
@@ -179,22 +196,35 @@ def stream_curate(
     ``post_transform`` seam applies the remaining batch stages —
     drop empty-scrubbed docs (which subsumes doc-level exact dedup: an
     exact duplicate's every segment was already seen, so it scrubs to
-    empty), drop quality-logit failures, stamp the split — before each
+    empty), drop quality-logit failures, optionally apply the frozen
+    domain-mixing rate table, stamp the split — before each
     micro-batch's output lands. Same shared expressions as
     ``curate_corpus``, so the streamed corpus equals the batch corpus
     when batches arrive in id order (pinned by test).
+
+    ``mix_rates`` is the SAME frozen artifact the batch funnel takes
+    (``source_mixing_rates`` over a profiling corpus). Deliberately
+    NOT per-batch observed counts: mixing against counts-so-far would
+    re-weight every micro-batch differently as the stream accumulates
+    and the final corpus would depend on batch boundaries — with a
+    frozen table, acceptance is a pure per-doc function and stream ==
+    batch holds exactly.
 
     Returns the started StreamingQuery (availableNow by default via
     stream_scrub's trigger)."""
     from datagouv_tools_spark.streaming.scrub_gate import stream_scrub
 
     def post(cleaned: DataFrame) -> DataFrame:
-        return (
+        out = (
             cleaned.filter(F.col("cleaned_text") != "")
             .withColumnRenamed("cleaned_text", text_col)
             .filter(quality_logit(text_col) >= 0.0)
-            .withColumn("split", split_assignment(id_col))
         )
+        if mix_rates is not None:
+            out = out.filter(
+                mixing_accept(mixing_rate_expr(mix_rates), id_col)
+            )
+        return out.withColumn("split", split_assignment(id_col))
 
     return stream_scrub(
         doc_stream, store_path, out_path, checkpoint,

@@ -76,7 +76,10 @@ def dedup_gate_batch(
         _vacuum_expired_epochs,
     )
 
+    from datagouv_tools_spark.streaming.util import fan_out_batch
+
     spark = batch.sparkSession
+    batch = fan_out_batch(batch)
     epoch_now = batch_id // max(1, epoch_batches)
     min_epoch = None if ttl_epochs is None else epoch_now - ttl_epochs + 1
     fp = (

@@ -110,7 +110,9 @@ def neardup_gate_batch(
     retention trade a 100 TB ingest gate makes to bound state. Choose
     the mode at store creation; the two layouts don't mix."""
     from datagouv_tools_spark.operators.dedup import _band_entries
+    from datagouv_tools_spark.streaming.util import fan_out_batch
 
+    batch = fan_out_batch(batch)
     entries = _band_entries(
         batch, text_col, id_col, k, bands, seed, token_hash, band_key="hash"
     )
@@ -153,7 +155,9 @@ def embdup_gate_batch(
     raise n_bands for recall; exact-threshold semantics need the
     batch-side verify (``cosine_pairs_lsh``)."""
     from datagouv_tools_spark.operators.similarity import lsh_band_buckets
+    from datagouv_tools_spark.streaming.util import fan_out_batch
 
+    batch = fan_out_batch(batch)
     entries = lsh_band_buckets(
         batch, id_col, vec_col, dim, n_bands, band_bits, seed
     ).select(

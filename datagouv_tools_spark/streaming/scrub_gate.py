@@ -94,10 +94,25 @@ def scrub_gate_batch(
     spark = batch.sparkSession
     epoch_now = batch_id // max(1, epoch_batches)
     min_epoch = None if ttl_epochs is None else epoch_now - ttl_epochs + 1
-    marks = segment_dedup_marks(
-        batch, id_col, text_col, seg_len=seg_len,
-        token_hash=token_hash, keep_seg_text=True, keep_cols=keep_cols,
-    ).withColumn("__bucket", _bucket("seg_hash", n_buckets))
+    # single-file micro-batches would segment on one core (streaming/
+    # util.py has the measured numbers)
+    from datagouv_tools_spark.streaming.util import fan_out_batch
+
+    batch = fan_out_batch(batch)
+    # materialize the segmentation ONCE: three separate actions consume
+    # `marks` (touched-bucket collect, cleaned-output write, store
+    # merge) and would otherwise each re-run the md5/xxhash tokenize+
+    # segment pass over the batch — measured 3× the gate's per-batch
+    # cost. Bounded by micro-batch size, the same contract as the
+    # store-merge checkpoint below.
+    marks = (
+        segment_dedup_marks(
+            batch, id_col, text_col, seg_len=seg_len,
+            token_hash=token_hash, keep_seg_text=True, keep_cols=keep_cols,
+        )
+        .withColumn("__bucket", _bucket("seg_hash", n_buckets))
+        .localCheckpoint(eager=True)
+    )
     touched = [
         r["__bucket"] for r in marks.select("__bucket").distinct().collect()
     ]

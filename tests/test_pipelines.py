@@ -735,3 +735,74 @@ def test_curate_corpus_pps_cap(spark, sf_dir, tmp_path):
     a = sorted(tuple(r) for r in spark.read.parquet(out).collect())
     b = sorted(tuple(r) for r in spark.read.parquet(out2).collect())
     assert a == b and rep2.n_after_sample == rep.n_after_sample
+
+
+def test_stream_curate_mixing_equals_batch_mixing(spark, sf_dir, tmp_path):
+    """Domain mixing in the funnels: a FROZEN per-source rate table
+    (source_mixing_rates over the profiling corpus) applied by both
+    the batch and streaming funnels yields the identical corpus —
+    acceptance is a pure per-doc hash function of (id, rate), so batch
+    boundaries cannot shift it. Also pins that mixing actually drops
+    rows (non-vacuous) and that an unlisted source keeps everything."""
+    import os
+
+    from datagouv_tools_spark.functions.curation import source_mixing_rates
+    from datagouv_tools_spark.pipelines.curate import (
+        curate_corpus,
+        stream_curate,
+    )
+    from datagouv_tools_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rates = source_mixing_rates(
+        docs, {"src0": 0.10, "src1": 0.10}, default_share=0.03
+    )
+    assert rates and all(0.0 < r <= 1.0 for r in rates.values())
+    # drop one source from the frozen table: it must keep everything
+    dropped_source = sorted(rates)[-1]
+    rates.pop(dropped_source)
+
+    batch_out = str(tmp_path / "batch")
+    curate_corpus(docs, batch_out, mix_rates=rates)
+
+    nomix_out = str(tmp_path / "nomix")
+    curate_corpus(docs, nomix_out, mix_rates=None)
+
+    batch_df = spark.read.parquet(batch_out)
+    nomix_df = spark.read.parquet(nomix_out)
+    assert batch_df.count() < nomix_df.count(), "mixing must drop rows"
+    assert (
+        batch_df.filter(F.col("source") == dropped_source).count()
+        == nomix_df.filter(F.col("source") == dropped_source).count()
+    ), "a source absent from the rate table keeps everything"
+
+    src = str(tmp_path / "in")
+    docs.filter(F.col("doc_id") < 250).coalesce(1).write.parquet(f"{src}/f1")
+    docs.filter(F.col("doc_id") >= 250).coalesce(1).write.parquet(f"{src}/f2")
+    t0 = 1_600_000_000
+    for sub, ts_ in (("f1", t0), ("f2", t0 + 100)):
+        for name in os.listdir(f"{src}/{sub}"):
+            os.utime(f"{src}/{sub}/{name}", (ts_, ts_))
+    stream = (
+        spark.readStream.schema(
+            "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    stream_out = str(tmp_path / "stream")
+    q = stream_curate(
+        stream, str(tmp_path / "store"), stream_out, str(tmp_path / "ckpt"),
+        mix_rates=rates,
+    )
+    q.awaitTermination()
+
+    cols = ["doc_id", "text", "source", "lang", "split"]
+    batch_rows = sorted(
+        map(tuple, batch_df.select(*cols).collect())
+    )
+    stream_rows = sorted(
+        map(tuple, spark.read.parquet(stream_out).select(*cols).collect())
+    )
+    assert stream_rows == batch_rows
+    assert batch_rows
