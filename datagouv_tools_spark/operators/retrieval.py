@@ -1,0 +1,147 @@
+"""Lexical + fused retrieval over the document corpus.
+
+The retrieval half of a RAG/training-data pipeline: BM25 term scoring
+(the Robertson/Spärck Jones family every search engine ships) and
+reciprocal-rank fusion (Cormack et al. 2009) for combining rankings
+from different scorers. No reference analog (jferard/datagouv_tools
+has no text-retrieval code); this extends the engine's text-analysis
+surface the same way similarity.py extends its vector surface.
+
+Determinism contract (the repo-wide convention): scoring uses ONLY
++, *, / double arithmetic in a pinned evaluation order — IEEE 754
+basic ops are correctly rounded, so Spark and DuckDB produce
+bit-identical doubles. That rules out ``ln``: libm logs are not
+correctly rounded and may differ across engines by an ULP, which a
+value-hash oracle would catch. The IDF here is therefore the RATIONAL
+form idf'(t) = (N − df_t + 0.5) / (df_t + 0.5) — the argument of the
+standard log-IDF, monotone in df_t exactly like it (log is monotone),
+so single-term rankings are identical and multi-term rankings weight
+rare terms more aggressively. A deployment preferring classic BM25
+drops ``F.log`` around one expression and gives up cross-engine
+bit-equality, nothing else.
+
+Scale shape:
+- corpus stats (N, total tokens) and per-term document frequencies are
+  ONE map-side-combining aggregation each — |terms| + 2 scalars to the
+  driver, never rows;
+- per-doc scoring is map-local array arithmetic over the scan (tf via
+  ``F.filter`` on the token array — no explode, no shuffle);
+- top-k is TakeOrdered (score desc, id asc), never a full sort;
+- RRF ranks come from window functions over the ALREADY-REDUCED
+  candidate sets (two top-n lists), not the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from datagouv_tools_spark.functions.text import tokens
+
+__all__ = ["bm25_scores", "bm25_topk", "rrf_fuse"]
+
+K1 = 1.2
+B = 0.75
+
+
+def _corpus_stats(
+    docs: DataFrame, terms: list[str], text_col: str
+) -> tuple[int, int, dict[str, int]]:
+    """(N docs, total tokens, per-term document frequency) in one
+    aggregation pass."""
+    ts = tokens(text_col)
+    row = docs.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.size(ts)).alias("__tot"),
+        *[
+            F.sum(F.array_contains(ts, F.lit(t)).cast("long")).alias(
+                f"__df_{i}"
+            )
+            for i, t in enumerate(terms)
+        ],
+    ).first()
+    dfs = {t: int(row[f"__df_{i}"]) for i, t in enumerate(terms)}
+    return int(row["__n"]), int(row["__tot"]), dfs
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = K1,
+    b: float = B,
+    round_to: int = 6,
+) -> DataFrame:
+    """Append ``bm25`` (rational-IDF BM25, rounded@round_to) for the
+    given query terms to every document. Zero-scoring docs are kept —
+    callers filter or top-k as needed.
+
+    Per-term contribution, evaluated LEFT-ASSOCIATIVELY over terms in
+    the given order (the oracle mirrors the order):
+
+        idf'(t) · (tf · (k1+1)) / (tf + k1·(1 − b + b·(dl / avgdl)))
+
+    with avgdl computed as one double division of exact integers.
+    """
+    n, tot, dfs = _corpus_stats(docs, terms, text_col)
+    ts = tokens(text_col)
+    dl = F.size(ts).cast("double")
+    avgdl = F.lit(float(tot)) / F.lit(float(n)) if n else F.lit(1.0)
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * (dl / avgdl)
+    )
+    score: Column | None = None
+    for t in terms:
+        idf = (F.lit(float(n - dfs[t])) + F.lit(0.5)) / (
+            F.lit(float(dfs[t])) + F.lit(0.5)
+        )
+        tf = F.size(F.filter(ts, lambda x: x == F.lit(t))).cast("double")
+        term_score = idf * (tf * F.lit(k1 + 1.0)) / (tf + norm)
+        score = term_score if score is None else score + term_score
+    return docs.withColumn("bm25", F.round(score, round_to))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k by BM25, ties to the smaller id (total order → unique
+    result set; the plan is TakeOrdered, no corpus sort)."""
+    scored = bm25_scores(docs, terms, text_col, id_col)
+    return (
+        scored.filter(F.col("bm25") > 0.0)
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    c: int = 60,
+    round_to: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion: each input carries (id, rank) with rank
+    1-based; the fused score is Σ_i 1/(c + rank_i), summed over the
+    rankings IN ORDER (absent → no contribution), rounded@round_to.
+    1/(c+r) is one correctly-rounded division and the sum order is
+    pinned, so the oracle matches bit-for-bit. Returns (id, rrf)."""
+    fused: DataFrame | None = None
+    for i, r in enumerate(rankings):
+        part = r.select(
+            id_col, F.col("rank").alias(f"__r{i}")
+        )
+        fused = part if fused is None else fused.join(part, id_col, "full_outer")
+    assert fused is not None, "rrf_fuse needs at least one ranking"
+    score: Column | None = None
+    for i in range(len(rankings)):
+        contrib = F.when(
+            F.col(f"__r{i}").isNotNull(),
+            F.lit(1.0) / (F.lit(float(c)) + F.col(f"__r{i}").cast("double")),
+        ).otherwise(F.lit(0.0))
+        score = contrib if score is None else score + contrib
+    return fused.select(id_col, F.round(score, round_to).alias("rrf"))

@@ -434,3 +434,28 @@ def test_bloom_prefilter_sits_before_the_shuffle(spark, sf_dir):
     # the probe filter's signature expressions: xxhash64 + element_at
     assert "xxhash64" in plan and "element_at" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_bm25_topk_is_take_ordered_map_local(spark, sf_dir):
+    """BM25 scoring is map-local array arithmetic over the scan (no
+    explode, no join) and the top-k is TakeOrdered — never a corpus
+    sort or shuffle beyond the one stats aggregation."""
+    df = q.QUERIES["doc_bm25_topk"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Generate" not in plan  # no explode in the scoring path
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rrf_windows_only_over_candidates(spark, sf_dir):
+    """The RRF fusion ranks with ROW_NUMBER only AFTER each candidate
+    list is reduced by TakeOrdered(100): the Window's single-partition
+    exchange moves ≤100 rows, never the corpus."""
+    df = q.QUERIES["doc_retrieval_rrf"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" in plan
+    # every Window sits above a TakeOrdered in this plan: the global
+    # sorts Spark inserts for the windows are candidate-sized
+    assert plan.index("Window") > plan.index("TakeOrderedAndProject") or \
+        "TakeOrderedAndProject" in plan[: plan.index("Window")]
