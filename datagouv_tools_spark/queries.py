@@ -6669,3 +6669,58 @@ def doc_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf"), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "events_hist_quantile_sketch",
+    """
+    WITH bb AS (
+      SELECT event_type,
+             LEAST(GREATEST(CAST(floor(value / 25.0) AS INT), 0), 19) AS b
+      FROM events
+    ), cells AS (
+      SELECT event_type, b, COUNT(*) AS c FROM bb GROUP BY event_type, b
+    ), cum AS (
+      SELECT event_type, b,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY b) AS cum,
+             SUM(c) OVER (PARTITION BY event_type) AS total
+      FROM cells
+    )
+    SELECT event_type,
+           MAX(total)::BIGINT AS total,
+           ((MIN(CASE WHEN cum >= (total * 500 + 999) // 1000 THEN b END) + 1) * 25)::BIGINT AS p500,
+           ((MIN(CASE WHEN cum >= (total * 900 + 999) // 1000 THEN b END) + 1) * 25)::BIGINT AS p900,
+           ((MIN(CASE WHEN cum >= (total * 990 + 999) // 1000 THEN b END) + 1) * 25)::BIGINT AS p990
+    FROM cum
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_hist_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distribution sketch: per event type, a 20-bin
+    fixed-width histogram of ``value`` (operators/sketches.
+    histogram_cells — the third sketch family: CMS counts frequencies,
+    MinCount counts distincts, this one holds the distribution), with
+    p50/p90/p99 estimated as the upper edge of the first bin whose
+    cumulative count reaches ⌈q·total⌉ (histogram_quantiles). The
+    whole path is integer-exact — bin ids, counts, ranks, edges — so
+    the oracle reproduces every estimate bit-for-bit, which no
+    float-centroid sketch (t-digest/KLL) could promise. Estimates are
+    within one bin width of the true quantile by construction.
+
+    Scale: one map-side-combining aggregation to ≤ |types| × 20 rows;
+    the quantile scan runs over that bounded state, never raw events.
+    Histograms from different days/shards merge by bin-wise ADD — the
+    streaming maintainer (streaming/sketch_maintain.
+    histogram_maintain_batch) keeps one continuously fresh under the
+    same tag + versioned-store replay discipline as the CMS."""
+    from datagouv_tools_spark.operators.sketches import (
+        histogram_cells,
+        histogram_quantiles,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    cells = histogram_cells(ev, ["event_type"], F.col("value"))
+    return histogram_quantiles(
+        cells, ["event_type"], [500, 900, 990]
+    ).orderBy("event_type")

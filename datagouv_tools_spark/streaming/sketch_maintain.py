@@ -46,6 +46,8 @@ __all__ = [
     "mincount_maintain_batch",
     "read_mincount",
     "mincount_estimate",
+    "histogram_maintain_batch",
+    "read_histogram",
 ]
 
 
@@ -252,3 +254,63 @@ def mincount_estimate(spark, store_path: str) -> DataFrame:
             F.sum("em").alias("est_distinct_mille"),
         )
     )
+
+
+# --- fixed-bin histogram sketch -------------------------------------------
+#
+# Same replay discipline as the CMS: the bin-wise ADD merge is NOT
+# idempotent, so the (run_key, batch id) tag is load-bearing, and the
+# versioned store makes the accumulated distribution survive every
+# crash window.
+
+
+def histogram_maintain_batch(
+    batch: DataFrame,
+    store_path: str,
+    group_cols: list[str],
+    value_col: str,
+    run_key: str,
+    batch_id: int,
+    bin_width: float = 25.0,
+    n_bins: int = 20,
+) -> None:
+    """Fold one micro-batch of values into the per-group histogram
+    store (rows: group cols + b + c)."""
+    from datagouv_tools_spark.operators.sketches import histogram_cells
+
+    spark = batch.sparkSession
+    stored = _read_current(spark, store_path)
+    if stored is not None:
+        tag = stored.select("__run", "__seq").first()
+        if (
+            tag is not None
+            and tag["__run"] == run_key
+            and int(tag["__seq"]) >= batch_id
+        ):
+            return
+        old = stored.select(*group_cols, "b", F.col("c").alias("__oc"))
+    else:
+        old = None
+    inc = histogram_cells(
+        batch, group_cols, F.col(value_col), bin_width, n_bins
+    ).select(*group_cols, "b", F.col("c").alias("__ic"))
+    if old is not None:
+        merged = old.join(inc, [*group_cols, "b"], "full_outer").select(
+            *group_cols,
+            "b",
+            (
+                F.coalesce("__oc", F.lit(0)) + F.coalesce("__ic", F.lit(0))
+            ).cast("bigint").alias("c"),
+        )
+    else:
+        merged = inc.select(*group_cols, "b", F.col("__ic").cast("bigint").alias("c"))
+    out = merged.withColumn("__run", F.lit(run_key)).withColumn(
+        "__seq", F.lit(int(batch_id)).cast("bigint")
+    )
+    _commit_version(out, store_path)
+
+
+def read_histogram(spark, store_path: str) -> DataFrame:
+    """The maintained histogram cells, sans tag columns — feed to
+    ``operators.sketches.histogram_quantiles`` for estimates."""
+    return _read_current(spark, store_path).drop("__run", "__seq")

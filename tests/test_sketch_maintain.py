@@ -172,3 +172,71 @@ def test_crash_mid_write_preserves_accumulated_state(spark, tmp_path):
     # commit pruned every older/dead version: exactly one committed dir
     left = [d for d in os.listdir(path) if d.startswith("v")]
     assert len(left) == 1 and (pathlib.Path(path) / left[0] / "_SUCCESS").exists()
+
+
+def test_histogram_maintenance_matches_union_and_replay_noop(spark, tmp_path):
+    """Histogram bin-wise ADD is non-idempotent like the CMS, so the
+    tag is load-bearing; after two batches the store equals the batch
+    sketch of the union, replays (in and out of order) are no-ops, and
+    quantile estimates from the maintained store are integer-exact."""
+    from pyspark.sql import functions as F
+
+    from datagouv_tools_spark.operators.sketches import (
+        histogram_cells,
+        histogram_quantiles,
+    )
+    from datagouv_tools_spark.streaming.sketch_maintain import (
+        histogram_maintain_batch,
+        read_histogram,
+    )
+
+    path = str(tmp_path / "hist")
+    b0 = [("a", float(v)) for v in range(0, 300, 3)]
+    b1 = [("a", float(v)) for v in range(200, 500, 5)] + [("b", 42.0)]
+
+    def df(rows):
+        return spark.createDataFrame(rows, "g string, v double")
+
+    histogram_maintain_batch(df(b0), path, ["g"], "v", "r", 0)
+    histogram_maintain_batch(df(b1), path, ["g"], "v", "r", 1)
+
+    want = sorted(
+        (r["g"], r["b"], r["c"])
+        for r in histogram_cells(df(b0 + b1), ["g"], F.col("v")).collect()
+    )
+    got = sorted(
+        (r["g"], r["b"], r["c"])
+        for r in read_histogram(spark, path).collect()
+    )
+    assert got == want
+
+    # replay both, out of order — the tag rejects the double-add
+    histogram_maintain_batch(df(b1), path, ["g"], "v", "r", 1)
+    histogram_maintain_batch(df(b0), path, ["g"], "v", "r", 0)
+    again = sorted(
+        (r["g"], r["b"], r["c"])
+        for r in read_histogram(spark, path).collect()
+    )
+    assert again == want
+
+    # estimates from the maintained store == estimates from the batch
+    # sketch of the union (mergeability is the whole point)
+    est_stream = sorted(
+        map(
+            tuple,
+            histogram_quantiles(
+                read_histogram(spark, path), ["g"], [500, 900]
+            ).collect(),
+        )
+    )
+    est_batch = sorted(
+        map(
+            tuple,
+            histogram_quantiles(
+                histogram_cells(df(b0 + b1), ["g"], F.col("v")),
+                ["g"],
+                [500, 900],
+            ).collect(),
+        )
+    )
+    assert est_stream == est_batch
