@@ -6724,3 +6724,75 @@ def events_hist_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantiles(
         cells, ["event_type"], [500, 900, 990]
     ).orderBy("event_type")
+
+
+@query(
+    "q17_small_quantity_revenue",
+    """
+    WITH bp AS (
+      SELECT p_partkey FROM part WHERE p_brand = 'Brand#4'
+    ), li AS (
+      SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+      FROM lineitem l JOIN bp ON l.l_partkey = bp.p_partkey
+    ), th AS (
+      SELECT l_partkey,
+             0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE)) AS thr
+      FROM li GROUP BY l_partkey
+    )
+    SELECT COUNT(*)::BIGINT AS n_items,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                 / 7.0, 2) AS avg_yearly
+    FROM li JOIN th USING (l_partkey)
+    WHERE l_quantity < thr
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue), adapted to the
+    testdata's part schema (brand filter only — no p_container
+    column): average yearly revenue lost if small-quantity orders
+    (below 20% of the part's average quantity) were not filled, for
+    one brand's parts. The decorrelated form every engine plans:
+    per-part averages as a grouped aggregate joined back, instead of a
+    per-row correlated subquery.
+
+    Determinism: per-part averages via exact decimal sums cast to
+    double in one pinned expression; the final division by 7.0 happens
+    on the exact decimal total cast to double.
+
+    Scale: the brand part list (~1/25 of part) broadcasts, so lineitem
+    is filtered map-side BEFORE the per-part aggregation — the only
+    shuffle is the partkey aggregation of the brand's lineitems; the
+    threshold table (one row per brand part) broadcasts back. Lineitem
+    is never shuffled whole, never scanned twice at the storage level
+    (both consumers share the same filtered scan)."""
+    part = t(spark, sf_dir, "part")
+    li_all = t(spark, sf_dir, "lineitem")
+    bp = part.filter(F.col("p_brand") == "Brand#4").select("p_partkey")
+    li = li_all.join(
+        F.broadcast(bp), li_all["l_partkey"] == bp["p_partkey"]
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    th = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(dec("l_quantity")).alias("sq"),
+            F.count(F.lit(1)).alias("cq"),
+        )
+        .select(
+            "l_partkey",
+            (
+                F.lit(0.2)
+                * (F.col("sq").cast("double") / F.col("cq").cast("double"))
+            ).alias("thr"),
+        )
+    )
+    return (
+        li.join(F.broadcast(th), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("thr"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.round(
+                F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0), 2
+            ).alias("avg_yearly"),
+        )
+    )
