@@ -47,6 +47,7 @@ __all__ = [
     "read_mincount",
     "mincount_estimate",
     "histogram_maintain_batch",
+    "foreach_batch_histogram_maintainer",
     "read_histogram",
 ]
 
@@ -314,3 +315,27 @@ def read_histogram(spark, store_path: str) -> DataFrame:
     """The maintained histogram cells, sans tag columns — feed to
     ``operators.sketches.histogram_quantiles`` for estimates."""
     return _read_current(spark, store_path).drop("__run", "__seq")
+
+
+def foreach_batch_histogram_maintainer(
+    store_path: str,
+    checkpoint: str,
+    group_cols: list[str],
+    value_col: str,
+    bin_width: float = 25.0,
+    n_bins: int = 20,
+):
+    """``writeStream.foreachBatch`` callback wiring
+    :func:`histogram_maintain_batch` (run key from the checkpoint path,
+    the CMS/index-ingest convention)."""
+    from datagouv_tools_spark.streaming.index_ingest import run_key_for_checkpoint
+
+    rk = run_key_for_checkpoint(checkpoint)
+
+    def run(batch: DataFrame, batch_id: int) -> None:
+        histogram_maintain_batch(
+            batch, store_path, group_cols, value_col, rk, int(batch_id),
+            bin_width, n_bins,
+        )
+
+    return run

@@ -240,3 +240,50 @@ def test_histogram_maintenance_matches_union_and_replay_noop(spark, tmp_path):
         )
     )
     assert est_stream == est_batch
+
+
+def test_histogram_streaming_end_to_end(spark, tmp_path):
+    """Real file-stream replay through foreach_batch_histogram_maintainer:
+    the maintained store equals the batch sketch of all files."""
+    from pyspark.sql import functions as F
+
+    from datagouv_tools_spark.operators.sketches import histogram_cells
+    from datagouv_tools_spark.streaming.sketch_maintain import (
+        foreach_batch_histogram_maintainer,
+        read_histogram,
+    )
+
+    rows0 = [("a", float(v)) for v in range(0, 200, 2)]
+    rows1 = [("a", float(v)) for v in range(150, 400, 5)] + [("b", 7.0)]
+    src = tmp_path / "src"
+    src.mkdir()
+    path, ckpt = str(tmp_path / "hist"), str(tmp_path / "ckpt")
+
+    def df(rows):
+        return spark.createDataFrame(rows, "g string, v double")
+
+    df(rows0).coalesce(1).write.parquet(str(src / "f1"))
+    df(rows1).coalesce(1).write.parquet(str(src / "f2"))
+    stream = (
+        spark.readStream.schema("g string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_histogram_maintainer(path, ckpt, ["g"], "v")
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    want = sorted(
+        (r["g"], r["b"], r["c"])
+        for r in histogram_cells(df(rows0 + rows1), ["g"], F.col("v")).collect()
+    )
+    got = sorted(
+        (r["g"], r["b"], r["c"])
+        for r in read_histogram(spark, path).collect()
+    )
+    assert got == want
