@@ -4,10 +4,12 @@ Images/audio/video ride through the engine as opaque ``binary``
 columns with a typed metadata struct alongside. The Spark-side
 plumbing — schema convention, Arrow-batched ``mapInPandas`` transform
 shape, partition sizing — is real and tested. The codec layer is
-split honestly: uncompressed PPM (P6) decodes FOR REAL with a
-pure-numpy parser (``decode_ppm`` — this container ships numpy but no
-PIL/pyvips), and every other format either raises NotImplementedError
-(strict mode) or produces a deterministic fake (plumbing-test mode).
+split honestly: the uncompressed containers decode FOR REAL with
+pure-numpy parsers — Netpbm P6 images (``decode_ppm``) and RIFF/WAVE
+16-bit PCM audio (``decode_wav``); this container ships numpy but no
+PIL/pyvips/ffmpeg — and every compressed format either raises
+NotImplementedError (strict mode) or produces a deterministic fake
+(plumbing-test mode).
 
 Scale notes:
 - binary payloads make rows wide: size partitions by bytes, not rows
@@ -35,9 +37,12 @@ __all__ = [
     "attach_media_metadata",
     "decode_ppm",
     "encode_ppm",
+    "decode_wav",
+    "encode_wav",
     "decode_image_batch",
     "extract_image_features",
     "image_channel_stats",
+    "audio_stats",
     "resize_images",
     "sample_video_frames",
     "repartition_by_bytes",
@@ -342,3 +347,116 @@ def sample_video_frames(
             yield pd.DataFrame({"media_id": ids, "frame_no": nos, "frame": frames})
 
     return df.select(id_col, payload_col).mapInPandas(run, FRAMES_SCHEMA)
+
+
+def decode_wav(payload: bytes):
+    """REAL audio decode for RIFF/WAVE PCM — pure stdlib/numpy parsing
+    (the audio sibling of ``decode_ppm``: no audio library ships here,
+    none is needed for uncompressed PCM). Walks the RIFF chunk list
+    (chunks may appear in any order and carry padding bytes), requires
+    format tag 1 (integer PCM) at 16 bits, and returns
+    (sample_rate, n_channels, samples) with samples an
+    (n_frames, n_channels) int16 array."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated WAVE: missing fmt/data chunk")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("truncated WAVE: missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _brate, _balign, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(
+            f"unsupported WAVE encoding (format={audio_format}, bits={bits});"
+            " only 16-bit integer PCM decodes here"
+        )
+    samples = np.frombuffer(data, dtype="<i2")
+    if n_channels > 1:
+        samples = samples[: len(samples) - len(samples) % n_channels]
+        samples = samples.reshape(-1, n_channels)
+    else:
+        samples = samples.reshape(-1, 1)
+    return sample_rate, n_channels, samples
+
+
+def encode_wav(samples, sample_rate: int = 8000) -> bytes:
+    """The inverse (fixture/builder side): (n_frames, n_channels)
+    int16 → canonical 16-bit PCM WAVE bytes."""
+    import struct
+
+    import numpy as np
+
+    arr = np.ascontiguousarray(samples, dtype="<i2")
+    if arr.ndim == 1:
+        arr = arr.reshape(-1, 1)
+    n_channels = arr.shape[1]
+    data = arr.tobytes()
+    balign = n_channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, sample_rate * balign, balign, 16
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("sum_amp", T.LongType()),
+        T.StructField("sumsq_amp", T.LongType()),
+    ]
+)
+
+
+def audio_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """REAL audio statistics from PCM WAVE payloads: decoded sample
+    rate / channel count / frame count plus the exact integer Σs and
+    Σs² over all samples (int16 → int64 — loss-free, and integer sums
+    cross engines bit-for-bit; RMS/loudness derive downstream). Same
+    Arrow ``mapInPandas`` batch shape and strict non-WAV semantics as
+    ``image_channel_stats``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in AUDIO_STATS_SCHEMA.fieldNames()}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                sr, nch, s = decode_wav(bytes(payload))
+                s64 = s.astype(np.int64)
+                out["media_id"].append(mid)
+                out["sample_rate"].append(int(sr))
+                out["n_channels"].append(int(nch))
+                out["n_frames"].append(int(s.shape[0]))
+                out["sum_amp"].append(int(s64.sum()))
+                out["sumsq_amp"].append(int((s64 * s64).sum()))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(run, AUDIO_STATS_SCHEMA)

@@ -6836,3 +6836,59 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_yearly"),
         )
     )
+
+
+@query(
+    "multimodal_decode_wav",
+    """
+    WITH s AS (
+      SELECT d.doc_id,
+             ((d.doc_id * 31 + i.i * 7) % 2048) - 1024 AS amp
+      FROM documents d, range(0, 256) i(i)
+      WHERE d.doc_id < 40
+    )
+    SELECT doc_id AS media_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS n_channels,
+           CAST(256 AS BIGINT) AS n_frames,
+           SUM(amp)::BIGINT AS sum_amp,
+           SUM(amp * amp)::BIGINT AS sumsq_amp
+    FROM s GROUP BY doc_id ORDER BY media_id
+    """,
+)
+def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, end-to-end (the WAV sibling of
+    multimodal_decode_ppm): per document a 256-sample mono 16-bit PCM
+    clip is synthesized by a deterministic amplitude rule, serialized
+    to genuine RIFF/WAVE bytes (chunked fmt/data layout), then DECODED
+    BACK by the pure-parser (operators/multimodal.decode_wav — RIFF
+    chunk walk, PCM strictness) and reduced to exact integer Σamp/Σamp²
+    plus the decoded rate/channels/frames.
+
+    The oracle recomputes the stats from the generative rule, never
+    seeing the bytes — a chunk-offset slip, endianness error, or
+    sample-width confusion in the decoder shifts the sums and fails
+    the hash. Scale: build+decode are one Arrow mapInPandas pass,
+    map-local per batch; real corpora feed stored payloads straight to
+    audio_stats."""
+    import pandas as pd
+
+    from datagouv_tools_spark.operators.multimodal import audio_stats, encode_wav
+
+    def build(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                i = np.arange(256)
+                amp = ((int(did) * 31 + i * 7) % 2048) - 1024
+                ids.append(did)
+                payloads.append(encode_wav(amp.astype("<i2"), 8000))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    media = docs.select("doc_id").mapInPandas(
+        build, "media_id bigint, payload binary"
+    )
+    return audio_stats(media).orderBy("media_id")

@@ -1070,3 +1070,98 @@ class TestPpmDecode:
             assert [got[i][f"sumsq_{ch}"] for ch in "rgb"] == list(
                 (flat * flat).sum(axis=0)
             )
+
+
+class TestWavDecode:
+    """The real audio codec path: pure RIFF/WAVE 16-bit PCM parsing
+    (operators/multimodal.decode_wav)."""
+
+    def _clip(self, n=64, seed=3, channels=1):
+        import numpy as np
+
+        i = np.arange(n * channels)
+        return (((seed * 31 + i * 7) % 2048) - 1024).astype("<i2").reshape(
+            n, channels
+        )
+
+    def test_round_trip_mono_and_stereo(self):
+        import numpy as np
+
+        from datagouv_tools_spark.operators.multimodal import (
+            decode_wav,
+            encode_wav,
+        )
+
+        for ch in (1, 2):
+            clip = self._clip(channels=ch)
+            sr, nch, back = decode_wav(encode_wav(clip, 44100))
+            assert (sr, nch) == (44100, ch)
+            assert np.array_equal(back, clip)
+
+    def test_chunk_walk_tolerates_extra_chunks(self):
+        """Real WAV files carry LIST/INFO chunks between fmt and data;
+        the parser must walk past them (with word-alignment padding)."""
+        import struct
+
+        import numpy as np
+
+        from datagouv_tools_spark.operators.multimodal import (
+            decode_wav,
+            encode_wav,
+        )
+
+        clip = self._clip()
+        full = encode_wav(clip, 8000)
+        # splice an odd-sized LIST chunk (forcing a pad byte) after fmt
+        fmt_end = full.index(b"data")
+        extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+        spliced = full[:fmt_end] + extra + full[fmt_end:]
+        sr, nch, back = decode_wav(spliced)
+        assert sr == 8000 and np.array_equal(back, clip)
+
+    def test_errors_are_loud(self):
+        import struct
+
+        import pytest as _pytest
+
+        from datagouv_tools_spark.operators.multimodal import (
+            decode_wav,
+            encode_wav,
+        )
+
+        with _pytest.raises(ValueError, match="not a RIFF"):
+            decode_wav(b"OggS" + b"\x00" * 40)
+        full = encode_wav(self._clip(), 8000)
+        with _pytest.raises(ValueError, match="missing fmt/data"):
+            decode_wav(full[:20])
+        # 8-bit PCM: format tag 1 but bits=8 → unsupported, loudly
+        fmt8 = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        bad = (
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt8) + 8 + 4) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt8)) + fmt8
+            + b"data" + struct.pack("<I", 4) + b"\x00" * 4
+        )
+        with _pytest.raises(ValueError, match="only 16-bit"):
+            decode_wav(bad)
+
+    def test_audio_stats_match_numpy(self, spark):
+        import numpy as np
+
+        from datagouv_tools_spark.operators.multimodal import (
+            audio_stats,
+            encode_wav,
+        )
+
+        clips = {i: self._clip(seed=i * 11, channels=1 + i % 2) for i in (1, 2, 3)}
+        df = spark.createDataFrame(
+            [(i, encode_wav(c, 16000)) for i, c in clips.items()],
+            "media_id long, payload binary",
+        )
+        got = {r["media_id"]: r for r in audio_stats(df).collect()}
+        for i, c in clips.items():
+            s = c.astype(np.int64)
+            assert got[i]["sample_rate"] == 16000
+            assert got[i]["n_channels"] == c.shape[1]
+            assert got[i]["n_frames"] == c.shape[0]
+            assert got[i]["sum_amp"] == int(s.sum())
+            assert got[i]["sumsq_amp"] == int((s * s).sum())
