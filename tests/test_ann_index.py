@@ -505,3 +505,67 @@ class TestDriftPolicy:
         recall_after = len(got_after & want) / 10
         assert recall_after > recall_before, (recall_before, recall_after)
         assert recall_after >= 0.5, (recall_before, recall_after)
+
+
+def test_streaming_ingest_feeds_drift_ledger_and_rebuild(
+    spark, tmp_path
+):
+    """Cohesion of the round-6 drift policy with streaming ingestion:
+    appends arriving THROUGH the stream (index_ingest →
+    index_append) land in the drift ledger exactly once despite a
+    replay, and a drifted streamed ingest fires index_rebuild_if."""
+    from datagouv_tools_spark.streaming.index_ingest import stream_index_append
+
+    DIM = 8
+
+    def h(i, d, m=9973):
+        return ((i * 2654435761 + d * 40503) % m) / m
+
+    def vecs(ids, base, spread):
+        return spark.createDataFrame(
+            [
+                (i, [float(base + spread * h(i, d)) for d in range(DIM)])
+                for i in ids
+            ],
+            "vec_id bigint, embedding array<double>",
+        )
+
+    path = str(tmp_path / "idx")
+    corpus0 = vecs(range(200), 0.0, 1.0)
+    idx = ai.index_build(
+        corpus0, path, dim=DIM, n_lists=4, n_subspaces=4, n_codes=8,
+        n_bands=4, band_bits=6,
+    )
+    assert ai.index_drift(idx)["append_n"] == 0
+
+    src = tmp_path / "src"
+    src.mkdir()
+    drifted = vecs(range(1000, 1100), 80.0, 10.0)
+    drifted.coalesce(1).write.parquet(str(src / "f1"))
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_index_append(stream, idx, ckpt)
+    q.awaitTermination(120)
+
+    d = ai.index_drift(idx)
+    assert d["append_n"] == 100 and d["ratio"] > 10.0, d
+
+    # replay (same checkpoint): ledger skips, drift ledger unchanged
+    stream2 = (
+        spark.readStream.schema("vec_id bigint, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q2 = stream_index_append(stream2, idx, ckpt)
+    q2.awaitTermination(120)
+    assert ai.index_drift(idx)["append_n"] == 100
+
+    union = corpus0.unionByName(drifted)
+    rebuilt = ai.index_rebuild_if(idx, union, ratio=5.0)
+    assert rebuilt is not None
+    assert rebuilt.codes().count() == 300
+    assert ai.index_drift(rebuilt)["append_n"] == 0
