@@ -493,3 +493,90 @@ def test_intra_batch_multi_op_without_seq_is_rejected(spark, tmp_path):
     assert read_rollup(spark, base_path) is None or read_rollup(
         spark, rollup_path
     ) is None
+
+
+def test_property_intra_batch_chains_random_histories(spark, tmp_path):
+    """Randomized sweep for the seq-ordered netting: histories where
+    one id can receive SEVERAL ops inside one batch (create+update,
+    update, delete+reinsert, insert+delete), split across batches at
+    random. After every history: base store == last-op-wins reference,
+    rollup == aggregate_base(base store)."""
+    import itertools
+    import random
+
+    rng = random.Random(20260814 + 1)
+    for case in range(5):
+        d = tmp_path / f"c{case}"
+        base_path, rollup_path = str(d / "base"), str(d / "rollup")
+        next_seq = itertools.count(0)
+        live: dict[int, tuple[str, int]] = {}  # reference state
+        ids = list(range(1, 9))
+        batches = []
+        for _b in range(3):
+            rows = []
+            for _ in range(rng.randint(2, 8)):
+                i = rng.choice(ids)
+                k = "k" + str(i % 2)
+                if i in live and rng.random() < 0.5:
+                    if rng.random() < 0.5:
+                        # plain delete
+                        rows.append((k, i, live.pop(i)[1], "D", next(next_seq)))
+                    else:
+                        # update: delete old + insert new, SAME batch
+                        old = live[i][1]
+                        new = rng.randint(0, 99)
+                        rows.append((k, i, old, "D", next(next_seq)))
+                        rows.append((k, i, new, "I", next(next_seq)))
+                        live[i] = (k, new)
+                elif i not in live:
+                    v = rng.randint(0, 99)
+                    rows.append((k, i, v, "I", next(next_seq)))
+                    live[i] = (k, v)
+                    if rng.random() < 0.3:
+                        # tombstone in the same batch
+                        rows.append((k, i, v, "D", next(next_seq)))
+                        live.pop(i)
+            if rows:
+                batches.append(rows)
+        for rows in batches:
+            maintain_rollup_batch(
+                _sdelta(spark, rows), base_path, rollup_path,
+                ["k"], "id", "v", n_buckets=4, seq_col="seq",
+            )
+        # replay the LAST batch (at-least-once; an old update replay
+        # would legitimately reapply its image, so strict equality is
+        # against the tail replay)
+        if batches:
+            maintain_rollup_batch(
+                _sdelta(spark, batches[-1]), base_path, rollup_path,
+                ["k"], "id", "v", n_buckets=4, seq_col="seq",
+            )
+        from datagouv_tools_spark.streaming.rollup_maintain import _has_buckets
+
+        if _has_buckets(spark, base_path):
+            got_base = sorted(
+                (r["k"], r["id"], r["v"])
+                for r in spark.read.parquet(base_path).drop("__bucket").collect()
+            )
+        else:
+            got_base = []
+        want_base = sorted((k, i, v) for i, (k, v) in live.items())
+        assert got_base == want_base, (case, batches)
+        rolled = read_rollup(spark, rollup_path)
+        got_roll = (
+            {}
+            if rolled is None
+            else {
+                r["k"]: (r["n"], str(r["total"]), r["vmin"], r["vmax"])
+                for r in rolled.collect()
+            }
+        )
+        if got_base:
+            base_df = spark.read.parquet(base_path).drop("__bucket")
+            want_roll = {
+                r["k"]: (r["n"], str(r["total"]), r["vmin"], r["vmax"])
+                for r in aggregate_base(base_df, "k", "v").collect()
+            }
+        else:
+            want_roll = {}
+        assert got_roll == want_roll, (case, batches)
