@@ -38,17 +38,27 @@ from pyspark.sql import functions as F
 
 from datagouv_tools_spark.functions.text import tokens
 
-__all__ = ["bm25_scores", "bm25_topk", "rrf_fuse"]
+__all__ = [
+    "bm25_scores",
+    "bm25_topk",
+    "rrf_fuse",
+    "corpus_stats",
+    "bm25_counter_increments",
+    "bm25_stats_from_counters",
+]
 
 K1 = 1.2
 B = 0.75
 
 
-def _corpus_stats(
-    docs: DataFrame, terms: list[str], text_col: str
+def corpus_stats(
+    docs: DataFrame, terms: list[str], text_col: str = "text"
 ) -> tuple[int, int, dict[str, int]]:
     """(N docs, total tokens, per-term document frequency) in one
-    aggregation pass."""
+    aggregation pass. Every component is an integer COUNT — ADD-
+    mergeable across shards/batches, which is what lets a streaming
+    counter store (streaming/counter_maintain.py) keep them fresh
+    without corpus rescans."""
     ts = tokens(text_col)
     row = docs.agg(
         F.count(F.lit(1)).alias("__n"),
@@ -72,6 +82,7 @@ def bm25_scores(
     k1: float = K1,
     b: float = B,
     round_to: int = 6,
+    stats: tuple[int, int, dict[str, int]] | None = None,
 ) -> DataFrame:
     """Append ``bm25`` (rational-IDF BM25, rounded@round_to) for the
     given query terms to every document. Zero-scoring docs are kept —
@@ -83,8 +94,15 @@ def bm25_scores(
         idf'(t) · (tf · (k1+1)) / (tf + k1·(1 − b + b·(dl / avgdl)))
 
     with avgdl computed as one double division of exact integers.
+
+    ``stats`` (the :func:`corpus_stats` triple) skips the stats pass —
+    pass the values a streaming counter store maintains
+    (streaming/counter_maintain.py) and scoring is a single map-local
+    pass over the candidate docs, no corpus aggregation at all.
     """
-    n, tot, dfs = _corpus_stats(docs, terms, text_col)
+    n, tot, dfs = stats if stats is not None else corpus_stats(
+        docs, terms, text_col
+    )
     ts = tokens(text_col)
     dl = F.size(ts).cast("double")
     avgdl = F.lit(float(tot)) / F.lit(float(n)) if n else F.lit(1.0)
@@ -145,3 +163,51 @@ def rrf_fuse(
         ).otherwise(F.lit(0.0))
         score = contrib if score is None else score + contrib
     return fused.select(id_col, F.round(score, round_to).alias("rrf"))
+
+
+def bm25_counter_increments(
+    docs: DataFrame, terms: list[str], text_col: str = "text"
+) -> DataFrame:
+    """One micro-batch's contribution to the BM25 corpus stats as
+    generic (key, val) counter increments: ``__n_docs``,
+    ``__tot_tokens``, and ``df:{term}`` per lexicon term — the rows a
+    streaming ADD-merge counter store folds in. Bounded output:
+    |terms| + 2 rows regardless of batch size (one map-side-combining
+    aggregation)."""
+    ts = tokens(text_col)
+    row = docs.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.coalesce(F.sum(F.size(ts)), F.lit(0)).alias("__tot"),
+        *[
+            F.sum(F.array_contains(ts, F.lit(t)).cast("long")).alias(
+                f"__df_{i}"
+            )
+            for i, t in enumerate(terms)
+        ],
+    )
+    pairs = [
+        F.struct(F.lit("__n_docs").alias("key"), F.col("__n").cast("bigint").alias("val")),
+        F.struct(F.lit("__tot_tokens").alias("key"), F.col("__tot").cast("bigint").alias("val")),
+        *[
+            F.struct(
+                F.lit(f"df:{t}").alias("key"),
+                F.coalesce(F.col(f"__df_{i}"), F.lit(0)).cast("bigint").alias("val"),
+            )
+            for i, t in enumerate(terms)
+        ],
+    ]
+    return row.select(F.explode(F.array(*pairs)).alias("kv")).select(
+        "kv.key", "kv.val"
+    )
+
+
+def bm25_stats_from_counters(
+    counters: dict[str, int], terms: list[str]
+) -> tuple[int, int, dict[str, int]]:
+    """Reassemble the :func:`corpus_stats` triple from a counter map
+    (``streaming/counter_maintain.read_counters``)."""
+    return (
+        int(counters.get("__n_docs", 0)),
+        int(counters.get("__tot_tokens", 0)),
+        {t: int(counters.get(f"df:{t}", 0)) for t in terms},
+    )
