@@ -5636,8 +5636,13 @@ def doc_scrub_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(f"{src}/*")
     )
+    # n_buckets sizes the store layout only (semantics unchanged):
+    # 8 fits this replay's segment volume — a production store sizes
+    # buckets so each partition dir stays an executor-friendly unit,
+    # growing the count with corpus volume
     q = stream_scrub(
-        stream, f"{tmp}/store", f"{tmp}/out", f"{tmp}/ckpt", seg_len=8
+        stream, f"{tmp}/store", f"{tmp}/out", f"{tmp}/ckpt", seg_len=8,
+        n_buckets=8,
     )
     q.awaitTermination()
     out = spark.read.parquet(f"{tmp}/out").select(
