@@ -85,9 +85,21 @@ def curate_corpus(
     keep_cols: tuple[str, ...] = ("source", "lang"),
     sample_per_source: int | None = None,
     mix_rates: dict[str, float] | None = None,
+    rejects_dir: str | None = None,
 ) -> CurationReport:
     """Run the curation funnel over ``docs`` and write the cleaned,
     split-partitioned corpus to ``out_dir``. Returns stage counts.
+
+    ``rejects_dir`` captures every dropped document WITH the stage that
+    dropped it (parquet partitioned by ``reject_stage`` ∈
+    exact_dup / scrubbed_empty / quality / mixing / pps_cap) — the
+    audit side-channel a production pipeline needs to answer "where
+    did my document go" and to re-run a stage with different knobs
+    without re-deriving its input. Derived as anti-joins of adjacent
+    stage outputs on ``id_col``, so the funnel's own lineage is the
+    single source of truth; costs one extra pass over the persisted
+    stage results, nothing over raw text beyond what the funnel
+    already moves.
 
     ``mix_rates`` (source → acceptance rate, the frozen artifact from
     ``functions.curation.source_mixing_rates``) inserts the domain-
@@ -127,13 +139,16 @@ def curate_corpus(
             n_scrub = scrubbed.count()
 
             # 3. quality filter (the shared pinned classifier)
-            kept = scrubbed.filter(quality_logit(text_col) >= 0.0)
+            q_pass = scrubbed.filter(quality_logit(text_col) >= 0.0)
 
             # 3b. optional domain mixing against the frozen rate table
             if mix_rates is not None:
-                kept = kept.filter(
+                kept = q_pass.filter(
                     mixing_accept(mixing_rate_expr(mix_rates), id_col)
                 )
+            else:
+                kept = q_pass
+            after_mix = kept
 
             # 4. optional deterministic PPS cap per source; the
             # pre-sample quality count is cheap here (filter over the
@@ -167,6 +182,54 @@ def curate_corpus(
                 .agg(F.count(F.lit(1)).alias("n"))
                 .collect()
             }
+
+            if rejects_dir is not None:
+                cols = [id_col, *keep_cols, text_col]
+
+                def _tag(df: DataFrame, stage: str) -> DataFrame:
+                    return df.select(*cols).withColumn(
+                        "reject_stage", F.lit(stage)
+                    )
+
+                rejects = _tag(
+                    docs.join(deduped.select(id_col), id_col, "left_anti"),
+                    "exact_dup",
+                ).unionByName(
+                    _tag(
+                        deduped.join(
+                            scrubbed.select(id_col), id_col, "left_anti"
+                        ),
+                        "scrubbed_empty",
+                    )
+                ).unionByName(
+                    _tag(
+                        scrubbed.filter(quality_logit(text_col) < 0.0),
+                        "quality",
+                    )
+                )
+                if mix_rates is not None:
+                    rejects = rejects.unionByName(
+                        _tag(
+                            q_pass.filter(
+                                ~mixing_accept(
+                                    mixing_rate_expr(mix_rates), id_col
+                                )
+                            ),
+                            "mixing",
+                        )
+                    )
+                if sample_per_source is not None:
+                    rejects = rejects.unionByName(
+                        _tag(
+                            after_mix.join(
+                                out.select(id_col), id_col, "left_anti"
+                            ),
+                            "pps_cap",
+                        )
+                    )
+                rejects.write.mode("overwrite").partitionBy(
+                    "reject_stage"
+                ).parquet(rejects_dir)
         finally:
             scrubbed.unpersist()
     finally:

@@ -806,3 +806,41 @@ def test_stream_curate_mixing_equals_batch_mixing(spark, sf_dir, tmp_path):
     )
     assert stream_rows == batch_rows
     assert batch_rows
+
+
+def test_curate_rejects_side_channel_partitions_every_drop(
+    spark, sf_dir, tmp_path
+):
+    """rejects_dir must account for EVERY document: input = written
+    output ∪ rejects, disjointly, with each reject tagged by the stage
+    that dropped it — the "where did my document go" audit."""
+    from datagouv_tools_spark.functions.curation import source_mixing_rates
+    from datagouv_tools_spark.pipelines.curate import curate_corpus
+    from datagouv_tools_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    # shares small enough that rates stay below the 1.0 clamp at this
+    # scale factor (rate = share · total / n_source)
+    rates = source_mixing_rates(docs, {"src0": 0.02}, default_share=0.01)
+    assert any(r < 1.0 for r in rates.values()), rates
+    out = str(tmp_path / "out")
+    rej = str(tmp_path / "rejects")
+    curate_corpus(
+        docs, out, sample_per_source=3, mix_rates=rates, rejects_dir=rej
+    )
+
+    out_ids = {r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()}
+    rej_df = spark.read.parquet(rej)
+    rej_rows = rej_df.select("doc_id", "reject_stage").collect()
+    rej_ids = {r["doc_id"] for r in rej_rows}
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+
+    assert out_ids | rej_ids == all_ids, "every doc lands somewhere"
+    assert not (out_ids & rej_ids), "no doc is both kept and rejected"
+    assert len(rej_rows) == len(rej_ids), "exactly one stage per reject"
+    stages = {r["reject_stage"] for r in rej_rows}
+    assert stages <= {
+        "exact_dup", "scrubbed_empty", "quality", "mixing", "pps_cap"
+    }
+    # the knobs exercised here must actually attribute drops
+    assert {"quality", "mixing", "pps_cap"} <= stages, stages
