@@ -28,6 +28,7 @@ __all__ = [
     "in_range",
     "matches",
     "run_checks",
+    "quarantine",
     "referential_violations",
 ]
 
@@ -107,3 +108,44 @@ def referential_violations(
     return fact.join(
         dim.select(F.col(dim_key).alias(fact_key)), on=fact_key, how="left_anti"
     )
+
+
+def quarantine(
+    df: DataFrame, checks: Sequence[Check]
+) -> tuple[DataFrame, DataFrame]:
+    """Split ``df`` into (clean, quarantined) by the suite's ROW-LEVEL
+    checks — the publish-or-hold decision a 100 TB ingest makes per
+    row, where ``run_checks`` only counts. Quarantined rows carry a
+    ``violations`` column (comma-joined check names, deterministic
+    order) so a repair job can route by cause; clean rows pass every
+    check.
+
+    Aggregate-only checks (``unique``) have no per-row predicate and
+    are rejected loudly — deciding WHICH duplicate to quarantine is a
+    policy (keep-min-id dedup lives in operators/dedup.py), not a row
+    test. One shared plan: the violation flags are computed once, both
+    outputs filter the same projection (Spark reuses the scan; no
+    second pass over raw data)."""
+    row_checks = []
+    for c in checks:
+        if c.expr is None:
+            raise ValueError(
+                f"check '{c.name}' is aggregate-only (no per-row "
+                "predicate) — quarantine() takes row-level checks; "
+                "handle duplicates with operators/dedup.py policies"
+            )
+        row_checks.append(c)
+    flags = F.array_compact(
+        F.array(
+            *[
+                F.when(c.expr, F.lit(c.name)).otherwise(F.lit(None))
+                for c in row_checks
+            ]
+        )
+    )
+    flagged = df.withColumn(
+        "violations", F.array_join(flags, ",")
+    )
+    clean = flagged.filter(F.col("violations") == "").drop("violations")
+    bad = flagged.filter(F.col("violations") != "")
+    return clean, bad

@@ -1165,3 +1165,40 @@ class TestWavDecode:
             assert got[i]["n_frames"] == c.shape[0]
             assert got[i]["sum_amp"] == int(s.sum())
             assert got[i]["sumsq_amp"] == int((s * s).sum())
+
+
+def test_quarantine_splits_rows_with_causes(spark):
+    from datagouv_tools_spark.operators.quality import (
+        in_range,
+        matches,
+        not_null,
+        quarantine,
+        unique,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a@x.io", 10.0),
+            (2, None, 5.0),          # null email
+            (3, "bad", -1.0),        # bad email AND out-of-range
+            (4, "c@y.io", 7.5),
+        ],
+        "id bigint, email string, amount double",
+    )
+    checks = [
+        not_null("email"),
+        matches("email", r"^[^@]+@[^@]+$"),
+        in_range("amount", 0.0, 100.0),
+    ]
+    clean, bad = quarantine(df, checks)
+    assert sorted(r["id"] for r in clean.collect()) == [1, 4]
+    got = {r["id"]: r["violations"] for r in bad.collect()}
+    assert got[2] == "not_null_email,matches_email"  # null fails both
+    assert got[3] == "matches_email,in_range_amount"
+    assert "violations" not in clean.columns
+
+    # aggregate-only checks are rejected loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="aggregate-only"):
+        quarantine(df, [unique("id")])
