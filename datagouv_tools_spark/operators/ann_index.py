@@ -126,6 +126,41 @@ class AnnIndex:
             codes, query_vec, self.codebooks, k=k, id_col=self.meta["id_col"]
         )
 
+    def adc_topk_batch(
+        self,
+        queries: dict[int, list[float]],
+        k: int = 10,
+        nprobe: int | None = None,
+    ) -> DataFrame:
+        """ADC top-k for a BATCH of queries in one pass over the STORED
+        codes (operators/similarity.pq_adc_topk_batch) — per query
+        bit-identical to :meth:`adc_topk`. With ``nprobe`` each query
+        probes its own nearest coarse lists; the scan filters to the
+        UNION of probed lists (PartitionFilters on the ``__list``
+        layout) and the kernel masks per query."""
+        from datagouv_tools_spark.operators.similarity import pq_adc_topk_batch
+
+        id_col = self.meta["id_col"]
+        n_sub = int(self.meta["n_subspaces"])
+        probe_lists = None
+        cols = [id_col, *[f"code_{s}" for s in range(n_sub)]]
+        if nprobe is not None:
+            probe_lists = {
+                qid: query_probe_lists(
+                    vec, self.centroids, nprobe, int(self.meta["dim"])
+                )
+                for qid, vec in queries.items()
+            }
+            cols.append("__list")
+        return pq_adc_topk_batch(
+            self.codes().select(*cols),
+            queries,
+            self.codebooks,
+            k=k,
+            id_col=id_col,
+            probe_lists=probe_lists,
+        )
+
     def band_candidates(self) -> DataFrame:
         """Multiprobe (Hamming ≤ 1) candidate pairs from the STORED
         band store — the candidate half of ``cosine_pairs_lsh`` without

@@ -42,6 +42,7 @@ __all__ = [
     "ivfpq_topk",
     "random_projection",
     "pq_adc_topk",
+    "pq_adc_topk_batch",
     "pq_codebooks",
     "pq_encode",
 ]
@@ -1140,4 +1141,132 @@ def pq_adc_topk(
         )
         .orderBy(F.asc("adc_dist"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def _adc_luts(
+    query_vec: list[float], codebooks: list[list[list[float]]]
+) -> list[list[float]]:
+    """The per-subspace lookup tables for one query — the EXACT
+    left-associative dimension-order sums ``pq_adc_topk`` inlines, so
+    batch and single-query paths share bit-identical LUT doubles."""
+    luts: list[list[float]] = []
+    for s, book in enumerate(codebooks):
+        sub = len(book[0])
+        row = []
+        for code_vec in book:
+            acc = None
+            for d, c in enumerate(code_vec):
+                t = (float(query_vec[s * sub + d]) - float(c)) * (
+                    float(query_vec[s * sub + d]) - float(c)
+                )
+                acc = t if acc is None else acc + t
+            row.append(acc)
+        luts.append(row)
+    return luts
+
+
+def pq_adc_topk_batch(
+    df_codes: DataFrame,
+    queries: dict[int, list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    round_to: int = 6,
+    probe_lists: dict[int, list[int]] | None = None,
+) -> DataFrame:
+    """ADC top-k for a BATCH of queries in ONE corpus pass — the
+    offline-retrieval shape (millions of stored queries scored against
+    the index in one job, instead of one scan per query).
+
+    Two stages, both bounded:
+
+    1. An Arrow ``mapInPandas`` kernel gathers per-row distances for
+       every query from the broadcast LUT tensor (|Q|·S·C doubles) —
+       per corpus row the work is S array gathers + adds per query,
+       accumulated subspace-by-subspace in the same left-associative
+       order as the single-query expression (elementwise IEEE adds →
+       bit-identical raw distances). Each (partition, query) emits only
+       its candidates: rows within 10^-round_to of the partition's
+       k-th smallest RAW distance. Rounding moves any value by at most
+       half that margin, so no row that could enter the ROUNDED top-k
+       is ever pruned — output is ≤ partitions × |Q| × (k + ties).
+    2. JVM-side: ``F.round`` (Spark's HALF_UP BigDecimal semantics —
+       rounding in numpy would be half-even and could disagree at
+       exact midpoints) and a per-query rank over the tiny candidate
+       set, ties to the smaller id — the same (rounded, id) order the
+       single-query TakeOrdered uses, so each query's rows equal its
+       ``pq_adc_topk`` result exactly.
+
+    ``probe_lists`` (qid → coarse list ids, from ``query_probe_lists``)
+    makes this the batched IVF-ADC: the scan filters to the UNION of
+    probed lists (partition pruning on a ``__list``-partitioned store)
+    and the kernel masks each query to its own lists.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.window import Window
+
+    n_sub = len(codebooks)
+    qids = sorted(queries)
+    lut_np = np.array(
+        [_adc_luts(queries[qid], codebooks) for qid in qids],
+        dtype=np.float64,
+    )  # (Q, S, C) — exact doubles from the shared python-loop builder
+    margin = 10.0 ** (-round_to)
+    probes = (
+        {qid: frozenset(probe_lists[qid]) for qid in qids}
+        if probe_lists is not None
+        else None
+    )
+    need_list = probes is not None
+    cols = [id_col, *[f"code_{s}" for s in range(n_sub)]]
+    if need_list:
+        cols.append("__list")
+        union_lists = sorted({li for ls in probes.values() for li in ls})
+        df_codes = df_codes.filter(F.col("__list").isin(union_lists))
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(
+                [pdf[f"code_{s}"].to_numpy() for s in range(n_sub)], axis=1
+            )
+            ids = pdf[id_col].to_numpy()
+            lists = pdf["__list"].to_numpy() if need_list else None
+            for qi, qid in enumerate(qids):
+                if need_list:
+                    mask0 = np.isin(
+                        lists, np.array(sorted(probes[qid]), dtype=lists.dtype)
+                    )
+                    if not mask0.any():
+                        continue
+                    c_codes, c_ids = codes[mask0], ids[mask0]
+                else:
+                    c_codes, c_ids = codes, ids
+                dist = None
+                for s in range(n_sub):
+                    t = lut_np[qi, s][c_codes[:, s]]
+                    dist = t if dist is None else dist + t
+                m = min(k, len(dist))
+                kth = np.partition(dist, m - 1)[m - 1]
+                keep = dist <= kth + margin
+                yield pd.DataFrame(
+                    {
+                        "qid": np.full(int(keep.sum()), qid, dtype=np.int64),
+                        id_col: c_ids[keep],
+                        "__adc_raw": dist[keep],
+                    }
+                )
+
+    part = df_codes.select(*cols).mapInPandas(
+        kernel, f"qid bigint, {id_col} bigint, __adc_raw double"
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("adc_dist"), F.asc(id_col))
+    return (
+        part.withColumn("adc_dist", F.round("__adc_raw", round_to))
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select("qid", id_col, "adc_dist")
     )

@@ -4996,13 +4996,14 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
-def _sql_pq_adc_oracle() -> str:
+def _sql_pq_adc_oracle(query_vec_id: int = 0) -> str:
     """DuckDB twin of pq_encode + pq_adc_topk: codes are recomputed by
     the same md5-sample/argmin rule as ``_sql_pq_oracle``; the LUT is
     recomputed from the raw centroid and query-vector values with the
     same dimension-order left-associative sums the Python driver uses
     (IEEE doubles — bit-identical), and only the final 8-term sum is
-    rounded. Ties ORDER BY adc_dist, vec_id."""
+    rounded. Ties ORDER BY adc_dist, vec_id. ``query_vec_id`` selects
+    the query vector (the batch oracle unions several)."""
     dist_cols = []
     lut_cols = []
     for s in range(8):
@@ -5035,7 +5036,8 @@ def _sql_pq_adc_oracle() -> str:
       FROM embeddings ORDER BY h ASC, vec_id ASC LIMIT 16
     ),
     cent AS (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS code, cv FROM cent0),
-    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+          WHERE vec_id = {int(query_vec_id)}),
     lut AS (SELECT cent.code, {", ".join(lut_cols)} FROM cent, q),
     d AS (SELECT c.vec_id, cent.code, {", ".join(dist_cols)} FROM c, cent),
     {argmins}
@@ -6897,3 +6899,42 @@ def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
         build, "media_id bigint, payload binary"
     )
     return audio_stats(media).orderBy("media_id")
+
+
+def _sql_adc_batch_oracle() -> str:
+    """Batch-retrieval oracle: the single-query ADC oracle instantiated
+    per query vector and unioned with its qid."""
+    parts = [
+        f"SELECT CAST({qid} AS BIGINT) AS qid, * FROM ({_sql_pq_adc_oracle(qid)}) u{qid}"
+        for qid in (0, 1, 2)
+    ]
+    return (
+        "\n    UNION ALL\n    ".join(parts)
+        + "\n    ORDER BY qid, adc_dist, vec_id"
+    )
+
+
+@query("emb_adc_topk_batch", _sql_adc_batch_oracle())
+def emb_adc_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ANN retrieval: top-10 ADC neighbors for THREE query
+    vectors in ONE pass over the persisted index's stored codes
+    (operators/similarity.pq_adc_topk_batch via AnnIndex.adc_topk_batch)
+    — the offline-retrieval shape, where a stored query workload is
+    scored against the corpus in a single job instead of one scan per
+    query. Per query the rows are bit-identical to the single-query
+    search (the oracle IS three instantiations of the single-query
+    oracle, unioned).
+
+    Scale: one corpus scan total; the Arrow kernel does S code-gathers
+    + adds per (row, query) from a broadcast |Q|·S·C LUT tensor, and
+    emits only margin-pruned per-partition candidates (≤ partitions ×
+    |Q| × (k + ties) rows) — the final per-query rank runs over that
+    tiny set, never the corpus. Rounding happens JVM-side (Spark
+    HALF_UP) so batch == single-query even at midpoints."""
+    idx = _ann_index(spark, sf_dir)
+    emb = t(spark, sf_dir, "embeddings")
+    qs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 3).collect()
+    }
+    return idx.adc_topk_batch(qs, k=10).orderBy("qid", "adc_dist", "vec_id")

@@ -569,3 +569,42 @@ def test_streaming_ingest_feeds_drift_ledger_and_rebuild(
     assert rebuilt is not None
     assert rebuilt.codes().count() == 300
     assert ai.index_drift(rebuilt)["append_n"] == 0
+
+
+def test_batch_adc_equals_single_query_including_probed(spark, sf_dir, index):
+    """adc_topk_batch must be row-identical per query to adc_topk, in
+    both full-scan and probed (per-query partition-pruned) modes."""
+    from datagouv_tools_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 3).collect()
+    }
+    for nprobe in (None, 2):
+        batch = index.adc_topk_batch(qs, k=10, nprobe=nprobe)
+        got = {}
+        for r in batch.collect():
+            got.setdefault(r["qid"], []).append((r["vec_id"], r["adc_dist"]))
+        for qid, vec in qs.items():
+            single = [
+                (r["vec_id"], r["adc_dist"])
+                for r in index.adc_topk(vec, k=10, nprobe=nprobe).collect()
+            ]
+            assert sorted(got[qid]) == sorted(single), (nprobe, qid)
+
+
+def test_batch_adc_never_rebuilds(spark, index, monkeypatch):
+    """The batched search path must touch only the stored artifacts."""
+    from datagouv_tools_spark.operators import similarity as sim
+    from datagouv_tools_spark.sources.catalog import load_table
+
+    def boom(*a, **k):
+        raise AssertionError("builder invoked in the batched search path")
+
+    monkeypatch.setattr(sim, "pq_codebooks", boom)
+    monkeypatch.setattr(sim, "pq_encode", boom)
+    monkeypatch.setattr(sim, "_ivf_centroids", boom)
+    reopened = ai.index_open(spark, index.path)
+    q = {0: [0.1] * int(index.meta["dim"])}
+    assert reopened.adc_topk_batch(q, k=5).count() == 5
