@@ -459,3 +459,17 @@ def test_rrf_windows_only_over_candidates(spark, sf_dir):
     # sorts Spark inserts for the windows are candidate-sized
     assert plan.index("Window") > plan.index("TakeOrderedAndProject") or \
         "TakeOrderedAndProject" in plan[: plan.index("Window")]
+
+
+def test_batched_adc_single_scan_bounded_exchange(spark, sf_dir):
+    """The batched ADC search reads the stored codes ONCE; the only
+    exchange after the Arrow kernel moves the margin-pruned candidate
+    rows (partitions × |Q| × ~k), never the corpus, into the per-query
+    rank window."""
+    df = q.QUERIES["emb_adc_topk_batch"](spark, sf_dir)
+    plan = physical_plan(df)
+    # exactly one Arrow kernel (the LUT-gather), no row-at-a-time python
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan
+    # the rank is a window over the kernel's bounded output
+    assert "Window" in plan
