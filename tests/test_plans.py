@@ -467,9 +467,9 @@ def test_batched_adc_single_scan_bounded_exchange(spark, sf_dir):
     rows (partitions × |Q| × ~k), never the corpus, into the per-query
     rank window."""
     df = q.QUERIES["emb_adc_topk_batch"](spark, sf_dir)
-    plan = physical_plan(df)
+    plan = physical_plan(df, mode="simple")
     # exactly one Arrow kernel (the LUT-gather), no row-at-a-time python
-    assert plan.count("MapInPandas") == 1
+    assert plan.count("MapInPandas") == 1, plan
     assert "BatchEvalPython" not in plan
     # the rank is a window over the kernel's bounded output
     assert "Window" in plan
