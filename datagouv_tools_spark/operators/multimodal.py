@@ -383,6 +383,8 @@ def decode_wav(payload: bytes):
             f"unsupported WAVE encoding (format={audio_format}, bits={bits});"
             " only 16-bit integer PCM decodes here"
         )
+    if n_channels < 1:
+        raise ValueError("corrupt WAVE fmt: zero channels")
     samples = np.frombuffer(data, dtype="<i2")
     if n_channels > 1:
         samples = samples[: len(samples) - len(samples) % n_channels]

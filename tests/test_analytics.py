@@ -1202,3 +1202,129 @@ def test_quarantine_splits_rows_with_causes(spark):
 
     with _pytest.raises(ValueError, match="aggregate-only"):
         quarantine(df, [unique("id")])
+
+
+class TestCodecProperties:
+    """Hypothesis sweeps over the pure-python codecs: round-trips are
+    exact for every valid array, and arbitrary bytes never escape with
+    anything but the documented ValueError/NotImplementedError."""
+
+    def test_ppm_round_trip_property(self):
+        import numpy as np
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+        from hypothesis.extra.numpy import arrays
+
+        from datagouv_tools_spark.operators.multimodal import (
+            decode_ppm,
+            encode_ppm,
+        )
+
+        @settings(max_examples=50, deadline=None)
+        @given(
+            arrays(
+                np.uint8,
+                st.tuples(
+                    st.integers(1, 8), st.integers(1, 8), st.just(3)
+                ),
+            )
+        )
+        def check(px):
+            w, h, back = decode_ppm(encode_ppm(px))
+            assert (w, h) == (px.shape[1], px.shape[0])
+            assert np.array_equal(back, px)
+
+        check()
+
+    def test_wav_round_trip_property(self):
+        import numpy as np
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+        from hypothesis.extra.numpy import arrays
+
+        from datagouv_tools_spark.operators.multimodal import (
+            decode_wav,
+            encode_wav,
+        )
+
+        @settings(max_examples=50, deadline=None)
+        @given(
+            arrays(
+                np.int16,
+                st.tuples(st.integers(1, 64), st.integers(1, 2)),
+            ),
+            st.sampled_from([8000, 16000, 44100]),
+        )
+        def check(clip, sr):
+            srate, nch, back = decode_wav(encode_wav(clip, sr))
+            assert srate == sr and nch == clip.shape[1]
+            assert np.array_equal(back, clip)
+
+        check()
+
+    def test_garbage_bytes_fail_loudly_not_weirdly(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from datagouv_tools_spark.operators.multimodal import (
+            decode_ppm,
+            decode_wav,
+        )
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.binary(max_size=200))
+        def check(payload):
+            for dec in (decode_ppm, decode_wav):
+                try:
+                    dec(payload)
+                except (ValueError, NotImplementedError):
+                    pass
+                # anything else (struct.error, IndexError, numpy
+                # reshape errors) is a parser bug the test surfaces
+
+        check()
+
+    def test_prefixed_garbage_headers(self):
+        """Bytes that START like a valid container but go wrong — the
+        adversarial zone for chunk/header walkers."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from datagouv_tools_spark.operators.multimodal import (
+            decode_ppm,
+            decode_wav,
+        )
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.binary(max_size=120))
+        def check(tail):
+            try:
+                decode_ppm(b"P6" + tail)
+            except (ValueError, NotImplementedError):
+                pass
+            try:
+                decode_wav(b"RIFF\x10\x00\x00\x00WAVE" + tail)
+            except (ValueError, NotImplementedError):
+                pass
+
+        check()
+
+
+def test_wav_zero_channel_fmt_is_loud():
+    """A crafted PCM fmt chunk declaring 0 channels must raise
+    ValueError, not ZeroDivisionError (found by reasoning the property
+    sweep's blind spot — random bytes almost never build a valid fmt)."""
+    import struct
+
+    import pytest as _pytest
+
+    from datagouv_tools_spark.operators.multimodal import decode_wav
+
+    fmt0 = struct.pack("<HHIIHH", 1, 0, 8000, 0, 0, 16)
+    bad = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt0)) + fmt0
+        + b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    )
+    with _pytest.raises(ValueError, match="zero channels"):
+        decode_wav(bad)
