@@ -473,3 +473,20 @@ def test_batched_adc_single_scan_bounded_exchange(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     # the rank is a window over the kernel's bounded output
     assert "Window" in plan
+
+
+def test_text_index_candidates_equi_join_no_cross(spark, sf_dir, tmp_path):
+    """Candidate generation off the stored band index must be a
+    (band_idx, band_hash) equi-join — never a cross/nested-loop
+    product of the entry store with itself."""
+    from pyspark.sql import functions as F
+
+    from datagouv_tools_spark.operators.text_index import text_index_build
+    from datagouv_tools_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    idx = text_index_build(docs, str(tmp_path / "ti"))
+    for df in (idx.candidate_pairs(), idx.star_edges()):
+        plan = physical_plan(df, mode="simple")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
