@@ -6938,3 +6938,72 @@ def emb_adc_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in emb.filter(F.col("vec_id") < 3).collect()
     }
     return idx.adc_topk_batch(qs, k=10).orderBy("qid", "adc_dist", "vec_id")
+
+
+def _sql_rerank_oracle(terms: tuple[str, ...], n_cand: int, k: int) -> str:
+    pos_cols = ",\n         ".join(
+        f"list_filter(range(0, len(w.ws)), i -> w.ws[i+1] = '{t}') AS p{i}"
+        for i, t in enumerate(terms)
+    )
+    present = " + ".join(
+        f"(CASE WHEN len(p{i}) > 0 THEN 1 ELSE 0 END)"
+        for i in range(len(terms))
+    )
+    pair_mins = ",\n           ".join(
+        "COALESCE(list_min(flatten(list_transform("
+        f"p{i}, a -> list_transform(p{j}, b -> abs(a - b))))), 1000000)"
+        for i in range(len(terms))
+        for j in range(i + 1, len(terms))
+    )
+    return f"""
+    WITH {_sql_bm25_scored(terms)}, cand AS (
+      SELECT doc_id, bm25 FROM scored WHERE bm25 > 0.0
+      ORDER BY bm25 DESC, doc_id LIMIT {n_cand}
+    ), cpos AS (
+      SELECT c.doc_id, c.bm25,
+         {pos_cols}
+      FROM cand c JOIN w ON c.doc_id = w.doc_id
+    ), reranked AS (
+      SELECT doc_id, bm25,
+           CAST({present} AS INTEGER) AS n_present,
+           CAST(LEAST(
+           {pair_mins}
+           ) AS INTEGER) AS min_gap
+      FROM cpos
+    )
+    SELECT doc_id, n_present, min_gap, bm25
+    FROM reranked
+    ORDER BY n_present DESC, min_gap, bm25 DESC, doc_id LIMIT {k}
+    """
+
+
+@query("doc_rerank_proximity", _sql_rerank_oracle(_BM25_TERMS, 50, 15))
+def doc_rerank_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The completing stage of the retrieval stack (candidate-gen →
+    fuse → RERANK), with a REAL reranking signal rather than a model
+    stub: BM25's top-50 candidates reordered by term proximity —
+    distinct-query-terms present (desc), then the smallest token
+    distance between occurrences of two different query terms (asc) —
+    the phrase-tightness evidence bag-of-words scoring cannot see.
+    All-integer proximity arithmetic, bit-exact cross-engine
+    (operators/retrieval.proximity_rerank).
+
+    Scale: reranking runs on the 50-row candidate set only — per doc
+    it is |terms| position-array builds + pairwise gap minima as
+    map-local array expressions (no shuffle, no UDF, no corpus
+    touch beyond the BM25 stage's own scan)."""
+    from datagouv_tools_spark.operators.retrieval import (
+        bm25_topk,
+        proximity_rerank,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    cand = bm25_topk(docs, list(_BM25_TERMS), k=50)
+    return (
+        proximity_rerank(cand, list(_BM25_TERMS))
+        .select("doc_id", "n_present", "min_gap", "bm25")
+        .orderBy(
+            F.desc("n_present"), F.asc("min_gap"), F.desc("bm25"), F.asc("doc_id")
+        )
+        .limit(15)
+    )
