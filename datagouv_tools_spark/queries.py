@@ -7007,3 +7007,92 @@ def doc_rerank_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(15)
     )
+
+
+@query(
+    "doc_hybrid_lexical_vector",
+    f"""
+    WITH {_sql_bm25_scored(_BM25_TERMS)}, ra AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+      FROM scored WHERE bm25 > 0.0
+      ORDER BY bm25 DESC, doc_id LIMIT 100
+    ), qv AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0
+    ), sims AS (
+      SELECT e.vec_id AS doc_id,
+             ROUND(list_dot_product(q.v, CAST(e.embedding AS DOUBLE[]))
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))), 6) AS sim
+      FROM embeddings e, qv q WHERE e.vec_id <> 0
+    ), rb AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS rank
+      FROM sims ORDER BY sim DESC, doc_id LIMIT 100
+    ), fused AS (
+      SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+             ROUND((CASE WHEN ra.rank IS NOT NULL
+                         THEN 1.0 / (60.0 + ra.rank::DOUBLE) ELSE 0.0 END
+                  + CASE WHEN rb.rank IS NOT NULL
+                         THEN 1.0 / (60.0 + rb.rank::DOUBLE) ELSE 0.0 END),
+                   6) AS rrf,
+             COALESCE(ra.rank, 0)::BIGINT AS bm25_rank,
+             COALESCE(rb.rank, 0)::BIGINT AS cosine_rank
+      FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+    )
+    SELECT doc_id, rrf, bm25_rank, cosine_rank
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 20
+    """,
+)
+def doc_hybrid_lexical_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE hybrid retrieval — the production RAG recipe: a LEXICAL
+    candidate list (BM25 over documents.text) fused with a VECTOR
+    candidate list (exact cosine over the aligned embeddings table,
+    query = vec_id 0's embedding) by reciprocal rank. doc_retrieval_rrf
+    demonstrated the fusion against a query-independent prior; this is
+    the real two-modality version the shared id domain enables.
+
+    Scale: both candidate lists reduce to ≤100 rows BEFORE any window
+    (BM25 via TakeOrdered; cosine via the broadcast-query kernel's
+    TakeOrdered) — at production scale the vector side swaps in
+    AnnIndex.adc_topk with identical downstream shape. sqrt IS
+    IEEE-correctly-rounded (unlike ln), so the rounded cosine crosses
+    engines bit-for-bit."""
+    from pyspark.sql.window import Window
+
+    from datagouv_tools_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from datagouv_tools_spark.operators.similarity import cosine_topk
+
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+
+    a100 = bm25_topk(docs, list(_BM25_TERMS), k=100)
+    wA = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    ra = a100.withColumn("rank", F.row_number().over(wA)).select(
+        "doc_id", "rank"
+    )
+
+    q_df = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    rb = (
+        cosine_topk(q_df, emb, k=100)
+        .select(F.col("vec_id").alias("doc_id"), F.col("rk").alias("rank"))
+    )
+
+    fused = rrf_fuse([ra, rb])
+    ranks = ra.withColumnRenamed("rank", "bm25_rank").join(
+        rb.withColumnRenamed("rank", "cosine_rank"), "doc_id", "full_outer"
+    )
+    return (
+        fused.join(ranks, "doc_id")
+        .select(
+            "doc_id",
+            "rrf",
+            F.coalesce("bm25_rank", F.lit(0)).cast("bigint").alias("bm25_rank"),
+            F.coalesce("cosine_rank", F.lit(0))
+            .cast("bigint")
+            .alias("cosine_rank"),
+        )
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(20)
+    )
