@@ -40,6 +40,8 @@ __all__ = [
     "text_index_build",
     "text_index_open",
     "text_index_append",
+    "foreach_batch_text_index_appender",
+    "stream_text_index_append",
 ]
 
 
@@ -165,4 +167,60 @@ def text_index_append(
         .write.mode("append")
         .partitionBy("band_idx")
         .parquet(f"{index.path}/bands")
+    )
+
+
+def foreach_batch_text_index_appender(index: TextBandIndex, run_key: str):
+    """``writeStream.foreachBatch`` callback for continuous text-index
+    maintenance — the text twin of ``streaming/index_ingest``: a tiny
+    (run_key, batch id) ledger under the index path skips checkpoint
+    redeliveries outright; the ledger row lands AFTER the data
+    (output-first), and the crash window between the two writes is
+    healed by ``anti_join_existing``'s one-partition membership probe.
+    """
+    from pyspark.sql import functions as F
+
+    ledger = f"{index.path}/applied_batches"
+
+    def applied(spark) -> set[int]:
+        jp = spark._jvm.org.apache.hadoop.fs.Path(ledger)
+        fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(jp):
+            return set()
+        return {
+            int(r["batch_id"])
+            for r in spark.read.parquet(ledger)
+            .filter(F.col("run_key") == run_key)
+            .collect()
+        }
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if int(batch_id) in applied(spark):
+            return
+        text_index_append(index, batch, anti_join_existing=True)
+        spark.createDataFrame(
+            [(run_key, int(batch_id))], "run_key string, batch_id bigint"
+        ).write.mode("append").parquet(ledger)
+
+    return apply
+
+
+def stream_text_index_append(
+    doc_stream: DataFrame, index: TextBandIndex, checkpoint: str
+):
+    """Start the continuous text-index maintenance stream (availableNow
+    drains the backlog and stops; a production stream runs a
+    processing-time trigger with the same callback)."""
+    from datagouv_tools_spark.streaming.index_ingest import run_key_for_checkpoint
+
+    return (
+        doc_stream.writeStream.foreachBatch(
+            foreach_batch_text_index_appender(
+                index, run_key_for_checkpoint(checkpoint)
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
     )

@@ -7096,3 +7096,25 @@ def doc_hybrid_lexical_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf"), "doc_id")
         .limit(20)
     )
+
+
+@query("doc_cluster_dedup_indexed", _sql_star_cluster_oracle())
+def doc_cluster_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_cluster_dedup_scalable served from the PERSISTED text band
+    index: star edges come straight off the stored (id, band_hash)
+    entries (operators/text_index.star_edges — zero tokenization or
+    signature work, stub-pinned) and flow into the same connected-
+    components pass. The SAME recursive-CTE oracle hash-checks both
+    variants — the store is bit-faithful for the full dedup pipeline,
+    not just candidate listing. At 100 TB this is the production
+    shape: the band store is built once (or maintained by the
+    streaming appender) and every dedup run starts from it."""
+    from datagouv_tools_spark.operators.dedup import dedup_clusters
+
+    idx = _text_band_index(spark, sf_dir)
+    return (
+        dedup_clusters(idx.star_edges())
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("cluster_id")
+    )

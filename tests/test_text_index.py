@@ -89,3 +89,61 @@ def test_append_equals_build_over_union(spark, sf_dir, tmp_path):
     before = idx.entries().count()
     ti.text_index_append(idx, more, anti_join_existing=True)  # replay
     assert idx.entries().count() == before
+
+
+def test_streaming_text_index_ingest_with_replay_and_crash_heal(
+    spark, sf_dir, tmp_path
+):
+    """Continuous text-index maintenance: a 2-file stream grows the
+    index to exactly the build-over-union state; a full checkpoint
+    replay appends nothing (ledger); a simulated crash window (data
+    appended, ledger row lost) heals via the membership anti-join."""
+    import shutil
+
+    from datagouv_tools_spark.operators.text_index import (
+        stream_text_index_append,
+        text_index_append,
+        text_index_build,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") < 40)
+    idx = ti.text_index_build(base, str(tmp_path / "idx"))
+
+    src = tmp_path / "src"
+    src.mkdir()
+    docs.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 70)).select(
+        "doc_id", "text"
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    docs.filter((F.col("doc_id") >= 70) & (F.col("doc_id") < 100)).select(
+        "doc_id", "text"
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    def start(ckpt):
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        return stream_text_index_append(stream, idx, ckpt)
+
+    ckpt = str(tmp_path / "ckpt")
+    start(ckpt).awaitTermination(120)
+
+    union_idx = text_index_build(
+        docs.filter(F.col("doc_id") < 100), str(tmp_path / "union")
+    )
+    assert sorted(map(tuple, idx.entries().collect())) == sorted(
+        map(tuple, union_idx.entries().collect())
+    )
+
+    # full replay from a FRESH checkpoint (new run key): the ledger
+    # doesn't apply, but the membership heal makes it a no-op
+    before = idx.entries().count()
+    start(str(tmp_path / "ckpt2")).awaitTermination(120)
+    assert idx.entries().count() == before
+
+    # crash window: data landed, ledger row lost → redelivery heals
+    shutil.rmtree(f"{idx.path}/applied_batches")
+    start(str(tmp_path / "ckpt3")).awaitTermination(120)
+    assert idx.entries().count() == before
