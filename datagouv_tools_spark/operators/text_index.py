@@ -42,6 +42,7 @@ __all__ = [
     "text_index_append",
     "foreach_batch_text_index_appender",
     "stream_text_index_append",
+    "text_index_compact",
 ]
 
 
@@ -223,4 +224,24 @@ def stream_text_index_append(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def text_index_compact(index: TextBandIndex, parallelism: int = 8) -> None:
+    """Compact the append-accumulated small files of the band store —
+    the same maintenance contract as ``ann_index.index_compact``: rows
+    hash-cluster on ``band_idx`` across ``parallelism`` tasks so each
+    partition dir rewrites to one file; only the layout changes, never
+    a row (pinned by test). The rewrite materializes through
+    ``localCheckpoint`` before overwriting the path it reads."""
+    compacted = (
+        index.entries()
+        .repartition(parallelism, F.col("band_idx"))
+        .localCheckpoint()
+    )
+    (
+        compacted.write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("band_idx")
+        .parquet(f"{index.path}/bands")
     )

@@ -147,3 +147,31 @@ def test_streaming_text_index_ingest_with_replay_and_crash_heal(
     shutil.rmtree(f"{idx.path}/applied_batches")
     start(str(tmp_path / "ckpt3")).awaitTermination(120)
     assert idx.entries().count() == before
+
+
+def test_compact_shrinks_files_keeps_rows(spark, sf_dir, tmp_path):
+    import glob
+
+    from datagouv_tools_spark.operators.text_index import (
+        text_index_append,
+        text_index_build,
+        text_index_compact,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = ti.text_index_build(
+        docs.filter(F.col("doc_id") < 30), str(tmp_path / "idx")
+    )
+    for lo in (30, 60):
+        text_index_append(
+            idx,
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 30)),
+        )
+    before_rows = sorted(map(tuple, idx.entries().collect()))
+    n_files = lambda: len(  # noqa: E731
+        glob.glob(f"{idx.path}/bands/band_idx=*/*.parquet")
+    )
+    files_before = n_files()
+    text_index_compact(idx)
+    assert n_files() < files_before
+    assert sorted(map(tuple, idx.entries().collect())) == before_rows
