@@ -50,7 +50,9 @@ __all__ = [
     "embdup_gate_batch",
     "foreach_batch_embdup_gate",
     "foreach_batch_neardup_gate",
+    "foreach_batch_simdup_gate",
     "neardup_gate_batch",
+    "simdup_gate_batch",
 ]
 
 
@@ -352,6 +354,83 @@ def foreach_batch_embdup_gate(
             batch_id,
             ttl_epochs,
             epoch_batches,
+        )
+
+    return run
+
+
+def simdup_gate_batch(
+    batch: DataFrame,
+    store_path: str,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = 4,
+    token_hash: str = "xxhash64",
+    n_store_buckets: int = 16,
+    batch_id: int = 0,
+    ttl_epochs: int | None = None,
+    epoch_batches: int = 1,
+) -> None:
+    """Streaming SIMHASH near-dup admission gate — the third
+    fingerprint modality through the one shared banded-admission
+    engine (MinHash token bands, sign-LSH embedding bands, and now
+    banded-Hamming SimHash bands).
+
+    The 64-bit (60 in md5 oracle mode) SimHash splits into ``n_bands``
+    contiguous bit slices; a document is rejected when ANY slice's
+    value is already claimed. Pigeonhole gives a GUARANTEE the other
+    gates can't: two documents within Hamming distance < n_bands have
+    some band with zero differing bits, so every such near-dup is
+    caught deterministically (beyond that distance, detection decays
+    with how the differing bits spread). Same store, replay ordering,
+    TTL/epoch compaction, and flood bounds as the sibling gates."""
+    from datagouv_tools_spark.operators.dedup import simhash64
+    from datagouv_tools_spark.streaming.util import fan_out_batch
+
+    batch = fan_out_batch(batch)
+    n_bits = 64 if token_hash == "xxhash64" else 60
+    width = n_bits // n_bands
+    mask = (1 << width) - 1
+    sig = simhash64(batch, text_col, id_col, token_hash)
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftrightunsigned(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit(mask).cast("bigint"))
+                .alias("band_hash"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    entries = sig.select(
+        id_col, F.explode(slices).alias("s")
+    ).select(id_col, "s.band_idx", "s.band_hash")
+    _banded_admission_batch(
+        entries, batch, store_path, out_path, id_col,
+        n_store_buckets, batch_id, ttl_epochs, epoch_batches,
+    )
+
+
+def foreach_batch_simdup_gate(
+    store_path: str,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = 4,
+    token_hash: str = "xxhash64",
+    n_store_buckets: int = 16,
+    ttl_epochs: int | None = None,
+    epoch_batches: int = 1,
+):
+    """``writeStream.foreachBatch`` callback wiring ``simdup_gate_batch``."""
+
+    def run(batch: DataFrame, batch_id: int) -> None:
+        simdup_gate_batch(
+            batch, store_path, out_path, text_col, id_col,
+            n_bands, token_hash, n_store_buckets, int(batch_id),
+            ttl_epochs, epoch_batches,
         )
 
     return run

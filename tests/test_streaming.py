@@ -1041,3 +1041,84 @@ def test_scrub_gate_ttl_expires_and_rekeeps(spark, tmp_path):
     assert got[3].startswith(boiler)
     # expired epoch dirs vacuumed
     assert not glob.glob(f"{store}/*/__epoch=0")
+
+
+class TestSimdupGate:
+    """SimHash banded-Hamming admission (third modality through the
+    shared engine): pigeonhole guarantees every near-dup within
+    Hamming distance < n_bands is rejected."""
+
+    def _gate(self, spark, tmp_path, rows, batch_id=0):
+        from datagouv_tools_spark.streaming.neardup_gate import (
+            simdup_gate_batch,
+        )
+
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        simdup_gate_batch(
+            df, str(tmp_path / "store"), str(tmp_path / "out"),
+            batch_id=batch_id,
+        )
+        return {
+            r["doc_id"]
+            for r in spark.read.parquet(str(tmp_path / "out")).collect()
+        }
+
+    def test_identical_and_reordered_rejected_distinct_admitted(
+        self, spark, tmp_path
+    ):
+        """SimHash is bag-of-words: a token-reordered copy has the
+        IDENTICAL signature (the near-dup class this gate owns —
+        MinHash also catches it, but SimHash state is 1 long per doc
+        instead of k·bands); unrelated text is admitted. NB: a single
+        changed token in a SHORT doc flips low-margin bits all over the
+        signature — SimHash hamming concentrates only for long docs,
+        which is why the deterministic test uses reordering."""
+        words = [f"tok{i}" for i in range(60)]
+        base = " ".join(words)
+        reordered = " ".join(reversed(words))
+        far = " ".join(f"zz{i}" for i in range(60))
+        admitted = self._gate(
+            spark, tmp_path,
+            [(1, base), (2, base), (3, reordered), (4, far)],
+        )
+        assert 1 in admitted and 4 in admitted
+        assert 2 not in admitted, "identical doc shares every band"
+        assert 3 not in admitted, "reordered doc has the same signature"
+
+    def test_cross_batch_and_replay(self, spark, tmp_path):
+        base = " ".join(f"tok{i}" for i in range(60))
+        a0 = self._gate(spark, tmp_path, [(1, base)], batch_id=0)
+        assert a0 == {1}
+        # batch 1: a later copy is rejected by the store
+        a1 = self._gate(
+            spark, tmp_path,
+            [(9, base), (10, " ".join(f"q{i}" for i in range(60)))],
+            batch_id=1,
+        )
+        assert a1 == {1, 10}  # out dir accumulates both batch slices
+        # replay batch 1 against the merged store: nothing changes
+        again = self._gate(
+            spark, tmp_path,
+            [(9, base), (10, " ".join(f"q{i}" for i in range(60)))],
+            batch_id=1,
+        )
+        assert again == {1, 10}
+
+    def test_hamming_guarantee_by_construction(self, spark):
+        """Pin the pigeonhole claim directly on the signatures: flip
+        fewer than n_bands bits of a simhash and at least one 16-bit
+        band is untouched."""
+        n_bands, width = 4, 16
+        sig = 0x0123456789ABCDEF
+        import itertools
+
+        for flips in itertools.combinations((0, 17, 33), 3):  # 3 < 4 bands
+            mutated = sig
+            for b in flips:
+                mutated ^= 1 << b
+            shared = any(
+                (sig >> (b * width)) & 0xFFFF
+                == (mutated >> (b * width)) & 0xFFFF
+                for b in range(n_bands)
+            )
+            assert shared
