@@ -1328,3 +1328,29 @@ def test_wav_zero_channel_fmt_is_loud():
     )
     with _pytest.raises(ValueError, match="zero channels"):
         decode_wav(bad)
+
+
+def test_fuzzy_pairs_blocked_matches_and_misses_documented(spark):
+    from datagouv_tools_spark.operators.fuzzy import (
+        fuzzy_pairs,
+        prefix_length_block,
+    )
+
+    rows = [
+        (1, "acme corp"),
+        (2, "acme Corp"),   # 1 substitution — same block
+        (3, "acme corps"),  # 1 insertion — DIFFERENT length → other block
+        (4, "zeta corp"),   # far
+        (5, "acme c0rp"),   # 1 substitution — same block
+    ]
+    df = spark.createDataFrame(rows, "id bigint, key string")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in fuzzy_pairs(
+            df, "key", "id", prefix_length_block("key", 4), max_distance=1
+        ).collect()
+    )
+    # the blocking recall trade is explicit: (1,3) is a true distance-1
+    # pair MISSED because the length differs (documented behavior);
+    # (2,5) differs in TWO positions (C/c and o/0) and is rightly out
+    assert got == [(1, 2, 1), (1, 5, 1)]
