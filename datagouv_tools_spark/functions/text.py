@@ -66,6 +66,23 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col)).cast("bigint")
 
 
+def word_bigrams(ts: Column) -> Column:
+    """Adjacent word bigrams of a token array, joined with one space.
+    Empty array below two tokens. SQL mirror:
+    ``list_transform(generate_series(1, len(ts) - 1),
+    i -> ts[i] || ' ' || ts[i + 1])``."""
+    n = F.size(ts)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(1)),
+            lambda i: F.concat(
+                F.element_at(ts, i), F.lit(" "), F.element_at(ts, i + F.lit(1))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def distinct_token_ratio(col: Column | str) -> Column:
     """|distinct tokens| / |tokens| — low values indicate repetitive,
     low-quality text. NULL on empty."""

@@ -1,0 +1,177 @@
+"""Distributed BPE (byte-pair-encoding) merge training on Spark.
+
+The classic subword-vocabulary trainer (Sennrich et al. 2016): start
+from character symbols, repeatedly find the corpus-wide most frequent
+adjacent symbol pair (weighted by word frequency) and merge it — the
+algorithm behind GPT/SentencePiece vocabularies. The reference repo has
+no tokenizer training; this is the training-data-pipeline side of the
+engine (SURVEY.md §2.6 scope: corpus-statistics operators).
+
+Spark-first design: the corpus collapses to the WORD VOCABULARY first
+(one groupBy — BPE statistics only depend on (word, count), so 100 TB
+of text becomes |V| rows ≤ a few million), and every round is
+
+  vocab → explode adjacent pairs (map-local array transform)
+        → groupBy (left, right) with map-side combine
+        → global top-1 = TakeOrderedAndProject
+        → broadcast the 1-row winner, re-merge symbols map-side with a
+          JVM `aggregate()` fold (greedy left-to-right, exactly BPE's
+          scan order) — no Python touches a row.
+
+Rounds are a fixed driver-side loop over DataFrame transformations
+(lazy — one DAG); Spark reuses each round's shuffle files across the
+per-round jobs, so round r's vocab aggregation is not recomputed from
+raw text. The same greedy fold is expressed in the DuckDB oracle with
+`list_reduce`, making the whole iterative trainer value-hash-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _spaced_chars(w: Column) -> Column:
+    """'hello' -> 'h e l l o' (symbols joined by single spaces).
+
+    SQL mirror: trim(regexp_replace(w, '(.)', '\\1 ', 'g'), ' ').
+    """
+    return F.trim(F.regexp_replace(w, "(.)", "$1 "))
+
+
+def _merge_fold(l: Column, lft: Column, rgt: Column) -> Column:
+    """Greedy left-to-right merge of adjacent (lft, rgt) symbol pairs.
+
+    Folds the symbol array back into a spaced string: the accumulator's
+    LAST symbol is merged with the incoming one iff they equal the
+    winning pair — byte-equal to DuckDB's `list_reduce` with the same
+    CASE (the boundary test keeps token identity exact even when one
+    symbol is a suffix of another).
+    """
+    init = F.element_at(l, 1)
+    rest = F.slice(l, 2, F.greatest(F.size(l) - 1, F.lit(0)))
+
+    def fold(acc: Column, x: Column) -> Column:
+        tail = F.substr(acc, F.length(acc) - F.length(lft) + 1, F.length(lft))
+        boundary = (F.length(acc) == F.length(lft)) | (
+            F.substr(acc, F.length(acc) - F.length(lft), F.lit(1)) == F.lit(" ")
+        )
+        return F.when(
+            (x == rgt) & (tail == lft) & boundary,
+            F.concat(
+                F.substr(acc, F.lit(1), F.length(acc) - F.length(lft)), lft, rgt
+            ),
+        ).otherwise(F.concat(acc, F.lit(" "), x))
+
+    return F.aggregate(rest, init, fold)
+
+
+def bpe_train(words: DataFrame, rounds: int) -> DataFrame:
+    """Train ``rounds`` BPE merges over a word-frequency DataFrame.
+
+    ``words`` must have columns ``w`` (string) and ``wc`` (bigint
+    count). Returns one row per merge round: (merge_round, lft, rgt,
+    merged, cnt), ties broken by (count desc, lft, rgt) so the winner
+    is unique and cross-engine deterministic.
+    """
+    corpus = words.select("w", "wc", _spaced_chars(F.col("w")).alias("s"))
+    tops: list[DataFrame] = []
+    for r in range(rounds):
+        l = F.split(F.col("s"), " ")
+        # Spark's sequence(1, 0) DESCENDS ([1, 0]) where DuckDB's
+        # generate_series(1, 0) is empty — single-symbol words must be
+        # filtered out before pair expansion, not guarded arithmetically.
+        pairs = corpus.filter(F.size(l) >= 2).select(
+            "wc",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(l) - 1),
+                    lambda i: F.struct(
+                        F.element_at(l, i).alias("lft"),
+                        F.element_at(l, i + F.lit(1)).alias("rgt"),
+                    ),
+                )
+            ).alias("p"),
+        ).select("wc", "p.lft", "p.rgt")
+        counted = pairs.groupBy("lft", "rgt").agg(F.sum("wc").alias("cnt"))
+        top = counted.orderBy(F.desc("cnt"), "lft", "rgt").limit(1)
+        tops.append(
+            top.select(
+                F.lit(r + 1).cast("bigint").alias("merge_round"),
+                "lft",
+                "rgt",
+                F.concat("lft", "rgt").alias("merged"),
+                "cnt",
+            )
+        )
+        b = top.select(
+            F.col("lft").alias("__l"), F.col("rgt").alias("__r")
+        )
+        corpus = (
+            corpus.crossJoin(F.broadcast(b))
+            .select(
+                "w",
+                "wc",
+                _merge_fold(
+                    F.split(F.col("s"), " "), F.col("__l"), F.col("__r")
+                ).alias("s"),
+            )
+        )
+    out = tops[0]
+    for df in tops[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("merge_round")
+
+
+def bpe_oracle_sql(rounds: int, tokens_sql: str) -> str:
+    """The DuckDB twin of :func:`bpe_train` as one CTE chain.
+
+    ``tokens_sql`` is a SQL expression producing the token list per
+    document row (the shared ``_SQL_TOKENS`` macro). Each round r adds
+    three CTEs: pair counts ``p{r}``, the unique winner ``b{r}``, and
+    the re-merged corpus ``c{r+1}`` (a `list_reduce` fold identical to
+    the Spark-side `aggregate`).
+    """
+    parts = [
+        f"""
+    WITH vocab AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS wc
+      FROM (SELECT unnest({tokens_sql}) AS w FROM documents)
+      GROUP BY w
+    ),
+    c0 AS (SELECT w, wc, trim(regexp_replace(w, '(.)', '\\1 ', 'g'), ' ') AS s
+           FROM vocab)"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f""",
+    p{r} AS (
+      SELECT split_part(p, ' ', 1) AS lft, split_part(p, ' ', 2) AS rgt,
+             CAST(SUM(wc) AS BIGINT) AS cnt
+      FROM (
+        SELECT wc, unnest(list_transform(generate_series(1, len(l) - 1),
+                    i -> l[i] || ' ' || l[i+1])) AS p
+        FROM (SELECT wc, string_split(s, ' ') AS l FROM c{r})
+      ) GROUP BY lft, rgt
+    ),
+    b{r} AS (SELECT lft, rgt, cnt FROM p{r}
+             ORDER BY cnt DESC, lft, rgt LIMIT 1),
+    c{r + 1} AS (
+      SELECT w, wc,
+        list_reduce(string_split(s, ' '), (acc, x) -> CASE
+          WHEN x = b.rgt
+               AND substr(acc, len(acc) - len(b.lft) + 1) = b.lft
+               AND (len(acc) = len(b.lft)
+                    OR substr(acc, len(acc) - len(b.lft), 1) = ' ')
+          THEN substr(acc, 1, len(acc) - len(b.lft)) || b.lft || b.rgt
+          ELSE acc || ' ' || x END) AS s
+      FROM c{r} CROSS JOIN b{r} b
+    )"""
+        )
+    selects = "\n    UNION ALL ".join(
+        f"SELECT CAST({r + 1} AS BIGINT) AS merge_round, lft, rgt,"
+        f" lft || rgt AS merged, cnt FROM b{r}"
+        for r in range(rounds)
+    )
+    parts.append(f"\n    {selects}\n    ORDER BY merge_round")
+    return "".join(parts)

@@ -7181,3 +7181,339 @@ def customer_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("block")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics as model: n-gram LM filtering, attribution, drift
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_ngram_lm_quality",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKENS} AS ts FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(ts) - 1),
+                                   i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+      FROM toks WHERE len(ts) >= 2
+    ),
+    lm AS (
+      SELECT bigram, COUNT(*) AS cnt FROM bg GROUP BY bigram
+      HAVING COUNT(*) >= 2
+    ),
+    scored AS (
+      SELECT bg.doc_id,
+             COUNT(*) AS n_bigrams,
+             CAST(SUM(CASE WHEN lm.cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS oov_bigrams,
+             CAST(SUM(COALESCE(length(CAST(lm.cnt AS VARCHAR)), 0)) AS BIGINT)
+               AS cls_sum
+      FROM bg LEFT JOIN lm USING (bigram)
+      GROUP BY bg.doc_id
+    )
+    SELECT doc_id, n_bigrams, oov_bigrams,
+           (cls_sum * 1000) // n_bigrams AS lm_score_mille
+    FROM scored
+    ORDER BY lm_score_mille, doc_id
+    LIMIT 20
+    """,
+)
+def doc_ngram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style n-gram LM quality filter, cross-engine-exact: train a
+    word-bigram "language model" on the corpus itself (count-pruned at
+    min_count=2, the classic pruned-LM trick), then score every document
+    by the mean frequency CLASS of its bigrams — class = decimal digit
+    count of the corpus count, an integer log10 proxy that both engines
+    compute identically (no libm). Out-of-vocabulary bigrams score 0, so
+    gibberish and boilerplate-free junk sink; the 20 lowest-scoring docs
+    surface for filtering. All arithmetic is integer (fixed-point mille),
+    so the value hash is exact.
+
+    Scale: bigram expansion is map-local (array transform inside codegen);
+    LM training is one map-side-combining groupBy on the bigram key; the
+    score join is a shuffle equi-join on the same key (zipfian head is
+    AQE-skew territory, and a pruned LM of bounded vocabulary V could be
+    broadcast instead); the per-doc re-agg shuffles (doc_id, partials)
+    only. Bottom-20 is a TakeOrderedAndProject. No driver-side state —
+    the "model" never leaves the cluster."""
+    from datagouv_tools_spark.functions.text import tokens, word_bigrams
+
+    docs = t(spark, sf_dir, "documents")
+    bg = docs.select(
+        "doc_id", F.explode(word_bigrams(tokens("text"))).alias("bigram")
+    )
+    lm = (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+    )
+    scored = (
+        bg.join(lm, "bigram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("cnt").isNull(), 1).otherwise(0)
+            ).alias("oov_bigrams"),
+            F.sum(
+                F.coalesce(F.length(F.col("cnt").cast("string")), F.lit(0))
+            ).alias("cls_sum"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "n_bigrams",
+            "oov_bigrams",
+            F.expr("(cls_sum * 1000) div n_bigrams").alias("lm_score_mille"),
+        )
+        .orderBy("lm_score_mille", "doc_id")
+        .limit(20)
+    )
+
+
+@query(
+    "events_attribution_last_touch",
+    """
+    WITH u AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_buy,
+             CASE WHEN event_type IN ('click', 'view', 'signup')
+                  THEN event_type END AS touch
+      FROM events WHERE event_type IN ('click', 'view', 'signup', 'purchase')
+    ), m AS (
+      SELECT user_id, event_id, value, is_buy,
+             LAST_VALUE(touch IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, is_buy, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS channel
+      FROM u
+    )
+    SELECT COALESCE(channel, 'direct') AS channel,
+           COUNT(*) AS n_purchases,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS attributed_value
+    FROM m WHERE is_buy = 1
+    GROUP BY COALESCE(channel, 'direct')
+    ORDER BY channel
+    """,
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing last-touch attribution: every purchase is credited to
+    the user's most recent preceding touch event (click/view/signup;
+    'direct' when none), then revenue rolls up per channel. The as-of
+    semantics reuse the engine's union + LAST_VALUE(IGNORE NULLS)
+    pattern — one window pass instead of a per-purchase point-in-time
+    join — with a total (ts, is_buy, event_id) tie-break so same-
+    timestamp touches sort before the purchase they precede.
+
+    Scale: one shuffle on user_id for the window (both event classes
+    arrive in the SAME exchange — no join of two sorted streams), then
+    a tiny-domain channel aggregation with map-side combine. Decimal-
+    exact revenue sums keep the hash stable."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view", "signup", "purchase")
+    )
+    from pyspark.sql import Window as W
+
+    u = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_buy"),
+        F.when(
+            F.col("event_type").isin("click", "view", "signup"),
+            F.col("event_type"),
+        ).alias("touch"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_buy", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    m = u.withColumn("channel", F.last("touch", ignorenulls=True).over(w))
+    return (
+        m.filter(F.col("is_buy") == 1)
+        .groupBy(F.coalesce(F.col("channel"), F.lit("direct")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            dround(F.sum(dec("value"))).alias("attributed_value"),
+        )
+        .orderBy("channel")
+    )
+
+
+@query(
+    "orders_snapshot_drift",
+    """
+    WITH bucketed AS (
+      SELECT CAST(LEAST(FLOOR(o_totalprice / 50000.0), 9) AS BIGINT) AS bucket,
+             CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+                  THEN 'base' ELSE 'curr' END AS snap
+      FROM orders
+    ),
+    counts AS (
+      SELECT bucket, snap, COUNT(*) AS n FROM bucketed GROUP BY bucket, snap
+    ),
+    tot AS (SELECT snap, CAST(SUM(n) AS BIGINT) AS total
+            FROM counts GROUP BY snap),
+    shares AS (
+      SELECT c.bucket, c.snap, c.n,
+             CAST((c.n * 1000000) // t.total AS BIGINT) AS ppm
+      FROM counts c JOIN tot t USING (snap)
+    ),
+    wide AS (
+      SELECT COALESCE(b.bucket, c.bucket) AS bucket,
+             COALESCE(b.n, 0) AS base_n, COALESCE(c.n, 0) AS curr_n,
+             COALESCE(b.ppm, 0) AS base_ppm, COALESCE(c.ppm, 0) AS curr_ppm
+      FROM (SELECT * FROM shares WHERE snap = 'base') b
+      FULL OUTER JOIN (SELECT * FROM shares WHERE snap = 'curr') c
+        ON b.bucket = c.bucket
+    )
+    SELECT bucket, base_n, curr_n, base_ppm, curr_ppm,
+           ABS(base_ppm - curr_ppm) AS abs_diff_ppm,
+           CAST(SUM(ABS(base_ppm - curr_ppm)) OVER () // 2 AS BIGINT) AS tvd_ppm
+    FROM wide
+    ORDER BY bucket
+    """,
+)
+def orders_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality drift detection between two snapshots (PSI-style,
+    integer-exact): bucket o_totalprice into fixed 50k bands, compare
+    the pre-1998 distribution against 1998+, and report per-bucket
+    parts-per-million shares plus the total-variation distance — the
+    production check that a new data drop hasn't shifted the feature
+    distribution. Fixed-point ppm (integer // division) instead of a
+    log-based PSI keeps every value bit-identical cross-engine.
+
+    Scale: one pass over the fact bucketizes map-side into a (10 bands
+    × 2 snapshots) domain — the aggregation output is ~20 rows no
+    matter the input size, so the share/drift joins and the windowed
+    TVD all run on a broadcast-trivial result set."""
+    orders = t(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    bucketed = orders.select(
+        F.least(F.floor(F.col("o_totalprice") / 50000.0), F.lit(9))
+        .cast("bigint")
+        .alias("bucket"),
+        F.when(
+            F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"),
+            "base",
+        )
+        .otherwise("curr")
+        .alias("snap"),
+    )
+    counts = bucketed.groupBy("bucket", "snap").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = counts.groupBy("snap").agg(F.sum("n").alias("total"))
+    shares = counts.join(tot, "snap").select(
+        "bucket", "snap", "n", F.expr("(n * 1000000) div total").alias("ppm")
+    )
+    base = shares.filter(F.col("snap") == "base").select(
+        "bucket", F.col("n").alias("bn"), F.col("ppm").alias("bp")
+    )
+    curr = shares.filter(F.col("snap") == "curr").select(
+        "bucket", F.col("n").alias("cn"), F.col("ppm").alias("cp")
+    )
+    wide = base.join(curr, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("bn", F.lit(0)).alias("base_n"),
+        F.coalesce("cn", F.lit(0)).alias("curr_n"),
+        F.coalesce("bp", F.lit(0)).alias("base_ppm"),
+        F.coalesce("cp", F.lit(0)).alias("curr_ppm"),
+    )
+    diff = F.abs(F.col("base_ppm") - F.col("curr_ppm"))
+    return wide.select(
+        "bucket",
+        "base_n",
+        "curr_n",
+        "base_ppm",
+        "curr_ppm",
+        diff.alias("abs_diff_ppm"),
+        F.expr(
+            "sum(abs(base_ppm - curr_ppm)) over () div 2"
+        ).alias("tvd_ppm"),
+    ).orderBy("bucket")
+
+
+@query(
+    "events_cumulative_distinct",
+    """
+    WITH firsts AS (
+      SELECT user_id, MIN(date_trunc('day', ts)) AS day
+      FROM events GROUP BY user_id
+    ),
+    daily AS (SELECT day, COUNT(*) AS new_users FROM firsts GROUP BY day)
+    SELECT day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_users
+    FROM daily
+    ORDER BY day
+    """,
+)
+def events_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-user counts and the running cumulative distinct-user
+    curve — the growth-accounting query every product dashboard runs.
+    Distinct-over-time is computed WITHOUT a per-day distinct scan:
+    each user collapses to their first-seen day (one groupBy), daily
+    news are a second tiny aggregation, and the cumulative curve is a
+    running sum over the ~day-domain result.
+
+    Scale: the only full-data shuffle is groupBy(user_id) with map-side
+    combine; everything after runs on |days| rows, so the unpartitioned
+    running-sum window (single task) touches only the tiny aggregate —
+    the pattern that keeps "cumulative distinct" linear instead of the
+    O(days × users) repeated-COUNT-DISTINCT trap."""
+    ev = t(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts"))).alias("day")
+    )
+    daily = firsts.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    ).orderBy("day")
+
+
+def _bpe_oracle() -> str:
+    from datagouv_tools_spark.operators.bpe import bpe_oracle_sql
+
+    return bpe_oracle_sql(6, _SQL_TOKENS)
+
+
+@query("doc_bpe_train_merges", _bpe_oracle())
+def doc_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py): six merge
+    rounds of the Sennrich byte-pair-encoding algorithm over the corpus
+    vocabulary, each round = corpus-wide pair count → unique argmax →
+    greedy re-merge. The iterative trainer is expressed as ONE lazy
+    DataFrame DAG whose per-round fold is a JVM `aggregate()` — and the
+    DuckDB oracle replays the identical six rounds with `list_reduce`,
+    so an intrinsically sequential algorithm is still value-hash-checked
+    end to end.
+
+    Scale: text collapses to the word vocabulary first (BPE statistics
+    are a function of (word, count) only), so rounds run on |V| rows,
+    not corpus rows; pair counting is map-side-combined; the winner is
+    a TakeOrderedAndProject broadcast back; merging is map-local. The
+    driver holds nothing but the round loop."""
+    from datagouv_tools_spark.functions.text import tokens
+    from datagouv_tools_spark.operators.bpe import bpe_train
+
+    docs = t(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    return bpe_train(words, rounds=6)

@@ -1,0 +1,73 @@
+"""Unit tests for the distributed BPE merge trainer (operators/bpe.py)."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from datagouv_tools_spark.operators.bpe import (
+    _merge_fold,
+    bpe_oracle_sql,
+    bpe_train,
+)
+
+
+def test_bpe_classic_example(spark):
+    """The Sennrich et al. toy vocabulary: first merges are pinned by
+    hand so a regression in pair counting OR tie-breaking is visible."""
+    words = spark.createDataFrame(
+        [("low", 2), ("lower", 1), ("newest", 2), ("widest", 1)],
+        "w string, wc long",
+    )
+    rows = bpe_train(words, rounds=3).collect()
+    got = [(r.merge_round, r.lft, r.rgt, r.merged, r.cnt) for r in rows]
+    # round 1 pair counts: 'es' 3 (newest x2, widest), 'st' 3, 'lo' 3,
+    # 'ne' 2, 'we' 2 ... — count ties broken lexicographically: 'es'.
+    assert got[0] == (1, "e", "s", "es", 3)
+    # round 2: 'es'+'t' now 3, 'lo' 3 — 'es' < 'lo' lexicographically.
+    assert got[1] == (2, "es", "t", "est", 3)
+    assert got[2] == (3, "l", "o", "lo", 3)
+
+
+def test_merge_fold_greedy_overlap(spark):
+    """'a a a a' with pair (a, a) must merge greedily left-to-right into
+    'aa aa' — never 'aaa a' or a re-merge into the fresh tail."""
+    df = spark.createDataFrame([("a a a a",), ("b a a b",), ("a",)], "s string")
+    out = df.select(
+        _merge_fold(F.split("s", " "), F.lit("a"), F.lit("a")).alias("m")
+    ).collect()
+    assert [r.m for r in out] == ["aa aa", "b aa b", "a"]
+
+
+def test_merge_fold_suffix_boundary(spark):
+    """A symbol that merely ENDS with the left token must not merge:
+    'xa b' with pair (a, b) stays intact."""
+    df = spark.createDataFrame([("xa b",), ("a b",)], "s string")
+    out = df.select(
+        _merge_fold(F.split("s", " "), F.lit("a"), F.lit("b")).alias("m")
+    ).collect()
+    assert [r.m for r in out] == ["xa b", "ab"]
+
+
+def test_bpe_spark_matches_duckdb_on_adversarial_corpus(spark):
+    """Repeated-symbol and suffix-colliding words through BOTH engines:
+    the full 4-round trainer must agree bit-for-bit."""
+    text = "aaaa aaaa aaa banana banana bandana ana na xa ab ab"
+    words = (
+        spark.createDataFrame([(text,)], "text string")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    got = [
+        (r.merge_round, r.lft, r.rgt, r.merged, r.cnt)
+        for r in bpe_train(words, rounds=4).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT '{text}' AS text")
+    sql = bpe_oracle_sql(
+        4,
+        "list_filter(string_split_regex(lower(text), ' +'), t -> t != '')",
+    )
+    want = [tuple(r) for r in con.execute(sql).fetchall()]
+    assert got == want
