@@ -1,0 +1,118 @@
+"""Fixed-point PageRank on Spark — iterative graph ranking with a
+bit-exact cross-engine contract.
+
+PageRank's float arithmetic is order-dependent (partition-order sums),
+so this implementation runs entirely in INTEGER fixed point: ranks are
+nano-units of total mass (1e9 = everything), per-edge contributions are
+``(rank * w) // wdeg`` floor divisions, and the damping update is
+``teleport + (85 * inflow) // 100``. Floor division loses a bounded
+trickle of mass per step (documented semantics, identical in Spark and
+DuckDB), in exchange for value-hash-checkable iterative graph compute —
+the same trick the engine uses for its sketches.
+
+Scale: each iteration is one equi-join of the edge list against the
+current rank vector (both partitioned by src) plus a groupBy(dst) with
+map-side combine — the standard |E|-shuffle-per-round distributed
+PageRank. The node spine and weighted degrees are computed once. A
+fixed iteration count keeps the whole run ONE lazy DAG; Spark reuses
+the edge/degree shuffle outputs across rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000_000  # rank unit: nano-mass
+TELEPORT_NANO = 150_000_000  # 0.15 * SCALE
+
+
+def pagerank_fixed_point(
+    nodes: DataFrame, edges: DataFrame, iters: int
+) -> DataFrame:
+    """Ranks after ``iters`` damped fixed-point iterations.
+
+    ``nodes``: one column ``token`` (the vertex id). ``edges``: columns
+    ``src, dst, w`` (directed, pre-symmetrized by the caller for
+    undirected graphs). Returns (token, pr_nano).
+    """
+    nn = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    wdeg = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("wd"))
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "token", F.expr(f"{SCALE} div n").alias("pr")
+    )
+    for _ in range(iters):
+        inflow = (
+            edges.join(ranks.withColumnRenamed("token", "src"), "src")
+            .join(wdeg, "src")
+            .select("dst", F.expr("(pr * w) div wd").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").cast("bigint").alias("inflow"))
+            .withColumnRenamed("dst", "token")
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(inflow, "token", "left")
+            .select(
+                "token",
+                F.expr(
+                    f"{TELEPORT_NANO} div n"
+                    " + (85 * coalesce(inflow, 0)) div 100"
+                ).alias("pr"),
+            )
+        )
+    return ranks
+
+
+def textrank_oracle_sql(iters: int, tokens_sql: str) -> str:
+    """DuckDB twin of the token-graph TextRank query: same node spine,
+    symmetrized adjacent-token edges, and ``iters`` fixed-point rounds
+    as a CTE chain."""
+    head = f"""
+    WITH toks AS (SELECT {tokens_sql} AS ts FROM documents),
+    bg AS (
+      SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+                    i -> ts[i] || ' ' || ts[i + 1])) AS p
+      FROM toks WHERE len(ts) >= 2
+    ),
+    e1 AS (
+      SELECT split_part(p, ' ', 1) AS src, split_part(p, ' ', 2) AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM bg GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
+        SELECT src, dst, w FROM e1 WHERE src <> dst
+        UNION ALL
+        SELECT dst AS src, src AS dst, w FROM e1 WHERE src <> dst
+      ) GROUP BY src, dst
+    ),
+    nodes AS (SELECT DISTINCT unnest(ts) AS token FROM toks),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    wdeg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wd
+             FROM edges GROUP BY src),
+    r0 AS (SELECT token, CAST({SCALE} // n AS BIGINT) AS pr
+           FROM nodes CROSS JOIN nn)"""
+    rounds = []
+    for r in range(iters):
+        rounds.append(
+            f""",
+    i{r + 1} AS (
+      SELECT e.dst AS token, CAST(SUM((r.pr * e.w) // d.wd) AS BIGINT)
+               AS inflow
+      FROM edges e JOIN r{r} r ON e.src = r.token
+        JOIN wdeg d ON e.src = d.src
+      GROUP BY e.dst
+    ),
+    r{r + 1} AS (
+      SELECT nodes.token,
+             CAST({TELEPORT_NANO} // n
+                  + (85 * COALESCE(i{r + 1}.inflow, 0)) // 100 AS BIGINT)
+               AS pr
+      FROM nodes CROSS JOIN nn LEFT JOIN i{r + 1} USING (token)
+    )"""
+        )
+    tail = f"""
+    SELECT token, pr AS pr_nano FROM r{iters}
+    ORDER BY pr DESC, token LIMIT 20"""
+    return head + "".join(rounds) + tail

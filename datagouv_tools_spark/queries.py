@@ -7485,6 +7485,145 @@ def events_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day")
 
 
+@query(
+    "part_association_rules",
+    """
+    WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                   FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM items),
+    icnt AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS c FROM items GROUP BY pk),
+    pairs AS (
+      SELECT a.pk AS pa, b.pk AS pb, CAST(COUNT(*) AS BIGINT) AS cp
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY a.pk, b.pk
+      HAVING COUNT(*) >= 2
+    ),
+    rules AS (
+      SELECT pa AS ant, pb AS cons, cp FROM pairs
+      UNION ALL
+      SELECT pb AS ant, pa AS cons, cp FROM pairs
+    )
+    SELECT r.ant, r.cons, r.cp AS pair_n,
+           CAST((r.cp * 1000000) // n.n_orders AS BIGINT) AS support_ppm,
+           CAST((r.cp * 1000000) // ca.c AS BIGINT) AS conf_ppm,
+           CAST(((r.cp * 1000000) // ca.c) * 1000
+                // GREATEST((cb.c * 1000000) // n.n_orders, 1) AS BIGINT)
+             AS lift_mille
+    FROM rules r
+    JOIN icnt ca ON r.ant = ca.pk
+    JOIN icnt cb ON r.cons = cb.pk
+    CROSS JOIN n
+    ORDER BY lift_mille DESC, ant, cons LIMIT 20
+    """,
+)
+def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: part pairs
+    co-purchased in the same order, scored by support / confidence /
+    lift — all in integer ppm/mille fixed point so ranking is
+    cross-engine exact (lift is computed on the ppm-ROUNDED components,
+    the documented semantics on both engines).
+
+    Scale: baskets are tiny (≤7 distinct parts per order), so the
+    self-join on l_orderkey is a co-partitioned equi-join whose output
+    is bounded by Σ|basket|² ≈ 7·|lineitem| — the standard market-
+    basket expansion, NOT an n² part join. Pair counting and item
+    counts are map-side-combined; the 1-row basket count is broadcast;
+    top-20 is TakeOrdered. The min-support HAVING prunes the long tail
+    before scoring."""
+    li = t(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    n = items.agg(
+        F.count_distinct(F.col("ok")).cast("bigint").alias("n_orders")
+    )
+    icnt = items.groupBy("pk").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    a = items.select(F.col("ok"), F.col("pk").alias("pa"))
+    b = items.select(F.col("ok"), F.col("pk").alias("pb"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cp"))
+        .filter(F.col("cp") >= 2)
+    )
+    rules = pairs.select(
+        F.col("pa").alias("ant"), F.col("pb").alias("cons"), "cp"
+    ).unionByName(
+        pairs.select(F.col("pb").alias("ant"), F.col("pa").alias("cons"), "cp")
+    )
+    ca = icnt.select(F.col("pk").alias("ant"), F.col("c").alias("ca"))
+    cb = icnt.select(F.col("pk").alias("cons"), F.col("c").alias("cb"))
+    return (
+        rules.join(ca, "ant")
+        .join(cb, "cons")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "ant",
+            "cons",
+            F.col("cp").alias("pair_n"),
+            F.expr("(cp * 1000000) div n_orders").alias("support_ppm"),
+            F.expr("(cp * 1000000) div ca").alias("conf_ppm"),
+            F.expr(
+                "((cp * 1000000) div ca) * 1000"
+                " div greatest((cb * 1000000) div n_orders, 1)"
+            ).alias("lift_mille"),
+        )
+        .orderBy(F.desc("lift_mille"), "ant", "cons")
+        .limit(20)
+    )
+
+
+def _textrank_oracle() -> str:
+    from datagouv_tools_spark.operators.pagerank import textrank_oracle_sql
+
+    return textrank_oracle_sql(3, _SQL_TOKENS)
+
+
+@query("doc_textrank_keywords", _textrank_oracle())
+def doc_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (operators/pagerank.py): PageRank
+    over the corpus token co-occurrence graph (adjacent tokens =
+    undirected weighted edges), three damped iterations in INTEGER
+    fixed point so the iterative graph algorithm is value-hash-exact
+    cross-engine. Top-20 tokens by rank = the corpus's keywords.
+
+    Scale: edge building is the bigram map-side-combine count; each
+    iteration shuffles |E| once (edges ⋈ ranks on src, then
+    groupBy(dst)) — the canonical distributed PageRank round. The
+    1-row node count is broadcast; top-20 is TakeOrdered."""
+    from datagouv_tools_spark.functions.text import tokens, word_bigrams
+    from datagouv_tools_spark.operators.pagerank import pagerank_fixed_point
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(tokens("text").alias("ts"))
+    bg = toks.select(F.explode(word_bigrams(F.col("ts"))).alias("p")).select(
+        F.split_part(F.col("p"), F.lit(" "), F.lit(1)).alias("src"),
+        F.split_part(F.col("p"), F.lit(" "), F.lit(2)).alias("dst"),
+    )
+    e1 = (
+        bg.filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = (
+        e1.unionByName(
+            e1.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").cast("bigint").alias("w"))
+    )
+    nodes = toks.select(F.explode("ts").alias("token")).distinct()
+    ranks = pagerank_fixed_point(nodes, edges, iters=3)
+    return (
+        ranks.select("token", F.col("pr").alias("pr_nano"))
+        .orderBy(F.desc("pr_nano"), "token")
+        .limit(20)
+    )
+
+
 def _bpe_oracle() -> str:
     from datagouv_tools_spark.operators.bpe import bpe_oracle_sql
 
