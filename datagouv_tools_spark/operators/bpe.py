@@ -74,8 +74,11 @@ def bpe_train(words: DataFrame, rounds: int) -> DataFrame:
     merged, cnt), ties broken by (count desc, lft, rgt) so the winner
     is unique and cross-engine deterministic.
     """
-    corpus = words.select("w", "wc", _spaced_chars(F.col("w")).alias("s"))
-    tops: list[DataFrame] = []
+    spark = words.sparkSession
+    corpus = words.select(
+        "w", "wc", _spaced_chars(F.col("w")).alias("s")
+    ).persist()
+    winners: list[tuple[int, str, str, str, int]] = []
     for r in range(rounds):
         l = F.split(F.col("s"), " ")
         # Spark's sequence(1, 0) DESCENDS ([1, 0]) where DuckDB's
@@ -94,33 +97,29 @@ def bpe_train(words: DataFrame, rounds: int) -> DataFrame:
             ).alias("p"),
         ).select("wc", "p.lft", "p.rgt")
         counted = pairs.groupBy("lft", "rgt").agg(F.sum("wc").alias("cnt"))
-        top = counted.orderBy(F.desc("cnt"), "lft", "rgt").limit(1)
-        tops.append(
-            top.select(
-                F.lit(r + 1).cast("bigint").alias("merge_round"),
-                "lft",
-                "rgt",
-                F.concat("lft", "rgt").alias("merged"),
-                "cnt",
-            )
-        )
-        b = top.select(
-            F.col("lft").alias("__l"), F.col("rgt").alias("__r")
-        )
-        corpus = (
-            corpus.crossJoin(F.broadcast(b))
-            .select(
-                "w",
-                "wc",
-                _merge_fold(
-                    F.split(F.col("s"), " "), F.col("__l"), F.col("__r")
-                ).alias("s"),
-            )
-        )
-    out = tops[0]
-    for df in tops[1:]:
-        out = out.unionByName(df)
-    return out.orderBy("merge_round")
+        # The winner is ONE row (TakeOrdered) — collecting it is the
+        # bounded-driver pattern, and folding it back as literals keeps
+        # each round's plan flat instead of stacking R crossJoin
+        # subtrees that re-execute the whole lineage per round.
+        row = counted.orderBy(F.desc("cnt"), "lft", "rgt").limit(1).collect()
+        if not row:
+            break
+        lft, rgt, cnt = row[0].lft, row[0].rgt, row[0].cnt
+        winners.append((r + 1, lft, rgt, lft + rgt, int(cnt)))
+        nxt = corpus.select(
+            "w",
+            "wc",
+            _merge_fold(
+                F.split(F.col("s"), " "), F.lit(lft), F.lit(rgt)
+            ).alias("s"),
+        ).persist()
+        nxt.count()
+        corpus.unpersist()
+        corpus = nxt
+    corpus.unpersist()
+    return spark.createDataFrame(
+        winners, "merge_round bigint, lft string, rgt string, merged string, cnt bigint"
+    ).orderBy("merge_round")
 
 
 def bpe_oracle_sql(rounds: int, tokens_sql: str) -> str:

@@ -36,11 +36,24 @@ def pagerank_fixed_point(
     ``src, dst, w`` (directed, pre-symmetrized by the caller for
     undirected graphs). Returns (token, pr_nano).
     """
+    # Loop invariants are persisted once: without this every iteration
+    # re-executes the full upstream lineage (no ReusedExchange fires —
+    # AQE re-plans each subtree, so textual identity breaks), turning R
+    # rounds into O(R²) scans. Each round's rank vector is materialized
+    # eagerly to truncate lineage — the standard iterative-algorithm
+    # pattern (MLlib does the same).
+    nodes = nodes.persist()
+    edges = edges.persist()
     nn = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    wdeg = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("wd"))
+    wdeg = (
+        edges.groupBy("src")
+        .agg(F.sum("w").cast("bigint").alias("wd"))
+        .persist()
+    )
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
         "token", F.expr(f"{SCALE} div n").alias("pr")
     )
+    prev = None
     for _ in range(iters):
         inflow = (
             edges.join(ranks.withColumnRenamed("token", "src"), "src")
@@ -60,7 +73,12 @@ def pagerank_fixed_point(
                     " + (85 * coalesce(inflow, 0)) div 100"
                 ).alias("pr"),
             )
+            .persist()
         )
+        ranks.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = ranks
     return ranks
 
 
