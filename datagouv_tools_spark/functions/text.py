@@ -70,15 +70,22 @@ def word_bigrams(ts: Column) -> Column:
     """Adjacent word bigrams of a token array, joined with one space.
     Empty array below two tokens. SQL mirror:
     ``list_transform(generate_series(1, len(ts) - 1),
-    i -> ts[i] || ' ' || ts[i + 1])``."""
+    i -> ts[i] || ' ' || ts[i + 1])``.
+
+    Built as ``zip_with`` over two slices, NOT ``transform`` +
+    ``element_at(ts, i)``: when ``ts`` is itself an expression (the
+    tokenizer), Catalyst inlines it into every element_at call, so the
+    indexed form re-tokenizes the whole document per bigram — O(L²)
+    per doc (measured 15 s → 1.4 s on the sf0.1 LM query). The slices
+    evaluate ``ts`` twice per ROW, then the lambda touches only
+    materialized arrays."""
     n = F.size(ts)
     return F.when(
         n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - F.lit(1)),
-            lambda i: F.concat(
-                F.element_at(ts, i), F.lit(" "), F.element_at(ts, i + F.lit(1))
-            ),
+        F.zip_with(
+            F.slice(ts, 1, n - F.lit(1)),
+            F.slice(ts, 2, n - F.lit(1)),
+            lambda a, b: F.concat(a, F.lit(" "), b),
         ),
     ).otherwise(F.array().cast("array<string>"))
 
