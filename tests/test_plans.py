@@ -490,3 +490,67 @@ def test_text_index_candidates_equi_join_no_cross(spark, sf_dir, tmp_path):
         plan = physical_plan(df, mode="simple")
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_lm_no_cross_no_python_take_ordered(spark, sf_dir):
+    """The LM filter is two shuffles (bigram count, per-doc re-agg) plus
+    a bigram equi-join — never a cartesian product or Python kernel;
+    bottom-20 must be TakeOrdered, not a corpus sort."""
+    df = q.QUERIES["doc_ngram_lm_quality"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_textrank_iterations_join_on_src_no_cross(spark, sf_dir):
+    """Each PageRank round is an equi-join of edges against the rank
+    vector — the only nested-loop joins allowed are the broadcast of
+    the 1-row node count."""
+    df = q.QUERIES["doc_textrank_keywords"](spark, sf_dir)
+    plan = physical_plan(df, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_association_rules_join_is_co_partitioned_basket(spark, sf_dir):
+    """The pair expansion must be an equi-join on the basket key
+    (l_orderkey) — the market-basket bound — with the 1-row total
+    broadcast; never an item×item product."""
+    df = q.QUERIES["part_association_rules"](spark, sf_dir)
+    plan = physical_plan(df, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_attribution_single_user_window_pass(spark, sf_dir):
+    """Last-touch attribution is ONE window pass over one user_id
+    exchange plus a tiny-domain agg — no self-join of purchases
+    against touches."""
+    df = q.QUERIES["events_attribution_last_touch"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Window" in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bpe_pair_counts_aggregate_map_side(spark, sf_dir):
+    """BPE pair counting must partial-aggregate before its exchange and
+    stay pure JVM expression work (the fold is `aggregate`, never a
+    Python kernel)."""
+    from datagouv_tools_spark.functions.text import tokens
+    from datagouv_tools_spark.operators.bpe import bpe_train
+    from pyspark.sql import functions as F
+    from datagouv_tools_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    out = bpe_train(words, rounds=1)
+    plan = physical_plan(out, mode="simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
