@@ -6564,10 +6564,12 @@ def doc_token_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_TERMS = ("spark", "hash", "window")
 
 
-def _sql_bm25_scored(terms: tuple[str, ...]) -> str:
+def _sql_bm25_scored(terms: tuple[str, ...], suffix: str = "") -> str:
     """Oracle CTE chain computing rational-IDF BM25 per doc_id with the
     exact +,*,/ evaluation order of operators/retrieval.bm25_scores
-    (each sub-expression parenthesized to pin associativity)."""
+    (each sub-expression parenthesized to pin associativity).
+    ``suffix`` renames the CTEs (w{suffix}, scored{suffix}, …) so
+    several term sets can coexist in one statement (the MRR oracle)."""
     dfs = ", ".join(
         f"SUM(CASE WHEN list_contains(ws, '{t}') THEN 1 ELSE 0 END)::DOUBLE"
         f" AS df{i}"
@@ -6584,17 +6586,18 @@ def _sql_bm25_scored(terms: tuple[str, ...]) -> str:
             f" / (tf{i} + (1.2 * (0.25 + (0.75 * (dl / (tot / n))))))"
         )
         score = term if score is None else f"({score} + {term})"
+    s = suffix
     return f"""
-    w AS (
+    w{s} AS (
       SELECT doc_id, source, {_SQL_TOKENS} AS ws FROM documents
-    ), stats AS (
+    ), stats{s} AS (
       SELECT COUNT(*)::DOUBLE AS n, SUM(len(ws))::DOUBLE AS tot, {dfs}
-      FROM w
-    ), pd AS (
-      SELECT doc_id, source, len(ws)::DOUBLE AS dl, {tfs} FROM w
-    ), scored AS (
+      FROM w{s}
+    ), pd{s} AS (
+      SELECT doc_id, source, len(ws)::DOUBLE AS dl, {tfs} FROM w{s}
+    ), scored{s} AS (
       SELECT doc_id, source, ROUND({score}, 6) AS bm25
-      FROM pd, stats
+      FROM pd{s}, stats{s}
     )"""
 
 
@@ -7572,6 +7575,134 @@ def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift_mille"), "ant", "cons")
         .limit(20)
     )
+
+
+_MRR_QUERY_SETS: tuple[tuple[str, ...], ...] = (
+    ("spark", "hash"),
+    ("window", "sort"),
+    ("table", "merge"),
+    ("batch", "value", "fast"),
+)
+
+
+def _sql_mrr_oracle() -> str:
+    blocks = []
+    selects = []
+    for q, terms in enumerate(_MRR_QUERY_SETS):
+        s = f"_m{q}"
+        contain = " AND ".join(
+            f"len(list_filter(ws, x -> x = '{t}')) >= 2" for t in terms
+        )
+        blocks.append(_sql_bm25_scored(terms, s))
+        blocks.append(
+            f"""
+    rel{q} AS (
+      SELECT doc_id, CASE WHEN {contain} THEN 1 ELSE 0 END AS rel
+      FROM w{s}
+    ),
+    nr{q} AS (SELECT CAST(SUM(rel) AS BIGINT) AS n_rel FROM rel{q}),
+    top{q} AS (
+      SELECT doc_id, rnk FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+                 AS rnk
+        FROM scored{s} WHERE bm25 > 0.0
+      ) WHERE rnk <= 10
+    ),
+    m{q} AS (
+      SELECT CAST({q} AS BIGINT) AS qid,
+             (SELECT n_rel FROM nr{q}) AS n_relevant,
+             CAST(COALESCE(MIN(CASE WHEN r.rel = 1 THEN t.rnk END), 0)
+                  AS BIGINT) AS first_rel_rank,
+             CAST(COALESCE(1000 // MIN(CASE WHEN r.rel = 1 THEN t.rnk END),
+                           0) AS BIGINT) AS rr_mille,
+             CAST(COALESCE(SUM(r.rel), 0) AS BIGINT) AS hits_at_10,
+             CAST(CASE WHEN (SELECT n_rel FROM nr{q}) > 0
+                  THEN (COALESCE(SUM(r.rel), 0) * 1000)
+                       // LEAST((SELECT n_rel FROM nr{q}), 10)
+                  ELSE 0 END AS BIGINT) AS recall_at_10_mille
+      FROM top{q} t JOIN rel{q} r USING (doc_id)
+    )"""
+        )
+        selects.append(f"SELECT * FROM m{q}")
+    body = ",".join(blocks)
+    union = "\n    UNION ALL ".join(selects)
+    return f"WITH {body}\n    {union}\n    ORDER BY qid"
+
+
+@query("doc_retrieval_mrr", _sql_mrr_oracle())
+def doc_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation over the engine's own BM25 stack:
+    four pinned term queries, relevance = strict AND-containment of all
+    query terms, and per-query MRR / first-relevant-rank / hits@10 /
+    recall@10 in integer fixed point (mille) — the eval harness every
+    retrieval pipeline needs, value-hash-exact cross-engine because
+    ranking ties break on doc_id and metrics avoid floats.
+
+    Scale: per query the corpus is scanned for scores and containment
+    (map-local), top-10 is TakeOrdered, and every metric aggregates a
+    ≤10-row join — the per-query cost is one BM25 pass; queries are
+    independent unions (a workload would batch them like
+    emb_adc_topk_batch does for ANN)."""
+    from functools import reduce as _reduce
+
+    from datagouv_tools_spark.functions.text import tokens
+    from datagouv_tools_spark.operators.retrieval import bm25_topk
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    w = docs.select("doc_id", tokens("text").alias("ws"))
+    rows = []
+    for qid, terms in enumerate(_MRR_QUERY_SETS):
+        # relevance = every query term appears at least TWICE — strict
+        # containment saturates every metric at 1000 on this corpus
+        # (common tokens), which would leave rank/denominator paths
+        # untested by the hash compare.
+        def _tf_at_least_2(tm: str) -> Column:
+            return (
+                F.size(F.filter(F.col("ws"), lambda x: x == F.lit(tm))) >= 2
+            )
+
+        flag = _reduce(
+            lambda a, b: a & b, [_tf_at_least_2(tm) for tm in terms]
+        )
+        rel = w.select(
+            "doc_id", F.when(flag, 1).otherwise(0).alias("rel")
+        )
+        nr = rel.agg(F.sum("rel").cast("bigint").alias("n_rel"))
+        top = bm25_topk(docs, list(terms), k=10).withColumn(
+            "rnk",
+            F.row_number().over(W.orderBy(F.desc("bm25"), F.asc("doc_id"))),
+        )
+        aggd = top.join(rel, "doc_id").agg(
+            F.min(F.when(F.col("rel") == 1, F.col("rnk"))).alias("frr_raw"),
+            F.sum("rel").alias("hits_raw"),
+        )
+        rows.append(
+            aggd.crossJoin(F.broadcast(nr)).select(
+                F.lit(qid).cast("bigint").alias("qid"),
+                F.col("n_rel").alias("n_relevant"),
+                F.coalesce(F.col("frr_raw"), F.lit(0))
+                .cast("bigint")
+                .alias("first_rel_rank"),
+                F.coalesce(F.expr("1000 div frr_raw"), F.lit(0))
+                .cast("bigint")
+                .alias("rr_mille"),
+                F.coalesce(F.col("hits_raw"), F.lit(0))
+                .cast("bigint")
+                .alias("hits_at_10"),
+                F.when(
+                    F.col("n_rel") > 0,
+                    F.expr("(coalesce(hits_raw, 0) * 1000) div least(n_rel, 10)"),
+                )
+                .otherwise(F.lit(0))
+                .cast("bigint")
+                .alias("recall_at_10_mille"),
+            )
+        )
+    out = rows[0]
+    for df in rows[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("qid")
 
 
 def _textrank_oracle() -> str:
