@@ -71,3 +71,73 @@ def test_bpe_spark_matches_duckdb_on_adversarial_corpus(spark):
     )
     want = [tuple(r) for r in con.execute(sql).fetchall()]
     assert got == want
+
+
+def _py_greedy_merge(syms: list[str], lft: str, rgt: str) -> str:
+    """Reference greedy left-to-right merge (the BPE scan order)."""
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == lft and syms[i + 1] == rgt:
+            out.append(lft + rgt)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return " ".join(out)
+
+
+def test_merge_fold_three_way_property(spark):
+    """200 seeded random symbol sequences (alphabet crafted so symbols
+    are prefixes/suffixes of each other) through the Spark fold, the
+    DuckDB list_reduce fold, and a Python reference — all three must
+    agree exactly."""
+    import random
+
+    rng = random.Random(42)
+    alphabet = ["a", "b", "ab", "ba", "aa", "x", "xa"]
+    cases = []
+    for _ in range(200):
+        n = rng.randint(1, 9)
+        syms = [rng.choice(alphabet) for _ in range(n)]
+        lft, rgt = rng.choice(alphabet), rng.choice(alphabet)
+        cases.append((" ".join(syms), lft, rgt))
+
+    df = spark.createDataFrame(cases, "s string, lft string, rgt string")
+    got = (
+        df.select(
+            "s",
+            "lft",
+            "rgt",
+            _merge_fold(F.split("s", " "), F.col("lft"), F.col("rgt")).alias(
+                "m"
+            ),
+        )
+        .orderBy("s", "lft", "rgt")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE cases (s VARCHAR, lft VARCHAR, rgt VARCHAR)"
+    )
+    con.executemany("INSERT INTO cases VALUES (?, ?, ?)", cases)
+    duck = {
+        (r[0], r[1], r[2]): r[3]
+        for r in con.execute(
+            """
+            SELECT s, lft, rgt,
+                   list_reduce(string_split(s, ' '), (acc, x) -> CASE
+                     WHEN x = rgt
+                          AND substr(acc, len(acc) - len(lft) + 1) = lft
+                          AND (len(acc) = len(lft)
+                               OR substr(acc, len(acc) - len(lft), 1) = ' ')
+                     THEN substr(acc, 1, len(acc) - len(lft)) || lft || rgt
+                     ELSE acc || ' ' || x END) AS m
+            FROM cases
+            """
+        ).fetchall()
+    }
+    for r in got:
+        want = _py_greedy_merge(r.s.split(" "), r.lft, r.rgt)
+        assert r.m == want, (r.s, r.lft, r.rgt, r.m, want)
+        assert duck[(r.s, r.lft, r.rgt)] == want, (r.s, r.lft, r.rgt)
