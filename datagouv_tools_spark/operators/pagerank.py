@@ -82,6 +82,119 @@ def pagerank_fixed_point(
     return ranks
 
 
+def label_propagation(
+    nodes: DataFrame, edges: DataFrame, iters: int
+) -> DataFrame:
+    """Community detection by synchronous weighted label propagation.
+
+    Each node starts labeled with itself; every round it adopts the
+    label with the highest total incident edge weight among its
+    neighbors' labels (ties → lexicographically smallest label, so the
+    update is fully deterministic — the classic LPA caveat about random
+    tie-breaks is engineered away and the result is value-hash-exact
+    cross-engine). Nodes with no neighbors keep their own label.
+    Returns (token, label) after ``iters`` rounds.
+
+    Scale: one |E| shuffle per round (edges ⋈ labels on src, then the
+    (dst, label) weight aggregation) plus a per-node argmax window over
+    the label-weight rows — both map-side-combinable; same iterative
+    hygiene as :func:`pagerank_fixed_point` (persisted invariants,
+    per-round materialization).
+    """
+    from pyspark.sql import Window as W
+
+    nodes = nodes.persist()
+    edges = edges.persist()
+    labels = nodes.select("token", F.col("token").alias("label"))
+    prev = None
+    for _ in range(iters):
+        lw = (
+            edges.join(
+                labels.select(
+                    F.col("token").alias("src"), F.col("label")
+                ),
+                "src",
+            )
+            .groupBy("dst", "label")
+            .agg(F.sum("w").cast("bigint").alias("lw"))
+        )
+        win = W.partitionBy("dst").orderBy(F.desc("lw"), F.asc("label"))
+        best = (
+            lw.withColumn("__rn", F.row_number().over(win))
+            .filter(F.col("__rn") == 1)
+            .select(F.col("dst").alias("token"), "label")
+        )
+        labels = (
+            nodes.join(best, "token", "left")
+            .select(
+                "token",
+                F.coalesce("label", F.col("token")).alias("label"),
+            )
+            .persist()
+        )
+        labels.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = labels
+    return labels
+
+
+def token_communities_oracle_sql(iters: int, tokens_sql: str) -> str:
+    """DuckDB twin of the token-graph label-propagation query."""
+    head = f"""
+    WITH toks AS (SELECT {tokens_sql} AS ts FROM documents),
+    bg AS (
+      SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+                    i -> ts[i] || ' ' || ts[i + 1])) AS p
+      FROM toks WHERE len(ts) >= 2
+    ),
+    e1 AS (
+      SELECT split_part(p, ' ', 1) AS src, split_part(p, ' ', 2) AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM bg GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
+        SELECT src, dst, w FROM e1 WHERE src <> dst
+        UNION ALL
+        SELECT dst AS src, src AS dst, w FROM e1 WHERE src <> dst
+      ) GROUP BY src, dst
+    ),
+    nodes AS (SELECT DISTINCT unnest(ts) AS token FROM toks),
+    l0 AS (SELECT token, token AS label FROM nodes)"""
+    rounds = []
+    for r in range(iters):
+        rounds.append(
+            f""",
+    lw{r + 1} AS (
+      SELECT e.dst, l.label, CAST(SUM(e.w) AS BIGINT) AS lw
+      FROM edges e JOIN l{r} l ON e.src = l.token
+      GROUP BY e.dst, l.label
+    ),
+    b{r + 1} AS (
+      SELECT dst AS token, label FROM (
+        SELECT dst, label,
+               ROW_NUMBER() OVER (PARTITION BY dst
+                                  ORDER BY lw DESC, label) AS rn
+        FROM lw{r + 1}
+      ) WHERE rn = 1
+    ),
+    l{r + 1} AS (
+      SELECT nodes.token, COALESCE(b.label, nodes.token) AS label
+      FROM nodes LEFT JOIN b{r + 1} b USING (token)
+    )"""
+        )
+    tail = f"""
+    SELECT label AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           MIN(token) AS min_token,
+           BIT_XOR(('0x' || substr(md5(token), 1, 15))::BIGINT) AS member_xor
+    FROM l{iters}
+    GROUP BY label
+    ORDER BY n_tokens DESC, community LIMIT 20"""
+    return head + "".join(rounds) + tail
+
+
 def textrank_oracle_sql(iters: int, tokens_sql: str) -> str:
     """DuckDB twin of the token-graph TextRank query: same node spine,
     symmetrized adjacent-token edges, and ``iters`` fixed-point rounds

@@ -7755,6 +7755,130 @@ def doc_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _token_communities_oracle() -> str:
+    from datagouv_tools_spark.operators.pagerank import (
+        token_communities_oracle_sql,
+    )
+
+    return token_communities_oracle_sql(2, _SQL_TOKENS)
+
+
+@query("doc_token_communities", _token_communities_oracle())
+def doc_token_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the token co-occurrence graph
+    (operators/pagerank.label_propagation): two synchronous rounds of
+    weighted label propagation with a deterministic (weight desc,
+    label asc) tie-break — the classic LPA randomness is engineered
+    away, so even community membership is value-hash-checked
+    (member_xor folds the exact member set per community).
+
+    Scale: identical round shape to the PageRank query — |E| shuffle +
+    (dst,label) combine + per-node argmax window per round, persisted
+    loop invariants; top-20 communities by size is TakeOrdered."""
+    from datagouv_tools_spark.functions.text import tokens, word_bigrams
+    from datagouv_tools_spark.functions.xhash import md5_hash60
+    from datagouv_tools_spark.operators.pagerank import label_propagation
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(tokens("text").alias("ts"))
+    bg = toks.select(F.explode(word_bigrams(F.col("ts"))).alias("p")).select(
+        F.split_part(F.col("p"), F.lit(" "), F.lit(1)).alias("src"),
+        F.split_part(F.col("p"), F.lit(" "), F.lit(2)).alias("dst"),
+    )
+    e1 = (
+        bg.filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = (
+        e1.unionByName(
+            e1.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").cast("bigint").alias("w"))
+    )
+    nodes = toks.select(F.explode("ts").alias("token")).distinct()
+    labels = label_propagation(nodes, edges, iters=2)
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.min("token").alias("min_token"),
+            F.expr(
+                "bit_xor(cast(conv(substring(md5(token), 1, 15), 16, 10)"
+                " as bigint))"
+            ).alias("member_xor"),
+        )
+        .orderBy(F.desc("n_tokens"), "community")
+        .limit(20)
+    )
+
+
+@query(
+    "events_hourly_seasonal",
+    """
+    WITH h AS (
+      SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour_of_day,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) * 1000 AS BIGINT))
+                  AS BIGINT) AS sum_mille
+      FROM events
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_tot,
+             CAST(SUM(sum_mille) AS BIGINT) AS sum_tot
+      FROM h
+    )
+    SELECT hour_of_day, n,
+           (sum_mille * 1000) // n AS mean_micro,
+           ((sum_mille * 1000) // n) * 1000000
+             // ((sum_tot * 1000) // n_tot) AS seasonal_index_ppm
+    FROM h CROSS JOIN tot
+    ORDER BY hour_of_day
+    """,
+)
+def events_hourly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal profile: per-hour event value mean vs the
+    overall mean, as an integer ppm index — the seasonality diagnostic
+    behind capacity planning and anomaly baselines. Means are built
+    from milli-unit integer sums (value has 2-decimal resolution, so
+    ×1000 is exact), divided in fixed point — no float sum ordering to
+    drift cross-engine.
+
+    Scale: one map-side-combining aggregation into a 24-row domain;
+    the totals row is a broadcast cross join. Runs at scan speed on
+    any volume."""
+    ev = t(spark, sf_dir, "events")
+    h = ev.groupBy(
+        F.hour("ts").cast("bigint").alias("hour_of_day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        # decimal-exact milli conversion: value*1000 as DOUBLE truncates
+        # in Spark but rounds in DuckDB on .999999 representations
+        F.sum((dec("value") * 1000).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_mille"),
+    )
+    tot = h.agg(
+        F.sum("n").cast("bigint").alias("n_tot"),
+        F.sum("sum_mille").cast("bigint").alias("sum_tot"),
+    )
+    return (
+        h.crossJoin(F.broadcast(tot))
+        .select(
+            "hour_of_day",
+            "n",
+            F.expr("(sum_mille * 1000) div n").alias("mean_micro"),
+            F.expr(
+                "((sum_mille * 1000) div n) * 1000000"
+                " div ((sum_tot * 1000) div n_tot)"
+            ).alias("seasonal_index_ppm"),
+        )
+        .orderBy("hour_of_day")
+    )
+
+
 def _bpe_oracle() -> str:
     from datagouv_tools_spark.operators.bpe import bpe_oracle_sql
 
