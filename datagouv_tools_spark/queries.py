@@ -7755,6 +7755,197 @@ def doc_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "part_revenue_pareto",
+    """
+    WITH pr AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                           * 100 AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT l_partkey, rev_cents,
+             ROW_NUMBER() OVER (ORDER BY rev_cents DESC, l_partkey) AS rnk,
+             CAST(SUM(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_cents,
+             (SELECT CAST(SUM(rev_cents) AS BIGINT) FROM pr) AS tot_cents,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM pr) AS n_parts
+      FROM pr
+    ),
+    classed AS (
+      SELECT l_partkey, rnk, rev_cents,
+             (cum_cents * 1000) // tot_cents AS cum_share_mille,
+             CASE WHEN (cum_cents * 1000) // tot_cents < 800 THEN 'A'
+                  WHEN (cum_cents * 1000) // tot_cents < 950 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             n_parts
+      FROM ranked
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts_in_class,
+           CAST((COUNT(*) * 1000) // MAX(n_parts) AS BIGINT)
+             AS parts_share_mille,
+           CAST(SUM(rev_cents) AS BIGINT) AS class_rev_cents,
+           CAST(MIN(rnk) AS BIGINT) AS first_rank,
+           CAST(MAX(rnk) AS BIGINT) AS last_rank
+    FROM classed
+    GROUP BY abc_class
+    ORDER BY abc_class
+    """,
+)
+def part_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC analysis: parts ranked by revenue, running
+    cumulative share in integer mille, classed A (<80% cumulative),
+    B (<95%), C (rest) — the 80/20 diagnostic every inventory and
+    revenue team runs. Revenue is exact integer cents (decimal×100),
+    so the running sum, the shares, and the class boundaries are all
+    bit-stable cross-engine.
+
+    Scale: one map-side-combining aggregation to part grain, then an
+    UNPARTITIONED running-sum window — fine because part grain is
+    already the reduced domain (|parts| ≪ |lineitem|); at true 100 TB
+    part cardinality the running share would move to a two-pass
+    range-partitioned cumsum (repartitionByRange + per-partition
+    offsets), the documented scale path."""
+    from pyspark.sql import Window as W
+
+    li = t(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum((dec("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    tot = pr.agg(
+        F.sum("rev_cents").cast("bigint").alias("tot_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+    )
+    w = W.orderBy(F.desc("rev_cents"), "l_partkey")
+    ranked = (
+        pr.withColumn("rnk", F.row_number().over(w))
+        .withColumn(
+            "cum_cents",
+            F.sum("rev_cents")
+            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .cast("bigint"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    classed = ranked.select(
+        "l_partkey",
+        "rnk",
+        "rev_cents",
+        "n_parts",
+        F.expr("(cum_cents * 1000) div tot_cents").alias("cum_share_mille"),
+        F.when(F.expr("(cum_cents * 1000) div tot_cents") < 800, "A")
+        .when(F.expr("(cum_cents * 1000) div tot_cents") < 950, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts_in_class"),
+            F.expr("cast((count(1) * 1000) div max(n_parts) as bigint)").alias(
+                "parts_share_mille"
+            ),
+            F.sum("rev_cents").cast("bigint").alias("class_rev_cents"),
+            F.min("rnk").cast("bigint").alias("first_rank"),
+            F.max("rnk").cast("bigint").alias("last_rank"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+@query(
+    "customer_rfm_segments",
+    """
+    WITH base AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', MAX(o_orderdate),
+                            TIMESTAMP '1998-08-02 00:00:00') AS BIGINT)
+               AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4))
+                           * 100 AS BIGINT)) AS BIGINT) AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey,
+             NTILE(5) OVER (ORDER BY recency_days ASC, o_custkey) AS r_score,
+             NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+             NTILE(5) OVER (ORDER BY monetary_cents DESC, o_custkey)
+               AS m_score,
+             monetary_cents
+      FROM base
+    )
+    SELECT r_score, f_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary_cents) AS BIGINT) AS cell_monetary_cents,
+           CAST(MIN(m_score) AS BIGINT) AS best_m_score
+    FROM scored
+    GROUP BY r_score, f_score
+    ORDER BY r_score, f_score
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation: the
+    marketing-analytics staple. Quintile scores come from NTILE over
+    TOTALLY ordered keys (metric + custkey tie-break), so bucket
+    boundaries are deterministic cross-engine; monetary is exact
+    integer cents. Output is the 5×5 R×F segment matrix with per-cell
+    monetary mass.
+
+    Scale: one shuffle to customer grain with map-side combine; the
+    NTILE windows are unpartitioned over the REDUCED (customer-grain)
+    domain — at 100 TB the same scores come from a two-pass quantile-
+    boundary computation (sampled cutpoints + broadcast), the engine's
+    events_value_deciles pattern; the 25-cell final agg is trivial."""
+    from pyspark.sql import Window as W
+
+    orders = t(spark, sf_dir, "orders")
+    base = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("1998-08-02 00:00:00").cast("timestamp_ntz").cast("date"),
+            F.max("o_orderdate").cast("date"),
+        )
+        .cast("bigint")
+        .alias("recency_days"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum((dec("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("monetary_cents"),
+    )
+    scored = base.select(
+        "o_custkey",
+        F.ntile(5)
+        .over(W.orderBy(F.asc("recency_days"), "o_custkey"))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(W.orderBy(F.desc("frequency"), "o_custkey"))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(W.orderBy(F.desc("monetary_cents"), "o_custkey"))
+        .alias("m_score"),
+        "monetary_cents",
+    )
+    return (
+        scored.groupBy(
+            F.col("r_score").cast("bigint").alias("r_score"),
+            F.col("f_score").cast("bigint").alias("f_score"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("monetary_cents")
+            .cast("bigint")
+            .alias("cell_monetary_cents"),
+            F.min("m_score").cast("bigint").alias("best_m_score"),
+        )
+        .orderBy("r_score", "f_score")
+    )
+
+
 def _token_communities_oracle() -> str:
     from datagouv_tools_spark.operators.pagerank import (
         token_communities_oracle_sql,
