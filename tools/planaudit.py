@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Full-surface physical-plan audit — the anti-pattern sweep.
+
+`tests/test_plans.py` pins plan properties for selected queries; this
+tool sweeps EVERY declared query's physical plan for the patterns that
+kill 100 TB runs and writes one JSON report (PLANAUDIT.json):
+
+- `cartesian`: CartesianProduct nodes (an unbounded row product).
+- `bnlj`: BroadcastNestedLoopJoin nodes. Legit ONLY against broadcast
+  1-row/spine singletons (the repo's scalar-total pattern); every
+  occurrence is listed so a reviewer can check the build side.
+- `python_row`: BatchEvalPython (row-at-a-time Python UDF — the slow
+  path this engine bans outright; Arrow `mapInPandas` kernels show up
+  as MapInPandas / ArrowEvalPython and are allowed where deliberate).
+- `exchanges`: Exchange count (shuffle pressure signal, informational).
+- `take_ordered`: whether a LIMIT query plans as TakeOrdered instead
+  of a global sort.
+
+Usage:
+    python tools/planaudit.py                # all queries at sf0.001
+    python tools/planaudit.py <name> ...     # targeted
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+def audit(plan: str) -> dict:
+    return {
+        "cartesian": len(re.findall(r"CartesianProduct", plan)),
+        "bnlj": len(re.findall(r"BroadcastNestedLoopJoin", plan)),
+        "python_row": len(re.findall(r"BatchEvalPython", plan)),
+        "arrow_kernels": len(
+            re.findall(r"MapInPandas|ArrowEvalPython|FlatMapGroupsInPandas", plan)
+        ),
+        "exchanges": len(re.findall(r"Exchange (hash|range)partitioning", plan)),
+        "take_ordered": "TakeOrderedAndProject" in plan,
+    }
+
+
+def main() -> int:
+    from datagouv_tools_spark.plans.inspect import physical_plan
+    from datagouv_tools_spark.queries import QUERIES
+    from datagouv_tools_spark.session import get_spark
+
+    spark = get_spark("planaudit", master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    names = sys.argv[1:] or sorted(QUERIES)
+    report: dict[str, dict] = {}
+    totals = {"cartesian": 0, "bnlj": 0, "python_row": 0}
+    for name in names:
+        try:
+            df = QUERIES[name](spark, SF_DIR)
+            row = audit(physical_plan(df, mode="simple"))
+        except Exception as exc:  # pragma: no cover - audit robustness
+            row = {"error": str(exc)[:200]}
+        report[name] = row
+        for k in totals:
+            totals[k] += row.get(k, 0)
+        flag = (
+            " !!" if row.get("cartesian") or row.get("python_row") else ""
+        )
+        print(f"{name}: {row}{flag}")
+    summary = {
+        "n_queries": len(names),
+        "total_cartesian": totals["cartesian"],
+        "total_python_row_udf": totals["python_row"],
+        "total_bnlj": totals["bnlj"],
+    }
+    print(json.dumps({"summary": summary}))
+    out = os.environ.get("SPARK_GRAFT_PLANAUDIT", "PLANAUDIT.json")
+    with open(out, "w") as fh:
+        json.dump({"summary": summary, "queries": report}, fh, indent=1)
+    return 0 if totals["cartesian"] == 0 and totals["python_row"] == 0 else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
