@@ -122,14 +122,16 @@ def bpe_train(words: DataFrame, rounds: int) -> DataFrame:
     ).orderBy("merge_round")
 
 
-def bpe_oracle_sql(rounds: int, tokens_sql: str) -> str:
+def bpe_oracle_sql(rounds: int, tokens_sql: str, tail: str | None = None) -> str:
     """The DuckDB twin of :func:`bpe_train` as one CTE chain.
 
     ``tokens_sql`` is a SQL expression producing the token list per
     document row (the shared ``_SQL_TOKENS`` macro). Each round r adds
     three CTEs: pair counts ``p{r}``, the unique winner ``b{r}``, and
     the re-merged corpus ``c{r+1}`` (a `list_reduce` fold identical to
-    the Spark-side `aggregate`).
+    the Spark-side `aggregate`). The default ``tail`` selects the
+    per-round winners; pass a custom tail to query the FINAL merged
+    corpus ``c{rounds}`` instead (the train→apply round trip).
     """
     parts = [
         f"""
@@ -167,10 +169,31 @@ def bpe_oracle_sql(rounds: int, tokens_sql: str) -> str:
       FROM c{r} CROSS JOIN b{r} b
     )"""
         )
-    selects = "\n    UNION ALL ".join(
-        f"SELECT CAST({r + 1} AS BIGINT) AS merge_round, lft, rgt,"
-        f" lft || rgt AS merged, cnt FROM b{r}"
-        for r in range(rounds)
-    )
-    parts.append(f"\n    {selects}\n    ORDER BY merge_round")
+    if tail is None:
+        selects = "\n    UNION ALL ".join(
+            f"SELECT CAST({r + 1} AS BIGINT) AS merge_round, lft, rgt,"
+            f" lft || rgt AS merged, cnt FROM b{r}"
+            for r in range(rounds)
+        )
+        tail = f"\n    {selects}\n    ORDER BY merge_round"
+    parts.append(tail)
     return "".join(parts)
+
+
+def bpe_apply(words: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """Apply an ordered merge list to a word DataFrame (columns ``w``,
+    ``wc``): the tokenize-with-a-trained-vocabulary half of BPE. Each
+    merge is one map-local greedy fold, chained in training order —
+    identical to how the trainer itself re-merges, so apply(train())
+    reproduces the trainer's final corpus exactly. Returns
+    (w, wc, s) with ``s`` the space-joined subword segmentation."""
+    corpus = words.select("w", "wc", _spaced_chars(F.col("w")).alias("s"))
+    for lft, rgt in merges:
+        corpus = corpus.select(
+            "w",
+            "wc",
+            _merge_fold(
+                F.split(F.col("s"), " "), F.lit(lft), F.lit(rgt)
+            ).alias("s"),
+        )
+    return corpus

@@ -7705,6 +7705,78 @@ def doc_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("qid")
 
 
+def _bpe_apply_oracle() -> str:
+    from datagouv_tools_spark.operators.bpe import bpe_oracle_sql
+
+    tail = f""",
+    seg AS (
+      SELECT w, len(string_split(s, ' ')) AS subwords, len(w) AS chars
+      FROM c6
+    ),
+    inst AS (SELECT source, unnest({_SQL_TOKENS}) AS w FROM documents)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(chars) AS BIGINT) AS total_chars,
+           CAST(SUM(subwords) AS BIGINT) AS total_subwords,
+           CAST((SUM(chars) * 1000) // SUM(subwords) AS BIGINT)
+             AS chars_per_subword_mille,
+           CAST((SUM(subwords) * 1000) // COUNT(*) AS BIGINT)
+             AS subwords_per_token_mille
+    FROM inst JOIN seg USING (w)
+    GROUP BY source
+    ORDER BY source"""
+    return bpe_oracle_sql(6, _SQL_TOKENS, tail=tail)
+
+
+@query("doc_bpe_apply_compression", _bpe_apply_oracle())
+def doc_bpe_apply_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE round trip: train six merges on the corpus, apply them
+    back as a tokenizer, and report per-source subword compression
+    (chars per subword, subwords per token, in integer mille). The
+    oracle replays train AND apply in SQL off the same CTE chain, so
+    the full train→apply loop is value-hash-verified.
+
+    Scale: training as in doc_bpe_train_merges (vocab-grain rounds);
+    apply is six chained map-local folds over the vocabulary, and the
+    per-source stats join instances to the |V|-row segmentation table
+    (broadcastable at production vocab sizes) — corpus text is scanned
+    once for instances."""
+    from datagouv_tools_spark.functions.text import tokens
+    from datagouv_tools_spark.operators.bpe import bpe_apply, bpe_train
+
+    docs = t(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    merges = [
+        (r.lft, r.rgt) for r in bpe_train(words, rounds=6).collect()
+    ]
+    seg = bpe_apply(words, merges).select(
+        "w",
+        F.size(F.split("s", " ")).cast("bigint").alias("subwords"),
+        F.length("w").cast("bigint").alias("chars"),
+    )
+    inst = docs.select("source", F.explode(tokens("text")).alias("w"))
+    return (
+        inst.join(seg, "w")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("chars").cast("bigint").alias("total_chars"),
+            F.sum("subwords").cast("bigint").alias("total_subwords"),
+            F.expr(
+                "cast((sum(chars) * 1000) div sum(subwords) as bigint)"
+            ).alias("chars_per_subword_mille"),
+            F.expr(
+                "cast((sum(subwords) * 1000) div count(1) as bigint)"
+            ).alias("subwords_per_token_mille"),
+        )
+        .orderBy("source")
+    )
+
+
 def _textrank_oracle() -> str:
     from datagouv_tools_spark.operators.pagerank import textrank_oracle_sql
 
