@@ -68,7 +68,14 @@ def fuzzy_pairs(
     return (
         a.join(b, "__block")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("distance", F.levenshtein("__ka", "__kb"))
-        .filter(F.col("distance") <= max_distance)
+        # threshold arg = banded DP with early exit (returns -1 beyond
+        # the bound instead of filling the full matrix) — the kernel
+        # cost per candidate drops from O(|a|·|b|) to O(k·min(|a|,|b|)).
+        # Kept rows carry the TRUE distance, so results (and the plain-
+        # levenshtein oracle) are unchanged.
+        .withColumn(
+            "distance", F.levenshtein("__ka", "__kb", max_distance)
+        )
+        .filter((F.col("distance") >= 0) & (F.col("distance") <= max_distance))
         .select("id_a", "id_b", "distance")
     )
