@@ -7931,6 +7931,82 @@ def part_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orders_trend_forecast",
+    """
+    WITH monthly AS (
+      SELECT CAST(date_diff('month', TIMESTAMP '1995-01-01 00:00:00',
+                            date_trunc('month', o_orderdate)) AS BIGINT) AS m,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 0)
+                  AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(m) AS BIGINT) AS sm,
+             CAST(SUM(rev) AS BIGINT) AS sy,
+             CAST(SUM(m * m) AS BIGINT) AS smm,
+             CAST(SUM(m * rev) AS BIGINT) AS smy,
+             CAST(MAX(m) AS BIGINT) AS max_m
+      FROM monthly
+    )
+    SELECT n AS n_months,
+           ((n * smy - sm * sy) * 1000) // (n * smm - sm * sm)
+             AS slope_milli,
+           (sy * 1000 - ((n * smy - sm * sy) * 1000) // (n * smm - sm * sm)
+              * sm) // n AS intercept_milli,
+           ((sy * 1000 - ((n * smy - sm * sy) * 1000)
+               // (n * smm - sm * sm) * sm) // n
+            + ((n * smy - sm * sy) * 1000) // (n * smm - sm * sm)
+              * (max_m + 1)) // 1000 AS forecast_next_month
+    FROM s
+    """,
+)
+def orders_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed least-squares trend fit on monthly revenue — the
+    closed-form regression every forecasting pipeline starts from,
+    computed ENTIRELY from five integer aggregates (n, Σm, Σy, Σm²,
+    Σmy), so the slope/intercept (milli-dollars) and the next-month
+    forecast are bit-exact cross-engine: fixed-point floor division
+    replaces float normal-equation solves. Revenue is whole dollars
+    (decimal-rounded) to keep every product far inside int64.
+
+    Scale: the month grain collapses 100 TB of orders into ≤ |months|
+    rows in ONE map-side-combining pass; the moment sums are a second
+    trivial aggregation. This is the aggregate-only shape (no driver
+    math beyond the final expression, no iterative solver) that makes
+    regression-by-sufficient-statistics the canonical big-data fit."""
+    orders = t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.months_between(
+            F.date_trunc("month", F.col("o_orderdate")),
+            F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"),
+        )
+        .cast("bigint")
+        .alias("m")
+    ).agg(
+        F.round(F.sum(dec("o_totalprice")), 0).cast("bigint").alias("rev")
+    )
+    s = monthly.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("m").cast("bigint").alias("sm"),
+        F.sum("rev").cast("bigint").alias("sy"),
+        F.sum(F.col("m") * F.col("m")).cast("bigint").alias("smm"),
+        F.sum(F.col("m") * F.col("rev")).cast("bigint").alias("smy"),
+        F.max("m").cast("bigint").alias("max_m"),
+    )
+    slope = "((n * smy - sm * sy) * 1000) div (n * smm - sm * sm)"
+    intercept = f"(sy * 1000 - {slope} * sm) div n"
+    return s.select(
+        F.col("n").alias("n_months"),
+        F.expr(slope).alias("slope_milli"),
+        F.expr(intercept).alias("intercept_milli"),
+        F.expr(f"({intercept} + {slope} * (max_m + 1)) div 1000").alias(
+            "forecast_next_month"
+        ),
+    )
+
+
+@query(
     "customer_rfm_segments",
     """
     WITH base AS (
