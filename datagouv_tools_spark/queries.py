@@ -7705,6 +7705,36 @@ def doc_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("qid")
 
 
+def _power_iteration_oracle() -> str:
+    from datagouv_tools_spark.operators.pca import power_iteration_oracle_sql
+
+    return power_iteration_oracle_sql(3, 64)
+
+
+@query("emb_power_iteration_pc1", _power_iteration_oracle())
+def emb_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding corpus by THREE
+    fixed-point power-iteration rounds (operators/pca.py): integer
+    milli quantization, two map-side-combined shuffles per round
+    (per-vector projection, then the Gram-vector product), L∞
+    normalization with sign-magnitude division so negative components
+    divide identically cross-engine. The distributed eigen-solve is
+    value-hash-checked bit for bit — the 'PCA over 100 TB of
+    embeddings' primitive with an exact oracle.
+
+    Scale: never materializes the 64×64 Gram matrix — each round is
+    X'(Xv) at |rows|·dim cost; only the 64-value state crosses the
+    driver between rounds."""
+    from datagouv_tools_spark.operators.pca import power_iteration_milli
+
+    emb = t(spark, sf_dir, "embeddings")
+    v, mx = power_iteration_milli(emb, iters=3, dim=64)
+    return spark.createDataFrame(
+        [(i + 1, v[i], mx) for i in range(64)],
+        "dim_idx bigint, v_milli bigint, u_abs_max bigint",
+    ).orderBy("dim_idx")
+
+
 def _bpe_apply_oracle() -> str:
     from datagouv_tools_spark.operators.bpe import bpe_oracle_sql
 
