@@ -1,0 +1,51 @@
+"""Unit tests for fixed-point power iteration (operators/pca.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from datagouv_tools_spark.operators.pca import power_iteration_milli
+
+
+def test_recovers_dominant_direction(spark):
+    """On a strongly anisotropic synthetic cloud the fixed-point
+    iterate must align with numpy's true top eigenvector (|cos| ≥
+    0.99 after 3 rounds — quantization costs a little, direction
+    survives)."""
+    rng = np.random.default_rng(7)
+    d = 8
+    direction = np.zeros(d)
+    direction[2] = 0.45
+    direction[5] = -0.3
+    x = rng.normal(0, 0.01, size=(300, d)) + np.outer(
+        rng.normal(0, 1.0, 300), direction
+    )
+    x = np.clip(x, -0.52, 0.52)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<float>",
+    )
+    v, mx = power_iteration_milli(emb, iters=3, dim=d)
+    assert mx > 0
+    # compare against numpy's eigen-solve of the quantized Gram matrix
+    q = np.round(x * 1000)
+    gram = q.T @ q
+    w, vecs = np.linalg.eigh(gram)
+    top = vecs[:, np.argmax(w)]
+    got = np.array(v, dtype=float)
+    cos = abs(got @ top) / (np.linalg.norm(got) * np.linalg.norm(top))
+    assert cos >= 0.99, cos
+
+
+def test_linf_normalization_bounds(spark):
+    """After each round the iterate is L∞-normalized: max |v| == 1000
+    exactly, all components within ±1000."""
+    rng = np.random.default_rng(3)
+    x = rng.normal(0, 0.2, size=(50, 4)).clip(-0.5, 0.5)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<float>",
+    )
+    v, _ = power_iteration_milli(emb, iters=2, dim=4)
+    assert max(abs(c) for c in v) == 1000
+    assert all(-1000 <= c <= 1000 for c in v)
