@@ -7735,6 +7735,48 @@ def emb_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("dim_idx")
 
 
+def _kmeans_oracle() -> str:
+    from datagouv_tools_spark.operators.kmeans import kmeans_oracle_sql
+
+    return kmeans_oracle_sql(8, 2, 64)
+
+
+@query("emb_kmeans_clusters", _kmeans_oracle())
+def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (operators/kmeans.py): k=8, two update
+    rounds plus a final assignment, ENTIRELY in integer fixed point —
+    milli-quantized vectors, integer squared distances, smallest-cid
+    tie-breaks, sign-magnitude centroid means — so the iterative
+    clustering result (sizes, inertia, centroid L1 mass) hash-matches
+    the DuckDB replay exactly. Deterministic init: the 8 smallest
+    vec_ids.
+
+    Scale: assignment never explodes (vec × centroid) rows — the k
+    candidate distances are a map-local least() over broadcast centroid
+    literals; only (cid, dim) partial sums shuffle for the update, and
+    the k·dim centroid state crosses the driver between rounds."""
+    from datagouv_tools_spark.operators.kmeans import kmeans_fixed_point
+
+    emb = t(spark, sf_dir, "embeddings")
+    centroids, final = kmeans_fixed_point(emb, k=8, iters=2, dim=64)
+    cl1 = spark.createDataFrame(
+        [(cid, sum(abs(v) for v in vec)) for cid, vec in centroids.items()],
+        "cid bigint, c_l1 bigint",
+    )
+    return (
+        final.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum("dist").cast("bigint").alias("inertia"),
+        )
+        .join(cl1, "cid")
+        .select(
+            F.col("cid").alias("cluster_id"), "n_vecs", "inertia", "c_l1"
+        )
+        .orderBy("cluster_id")
+    )
+
+
 def _bpe_apply_oracle() -> str:
     from datagouv_tools_spark.operators.bpe import bpe_oracle_sql
 
