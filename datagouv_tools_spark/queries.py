@@ -7735,6 +7735,37 @@ def emb_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("dim_idx")
 
 
+def _perceptron_oracle() -> str:
+    from datagouv_tools_spark.operators.perceptron import (
+        perceptron_oracle_sql,
+    )
+
+    return perceptron_oracle_sql(0, 4, 64)
+
+
+@query("emb_perceptron_train", _perceptron_oracle())
+def emb_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A genuinely TRAINED linear classifier (operators/perceptron.py):
+    four batch-perceptron rounds, one-vs-rest for label 0, in pure
+    integer arithmetic — quantized features, ±1 labels, mistake-driven
+    Σ y·x updates, no division anywhere — so the full training
+    trajectory (per-round misclassification counts and weight L1 mass)
+    value-hash-matches the DuckDB replay. Complements doc_quality_logit
+    (a pinned-weight scorer) with actual distributed learning.
+
+    Scale: per round one dim-sized weight broadcast, map-local scores,
+    and one (dim)-combined update aggregation; only dim ints cross the
+    driver between rounds."""
+    from datagouv_tools_spark.operators.perceptron import perceptron_train
+
+    emb = t(spark, sf_dir, "embeddings")
+    _, stats = perceptron_train(emb, positive_label=0, iters=4, dim=64)
+    return spark.createDataFrame(
+        [(s["round"], s["n_misclassified"], s["w_l1_after"]) for s in stats],
+        "round bigint, n_misclassified bigint, w_l1_after bigint",
+    ).orderBy("round")
+
+
 def _kmeans_oracle() -> str:
     from datagouv_tools_spark.operators.kmeans import kmeans_oracle_sql
 

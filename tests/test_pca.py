@@ -49,3 +49,23 @@ def test_linf_normalization_bounds(spark):
     v, _ = power_iteration_milli(emb, iters=2, dim=4)
     assert max(abs(c) for c in v) == 1000
     assert all(-1000 <= c <= 1000 for c in v)
+
+
+def test_perceptron_separable_converges(spark):
+    """On linearly separable data the batch perceptron must reach zero
+    misclassifications within a few rounds."""
+    rng = np.random.default_rng(9)
+    rows = []
+    for i in range(60):
+        pos = i < 30
+        base = 0.35 if pos else -0.35
+        v = rng.normal(base, 0.05, size=4).clip(-0.52, 0.52)
+        rows.append((i, [float(x) for x in v], 0 if pos else 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    from datagouv_tools_spark.operators.perceptron import perceptron_train
+
+    w, stats = perceptron_train(emb, positive_label=0, iters=5, dim=4)
+    assert stats[-1]["n_misclassified"] == 0
+    assert any(v != 0 for v in w)
