@@ -7735,6 +7735,119 @@ def emb_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("dim_idx")
 
 
+_STUMP_THRESHOLDS = (-400, -200, 0, 200, 400)
+
+
+@query(
+    "emb_decision_stump",
+    f"""
+    WITH q AS (
+      SELECT vec_id,
+             CAST(CASE WHEN label = 0 THEN 1 ELSE 0 END AS BIGINT) AS y,
+             g.i,
+             CAST(ROUND(CAST(embedding[g.i] AS DOUBLE) * 1000, 0) AS BIGINT)
+               AS x
+      FROM embeddings, LATERAL UNNEST(generate_series(1, 64)) AS g(i)
+    ),
+    cand AS (
+      SELECT q.i AS dim_idx, t.thr,
+             CAST(SUM(CASE WHEN q.x <= t.thr THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_l,
+             CAST(SUM(CASE WHEN q.x <= t.thr THEN q.y ELSE 0 END) AS BIGINT)
+               AS p_l,
+             CAST(SUM(CASE WHEN q.x > t.thr THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_r,
+             CAST(SUM(CASE WHEN q.x > t.thr THEN q.y ELSE 0 END) AS BIGINT)
+               AS p_r
+      FROM q, (SELECT unnest([{", ".join(str(v) for v in _STUMP_THRESHOLDS)}])
+               AS thr) t
+      GROUP BY q.i, t.thr
+    ),
+    scored AS (
+      SELECT dim_idx, CAST(thr AS BIGINT) AS thr, n_l, p_l, n_r, p_r,
+             CAST((n_l * (CASE WHEN n_l > 0 THEN 1000000
+                    - (p_l * p_l + (n_l - p_l) * (n_l - p_l)) * 1000000
+                      // (n_l * n_l) ELSE 0 END)
+                   + n_r * (CASE WHEN n_r > 0 THEN 1000000
+                    - (p_r * p_r + (n_r - p_r) * (n_r - p_r)) * 1000000
+                      // (n_r * n_r) ELSE 0 END))
+                  // (n_l + n_r) AS BIGINT) AS gini_ppm
+      FROM cand
+    )
+    SELECT dim_idx, thr, n_l, p_l, n_r, p_r, gini_ppm
+    FROM scored
+    ORDER BY gini_ppm, dim_idx, thr
+    LIMIT 5
+    """,
+)
+def emb_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump learning: the best single-feature threshold split
+    for 'label == 0' by weighted Gini impurity over a fixed milli
+    threshold grid — tree induction's inner loop as ONE aggregation.
+    Gini is integer ppm (1e6 − (p²+(n−p)²)·1e6 // n²), so the split
+    ranking is bit-exact cross-engine; top-5 candidate splits surface
+    with their left/right class counts.
+
+    Scale: the (dim × threshold) candidate grid is evaluated in a
+    single map-side-combined pass over the exploded feature stream —
+    output is |dims|·|grid| rows regardless of corpus size (the same
+    bounded-output shape as the CMS sketch); production replaces the
+    fixed grid with sketch-derived quantile candidates, same plan."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.when(F.col("label") == 0, 1).otherwise(0).cast("bigint").alias("y"),
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda v: F.round(v.cast("double") * 1000, 0).cast("bigint"),
+            )
+        ).alias("pos", "x"),
+    ).select((F.col("pos") + 1).alias("dim_idx"), "x", "y")
+    thr = spark.createDataFrame(
+        [(int(v),) for v in _STUMP_THRESHOLDS], "thr bigint"
+    )
+    cand = (
+        q.crossJoin(F.broadcast(thr))
+        .groupBy("dim_idx", "thr")
+        .agg(
+            F.sum(F.when(F.col("x") <= F.col("thr"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_l"),
+            F.sum(F.when(F.col("x") <= F.col("thr"), F.col("y")).otherwise(0))
+            .cast("bigint")
+            .alias("p_l"),
+            F.sum(F.when(F.col("x") > F.col("thr"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_r"),
+            F.sum(F.when(F.col("x") > F.col("thr"), F.col("y")).otherwise(0))
+            .cast("bigint")
+            .alias("p_r"),
+        )
+    )
+    gini_side = (
+        "(case when {n} > 0 then 1000000"
+        " - ({p} * {p} + ({n} - {p}) * ({n} - {p})) * 1000000"
+        " div ({n} * {n}) else 0 end)"
+    )
+    gl = gini_side.format(n="n_l", p="p_l")
+    gr = gini_side.format(n="n_r", p="p_r")
+    return (
+        cand.select(
+            "dim_idx",
+            "thr",
+            "n_l",
+            "p_l",
+            "n_r",
+            "p_r",
+            F.expr(
+                f"cast((n_l * {gl} + n_r * {gr}) div (n_l + n_r) as bigint)"
+            ).alias("gini_ppm"),
+        )
+        .orderBy("gini_ppm", "dim_idx", "thr")
+        .limit(5)
+    )
+
+
 def _perceptron_oracle() -> str:
     from datagouv_tools_spark.operators.perceptron import (
         perceptron_oracle_sql,
