@@ -7735,6 +7735,142 @@ def emb_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("dim_idx")
 
 
+@query(
+    "emb_knn_accuracy",
+    """
+    WITH qv AS (
+      SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+      FROM embeddings WHERE vec_id < 50
+    ),
+    d AS (
+      SELECT qv.qid, qv.qlabel, e.vec_id, e.label,
+             CAST(list_sum(list_transform(
+               generate_series(1, 64),
+               i -> (CAST(ROUND(CAST(qv.qe[i] AS DOUBLE) * 1000, 0) AS BIGINT)
+                     - CAST(ROUND(CAST(e.embedding[i] AS DOUBLE) * 1000, 0)
+                            AS BIGINT))
+                  * (CAST(ROUND(CAST(qv.qe[i] AS DOUBLE) * 1000, 0) AS BIGINT)
+                     - CAST(ROUND(CAST(e.embedding[i] AS DOUBLE) * 1000, 0)
+                            AS BIGINT))))
+              AS BIGINT) AS dist
+      FROM qv, embeddings e
+      WHERE e.vec_id <> qv.qid
+    ),
+    nn AS (
+      SELECT qid, qlabel, label FROM (
+        SELECT qid, qlabel, label,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY dist, vec_id) AS rn
+        FROM d
+      ) WHERE rn <= 5
+    ),
+    votes AS (
+      SELECT qid, qlabel, label, COUNT(*) AS nv FROM nn
+      GROUP BY qid, qlabel, label
+    ),
+    pred AS (
+      SELECT qid, qlabel, label AS plabel FROM (
+        SELECT qid, qlabel, label,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY nv DESC, label) AS rn
+        FROM votes
+      ) WHERE rn = 1
+    )
+    SELECT CAST(qlabel AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN plabel = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           CAST((SUM(CASE WHEN plabel = qlabel THEN 1 ELSE 0 END) * 1000)
+                // COUNT(*) AS BIGINT) AS accuracy_mille
+    FROM pred
+    GROUP BY qlabel
+    ORDER BY label
+    """,
+)
+def emb_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classifier evaluation: leave-one-out 5-NN majority vote for
+    a 50-query sample against the full corpus, accuracy per true label
+    in integer mille. Distances are integer squared L2 on the shared
+    milli quantization; neighbor AND vote ties break deterministically
+    (dist→vec_id, votes→smallest label) so the eval is value-hash-exact.
+
+    Scale: the 50-row query sample is broadcast against the corpus scan
+    (candidate rows = |Q|·|corpus|, map-local arithmetic, per-query
+    top-5 via the rank window over the candidate stream); a production
+    eval swaps the exact scan for AnnIndex.adc_topk_batch — same
+    metrics, index-served candidates."""
+    emb = t(spark, sf_dir, "embeddings")
+    xq = F.transform(
+        F.col("embedding"),
+        lambda v: F.round(v.cast("double") * 1000, 0).cast("bigint"),
+    )
+    corpus = emb.select("vec_id", "label", xq.alias("x"))
+    qv = (
+        emb.filter(F.col("vec_id") < 50)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("qlabel"),
+            xq.alias("qx"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    d = (
+        corpus.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            "vec_id",
+            "label",
+            F.aggregate(
+                F.zip_with(
+                    F.col("qx"), F.col("x"), lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, t: acc + t,
+            ).alias("dist"),
+        )
+    )
+    nn = (
+        d.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy("dist", "vec_id")
+            ),
+        )
+        .filter(F.col("rn") <= 5)
+        .select("qid", "qlabel", "label")
+    )
+    votes = nn.groupBy("qid", "qlabel", "label").agg(
+        F.count(F.lit(1)).alias("nv")
+    )
+    pred = (
+        votes.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(F.desc("nv"), F.asc("label"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("qid", "qlabel", F.col("label").alias("plabel"))
+    )
+    return (
+        pred.groupBy(F.col("qlabel").cast("bigint").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            F.sum(F.when(F.col("plabel") == F.col("qlabel"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_correct"),
+            F.expr(
+                "cast((sum(case when plabel = qlabel then 1 else 0 end)"
+                " * 1000) div count(1) as bigint)"
+            ).alias("accuracy_mille"),
+        )
+        .orderBy("label")
+    )
+
+
 _STUMP_THRESHOLDS = (-400, -200, 0, 200, 400)
 
 
