@@ -247,3 +247,110 @@ def textrank_oracle_sql(iters: int, tokens_sql: str) -> str:
     SELECT token, pr AS pr_nano FROM r{iters}
     ORDER BY pr DESC, token LIMIT 20"""
     return head + "".join(rounds) + tail
+
+
+def triangle_counts(und: DataFrame) -> DataFrame:
+    """Per-node triangle participation via the degree-oriented
+    "forward" algorithm (Schank & Wagner 2005; the shape every
+    distributed triangle counter uses).
+
+    ``und``: DISTINCT undirected edges as ``(u, v)`` with ``u < v``
+    (one row per edge, no self-loops). Returns
+    ``(token, degree, tri_cnt)`` for every node that closes at least
+    one triangle.
+
+    Each edge is oriented from its lower ``(degree, token)`` endpoint
+    to the higher one, so the oriented out-degree of EVERY node —
+    including a hub adjacent to half the graph — is bounded by the
+    graph's arboricity-scale ordering rank. The wedge join
+    ``(a→b)⋈(b→c)`` therefore cannot quadratically explode on skewed
+    degree distributions, which is exactly what kills the naive
+    3-way edge self-join at 100 TB. Each triangle is produced exactly
+    once, at its lowest-ordered corner.
+    """
+    deg = (
+        und.select(F.col("u").alias("token"))
+        .unionByName(und.select(F.col("v").alias("token")))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    du = deg.select(F.col("token").alias("u"), F.col("degree").alias("du"))
+    dv = deg.select(F.col("token").alias("v"), F.col("degree").alias("dv"))
+    keyed = und.join(du, "u").join(dv, "v")
+    fwd = F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
+    o = keyed.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    e1 = o.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = o.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tri_cnt"))
+    )
+    return per_node.join(deg, "token").select("token", "degree", "tri_cnt")
+
+
+def triangles_oracle_sql(tokens_sql: str) -> str:
+    """DuckDB twin of the token-graph triangle query: same undirected
+    dedup, same (degree, token) orientation, same one-per-triangle
+    wedge-close join, same ppm fixed-point clustering coefficients."""
+    return f"""
+    WITH toks AS (SELECT {tokens_sql} AS ts FROM documents),
+    bg AS (
+      SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+                    i -> ts[i] || ' ' || ts[i + 1])) AS p
+      FROM toks WHERE len(ts) >= 2
+    ),
+    pairs AS (
+      SELECT split_part(p, ' ', 1) AS x, split_part(p, ' ', 2) AS y
+      FROM bg
+    ),
+    und AS (
+      SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v
+      FROM pairs WHERE x <> y
+    ),
+    deg AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT u AS token FROM und UNION ALL SELECT v AS token FROM und
+      ) GROUP BY token
+    ),
+    o AS (
+      SELECT CASE WHEN (du.degree, e.u) < (dv.degree, e.v)
+                  THEN e.u ELSE e.v END AS src,
+             CASE WHEN (du.degree, e.u) < (dv.degree, e.v)
+                  THEN e.v ELSE e.u END AS dst
+      FROM und e
+      JOIN deg du ON e.u = du.token
+      JOIN deg dv ON e.v = dv.token
+    ),
+    tri AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM o e1
+      JOIN o e2 ON e1.dst = e2.src
+      JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ),
+    pn AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS tri_cnt FROM (
+        SELECT a AS token FROM tri
+        UNION ALL SELECT b AS token FROM tri
+        UNION ALL SELECT c AS token FROM tri
+      ) GROUP BY token
+    ),
+    gtot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_tri_total FROM tri
+    ),
+    wedges AS (
+      SELECT CAST(SUM(degree * (degree - 1) // 2) AS BIGINT) AS n_wedges
+      FROM deg
+    )
+    SELECT token, degree, tri_cnt,
+           (2 * tri_cnt * 1000000) // (degree * (degree - 1)) AS lcc_ppm,
+           n_tri_total,
+           (3 * n_tri_total * 1000000) // n_wedges AS global_cc_ppm
+    FROM pn JOIN deg USING (token)
+    CROSS JOIN gtot CROSS JOIN wedges
+    ORDER BY tri_cnt DESC, token LIMIT 20"""

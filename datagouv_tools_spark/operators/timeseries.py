@@ -1,0 +1,94 @@
+"""Per-series sequential time-series kernels.
+
+Exponential smoothing is intrinsically a left fold — ``s_t`` depends on
+``s_{t-1}`` — so it cannot be a window expression without ``pow()``
+(banned cross-engine: libm is not correctly rounded). The engine runs
+the fold in INTEGER fixed point inside one Arrow ``applyInPandas``
+group per series: milli-unit observations, ``s_t = (alpha*x_t +
+(1000-alpha)*s_{t-1}) div 1000`` — truncating integer division, the
+same convention as the engine's sketches and PageRank, so DuckDB can
+replay the identical recurrence with a recursive CTE and value-hash
+the whole smoothed curve.
+
+Scale: ONE shuffle partitions the pre-aggregated series points by
+series key; each group is processed with O(1) state and O(points)
+work. Series are bucket-grained (hourly → 8 760 points/series/year),
+so a group is kilobytes even when the raw fact table is 100 TB — the
+heavy lifting (raw rows → per-bucket aggregates) happens before the
+fold, in a map-side-combining groupBy.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+
+def ewma_fold(
+    points: DataFrame,
+    key_col: str,
+    time_col: str,
+    x_col: str,
+    alpha_milli: int,
+) -> DataFrame:
+    """Fixed-point EWMA over each series in ``points``.
+
+    ``points`` has one row per (series, bucket) with an integer
+    milli-unit observation ``x_col``. Returns one row per input row:
+    ``(key, time, i, x, ewma)`` where ``i`` is the 1-based position in
+    time order and ``ewma`` the smoothed value after that point
+    (``s_1 = x_1``).
+    """
+    a, b = int(alpha_milli), 1000 - int(alpha_milli)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(time_col).reset_index(drop=True)
+        s = None
+        out = []
+        # Python-int fold: values are exact bigints (never float), and
+        # the loop is O(points-per-series), not O(raw rows) — series
+        # arrive pre-aggregated to their bucket grain.
+        for x in pdf[x_col].tolist():
+            x = int(x)
+            s = x if s is None else (a * x + b * s) // 1000
+            out.append(s)
+        pdf["i"] = range(1, len(pdf) + 1)
+        pdf["ewma"] = out
+        return pdf[[key_col, time_col, "i", x_col, "ewma"]]
+
+    schema = (
+        f"{key_col} string, {time_col} timestamp, i bigint, "
+        f"{x_col} bigint, ewma bigint"
+    )
+    return points.groupBy(key_col).applyInPandas(fold, schema)
+
+
+def ewma_oracle_sql(
+    points_sql: str,
+    key_col: str,
+    time_col: str,
+    x_col: str,
+    alpha_milli: int,
+) -> str:
+    """DuckDB twin: the identical integer recurrence as a recursive
+    CTE stepping the per-series row number. ``points_sql`` must be a
+    complete SELECT producing (key, time, x)."""
+    a, b = int(alpha_milli), 1000 - int(alpha_milli)
+    return f"""
+    WITH RECURSIVE pts AS (
+      SELECT {key_col}, {time_col}, {x_col},
+             ROW_NUMBER() OVER (PARTITION BY {key_col}
+                                ORDER BY {time_col}) AS i
+      FROM ({points_sql})
+    ),
+    s AS (
+      SELECT {key_col}, {time_col}, i, {x_col},
+             {x_col} AS ewma
+      FROM pts WHERE i = 1
+      UNION ALL
+      SELECT p.{key_col}, p.{time_col}, p.i, p.{x_col},
+             ({a} * p.{x_col} + {b} * s.ewma) // 1000 AS ewma
+      FROM pts p JOIN s ON p.{key_col} = s.{key_col} AND p.i = s.i + 1
+    )
+    SELECT * FROM s"""

@@ -8602,3 +8602,110 @@ def doc_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("wc"))
     )
     return bpe_train(words, rounds=6)
+
+
+def _triangles_oracle() -> str:
+    from datagouv_tools_spark.operators.pagerank import triangles_oracle_sql
+
+    return triangles_oracle_sql(_SQL_TOKENS)
+
+
+@query("token_graph_triangles", _triangles_oracle())
+def token_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + clustering coefficients on the token
+    co-occurrence graph (operators/pagerank.triangle_counts): the
+    degree-oriented "forward" algorithm — every edge is oriented from
+    its lower (degree, token) endpoint, so each triangle is closed
+    exactly once at its lowest-ordered corner and the wedge join's
+    fan-out is arboricity-bounded even on hub tokens. Per-node local
+    clustering and the global coefficient are ppm fixed point, so the
+    whole graph statistic is value-hash-checked.
+
+    Scale: the three inputs to the wedge-close are the SAME oriented
+    edge list (one shuffle to build, reused three ways); degree
+    orientation is what makes this survive skew — a stopword adjacent
+    to half the vocabulary contributes wedges only toward its few
+    higher-ordered neighbors, never deg² pairs. Top-20 is
+    TakeOrdered."""
+    from datagouv_tools_spark.functions.text import tokens, word_bigrams
+    from datagouv_tools_spark.operators.pagerank import triangle_counts
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(tokens("text").alias("ts"))
+    bg = toks.select(F.explode(word_bigrams(F.col("ts"))).alias("p")).select(
+        F.split_part(F.col("p"), F.lit(" "), F.lit(1)).alias("x"),
+        F.split_part(F.col("p"), F.lit(" "), F.lit(2)).alias("y"),
+    )
+    und = (
+        bg.filter(F.col("x") != F.col("y"))
+        .select(
+            F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v")
+        )
+        .distinct()
+    )
+    pn = triangle_counts(und)
+    glob = pn.agg(
+        # every triangle was exploded to its 3 corners upstream
+        F.expr("sum(tri_cnt) div 3").cast("bigint").alias("n_tri_total")
+    )
+    deg_all = (
+        und.select(F.col("u").alias("token"))
+        .unionByName(und.select(F.col("v").alias("token")))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    wedges = deg_all.agg(
+        F.sum(F.expr("degree * (degree - 1) div 2")).cast("bigint").alias("n_wedges")
+    )
+    return (
+        pn.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(wedges))
+        .select(
+            "token",
+            "degree",
+            "tri_cnt",
+            F.expr(
+                "(2 * tri_cnt * 1000000) div (degree * (degree - 1))"
+            ).alias("lcc_ppm"),
+            "n_tri_total",
+            F.expr("(3 * n_tri_total * 1000000) div n_wedges").alias(
+                "global_cc_ppm"
+            ),
+        )
+        .orderBy(F.desc("tri_cnt"), "token")
+        .limit(20)
+    )
+
+
+def _ewma_oracle() -> str:
+    from datagouv_tools_spark.operators.timeseries import ewma_oracle_sql
+
+    pts = """
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(COUNT(*) * 1000 AS BIGINT) AS xm
+      FROM events GROUP BY 1, 2
+    """
+    return ewma_oracle_sql(pts, "event_type", "h", "xm", 300)
+
+
+@query("events_hourly_ewma", _ewma_oracle())
+def events_hourly_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of hourly event volume per
+    event type (operators/timeseries.ewma_fold): the smoothing fold
+    ``s_t = (300·x_t + 700·s_{t-1}) div 1000`` runs in integer milli
+    fixed point inside one Arrow group per series, and DuckDB replays
+    the identical recurrence as a recursive CTE — an intrinsically
+    sequential operator, still value-hash-checked point by point.
+
+    Scale: raw events collapse to (type, hour) integer aggregates in a
+    map-side-combining groupBy FIRST; only those bucket rows (8 760 per
+    series-year, kilobytes) shuffle into the per-series fold, whose
+    state is O(1). The anomaly/trending baseline every monitoring
+    pipeline needs, with none of the float-order drift."""
+    from datagouv_tools_spark.operators.timeseries import ewma_fold
+
+    ev = t(spark, sf_dir, "events")
+    pts = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg((F.count(F.lit(1)) * 1000).cast("bigint").alias("xm"))
+    return ewma_fold(pts, "event_type", "h", "xm", 300)

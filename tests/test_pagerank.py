@@ -46,3 +46,46 @@ def test_isolated_node_keeps_teleport_only(spark):
     pr = _ranks(spark, ["a", "b", "z"], edges, iters=2)
     assert pr["z"] == 150_000_000 // 3
     assert pr["a"] == pr["b"] > pr["z"]
+
+
+# ---------------------------------------------------------------------------
+# triangle_counts
+# ---------------------------------------------------------------------------
+
+
+def _tri(spark, und_pairs):
+    from datagouv_tools_spark.operators.pagerank import triangle_counts
+
+    und = spark.createDataFrame(und_pairs, "u string, v string")
+    rows = triangle_counts(und).collect()
+    return {r["token"]: (r["degree"], r["tri_cnt"]) for r in rows}
+
+
+def test_triangle_k4_every_node_in_three(spark):
+    """K4 has C(4,3)=4 triangles; each node sits in exactly 3 and has
+    degree 3."""
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    got = _tri(spark, k4)
+    assert got == {x: (3, 3) for x in "abcd"}
+
+
+def test_triangle_counted_once_not_per_orientation(spark):
+    """One triangle plus a pendant edge: the pendant node closes no
+    triangle and is absent; corners count the triangle exactly once."""
+    g = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+    got = _tri(spark, g)
+    assert got == {"a": (2, 1), "b": (2, 1), "c": (3, 1)}
+    assert "d" not in got
+
+
+def test_triangle_hub_skew_orientation(spark):
+    """A hub adjacent to everyone in a 5-cycle: fan/wheel graph. The
+    wheel W5 has 5 triangles; hub in all 5, rim nodes in 2 each —
+    and the degree orientation must not double count around the hub."""
+    rim = ["r0", "r1", "r2", "r3", "r4"]
+    g = [(min(a, b), max(a, b)) for a, b in zip(rim, rim[1:] + rim[:1])]
+    g += [("h" if "h" < r else r, r if "h" < r else "h") for r in rim]
+    got = _tri(spark, g)
+    assert got["h"] == (5, 5)
+    for r in rim:
+        assert got[r] == (3, 2)
