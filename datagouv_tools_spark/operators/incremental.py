@@ -36,7 +36,13 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["aggregate_base", "apply_delta", "dirty_keys", "maintain_rollup"]
+__all__ = [
+    "aggregate_base",
+    "apply_delta",
+    "dirty_keys",
+    "maintain_join",
+    "maintain_rollup",
+]
 
 
 def _keys(key_cols: Sequence[str] | str) -> list[str]:
@@ -185,3 +191,69 @@ def maintain_rollup(
             F.coalesce("__fmax", "vmax").alias("vmax"),
         )
     )
+
+
+def maintain_join(
+    view: DataFrame,
+    a_old: DataFrame,
+    b_old: DataFrame,
+    da: DataFrame,
+    db: DataFrame,
+    key_cols: Sequence[str] | str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Incremental maintenance of a materialized equi-join view
+    ``V = A ⋈ B`` under two-sided CDC deltas — the join half of the
+    Gupta-Mumick delta rules (the rollup half is :func:`maintain_rollup`).
+
+    With signed multiplicities (insert = +1, delete = -1):
+
+        (A+ΔA) ⋈ (B+ΔB) = V  +  ΔA⋈B  +  A⋈ΔB  +  ΔA⋈ΔB
+
+    so the view's net change is three DELTA-SIZED joins — the stored
+    view and the base tables are never re-joined. Rows are assumed
+    set-semantic as FULL tuples (each base row unique, an update
+    arrives as delete(old-image)+insert(new) — the standard Debezium
+    decomposition), so each joined row's net sign lands in {-1, 0, +1}:
+    negatives become full-row tombstones, positives become appends.
+    Tombstones match on every view column — a shorter key would also
+    delete innocent siblings that happen to share it (non-null columns
+    required, exact-equality types only).
+
+    Scale: ``ΔA⋈B`` / ``A⋈ΔB`` broadcast the delta side, so the base
+    scans stay shuffle-free and partition-prunable on a key-bucketed
+    layout; the final apply is ONE pass over the stored view with a
+    broadcast tombstone set (merge-on-read shape) plus an append —
+    no |V| shuffle anywhere. Equality with a from-scratch re-join of
+    the post-delta bases is the tested contract.
+    """
+    ks = _keys(key_cols)
+    view_cols = view.columns
+
+    def signed(d: DataFrame, tag: str) -> DataFrame:
+        return d.select(
+            *[c for c in d.columns if c != op_col],
+            F.when(F.col(op_col) == delete_op, F.lit(-1))
+            .otherwise(F.lit(1))
+            .cast("bigint")
+            .alias(tag),
+        )
+
+    sa, sb = signed(da, "__sa"), signed(db, "__sb")
+    t1 = sa.join(b_old, ks).select(*view_cols, F.col("__sa").alias("__s"))
+    t2 = a_old.join(sb, ks).select(*view_cols, F.col("__sb").alias("__s"))
+    t3 = sa.join(sb, ks).select(
+        *view_cols, (F.col("__sa") * F.col("__sb")).alias("__s")
+    )
+    net = (
+        t1.unionByName(t2)
+        .unionByName(t3)
+        .groupBy(*view_cols)
+        .agg(F.sum("__s").alias("__net"))
+    )
+    removals = net.filter(F.col("__net") < 0).select(*view_cols)
+    additions = net.filter(F.col("__net") > 0).select(*view_cols)
+    return view.join(
+        F.broadcast(removals), view_cols, "left_anti"
+    ).unionByName(additions)

@@ -8709,3 +8709,97 @@ def events_hourly_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
     ).agg((F.count(F.lit(1)) * 1000).cast("bigint").alias("xm"))
     return ewma_fold(pts, "event_type", "h", "xm", 300)
+
+
+@query(
+    "orders_lineitem_join_ivm",
+    """
+    WITH a_after AS (
+      SELECT o_orderkey, o_orderpriority FROM orders
+      WHERE (o_orderkey % 10 != 0 AND o_orderkey % 7 != 0)
+         OR o_orderkey % 10 = 0
+    ),
+    b_after AS (
+      SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+      WHERE (l_suppkey % 3 != 0 AND l_partkey % 11 != 0)
+         OR l_suppkey % 3 = 0
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,6))), 2)
+                AS DOUBLE) AS revenue
+    FROM a_after JOIN b_after ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def orders_lineitem_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a materialized JOIN view
+    (operators/incremental.maintain_join): the stored orders⋈lineitem
+    view absorbs two-sided CDC — order deletes (%7 keys) and late
+    orders (%10 keys) on one side, supplier-%3 lineitem inserts and
+    partkey-%11 deletes on the other — via the signed Gupta-Mumick
+    delta rule ΔV = ΔA⋈B + A⋈ΔB + ΔA⋈ΔB. The oracle re-joins the
+    post-delta bases from scratch; equality IS the maintenance
+    contract, aggregated per priority so the hash covers every
+    surviving joined row.
+
+    Scale: all three delta terms broadcast the delta side (base scans
+    shuffle-free, partition-prunable on a key-bucketed layout); the
+    apply is one stored-view pass with a broadcast tombstone set plus
+    an append — the nightly 100 TB re-join becomes delta-sized work.
+    """
+    from datagouv_tools_spark.operators.incremental import maintain_join
+
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"), "o_orderpriority"
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_linenumber",
+        "l_extendedprice",
+        "l_suppkey",
+        "l_partkey",
+    )
+    a_old = orders.filter(F.col("o_orderkey") % 10 != 0)
+    da = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .select("*", F.lit("I").alias("op"))
+        .unionByName(
+            a_old.filter(F.col("o_orderkey") % 7 == 0).select(
+                "*", F.lit("D").alias("op")
+            )
+        )
+    )
+    b_old = li.filter(F.col("l_suppkey") % 3 != 0)
+    db = (
+        li.filter(F.col("l_suppkey") % 3 == 0)
+        .select("*", F.lit("I").alias("op"))
+        .unionByName(
+            b_old.filter(F.col("l_partkey") % 11 == 0).select(
+                "*", F.lit("D").alias("op")
+            )
+        )
+    )
+    bcols = ["o_orderkey", "l_linenumber", "l_extendedprice"]
+    view = a_old.join(b_old.select(*bcols), "o_orderkey")
+    maintained = maintain_join(
+        view,
+        a_old,
+        b_old.select(*bcols),
+        da,
+        db.select(*bcols, "op"),
+        "o_orderkey",
+    )
+    return (
+        maintained.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("o_orderkey").cast("bigint").alias("n_orders"),
+            dround(F.sum(F.col("l_extendedprice").cast("decimal(28,6)")), 2).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -182,3 +182,83 @@ def test_delta_inserts_then_deletes_its_own_maximum(spark):
         [("a", 5), ("a", 8)],
         [("a", 1, "I"), ("a", 1, "D")],
     )
+
+
+# ---------------------------------------------------------------------------
+# maintain_join — materialized equi-join view maintenance
+# ---------------------------------------------------------------------------
+
+
+def _mj(spark, a_rows, b_rows, da_rows, db_rows):
+    from datagouv_tools_spark.operators.incremental import maintain_join
+
+    a = spark.createDataFrame(a_rows, "k bigint, an string")
+    b = spark.createDataFrame(b_rows, "k bigint, bn string")
+    da = spark.createDataFrame(da_rows or [], "k bigint, an string, op string")
+    db = spark.createDataFrame(db_rows or [], "k bigint, bn string, op string")
+    view = a.join(b, "k")
+    got = maintain_join(view, a, b, da, db, "k")
+    return sorted((r["k"], r["an"], r["bn"]) for r in got.collect())
+
+
+def _scratch_join(spark, a_rows, b_rows, da_rows, db_rows):
+    def apply(rows, drows):
+        out = [tuple(r) for r in rows]
+        for r in drows or []:
+            if r[-1] == "D":
+                out.remove(tuple(r[:-1]))
+            else:
+                out.append(tuple(r[:-1]))
+        return out
+
+    a2, b2 = apply(a_rows, da_rows), apply(b_rows, db_rows)
+    return sorted(
+        (ka, an, bn) for ka, an in a2 for kb, bn in b2 if ka == kb
+    )
+
+
+def _check_join(spark, a_rows, b_rows, da_rows, db_rows):
+    assert _mj(spark, a_rows, b_rows, da_rows, db_rows) == _scratch_join(
+        spark, a_rows, b_rows, da_rows, db_rows
+    )
+
+
+def test_join_ivm_one_sided_insert_and_delete(spark):
+    a = [(1, "a1"), (2, "a2")]
+    b = [(1, "b1"), (1, "b1x"), (2, "b2")]
+    _check_join(spark, a, b, [(3, "a3", "I"), (2, "a2", "D")], None)
+    _check_join(spark, a, b, None, [(1, "b1", "D"), (2, "b2b", "I")])
+
+
+def test_join_ivm_both_sides_same_key(spark):
+    """ΔA⋈ΔB: a new order and its new lineitems arrive in one batch;
+    deleting both halves of an existing joined row nets exactly -1."""
+    a = [(1, "a1")]
+    b = [(1, "b1")]
+    _check_join(spark, a, b, [(9, "a9", "I")], [(9, "b9", "I"), (9, "b9x", "I")])
+    _check_join(spark, a, b, [(1, "a1", "D")], [(1, "b1", "D")])
+
+
+def test_join_ivm_update_is_delete_plus_insert(spark):
+    """An update (delete old image + insert new) replaces the payload
+    without touching sibling rows of the same join key."""
+    a = [(1, "a1")]
+    b = [(1, "b1"), (1, "b2")]
+    _check_join(spark, a, b, None, [(1, "b1", "D"), (1, "b1v2", "I")])
+
+
+def test_join_ivm_tombstone_spares_full_row_siblings(spark):
+    """Regression for the short-key tombstone bug: two b-rows share the
+    join key; deleting one must not evict the survivor."""
+    a = [(1, "a1")]
+    b = [(1, "b_dead"), (1, "b_alive")]
+    got = _mj(spark, a, b, None, [(1, "b_dead", "D")])
+    assert got == [(1, "a1", "b_alive")]
+
+
+def test_join_ivm_deleted_order_blocks_new_lineitem(spark):
+    """A lineitem insert for an order deleted in the same batch must
+    not surface (t2 gives +1, ΔA⋈ΔB gives -1 → net 0)."""
+    a = [(1, "a1")]
+    b = [(1, "b1")]
+    _check_join(spark, a, b, [(1, "a1", "D")], [(1, "b_new", "I")])
