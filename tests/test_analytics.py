@@ -1354,3 +1354,43 @@ def test_fuzzy_pairs_blocked_matches_and_misses_documented(spark):
     # pair MISSED because the length differs (documented behavior);
     # (2,5) differs in TWO positions (C/c and o/0) and is rightly out
     assert got == [(1, 2, 1), (1, 5, 1)]
+
+
+# ---------------------------------------------------------------------------
+# skyline_2d
+# ---------------------------------------------------------------------------
+
+
+def _sky(spark, rows):
+    from datagouv_tools_spark.operators.skyline import skyline_2d
+
+    pts = spark.createDataFrame(rows, "pid bigint, price double, qty bigint")
+    return sorted(r["pid"] for r in skyline_2d(pts, "price", "qty").collect())
+
+
+def test_skyline_basic_dominance(spark):
+    """(1.0, 10) dominates (2.0, 5); the frontier keeps the staircase."""
+    rows = [(1, 1.0, 10), (2, 2.0, 5), (3, 2.0, 20), (4, 3.0, 30), (5, 4.0, 25)]
+    assert _sky(spark, rows) == [1, 3, 4]
+
+
+def test_skyline_equal_price_higher_qty_dominates(spark):
+    rows = [(1, 1.0, 10), (2, 1.0, 7)]
+    assert _sky(spark, rows) == [1]
+
+
+def test_skyline_exact_ties_all_survive(spark):
+    """Equal on both dims → neither dominates: both stay."""
+    rows = [(1, 1.0, 10), (2, 1.0, 10), (3, 2.0, 10)]
+    assert _sky(spark, rows) == [1, 2]
+
+
+def test_skyline_equal_qty_cheaper_dominates(spark):
+    """Strictly cheaper at the same qty dominates (strict in price)."""
+    rows = [(1, 1.0, 10), (2, 2.0, 10)]
+    assert _sky(spark, rows) == [1]
+
+
+def test_skyline_single_point_and_idempotence(spark):
+    rows = [(1, 5.0, 1)]
+    assert _sky(spark, rows) == [1]
