@@ -8865,3 +8865,165 @@ def part_skyline_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "price", "qty_sold")
         .orderBy("price", "p_partkey")
     )
+
+
+_JOIN_IVM_STREAM_FIXTURE: dict[str, str] = {}
+
+
+def _join_ivm_stream_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Two-file CDC fixture for the streaming join maintainer: file 1 is
+    the initial load (inserts of both base snapshots), file 2 the
+    two-sided delta. Restricted to o_orderkey%4==1 — the full two-sided
+    semantics at a quarter of the replay volume."""
+    import os
+    import tempfile
+
+    if sf_dir in _JOIN_IVM_STREAM_FIXTURE:
+        return _JOIN_IVM_STREAM_FIXTURE[sf_dir]
+    orders = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 4 == 1)
+        .select("o_orderkey", "o_orderpriority")
+    )
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 4 == 1)
+        .select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            "l_linenumber",
+            "l_extendedprice",
+            "l_suppkey",
+            "l_partkey",
+        )
+    )
+    a_old = orders.filter(F.col("o_orderkey") % 10 != 0)
+    b_old = li.filter(F.col("l_suppkey") % 3 != 0)
+
+    def cdc(df, side, op, acols=False):
+        return df.select(
+            F.lit(side).alias("side"),
+            F.lit(op).alias("op"),
+            "o_orderkey",
+            (
+                F.col("o_orderpriority")
+                if acols
+                else F.lit(None).cast("string")
+            ).alias("o_orderpriority"),
+            (
+                F.lit(None).cast("int") if acols else F.col("l_linenumber")
+            ).alias("l_linenumber"),
+            (
+                F.lit(None).cast("double")
+                if acols
+                else F.col("l_extendedprice")
+            ).alias("l_extendedprice"),
+        )
+
+    load = cdc(a_old, "a", "I", True).unionByName(cdc(b_old, "b", "I"))
+    delta = (
+        cdc(orders.filter(F.col("o_orderkey") % 10 == 0), "a", "I", True)
+        .unionByName(cdc(a_old.filter(F.col("o_orderkey") % 7 == 0), "a", "D", True))
+        .unionByName(cdc(li.filter(F.col("l_suppkey") % 3 == 0), "b", "I"))
+        .unionByName(cdc(b_old.filter(F.col("l_partkey") % 11 == 0), "b", "D"))
+    )
+    src = tempfile.mkdtemp(prefix="join_ivm_stream_src_")
+    # coalesce(1): a 2-FILE fixture is the point (one micro-batch per
+    # file) — never copy this into a production write path
+    load.coalesce(1).write.parquet(f"{src}/f1")
+    delta.coalesce(1).write.parquet(f"{src}/f2")
+    t0 = 1_600_000_000
+    for sub, ts_ in (("f1", t0), ("f2", t0 + 100)):
+        for name in os.listdir(f"{src}/{sub}"):
+            os.utime(f"{src}/{sub}/{name}", (ts_, ts_))
+    _JOIN_IVM_STREAM_FIXTURE[sf_dir] = src
+    return src
+
+
+@query(
+    "orders_join_ivm_stream",
+    """
+    WITH a_after AS (
+      SELECT o_orderkey, o_orderpriority FROM orders
+      WHERE o_orderkey % 4 = 1
+        AND ((o_orderkey % 10 != 0 AND o_orderkey % 7 != 0)
+             OR o_orderkey % 10 = 0)
+    ),
+    b_after AS (
+      SELECT l_orderkey AS o_orderkey, l_linenumber, l_extendedprice
+      FROM lineitem
+      WHERE l_orderkey % 4 = 1
+        AND ((l_suppkey % 3 != 0 AND l_partkey % 11 != 0)
+             OR l_suppkey % 3 = 0)
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,6))), 2)
+                AS DOUBLE) AS revenue
+    FROM a_after JOIN b_after USING (o_orderkey)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def orders_join_ivm_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join-view maintenance as a REAL stream
+    (streaming/join_maintain): the initial load and the two-sided CDC
+    delta replay as two micro-batches through the versioned
+    a/b/view store, and the final stored view is aggregated exactly
+    like orders_lineitem_join_ivm — against a from-scratch re-join
+    oracle. A double-applied delta, torn multi-relation commit, or
+    tombstoned sibling anywhere in the maintainer shifts the counts or
+    the decimal-exact revenue.
+
+    Scale: per batch the maintainer runs three broadcast-delta joins
+    plus one stored-view pass (see streaming/join_maintain.py); the
+    replay is o_orderkey-restricted only to bound FIXTURE volume, not
+    semantics."""
+    import shutil
+    import tempfile
+
+    from datagouv_tools_spark.streaming.join_maintain import (
+        foreach_batch_join_maintainer,
+        read_join_store,
+    )
+
+    src = _join_ivm_stream_fixture(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="join_ivm_stream_")
+    stream = (
+        spark.readStream.schema(
+            "side string, op string, o_orderkey bigint, "
+            "o_orderpriority string, l_linenumber int, l_extendedprice double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_join_maintainer(
+                f"{tmp}/store",
+                tmp,
+                ["o_orderkey"],
+                ["o_orderpriority"],
+                ["l_linenumber", "l_extendedprice"],
+            )
+        )
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    view = read_join_store(spark, f"{tmp}/store", "view")
+    result = (
+        view.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("o_orderkey").cast("bigint").alias("n_orders"),
+            dround(
+                F.sum(F.col("l_extendedprice").cast("decimal(28,6)")), 2
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+        .localCheckpoint()
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return result
