@@ -273,3 +273,77 @@ def proximity_rerank(
     return candidates.withColumn("n_present", present.cast("int")).withColumn(
         "min_gap", gap.cast("int")
     )
+
+
+def mmr_rerank(
+    cands: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rel_col: str = "rel",
+    k: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick ``k`` results, each round taking the candidate
+    maximizing ``lam·rel − (1−lam)·max_sim_to_already_selected`` — the
+    standard diversity-aware final stage after any relevance ranker.
+
+    The greedy recurrence is intrinsically sequential in k, so the
+    plan is k tiny rounds over the BOUNDED candidate set (the caller's
+    top-N, already reduced by BM25/ANN — never the corpus): each round
+    is one constant-key equi-join of the remaining candidates against
+    the ≤k-row broadcast selected set, a per-candidate max, and an
+    argmax with a total (score desc, id) tie-break. Similarities are
+    rounded to 6 before the max and the blended score rounded again,
+    so ULP drift cannot reorder picks cross-engine.
+
+    ``cands``: (id, vector, rel) with rel already rounded. Returns
+    (rank, id, rel, score) for the k picks.
+    """
+    from datagouv_tools_spark.functions.vectors import cosine
+
+    sel = (
+        cands.orderBy(F.desc(rel_col), id_col)
+        .limit(1)
+        .select(
+            F.lit(1).alias("rank"),
+            id_col,
+            vec_col,
+            rel_col,
+            F.round(F.lit(lam) * F.col(rel_col), 6).alias("score"),
+        )
+    )
+    for r in range(2, k + 1):
+        rest = cands.join(sel.select(id_col), id_col, "left_anti")
+        sel_vecs = sel.select(
+            F.lit(1).alias("__one"), F.col(vec_col).alias("__sv")
+        )
+        scored = (
+            rest.withColumn("__one", F.lit(1))
+            .join(F.broadcast(sel_vecs), "__one")
+            .select(
+                id_col,
+                vec_col,
+                rel_col,
+                F.round(cosine(vec_col, "__sv"), 6).alias("__s"),
+            )
+            .groupBy(id_col, vec_col, rel_col)
+            .agg(F.max("__s").alias("__ms"))
+        )
+        pick = (
+            scored.select(
+                F.lit(r).alias("rank"),
+                id_col,
+                vec_col,
+                rel_col,
+                F.round(
+                    F.lit(lam) * F.col(rel_col)
+                    - F.lit(1.0 - lam) * F.col("__ms"),
+                    6,
+                ).alias("score"),
+            )
+            .orderBy(F.desc("score"), id_col)
+            .limit(1)
+        )
+        sel = sel.unionByName(pick)
+    return sel.drop(vec_col)

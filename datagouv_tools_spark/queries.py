@@ -9027,3 +9027,89 @@ def orders_join_ivm_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(tmp, ignore_errors=True)
     return result
+
+
+def _mmr_oracle(k: int = 5, n_cand: int = 20) -> str:
+    """DuckDB twin of the MMR query: identical candidate cut, identical
+    greedy recurrence unrolled k rounds, identical round-before-max and
+    round-after-blend arithmetic, identical (score desc, id) ties."""
+    cos = (
+        "ROUND(list_dot_product({a}, {b})"
+        " / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    head = f"""
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    c0 AS (
+      SELECT vec_id, v, rel FROM (
+        SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+               {cos.format(a="CAST(e.embedding AS DOUBLE[])", b="q.qv")} AS rel
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id > 0
+      ) ORDER BY rel DESC, vec_id LIMIT {n_cand}
+    ),
+    s1 AS (
+      SELECT 1 AS rank, vec_id, v, rel, ROUND(0.7 * rel, 6) AS score
+      FROM c0 ORDER BY rel DESC, vec_id LIMIT 1
+    )"""
+    rounds = []
+    for r in range(2, k + 1):
+        prev = f"s{r - 1}"
+        rounds.append(
+            f""",
+    m{r} AS (
+      SELECT c.vec_id, c.v, c.rel,
+             MAX({cos.format(a="c.v", b="s.v")}) AS ms
+      FROM c0 c CROSS JOIN {prev} s
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM {prev})
+      GROUP BY c.vec_id, c.v, c.rel
+    ),
+    p{r} AS (
+      SELECT {r} AS rank, vec_id, v, rel,
+             ROUND(0.7 * rel - 0.3 * ms, 6) AS score
+      FROM m{r} ORDER BY score DESC, vec_id LIMIT 1
+    ),
+    s{r} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM p{r})"""
+        )
+    tail = f"""
+    SELECT rank, vec_id, rel, score FROM s{k} ORDER BY rank"""
+    return head + "".join(rounds) + tail
+
+
+@query("emb_mmr_rerank", _mmr_oracle())
+def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware top-k (operators/retrieval.mmr_rerank): the
+    vec_id-0 query's top-20 cosine candidates re-ranked by Maximal
+    Marginal Relevance (λ=0.7, k=5) — each greedy round trades
+    relevance against the pick's maximum similarity to what's already
+    selected, the standard redundancy cut after any ANN/BM25 stage.
+    The DuckDB oracle unrolls the identical five rounds, so every pick
+    and blended score is value-hash-checked.
+
+    Scale: the corpus appears ONLY in the candidate cut (one broadcast-
+    query scan + TakeOrdered-20, same shape as emb_cosine_topk); the
+    greedy rounds touch the bounded candidate set joined against a
+    ≤k-row broadcast — constant work regardless of corpus size."""
+    from datagouv_tools_spark.functions.vectors import cosine
+    from datagouv_tools_spark.operators.retrieval import mmr_rerank
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(1).alias("__one"), F.col("v").alias("__qv")
+    )
+    cands = (
+        emb.filter(F.col("vec_id") > 0)
+        .withColumn("__one", F.lit(1))
+        .join(F.broadcast(qv), "__one")
+        .select("vec_id", "v", F.round(cosine("v", "__qv"), 6).alias("rel"))
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(20)
+        .localCheckpoint()
+    )
+    return mmr_rerank(cands, "vec_id", "v", "rel", k=5, lam=0.7).orderBy(
+        "rank"
+    )

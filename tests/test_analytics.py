@@ -1394,3 +1394,49 @@ def test_skyline_equal_qty_cheaper_dominates(spark):
 def test_skyline_single_point_and_idempotence(spark):
     rows = [(1, 5.0, 1)]
     assert _sky(spark, rows) == [1]
+
+
+# ---------------------------------------------------------------------------
+# mmr_rerank
+# ---------------------------------------------------------------------------
+
+
+def _mmr(spark, rows, lam=0.7, k=3):
+    from datagouv_tools_spark.operators.retrieval import mmr_rerank
+
+    cands = spark.createDataFrame(
+        rows, "vec_id bigint, v array<double>, rel double"
+    )
+    out = mmr_rerank(cands, "vec_id", "v", "rel", k=k, lam=lam)
+    return [r["vec_id"] for r in out.orderBy("rank").collect()]
+
+
+def test_mmr_skips_redundant_runner_up(spark):
+    """Candidate 2 is relevance runner-up but a near-clone of pick 1;
+    MMR must prefer the orthogonal candidate 3."""
+    rows = [
+        (1, [1.0, 0.0], 0.95),
+        (2, [0.999, 0.001], 0.94),  # clone of 1
+        (3, [0.0, 1.0], 0.80),      # diverse
+        (4, [0.9, 0.1], 0.70),
+    ]
+    assert _mmr(spark, rows)[:2] == [1, 3]
+
+
+def test_mmr_lambda_one_is_pure_relevance(spark):
+    rows = [
+        (1, [1.0, 0.0], 0.9),
+        (2, [1.0, 0.0], 0.8),
+        (3, [0.0, 1.0], 0.1),
+    ]
+    assert _mmr(spark, rows, lam=1.0) == [1, 2, 3]
+
+
+def test_mmr_tie_breaks_by_id(spark):
+    rows = [
+        (7, [1.0, 0.0], 0.5),
+        (3, [0.0, 1.0], 0.5),
+        (9, [0.5, 0.5], 0.1),
+    ]
+    # round 1: equal rel → lowest id wins
+    assert _mmr(spark, rows)[0] == 3
