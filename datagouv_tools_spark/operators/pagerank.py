@@ -278,10 +278,15 @@ def triangle_counts(und: DataFrame) -> DataFrame:
     dv = deg.select(F.col("token").alias("v"), F.col("degree").alias("dv"))
     keyed = und.join(du, "u").join(dv, "v")
     fwd = F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
+    # o feeds the wedge-close three ways and deg twice — materialize
+    # the invariants once (same loop-invariant discipline as
+    # pagerank_fixed_point above; localCheckpoint also truncates the
+    # lineage so the three consumers share ONE build, not three copies)
+    deg = deg.localCheckpoint()
     o = keyed.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
-    )
+    ).localCheckpoint()
     e1 = o.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     e2 = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     e3 = o.select(F.col("src").alias("a"), F.col("dst").alias("c"))

@@ -312,6 +312,7 @@ def mmr_rerank(
             rel_col,
             F.round(F.lit(lam) * F.col(rel_col), 6).alias("score"),
         )
+        .localCheckpoint()
     )
     for r in range(2, k + 1):
         rest = cands.join(sel.select(id_col), id_col, "left_anti")
@@ -345,5 +346,9 @@ def mmr_rerank(
             .orderBy(F.desc("score"), id_col)
             .limit(1)
         )
-        sel = sel.unionByName(pick)
+        # the selected set is ≤k tiny rows but its lineage embeds every
+        # previous round twice (anti-join + sim join) — left lazy, the
+        # plan doubles per round (measured: 40 BNLJ subtrees at k=5).
+        # localCheckpoint pins the rows and truncates the recurrence.
+        sel = sel.unionByName(pick).localCheckpoint()
     return sel.drop(vec_col)

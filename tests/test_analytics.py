@@ -1440,3 +1440,37 @@ def test_mmr_tie_breaks_by_id(spark):
     ]
     # round 1: equal rel → lowest id wins
     assert _mmr(spark, rows)[0] == 3
+
+
+# ---------------------------------------------------------------------------
+# sorted_neighborhood_pairs
+# ---------------------------------------------------------------------------
+
+
+def _snp(spark, rows, window=2, sort_reversed=False):
+    from datagouv_tools_spark.operators.fuzzy import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame(rows, "id bigint, key string")
+    sk = F.reverse(F.col("key")) if sort_reversed else F.col("key")
+    got = sorted_neighborhood_pairs(df, "key", "id", sk, window=window)
+    return sorted((r["id_a"], r["id_b"], r["distance"]) for r in got.collect())
+
+
+def test_snp_finds_adjacent_edits_within_window(spark):
+    rows = [(1, "name01"), (2, "name02"), (3, "name03"), (9, "zzzzzz")]
+    got = _snp(spark, rows, window=2)
+    assert got == [(1, 2, 1), (1, 3, 1), (2, 3, 1)]
+
+
+def test_snp_window_bounds_candidates(spark):
+    """With window=1 only rank-adjacent rows are compared."""
+    rows = [(1, "name01"), (2, "name02"), (3, "name03")]
+    got = _snp(spark, rows, window=1)
+    assert got == [(1, 2, 1), (2, 3, 1)]
+
+
+def test_snp_reversed_sort_key_catches_prefix_edits(spark):
+    """'Xname' vs 'Yname' share no prefix block, but sort adjacently
+    under the reversed key — the multi-pass recall argument."""
+    rows = [(1, "Xname"), (2, "Yname"), (3, "other9")]
+    assert (1, 2, 1) in _snp(spark, rows, window=1, sort_reversed=True)
