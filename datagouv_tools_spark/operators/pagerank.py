@@ -359,3 +359,93 @@ def triangles_oracle_sql(tokens_sql: str) -> str:
     FROM pn JOIN deg USING (token)
     CROSS JOIN gtot CROSS JOIN wedges
     ORDER BY tri_cnt DESC, token LIMIT 20"""
+
+
+def kcore_peel(und: DataFrame, k: int, rounds: int) -> DataFrame:
+    """``rounds`` synchronous peeling rounds toward the k-core: each
+    round recomputes degrees in the CURRENT subgraph and drops every
+    node below ``k`` (with all its edges). A fixed round count keeps
+    the result deterministic and the DAG bounded; peeling converges
+    monotonically, so extra rounds only ever remove more — callers
+    size ``rounds`` to the graph's peel depth (the diameter-ish small
+    number real graphs have) or iterate to a fixpoint with a count
+    check per round.
+
+    ``und``: DISTINCT undirected edges (u, v), u < v. Returns the
+    surviving edges after the last round.
+
+    Scale: a round is one degree aggregation (map-side combined) plus
+    two broadcast-able semi-joins of the edge list against the
+    surviving-node set; each round's edges are materialized to
+    truncate lineage — the pagerank loop-invariant discipline.
+    """
+    edges = und
+    for _ in range(rounds):
+        deg = (
+            edges.select(F.col("u").alias("token"))
+            .unionByName(edges.select(F.col("v").alias("token")))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("token")
+        edges = (
+            edges.join(
+                keep.withColumnRenamed("token", "u"), "u", "left_semi"
+            )
+            .join(keep.withColumnRenamed("token", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+    return edges
+
+
+def kcore_oracle_sql(tokens_sql: str, k: int, rounds: int) -> str:
+    """DuckDB twin of the token-graph k-core query: identical edge
+    build, ``rounds`` unrolled peel CTEs, identical final report."""
+    head = f"""
+    WITH toks AS (SELECT {tokens_sql} AS ts FROM documents),
+    bg AS (
+      SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+                    i -> ts[i] || ' ' || ts[i + 1])) AS p
+      FROM toks WHERE len(ts) >= 2
+    ),
+    pairs AS (
+      SELECT split_part(p, ' ', 1) AS x, split_part(p, ' ', 2) AS y
+      FROM bg
+    ),
+    e0 AS (
+      SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v
+      FROM pairs WHERE x <> y
+    )"""
+    body = []
+    for r in range(rounds):
+        body.append(
+            f""",
+    d{r + 1} AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        SELECT u AS token FROM e{r} UNION ALL SELECT v AS token FROM e{r}
+      ) GROUP BY token
+    ),
+    keep{r + 1} AS (SELECT token FROM d{r + 1} WHERE deg >= {k}),
+    e{r + 1} AS (
+      SELECT u, v FROM e{r}
+      WHERE u IN (SELECT token FROM keep{r + 1})
+        AND v IN (SELECT token FROM keep{r + 1})
+    )"""
+        )
+    tail = f""",
+    fdeg AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS core_deg FROM (
+        SELECT u AS token FROM e{rounds}
+        UNION ALL SELECT v AS token FROM e{rounds}
+      ) GROUP BY token
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_core_nodes,
+             CAST(SUM(core_deg) AS BIGINT) // 2 AS n_core_edges
+      FROM fdeg
+    )
+    SELECT token, core_deg, n_core_nodes, n_core_edges
+    FROM fdeg CROSS JOIN tot
+    ORDER BY core_deg DESC, token LIMIT 20"""
+    return head + "".join(body) + tail

@@ -9176,3 +9176,143 @@ def customer_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> Data
         )
         .orderBy("distance")
     )
+
+
+@query(
+    "doc_charclass_profile",
+    """
+    WITH per_doc AS (
+      SELECT source,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS BIGINT) AS n_letters,
+             CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+             CAST(length(text) - length(regexp_replace(text, '[ \\t\\n\\r]', '', 'g')) AS BIGINT) AS n_space,
+             CAST(length(regexp_replace(text, '[\\x20-\\x7e\\t\\n\\r]', '', 'g')) AS BIGINT) AS n_exotic
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+           CAST(SUM(n_letters) AS BIGINT) AS letters,
+           CAST(SUM(n_digits) AS BIGINT) AS digits,
+           CAST(SUM(n_space) AS BIGINT) AS whitespace,
+           CAST(SUM(n_exotic) AS BIGINT) AS exotic,
+           CAST(CAST(SUM(n_letters) AS BIGINT) * 1000000
+                // CAST(SUM(n_chars) AS BIGINT) AS BIGINT) AS letter_ppm,
+           CAST(CAST(SUM(n_exotic) AS BIGINT) * 1000000
+                // CAST(SUM(n_chars) AS BIGINT) AS BIGINT) AS exotic_ppm,
+           CAST(SUM(CASE WHEN n_exotic * 1000 > n_chars THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_flagged
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def doc_charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class hygiene profile per source: letters / digits /
+    whitespace / "exotic" (anything outside printable ASCII + tab/CR/LF
+    — mojibake, control bytes, unexpected scripts) counted by the
+    length-minus-stripped trick, plus a per-source count of documents
+    whose exotic share exceeds 0.1% — the cheap first-pass corpus
+    screen before any tokenizer sees the data.
+
+    Scale: pure map-local JVM regex inside codegen (no UDF), one
+    map-side-combining aggregation into a per-source domain; integer
+    ppm ratios, so the profile is value-hash exact cross-engine."""
+    docs = t(spark, sf_dir, "documents")
+
+    def stripped(pat: str) -> Column:
+        return (
+            F.length("text") - F.length(F.regexp_replace("text", pat, ""))
+        ).cast("bigint")
+
+    per_doc = docs.select(
+        "source",
+        F.length("text").cast("bigint").alias("n_chars"),
+        stripped("[a-zA-Z]").alias("n_letters"),
+        stripped("[0-9]").alias("n_digits"),
+        stripped("[ \\t\\n\\r]").alias("n_space"),
+        F.length(
+            F.regexp_replace("text", "[\\x20-\\x7e\\t\\n\\r]", "")
+        )
+        .cast("bigint")
+        .alias("n_exotic"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("chars_total"),
+            F.sum("n_letters").cast("bigint").alias("letters"),
+            F.sum("n_digits").cast("bigint").alias("digits"),
+            F.sum("n_space").cast("bigint").alias("whitespace"),
+            F.sum("n_exotic").cast("bigint").alias("exotic"),
+            F.expr("sum(n_letters) * 1000000 div sum(n_chars)").alias(
+                "letter_ppm"
+            ),
+            F.expr("sum(n_exotic) * 1000000 div sum(n_chars)").alias(
+                "exotic_ppm"
+            ),
+            F.sum(
+                F.when(
+                    F.col("n_exotic") * 1000 > F.col("n_chars"), F.lit(1)
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_docs_flagged"),
+        )
+        .orderBy("source")
+    )
+
+
+def _kcore_oracle() -> str:
+    from datagouv_tools_spark.operators.pagerank import kcore_oracle_sql
+
+    return kcore_oracle_sql(_SQL_TOKENS, 3, 3)
+
+
+@query("token_graph_kcore", _kcore_oracle())
+def token_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (operators/pagerank.kcore_peel): three
+    synchronous peeling rounds toward the 3-core of the token
+    co-occurrence graph — the standard dense-subgraph screen (spam
+    rings, keyword stuffing, community cores) next to the surface's
+    PageRank / label-propagation / triangle queries. Deterministic by
+    construction (no tie-breaks exist: peeling is a pure set fixpoint),
+    reported as the top-20 surviving tokens by in-core degree plus the
+    core's node/edge totals on every row.
+
+    Scale: each round is one map-side-combined degree aggregation and
+    two semi-joins of the edge list against the surviving-node set;
+    round edges are localCheckpoint-materialized so R rounds cost R
+    passes, not a lineage blow-up."""
+    from datagouv_tools_spark.functions.text import tokens, word_bigrams
+    from datagouv_tools_spark.operators.pagerank import kcore_peel
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(tokens("text").alias("ts"))
+    bg = toks.select(F.explode(word_bigrams(F.col("ts"))).alias("p")).select(
+        F.split_part(F.col("p"), F.lit(" "), F.lit(1)).alias("x"),
+        F.split_part(F.col("p"), F.lit(" "), F.lit(2)).alias("y"),
+    )
+    und = (
+        bg.filter(F.col("x") != F.col("y"))
+        .select(F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v"))
+        .distinct()
+    )
+    core = kcore_peel(und, k=3, rounds=3)
+    fdeg = (
+        core.select(F.col("u").alias("token"))
+        .unionByName(core.select(F.col("v").alias("token")))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_deg"))
+    )
+    tot = fdeg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_core_nodes"),
+        F.expr("sum(core_deg) div 2").cast("bigint").alias("n_core_edges"),
+    )
+    return (
+        fdeg.crossJoin(F.broadcast(tot))
+        .orderBy(F.desc("core_deg"), "token")
+        .limit(20)
+    )

@@ -89,3 +89,34 @@ def test_triangle_hub_skew_orientation(spark):
     assert got["h"] == (5, 5)
     for r in rim:
         assert got[r] == (3, 2)
+
+
+# ---------------------------------------------------------------------------
+# kcore_peel
+# ---------------------------------------------------------------------------
+
+
+def _kcore(spark, und_pairs, k, rounds):
+    from datagouv_tools_spark.operators.pagerank import kcore_peel
+
+    und = spark.createDataFrame(und_pairs, "u string, v string")
+    return sorted(
+        (r["u"], r["v"]) for r in kcore_peel(und, k, rounds).collect()
+    )
+
+
+def test_kcore_strips_pendant_chain(spark):
+    """Triangle with a pendant path: the 2-core is the triangle; the
+    path peels off over two rounds (d needs e gone first)."""
+    g = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")]
+    tri = [("a", "b"), ("a", "c"), ("b", "c")]
+    assert _kcore(spark, g, k=2, rounds=1) == sorted(tri + [("c", "d")])
+    assert _kcore(spark, g, k=2, rounds=2) == sorted(tri)
+    assert _kcore(spark, g, k=2, rounds=3) == sorted(tri)  # fixpoint
+
+
+def test_kcore_k3_keeps_k4_drops_triangle(spark):
+    """K4 survives the 3-core; a disjoint triangle (degree 2) doesn't."""
+    k4 = [("p", "q"), ("p", "r"), ("p", "s"), ("q", "r"), ("q", "s"), ("r", "s")]
+    tri = [("x", "y"), ("y", "z"), ("x", "z")]
+    assert _kcore(spark, k4 + tri, k=3, rounds=1) == sorted(k4)
