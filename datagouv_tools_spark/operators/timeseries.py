@@ -92,3 +92,81 @@ def ewma_oracle_sql(
       FROM pts p JOIN s ON p.{key_col} = s.{key_col} AND p.i = s.i + 1
     )
     SELECT * FROM s"""
+
+
+def debounce_fold(
+    events: DataFrame,
+    key_cols: list[str],
+    time_col: str,
+    id_col: str,
+    gap: int,
+) -> DataFrame:
+    """Stateful event throttling: per key, keep an event iff it is the
+    first or at least ``gap`` time units after the LAST KEPT event —
+    the alert-dedup / retry-suppression / debounce primitive. Unlike a
+    plain lag() window (which compares to the previous event whether or
+    not it was kept), the kept-state makes this a sequential fold, so
+    it runs as an Arrow group per key with O(1) state, and DuckDB
+    replays the identical recurrence as a recursive CTE.
+
+    ``gap`` compares against integer microsecond timestamps. Ties on
+    ``time_col`` are ordered by ``id_col`` (total order). Returns the
+    input rows plus ``kept`` (0/1).
+    """
+    import pandas as pd
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([time_col, id_col]).reset_index(drop=True)
+        last = None
+        kept = []
+        # normalize to epoch MICROseconds whatever datetime unit Arrow
+        # hands pandas (ns in pandas 1.x, preserved unit in 2.x) — the
+        # oracle compares epoch_us
+        us_vals = (
+            pdf[time_col].values.astype("datetime64[us]").astype("int64")
+        )
+        for us in us_vals.tolist():
+            if last is None or us - last >= gap:
+                kept.append(1)
+                last = us
+            else:
+                kept.append(0)
+        pdf["kept"] = kept
+        return pdf
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in events.schema.fields
+    )
+    return events.groupBy(*key_cols).applyInPandas(fold, schema + ", kept int")
+
+
+def debounce_oracle_sql(
+    events_sql: str,
+    key_expr: str,
+    time_col: str,
+    id_col: str,
+    gap: int,
+) -> str:
+    """DuckDB twin: the kept-state recurrence as a recursive CTE over
+    per-key row numbers. ``events_sql`` yields (key, time, id, ...);
+    ``gap`` in microseconds against epoch_us(time)."""
+    return f"""
+    WITH RECURSIVE ev AS (
+      SELECT {key_expr} AS __k, {time_col} AS __t, {id_col} AS __id,
+             epoch_us({time_col}) AS __us,
+             ROW_NUMBER() OVER (PARTITION BY {key_expr}
+                                ORDER BY {time_col}, {id_col}) AS __i
+      FROM ({events_sql})
+    ),
+    st AS (
+      SELECT __k, __t, __id, __us, __i,
+             1 AS kept, __us AS last_kept
+      FROM ev WHERE __i = 1
+      UNION ALL
+      SELECT e.__k, e.__t, e.__id, e.__us, e.__i,
+             CASE WHEN e.__us - s.last_kept >= {gap} THEN 1 ELSE 0 END,
+             CASE WHEN e.__us - s.last_kept >= {gap}
+                  THEN e.__us ELSE s.last_kept END
+      FROM ev e JOIN st s ON e.__k = s.__k AND e.__i = s.__i + 1
+    )
+    SELECT __k, __t, __id, __i, kept FROM st"""

@@ -9316,3 +9316,66 @@ def token_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("core_deg"), "token")
         .limit(20)
     )
+
+
+def _debounce_oracle() -> str:
+    from datagouv_tools_spark.operators.timeseries import debounce_oracle_sql
+
+    inner = debounce_oracle_sql(
+        "SELECT user_id, event_type, ts, event_id FROM events",
+        "user_id::VARCHAR || ':' || event_type",
+        "ts",
+        "event_id",
+        600_000_000,
+    )
+    return f"""
+    WITH d AS ({inner})
+    SELECT split_part(__k, ':', 2) AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) - SUM(kept) AS BIGINT) AS n_suppressed,
+           BIT_XOR(CASE WHEN kept = 1 THEN
+             ('0x' || substr(md5(__id::VARCHAR), 1, 15))::BIGINT END)
+             AS kept_xor
+    FROM d GROUP BY 1 ORDER BY 1"""
+
+
+@query("events_throttle_debounce", _debounce_oracle())
+def events_throttle_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert-throttle / debounce (operators/timeseries.debounce_fold):
+    per (user, event type), keep an event only if ≥10 minutes have
+    passed since the last KEPT one — the retry-storm and alert-dedup
+    primitive. The kept-state recurrence is NOT a lag() comparison
+    (suppressed events must not reset the clock), so it runs as a
+    sequential Arrow fold per key, and the recursive-CTE oracle
+    replays it event for event; kept_xor folds the exact kept set.
+
+    Scale: one shuffle partitions events by (user, type); each group
+    folds with O(1) state in time order. Group size is a single user's
+    stream — human-bounded — and a hot synthetic key would shard by
+    time range first (the skew discipline of salted_event_type_stats).
+    """
+    from datagouv_tools_spark.functions.xhash import md5_hash60
+    from datagouv_tools_spark.operators.timeseries import debounce_fold
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    marked = debounce_fold(
+        ev, ["user_id", "event_type"], "ts", "event_id", 600_000_000
+    )
+    return (
+        marked.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("kept").cast("bigint").alias("n_kept"),
+            (F.count(F.lit(1)) - F.sum("kept"))
+            .cast("bigint")
+            .alias("n_suppressed"),
+            F.expr(
+                "bit_xor(case when kept = 1 then"
+                " cast(conv(substring(md5(cast(event_id as string)), 1, 15), 16, 10) as bigint) end)"
+            ).alias("kept_xor"),
+        )
+        .orderBy("event_type")
+    )

@@ -44,3 +44,41 @@ def test_ewma_truncating_division_is_the_contract(spark):
     h = lambda i: datetime(2024, 1, 1, i)  # noqa: E731
     rows = [("c", h(0), 0), ("c", h(1), 1)]
     assert _run(spark, rows) == [("c", 1, 0), ("c", 2, 0)]
+
+
+# ---------------------------------------------------------------------------
+# debounce_fold
+# ---------------------------------------------------------------------------
+
+
+def _deb(spark, rows, gap):
+    from datagouv_tools_spark.operators.timeseries import debounce_fold
+
+    ev = spark.createDataFrame(rows, "k string, h timestamp, eid bigint")
+    out = debounce_fold(ev, ["k"], "h", "eid", gap)
+    return {r["eid"]: r["kept"] for r in out.collect()}
+
+
+def test_debounce_suppressed_event_does_not_reset_clock(spark):
+    """Events at t=0, 5, 9, 11 with gap 10: 5 and 9 are suppressed, and
+    11 is KEPT because the clock runs from the kept t=0 — a lag()-based
+    filter would wrongly suppress 11 (9 is only 2 away)."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("u", t0 + timedelta(seconds=s), i)
+        for i, s in enumerate([0, 5, 9, 11])
+    ]
+    got = _deb(spark, rows, gap=10_000_000)
+    assert got == {0: 1, 1: 0, 2: 0, 3: 1}
+
+
+def test_debounce_keys_are_independent_and_ties_by_id(spark):
+    from datetime import datetime
+
+    t0 = datetime(2024, 1, 1)
+    rows = [("a", t0, 2), ("a", t0, 1), ("b", t0, 3)]
+    got = _deb(spark, rows, gap=1_000_000)
+    # same timestamp: lower id is "first" and kept; the other suppressed
+    assert got == {1: 1, 2: 0, 3: 1}
