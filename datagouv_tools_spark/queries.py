@@ -9379,3 +9379,91 @@ def events_throttle_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "nation_revenue_trends",
+    """
+    WITH monthly AS (
+      SELECT n.n_name AS nation,
+             CAST(date_diff('month', TIMESTAMP '1995-01-01 00:00:00',
+                            date_trunc('month', o.o_orderdate)) AS BIGINT) AS m,
+             CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))), 0)
+                  AS BIGINT) AS rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT nation,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(m) AS BIGINT) AS sm,
+             CAST(SUM(rev) AS BIGINT) AS sy,
+             CAST(SUM(m * m) AS BIGINT) AS smm,
+             CAST(SUM(m * rev) AS BIGINT) AS smy
+      FROM monthly GROUP BY nation
+    )
+    SELECT nation, n AS n_months,
+           ((n * smy - sm * sy) * 1000) // (n * smm - sm * sm)
+             AS slope_milli,
+           (sy * 1000 - ((n * smy - sm * sy) * 1000) // (n * smm - sm * sm)
+              * sm) // n AS intercept_milli
+    FROM s
+    ORDER BY nation
+    """,
+)
+def nation_revenue_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped regression — one least-squares revenue trend PER NATION
+    from the same five integer sufficient statistics as
+    orders_trend_forecast, all fitted in a single aggregation pass: the
+    "train a million small models at once" shape (per-SKU demand, per-
+    tenant growth, per-region load) where the GROUP BY key indexes the
+    model and no per-model solver ever runs on the driver.
+
+    Scale: facts collapse to (nation, month) grains map-side; the
+    moment sums are a second tiny aggregation; dimensions broadcast.
+    Model count can grow to millions of keys — it only widens the
+    groupBy, never adds passes."""
+    orders = t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    monthly = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.months_between(
+                F.date_trunc("month", F.col("o_orderdate")),
+                F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"),
+            )
+            .cast("bigint")
+            .alias("m"),
+        )
+        .agg(
+            F.round(F.sum(dec("o_totalprice")), 0).cast("bigint").alias("rev")
+        )
+    )
+    s = monthly.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("m").cast("bigint").alias("sm"),
+        F.sum("rev").cast("bigint").alias("sy"),
+        F.sum(F.expr("m * m")).cast("bigint").alias("smm"),
+        F.sum(F.expr("m * rev")).cast("bigint").alias("smy"),
+    )
+    return s.select(
+        "nation",
+        F.col("n").alias("n_months"),
+        F.expr(
+            "((n * smy - sm * sy) * 1000) div (n * smm - sm * sm)"
+        ).alias("slope_milli"),
+        F.expr(
+            "(sy * 1000 - ((n * smy - sm * sy) * 1000)"
+            " div (n * smm - sm * sm) * sm) div n"
+        ).alias("intercept_milli"),
+    ).orderBy("nation")
