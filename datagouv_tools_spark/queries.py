@@ -9467,3 +9467,112 @@ def nation_revenue_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (n * smm - sm * sm) * sm) div n"
         ).alias("intercept_milli"),
     ).orderBy("nation")
+
+
+@query(
+    "orders_forecast_backtest",
+    """
+    WITH monthly AS (
+      SELECT CAST(date_diff('month', TIMESTAMP '1995-01-01 00:00:00',
+                            date_trunc('month', o_orderdate)) AS BIGINT) AS m,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 0)
+                  AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ),
+    pre AS (
+      SELECT m, rev,
+             COUNT(*)  OVER w AS n,
+             SUM(m)    OVER w AS sm,
+             SUM(rev)  OVER w AS sy,
+             SUM(m*m)  OVER w AS smm,
+             SUM(m*rev) OVER w AS smy,
+             MAX(m) OVER () AS max_m
+      FROM monthly
+      WINDOW w AS (ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING)
+    ),
+    fit AS (
+      SELECT m AS cutoff_m, rev AS actual, CAST(n AS BIGINT) AS n_train,
+             CAST(((n * smy - sm * sy) * 1000)
+                  // (n * smm - sm * sm) AS BIGINT) AS slope_milli,
+             CAST((sy * 1000 - ((n * smy - sm * sy) * 1000)
+                // (n * smm - sm * sm) * sm) // n AS BIGINT) AS intercept_milli
+      FROM pre
+      WHERE m > max_m - 3 AND n >= 2
+    )
+    SELECT cutoff_m, n_train, slope_milli, actual,
+           CAST((intercept_milli + slope_milli * cutoff_m) // 1000 AS BIGINT)
+             AS predicted,
+           CAST(abs((intercept_milli + slope_milli * cutoff_m) // 1000 - actual)
+             AS BIGINT) AS abs_err
+    FROM fit
+    ORDER BY cutoff_m
+    """,
+)
+def orders_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward forecast evaluation: for each of the last three
+    months, fit the least-squares trend on STRICTLY EARLIER months
+    only and score the one-step-ahead prediction — the leakage-free
+    backtest every forecasting pipeline owes its users, computed
+    without refitting: the five sufficient statistics come from ONE
+    cumulative window over the month series, so every cutoff's "model"
+    is just the prefix sums at that row. Integer fixed point end to
+    end (milli-dollar slope/intercept, whole-dollar predictions).
+
+    Scale: facts collapse to the month grain map-side; the backtest
+    itself runs on |months| rows however many cutoffs are scored —
+    fitting per-cutoff models costs a window pass, not passes ×
+    cutoffs."""
+    from pyspark.sql.window import Window
+
+    orders = t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.months_between(
+            F.date_trunc("month", F.col("o_orderdate")),
+            F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"),
+        )
+        .cast("bigint")
+        .alias("m")
+    ).agg(
+        F.round(F.sum(dec("o_totalprice")), 0).cast("bigint").alias("rev")
+    )
+    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.orderBy("m").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pre = monthly.select(
+        "m",
+        "rev",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("m").over(w).alias("sm"),
+        F.sum("rev").over(w).alias("sy"),
+        F.sum(F.expr("m * m")).over(w).alias("smm"),
+        F.sum(F.expr("m * rev")).over(w).alias("smy"),
+        F.max("m").over(wall).alias("max_m"),
+    )
+    fit = pre.filter(
+        (F.col("m") > F.col("max_m") - 3) & (F.col("n") >= 2)
+    ).select(
+        F.col("m").alias("cutoff_m"),
+        F.col("rev").alias("actual"),
+        F.col("n").cast("bigint").alias("n_train"),
+        F.expr(
+            "((n * smy - sm * sy) * 1000) div (n * smm - sm * sm)"
+        ).alias("slope_milli"),
+        F.expr(
+            "(sy * 1000 - ((n * smy - sm * sy) * 1000)"
+            " div (n * smm - sm * sm) * sm) div n"
+        ).alias("intercept_milli"),
+    )
+    return fit.select(
+        "cutoff_m",
+        "n_train",
+        "slope_milli",
+        "actual",
+        F.expr("(intercept_milli + slope_milli * cutoff_m) div 1000").alias(
+            "predicted"
+        ),
+        F.expr(
+            "abs((intercept_milli + slope_milli * cutoff_m) div 1000 - actual)"
+        ).alias("abs_err"),
+    ).orderBy("cutoff_m")
