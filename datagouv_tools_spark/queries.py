@@ -9576,3 +9576,57 @@ def orders_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abs((intercept_milli + slope_milli * cutoff_m) div 1000 - actual)"
         ).alias("abs_err"),
     ).orderBy("cutoff_m")
+
+
+def _holt_oracle() -> str:
+    from datagouv_tools_spark.operators.timeseries import holt_oracle_sql
+
+    pts = """
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(COUNT(*) * 1000 AS BIGINT) AS xm
+      FROM events GROUP BY 1, 2
+    """
+    inner = holt_oracle_sql(pts, "event_type", "h", "xm", 300, 200)
+    return f"""
+    WITH holt AS ({inner})
+    SELECT event_type, CAST(i AS BIGINT) AS n_hours, level, trend,
+           level + 3 * trend AS forecast_3h
+    FROM holt
+    QUALIFY i = MAX(i) OVER (PARTITION BY event_type)
+    ORDER BY event_type"""
+
+
+@query("events_hourly_holt", _holt_oracle())
+def events_hourly_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing per event type
+    (operators/timeseries.holt_fold): level + trend state over the
+    hourly volume series (α=0.3, β=0.2 in milli fixed point), reported
+    as each series' final state plus a 3-hour-ahead linear forecast —
+    the trend-aware upgrade of events_hourly_ewma, with the division
+    explicitly truncating so a declining series' negative trend stays
+    bit-identical cross-engine (Python floors, the engines truncate).
+
+    Scale: identical shape to the EWMA query — map-side collapse to
+    (type, hour), one shuffle to the O(1)-state Arrow fold."""
+    from pyspark.sql.window import Window
+
+    from datagouv_tools_spark.operators.timeseries import holt_fold
+
+    ev = t(spark, sf_dir, "events")
+    pts = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg((F.count(F.lit(1)) * 1000).cast("bigint").alias("xm"))
+    holt = holt_fold(pts, "event_type", "h", "xm", 300, 200)
+    w = Window.partitionBy("event_type")
+    return (
+        holt.withColumn("__imax", F.max("i").over(w))
+        .filter(F.col("i") == F.col("__imax"))
+        .select(
+            "event_type",
+            F.col("i").cast("bigint").alias("n_hours"),
+            "level",
+            "trend",
+            (F.col("level") + 3 * F.col("trend")).alias("forecast_3h"),
+        )
+        .orderBy("event_type")
+    )

@@ -82,3 +82,52 @@ def test_debounce_keys_are_independent_and_ties_by_id(spark):
     got = _deb(spark, rows, gap=1_000_000)
     # same timestamp: lower id is "first" and kept; the other suppressed
     assert got == {1: 1, 2: 0, 3: 1}
+
+
+# ---------------------------------------------------------------------------
+# holt_fold
+# ---------------------------------------------------------------------------
+
+
+def _holt(spark, xs, a=300, b=200):
+    from datetime import datetime, timedelta
+
+    from datagouv_tools_spark.operators.timeseries import holt_fold
+
+    t0 = datetime(2024, 1, 1)
+    rows = [("s", t0 + timedelta(hours=i), x) for i, x in enumerate(xs)]
+    pts = spark.createDataFrame(rows, "k string, h timestamp, xm bigint")
+    out = holt_fold(pts, "k", "h", "xm", a, b).orderBy("i").collect()
+    return [(r["level"], r["trend"]) for r in out]
+
+
+def test_holt_matches_hand_fold(spark):
+    """x=[1000,2000]: l2=(300*2000+700*(1000+0))//1000=1300,
+    b2=(200*(1300-1000)+800*0)//1000=60."""
+    assert _holt(spark, [1000, 2000]) == [(1000, 0), (1300, 60)]
+
+
+def test_holt_linear_series_trend_tracks_slope(spark):
+    """On a long exact ramp the trend state approaches the true slope."""
+    xs = [1000 * i for i in range(1, 41)]
+    lvl, tr = _holt(spark, xs)[-1]
+    assert 800 <= tr <= 1000  # true slope 1000/step, fixed-point lag
+
+def test_holt_negative_trend_truncates_like_engines(spark):
+    """Declining series: trend goes negative; values must match the
+    truncate-toward-zero recurrence (floor would differ)."""
+    from datagouv_tools_spark.operators.timeseries import _tdiv
+
+    xs = [10000, 5000, 2000, 1000]
+    lvl = tr = None
+    expect = []
+    for x in xs:
+        if lvl is None:
+            lvl, tr = x, 0
+        else:
+            prev = lvl
+            lvl = _tdiv(300 * x + 700 * (lvl + tr), 1000)
+            tr = _tdiv(200 * (lvl - prev) + 800 * tr, 1000)
+        expect.append((lvl, tr))
+    got = _holt(spark, xs)
+    assert got == expect and got[-1][1] < 0
