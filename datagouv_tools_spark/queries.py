@@ -9630,3 +9630,162 @@ def events_hourly_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# Benford first-digit shares in ppm: round(log10(1+1/d) * 1e6) as
+# literal constants — precomputed, so no libm crosses either engine.
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910,
+    5: 79181, 6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+@query(
+    "orders_benford_screen",
+    f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS d
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY d
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM obs),
+    bf(d, expected_ppm) AS (VALUES {", ".join(f"({d}, {p})" for d, p in sorted(_BENFORD_PPM.items()))})
+    SELECT bf.d AS first_digit,
+           COALESCE(obs.n, 0) AS n,
+           CAST(COALESCE(obs.n, 0) * 1000000 // nt AS BIGINT) AS observed_ppm,
+           bf.expected_ppm,
+           CAST(abs(COALESCE(obs.n, 0) * 1000000 // nt - bf.expected_ppm)
+                AS BIGINT) AS abs_dev_ppm
+    FROM bf LEFT JOIN obs ON bf.d = obs.d CROSS JOIN tot
+    ORDER BY first_digit
+    """,
+)
+def orders_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen on order totals — the classic
+    fabricated-numbers / data-corruption tripwire for financial
+    columns. Observed first-digit shares (integer ppm) sit next to the
+    Benford expectation, shipped as PRECOMPUTED ppm literals so no
+    transcendental function runs in either engine; abs deviation per
+    digit is the audit signal. (TPC-H totals are sums of uniforms, so
+    they deviate — the point is the measurement, bit-exact.)
+
+    Scale: one map-local digit projection + a 9-row aggregate; the
+    expectation is a 9-row broadcast literal table."""
+    bf = spark.createDataFrame(
+        sorted(_BENFORD_PPM.items()), "d bigint, expected_ppm bigint"
+    )
+    orders = t(spark, sf_dir, "orders")
+    obs = (
+        orders.filter(F.col("o_totalprice") >= 1)
+        .select(
+            # floor-then-cast: DuckDB CAST(DOUBLE AS BIGINT) rounds
+            # half-away while Spark truncates — floor is exact on both
+            F.substring(
+                F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+            )
+            .cast("bigint")
+            .alias("d")
+        )
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = obs.agg(F.sum("n").cast("bigint").alias("nt"))
+    return (
+        bf.join(obs, "d", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("first_digit"),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+            F.expr("coalesce(n, 0) * 1000000 div nt")
+            .cast("bigint")
+            .alias("observed_ppm"),
+            "expected_ppm",
+            F.expr("abs(coalesce(n, 0) * 1000000 div nt - expected_ppm)")
+            .cast("bigint")
+            .alias("abs_dev_ppm"),
+        )
+        .orderBy("first_digit")
+    )
+
+
+@query(
+    "source_vocab_overlap",
+    f"""
+    WITH ts AS (
+      SELECT source, unnest({_SQL_TOKENS.replace("text", "text")}) AS tok
+      FROM documents
+    ),
+    v AS (SELECT DISTINCT source, tok FROM ts),
+    sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, n_common,
+           sa.n AS n_a, sb.n AS n_b,
+           CAST(n_common * 1000000 // (sa.n + sb.n - n_common) AS BIGINT)
+             AS jaccard_ppm
+    FROM inter
+    JOIN sz sa ON sa.source = src_a
+    JOIN sz sb ON sb.source = src_b
+    ORDER BY jaccard_ppm DESC, src_a, src_b
+    LIMIT 20
+    """,
+)
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the corpus-
+    similarity matrix behind domain-mixing decisions (which sources are
+    near-redundant, which add coverage). Intersections come from the
+    INVERTED-INDEX shape: one equi-join on token of the distinct
+    (source, token) list against itself, never a source×source×vocab
+    block — the same candidate discipline as the dedup front, since a
+    shared token is the only way two sources can intersect.
+
+    Scale: |sources| is small but vocabulary is not; the token join
+    fans out only where tokens are shared, and a stopword shared by
+    every source contributes |sources|² rows for THAT token only —
+    bounded by the source count, not the corpus. Integer ppm Jaccard,
+    top-20 by similarity."""
+    from datagouv_tools_spark.functions.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    v = (
+        docs.select("source", F.explode(tokens("text")).alias("tok"))
+        .distinct()
+    )
+    sz = v.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = v.select(F.col("source").alias("src_a"), "tok")
+    b = v.select(F.col("source").alias("src_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sz.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sz.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.expr("n_common * 1000000 div (n_a + n_b - n_common)")
+            .cast("bigint")
+            .alias("jaccard_ppm"),
+        )
+        .orderBy(F.desc("jaccard_ppm"), "src_a", "src_b")
+        .limit(20)
+    )
