@@ -449,3 +449,98 @@ def kcore_oracle_sql(tokens_sql: str, k: int, rounds: int) -> str:
     FROM fdeg CROSS JOIN tot
     ORDER BY core_deg DESC, token LIMIT 20"""
     return head + "".join(body) + tail
+
+
+def bfs_hops(
+    nodes: DataFrame, edges: DataFrame, sources: DataFrame, rounds: int
+) -> DataFrame:
+    """Multi-source breadth-first hop distances by synchronous
+    min-distance propagation: ``rounds`` rounds of "my distance is the
+    min of my neighbors' + 1", the textbook Pregel relaxation — after R
+    rounds every node within R hops of a source carries its exact hop
+    distance (unreached nodes report NULL).
+
+    ``nodes``: (token); ``edges``: (src, dst), pre-symmetrized for
+    undirected graphs; ``sources``: (token) seed set. Returns
+    (token, hops).
+
+    Scale: each round is ONE |E| equi-join against the current
+    frontier-bearing distance vector plus a min-combine — the same
+    per-round shape and persisted-invariant discipline as
+    pagerank_fixed_point; distances are materialized per round to
+    truncate lineage.
+    """
+    edges = edges.localCheckpoint()
+    dist = (
+        nodes.join(sources.withColumn("__s", F.lit(0)), "token", "left")
+        .select("token", F.col("__s").cast("bigint").alias("hops"))
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        relaxed = (
+            edges.join(
+                dist.filter(F.col("hops").isNotNull()).withColumnRenamed(
+                    "token", "src"
+                ),
+                "src",
+            )
+            .select(F.col("dst").alias("token"), (F.col("hops") + 1).alias("h"))
+            .groupBy("token")
+            .agg(F.min("h").alias("h"))
+        )
+        dist = (
+            dist.join(relaxed, "token", "left")
+            .select("token", F.least("hops", "h").alias("hops"))
+            .localCheckpoint()
+        )
+    return dist
+
+
+def bfs_oracle_sql(tokens_sql: str, source_pred: str, rounds: int) -> str:
+    """DuckDB twin of the token-graph BFS query: same edge build, same
+    ``rounds`` min-relaxation CTE rounds, same hop histogram."""
+    head = f"""
+    WITH toks AS (SELECT {tokens_sql} AS ts FROM documents),
+    bg AS (
+      SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+                    i -> ts[i] || ' ' || ts[i + 1])) AS p
+      FROM toks WHERE len(ts) >= 2
+    ),
+    e1 AS (
+      SELECT split_part(p, ' ', 1) AS src, split_part(p, ' ', 2) AS dst
+      FROM bg WHERE split_part(p, ' ', 1) <> split_part(p, ' ', 2)
+    ),
+    edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM e1 UNION ALL SELECT dst, src FROM e1
+      )
+    ),
+    nodes AS (SELECT DISTINCT unnest(ts) AS token FROM toks),
+    d0 AS (
+      SELECT token,
+             CASE WHEN {source_pred} THEN CAST(0 AS BIGINT) END AS hops
+      FROM nodes
+    )"""
+    body = []
+    for r in range(rounds):
+        body.append(
+            f""",
+    r{r + 1} AS (
+      SELECT e.dst AS token, CAST(MIN(d.hops + 1) AS BIGINT) AS h
+      FROM edges e JOIN d{r} d ON e.src = d.token
+      WHERE d.hops IS NOT NULL
+      GROUP BY e.dst
+    ),
+    d{r + 1} AS (
+      SELECT d.token, LEAST(d.hops, r.h) AS hops
+      FROM d{r} d LEFT JOIN r{r + 1} r USING (token)
+    )"""
+        )
+    tail = f"""
+    SELECT hops, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           MIN(token) AS min_token,
+           BIT_XOR(('0x' || substr(md5(token), 1, 15))::BIGINT) AS member_xor
+    FROM d{rounds}
+    GROUP BY hops
+    ORDER BY hops NULLS LAST"""
+    return head + "".join(body) + tail

@@ -9789,3 +9789,52 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard_ppm"), "src_a", "src_b")
         .limit(20)
     )
+
+
+def _bfs_oracle() -> str:
+    from datagouv_tools_spark.operators.pagerank import bfs_oracle_sql
+
+    return bfs_oracle_sql(_SQL_TOKENS, "token LIKE 'a%'", 3)
+
+
+@query("token_graph_bfs_hops", _bfs_oracle())
+def token_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances (operators/pagerank.bfs_hops):
+    three synchronous min-relaxation rounds from every 'a…' token over
+    the symmetrized co-occurrence graph — the Pregel distance primitive
+    under impact analysis, blast-radius, and link-proximity features.
+    Reported as the hop histogram with per-ring member_xor, so a single
+    node at the wrong distance flips the hash; nodes beyond 3 hops
+    stay NULL by contract.
+
+    Scale: a round is one |E| equi-join against the distance vector +
+    a min combine — same shape and persisted-invariant discipline as
+    the PageRank loop."""
+    from datagouv_tools_spark.functions.text import tokens, word_bigrams
+    from datagouv_tools_spark.operators.pagerank import bfs_hops
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(tokens("text").alias("ts"))
+    bg = toks.select(F.explode(word_bigrams(F.col("ts"))).alias("p")).select(
+        F.split_part(F.col("p"), F.lit(" "), F.lit(1)).alias("src"),
+        F.split_part(F.col("p"), F.lit(" "), F.lit(2)).alias("dst"),
+    )
+    e1 = bg.filter(F.col("src") != F.col("dst"))
+    edges = e1.unionByName(
+        e1.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    nodes = toks.select(F.explode("ts").alias("token")).distinct()
+    sources = nodes.filter(F.col("token").startswith("a")).select("token")
+    dist = bfs_hops(nodes, edges, sources, rounds=3)
+    return (
+        dist.groupBy("hops")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.min("token").alias("min_token"),
+            F.expr(
+                "bit_xor(cast(conv(substring(md5(token), 1, 15), 16, 10)"
+                " as bigint))"
+            ).alias("member_xor"),
+        )
+        .orderBy(F.asc_nulls_last("hops"))
+    )

@@ -120,3 +120,34 @@ def test_kcore_k3_keeps_k4_drops_triangle(spark):
     k4 = [("p", "q"), ("p", "r"), ("p", "s"), ("q", "r"), ("q", "s"), ("r", "s")]
     tri = [("x", "y"), ("y", "z"), ("x", "z")]
     assert _kcore(spark, k4 + tri, k=3, rounds=1) == sorted(k4)
+
+
+# ---------------------------------------------------------------------------
+# bfs_hops
+# ---------------------------------------------------------------------------
+
+
+def _bfs(spark, nodes, und_edges, sources, rounds):
+    from datagouv_tools_spark.operators.pagerank import bfs_hops
+
+    nd = spark.createDataFrame([(n,) for n in nodes], "token string")
+    sym = und_edges + [(b, a) for a, b in und_edges]
+    ed = spark.createDataFrame(sym, "src string, dst string")
+    src = spark.createDataFrame([(s,) for s in sources], "token string")
+    out = bfs_hops(nd, ed, src, rounds)
+    return {r["token"]: r["hops"] for r in out.collect()}
+
+
+def test_bfs_path_graph_exact_hops(spark):
+    got = _bfs(spark, list("abcde"), [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")], ["a"], 3)
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3, "e": None}
+
+
+def test_bfs_multi_source_takes_nearest(spark):
+    got = _bfs(spark, list("abcd"), [("a", "b"), ("b", "c"), ("c", "d")], ["a", "d"], 2)
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 0}
+
+
+def test_bfs_disconnected_stays_null(spark):
+    got = _bfs(spark, ["x", "y", "z"], [("x", "y")], ["x"], 3)
+    assert got == {"x": 0, "y": 1, "z": None}
