@@ -9838,3 +9838,109 @@ def token_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc_nulls_last("hops"))
     )
+
+
+@query(
+    "customer_entity_resolution",
+    """
+    WITH RECURSIVE cust AS (
+      SELECT c_custkey AS id, c_name AS key FROM customer
+    ),
+    blk AS (
+      SELECT id, key,
+             substr(key, 1, 16) || '|' || length(key)::VARCHAR AS b
+      FROM cust
+    ),
+    p1 AS (
+      SELECT a.id AS id_a, b2.id AS id_b
+      FROM blk a JOIN blk b2 ON a.b = b2.b AND a.id < b2.id
+      WHERE levenshtein(a.key, b2.key) <= 1
+    ),
+    rankd AS (
+      SELECT id, key,
+             ROW_NUMBER() OVER (ORDER BY reverse(key), id) AS rn
+      FROM cust
+    ),
+    p2 AS (
+      SELECT DISTINCT LEAST(a.id, b2.id) AS id_a,
+             GREATEST(a.id, b2.id) AS id_b
+      FROM rankd a JOIN rankd b2 ON b2.rn BETWEEN a.rn + 1 AND a.rn + 5
+      WHERE levenshtein(a.key, b2.key) <= 1
+    ),
+    pairs AS (
+      SELECT DISTINCT id_a, id_b FROM (
+        SELECT id_a, id_b FROM p1 UNION ALL SELECT id_a, id_b FROM p2
+      )
+    ),
+    e AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    r(node, lbl) AS (
+      SELECT src, src FROM e
+      UNION
+      SELECT e.dst, r.lbl FROM r JOIN e ON e.src = r.node
+    ),
+    cl AS (SELECT node, MIN(lbl) AS cluster_id FROM r GROUP BY node),
+    rep AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+             BIT_XOR(('0x' || substr(md5(node::VARCHAR), 1, 15))::BIGINT)
+               AS member_xor
+      FROM cl GROUP BY cluster_id
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+             CAST(SUM(n_members) AS BIGINT) AS n_matched
+      FROM rep
+    )
+    SELECT cluster_id, n_members, member_xor, n_clusters, n_matched
+    FROM rep CROSS JOIN tot
+    ORDER BY n_members DESC, cluster_id LIMIT 20
+    """,
+)
+def customer_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: candidates from TWO blocking
+    passes — prefix/length blocks AND a reversed-key sorted
+    neighborhood (each catches edits the other structurally misses) —
+    verified by banded Levenshtein, merged, and closed into identity
+    clusters by connected components; canonical id = min member. The
+    full record-linkage composition (block → verify → union → cluster)
+    in one declarative plan, hash-checked through the recursive-CTE
+    twin.
+
+    Scale: each blocking pass keeps its own linear/bounded candidate
+    discipline (see their operators); CC shuffles |E| per round with
+    the auto-bounded finish of operators/dedup."""
+    from datagouv_tools_spark.operators.dedup import dedup_clusters
+    from datagouv_tools_spark.operators.fuzzy import (
+        fuzzy_pairs,
+        prefix_length_block,
+        sorted_neighborhood_pairs,
+    )
+
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("key")
+    )
+    p1 = fuzzy_pairs(
+        cust, "key", "id", prefix_length_block("key", 16), max_distance=1
+    ).select("id_a", "id_b")
+    p2 = sorted_neighborhood_pairs(
+        cust, "key", "id", F.reverse(F.col("key")), window=5, max_distance=1
+    ).select("id_a", "id_b")
+    pairs = p1.unionByName(p2).distinct()
+    cl = dedup_clusters(pairs)
+    rep = cl.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.expr(
+            "bit_xor(cast(conv(substring(md5(cast(node as string)), 1, 15), 16, 10) as bigint))"
+        ).alias("member_xor"),
+    )
+    tot = rep.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("n_members").cast("bigint").alias("n_matched"),
+    )
+    return (
+        rep.crossJoin(F.broadcast(tot))
+        .orderBy(F.desc("n_members"), "cluster_id")
+        .limit(20)
+    )
