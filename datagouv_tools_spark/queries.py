@@ -9944,3 +9944,127 @@ def customer_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_members"), "cluster_id")
         .limit(20)
     )
+
+
+@query(
+    "events_cusum_alarms",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(COUNT(*) * 1000 AS BIGINT) AS xm
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(SUM(xm) // COUNT(*) AS BIGINT) AS mean_m
+      FROM hourly GROUP BY event_type
+    ),
+    y AS (
+      SELECT h.event_type, h.h, h.xm,
+             h.xm - s.mean_m - s.mean_m // 10 AS yp,
+             s.mean_m - h.xm - s.mean_m // 10 AS yn,
+             CAST(3 * s.mean_m AS BIGINT) AS thresh
+      FROM hourly h JOIN stats s USING (event_type)
+    ),
+    cum AS (
+      SELECT event_type, h, thresh,
+             CAST(SUM(yp) OVER w AS BIGINT) AS cp,
+             CAST(SUM(yn) OVER w AS BIGINT) AS cn
+      FROM y
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    c AS (
+      SELECT event_type, h, thresh,
+             CAST(cp - LEAST(MIN(cp) OVER w, 0) AS BIGINT) AS s_pos,
+             CAST(cn - LEAST(MIN(cn) OVER w, 0) AS BIGINT) AS s_neg
+      FROM cum
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(SUM(CASE WHEN s_pos > thresh THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pos_alarms,
+           CAST(SUM(CASE WHEN s_neg > thresh THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_neg_alarms,
+           MAX(s_pos) AS max_s_pos,
+           MAX(s_neg) AS max_s_neg
+    FROM c
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point alarms per event type (Page 1954): the
+    classic drift detector over the hourly volume series, slack =
+    mean/10, threshold = 3·mean, all integer milli. The clamped
+    recurrence s_t = max(0, s_{t-1} + y_t) is NOT folded sequentially —
+    it is rewritten as prefix_sum − min(0, running-min of prefix sums),
+    an exact identity that turns CUSUM into two stacked window passes
+    Catalyst keeps in one exchange; both engines evaluate the identical
+    windows, so every alarm count is hash-exact.
+
+    Scale: raw events collapse map-side to (type, hour); the windows
+    run per series over bucket rows. The window rewrite is the point:
+    a sequential fold needs an Arrow kernel, this shape stays entirely
+    JVM-side."""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg((F.count(F.lit(1)) * 1000).cast("bigint").alias("xm"))
+    stats = hourly.groupBy("event_type").agg(
+        F.expr("sum(xm) div count(*)").cast("bigint").alias("mean_m")
+    )
+    y = hourly.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "h",
+        F.expr("xm - mean_m - mean_m div 10").alias("yp"),
+        F.expr("mean_m - xm - mean_m div 10").alias("yn"),
+        (3 * F.col("mean_m")).cast("bigint").alias("thresh"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = y.select(
+        "event_type",
+        "h",
+        "thresh",
+        F.sum("yp").over(w).alias("cp"),
+        F.sum("yn").over(w).alias("cn"),
+    )
+    c = cum.select(
+        "event_type",
+        "thresh",
+        (
+            F.col("cp")
+            - F.least(F.min("cp").over(w), F.lit(0).cast("bigint"))
+        )
+        .cast("bigint")
+        .alias("s_pos"),
+        (
+            F.col("cn")
+            - F.least(F.min("cn").over(w), F.lit(0).cast("bigint"))
+        )
+        .cast("bigint")
+        .alias("s_neg"),
+    )
+    return (
+        c.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+            F.sum(F.when(F.col("s_pos") > F.col("thresh"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pos_alarms"),
+            F.sum(F.when(F.col("s_neg") > F.col("thresh"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_neg_alarms"),
+            F.max("s_pos").alias("max_s_pos"),
+            F.max("s_neg").alias("max_s_neg"),
+        )
+        .orderBy("event_type")
+    )

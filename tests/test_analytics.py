@@ -1474,3 +1474,37 @@ def test_snp_reversed_sort_key_catches_prefix_edits(spark):
     under the reversed key — the multi-pass recall argument."""
     rows = [(1, "Xname"), (2, "Yname"), (3, "other9")]
     assert (1, 2, 1) in _snp(spark, rows, window=1, sort_reversed=True)
+
+
+def test_cusum_window_identity_matches_sequential_fold():
+    """events_cusum_alarms rewrites s_t = max(0, s_{t-1} + y_t) as
+    C_t − min(0, running-min C): pin the identity against the direct
+    fold on adversarial sequences (clamp hit repeatedly, all-negative,
+    alternating)."""
+    import itertools
+
+    def fold(ys):
+        s, out = 0, []
+        for y in ys:
+            s = max(0, s + y)
+            out.append(s)
+        return out
+
+    def window(ys):
+        c = list(itertools.accumulate(ys))
+        out = []
+        rm = 0
+        for i, ci in enumerate(c):
+            rm = min(rm if i else ci, ci)
+            out.append(ci - min(0, rm))
+        return out
+
+    cases = [
+        [5, -10, 3],
+        [-1, -2, -3],
+        [4, 4, -9, 2, -1, 7],
+        [0, 0, 0],
+        [10, -3, -3, -3, -3, 10],
+    ]
+    for ys in cases:
+        assert window(ys) == fold(ys), ys
