@@ -10068,3 +10068,122 @@ def events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_range_partition_plan",
+    """
+    WITH ranked AS (
+      SELECT value,
+             ROW_NUMBER() OVER (ORDER BY value, event_id) AS rk,
+             COUNT(*) OVER () AS n
+      FROM events
+    ),
+    bounds AS (
+      SELECT CAST(ceil(i * n / 8.0) AS BIGINT) AS cut_rank, i AS b_idx
+      FROM (SELECT DISTINCT n FROM ranked)
+      CROSS JOIN UNNEST(generate_series(1, 7)) AS g(i)
+    ),
+    cuts AS (
+      SELECT b_idx, value AS cut_value
+      FROM bounds JOIN ranked ON ranked.rk = bounds.cut_rank
+    ),
+    assigned AS (
+      SELECT r.value,
+             CAST(COALESCE(SUM(CASE WHEN c.cut_value < r.value
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS part
+      FROM ranked r CROSS JOIN cuts c
+      GROUP BY r.value, r.rk
+    ),
+    parts AS (
+      SELECT part, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             MIN(value) AS lo, MAX(value) AS hi
+      FROM assigned GROUP BY part
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_rows) AS BIGINT) AS nt,
+             CAST(MAX(n_rows) AS BIGINT) AS nmax
+      FROM parts
+    )
+    SELECT part, n_rows, lo, hi,
+           CAST(n_rows * 1000000 // nt AS BIGINT) AS share_ppm,
+           CAST(nmax * 8 * 1000000 // nt AS BIGINT) AS skew_ppm
+    FROM parts CROSS JOIN tot
+    ORDER BY part
+    """,
+)
+def events_range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partition planning made explicit: the 7 boundary values an
+    8-way repartitionByRange would pick (discrete rank-ceil quantiles
+    of `value`, id tie-broken), each row assigned to the partition =
+    count of boundaries STRICTLY below its value — so duplicate-heavy
+    values pile into one partition and the plan's skew_ppm (largest
+    partition × partitions / total) measures exactly the imbalance a
+    real range shuffle would suffer. The layout-debugging companion to
+    the repo's z-order and salting queries.
+
+    Scale: one rank window (swap in the range-partitioned two-pass
+    rank at extreme n), a 7-row broadcast of boundary cuts, map-local
+    assignment (expressed as a grouped count against broadcast cuts),
+    and an 8-row report."""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events").select("value", "event_id")
+    ranked = ev.select(
+        "value",
+        F.row_number()
+        .over(Window.orderBy("value", "event_id"))
+        .alias("rk"),
+    )
+    nrow = ev.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    cut_ranks = (
+        spark.range(1, 8)
+        .select(F.col("id").alias("b_idx"))
+        .crossJoin(F.broadcast(nrow))
+        .select(
+            "b_idx",
+            F.ceil(F.col("b_idx") * F.col("n") / 8.0)
+            .cast("bigint")
+            .alias("cut_rank"),
+        )
+    )
+    cuts = ranked.join(
+        F.broadcast(cut_ranks), ranked.rk == cut_ranks.cut_rank
+    ).select("b_idx", F.col("value").alias("cut_value"))
+    assigned = (
+        ranked.crossJoin(F.broadcast(cuts))
+        .groupBy("value", "rk")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("cut_value") < F.col("value"), 1
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("part")
+        )
+    )
+    parts = assigned.groupBy("part").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+    tot = parts.agg(
+        F.sum("n_rows").cast("bigint").alias("nt"),
+        F.max("n_rows").cast("bigint").alias("nmax"),
+    )
+    return (
+        parts.crossJoin(F.broadcast(tot))
+        .select(
+            "part",
+            "n_rows",
+            "lo",
+            "hi",
+            F.expr("n_rows * 1000000 div nt").cast("bigint").alias("share_ppm"),
+            F.expr("nmax * 8 * 1000000 div nt").cast("bigint").alias("skew_ppm"),
+        )
+        .orderBy("part")
+    )
