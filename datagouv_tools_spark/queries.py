@@ -10187,3 +10187,97 @@ def events_range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("part")
     )
+
+
+@query(
+    "orders_snapshot_rowdiff",
+    """
+    WITH a AS (
+      SELECT o_orderkey AS k, o_orderpriority AS pri, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 7 != 0
+    ),
+    b AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 13 = 0 THEN '9-MUTATED'
+                  ELSE o_orderpriority END AS pri,
+             o_totalprice AS price
+      FROM orders WHERE o_orderkey % 10 != 0
+    ),
+    j AS (
+      SELECT COALESCE(a.k, b.k) AS k,
+             a.k IS NOT NULL AS in_a, b.k IS NOT NULL AS in_b,
+             a.pri AS pa, b.pri AS pb,
+             a.price AS xa, b.price AS xb
+      FROM a FULL OUTER JOIN b ON a.k = b.k
+    )
+    SELECT CAST(SUM(CASE WHEN in_a AND NOT in_b THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_only_a,
+           CAST(SUM(CASE WHEN in_b AND NOT in_a THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_only_b,
+           CAST(SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_common,
+           CAST(SUM(CASE WHEN in_a AND in_b AND (pa <> pb OR xa <> xb)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+           CAST(SUM(CASE WHEN in_a AND in_b AND pa <> pb THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pri_changed,
+           CAST(SUM(CASE WHEN in_a AND in_b AND xa <> xb THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_price_changed,
+           BIT_XOR(CASE WHEN in_a AND in_b AND (pa <> pb OR xa <> xb) THEN
+             ('0x' || substr(md5(k::VARCHAR), 1, 15))::BIGINT END)
+             AS changed_xor
+    FROM j
+    """,
+)
+def orders_snapshot_rowdiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level snapshot reconciliation (the datacompy/"table diff"
+    primitive): two keyed snapshots — yesterday's orders minus the %7
+    keys vs today's minus the %10 keys with a deterministic priority
+    mutation on %13 keys — full-outer joined on the key, classified
+    into only-A / only-B / common / changed, with per-column change
+    counts and a changed-key xor so the exact changed set is
+    hash-pinned. The audit every CDC/IVM pipeline (and this repo's own
+    join-IVM) needs to prove two copies agree.
+
+    Scale: ONE full-outer merge join on the key (both sides shuffle
+    once on k — co-partitioned if the snapshots are key-bucketed) and a
+    map-side-combined scalar aggregate; no row ever leaves as output,
+    only the classification counts."""
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    a = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pa"),
+        F.col("o_totalprice").alias("xa"),
+    )
+    b = orders.filter(F.col("o_orderkey") % 10 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit("9-MUTATED"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("pb"),
+        F.col("o_totalprice").alias("xb"),
+    )
+    j = a.withColumn("in_a", F.lit(True)).join(
+        b.withColumn("in_b", F.lit(True)), "k", "full_outer"
+    )
+    in_a = F.coalesce("in_a", F.lit(False))
+    in_b = F.coalesce("in_b", F.lit(False))
+    changed = in_a & in_b & (
+        (F.col("pa") != F.col("pb")) | (F.col("xa") != F.col("xb"))
+    )
+    return j.agg(
+        F.sum((in_a & ~in_b).cast("int")).cast("bigint").alias("n_only_a"),
+        F.sum((in_b & ~in_a).cast("int")).cast("bigint").alias("n_only_b"),
+        F.sum((in_a & in_b).cast("int")).cast("bigint").alias("n_common"),
+        F.sum(changed.cast("int")).cast("bigint").alias("n_changed"),
+        F.sum((in_a & in_b & (F.col("pa") != F.col("pb"))).cast("int"))
+        .cast("bigint")
+        .alias("n_pri_changed"),
+        F.sum((in_a & in_b & (F.col("xa") != F.col("xb"))).cast("int"))
+        .cast("bigint")
+        .alias("n_price_changed"),
+        F.expr(
+            "bit_xor(case when in_a and in_b and (pa != pb or xa != xb) then"
+            " cast(conv(substring(md5(cast(k as string)), 1, 15), 16, 10) as bigint) end)"
+        ).alias("changed_xor"),
+    )
