@@ -10281,3 +10281,82 @@ def orders_snapshot_rowdiff(spark: SparkSession, sf_dir: str) -> DataFrame:
             " cast(conv(substring(md5(cast(k as string)), 1, 15), 16, 10) as bigint) end)"
         ).alias("changed_xor"),
     )
+
+
+@query(
+    "emb_dedup_threshold_sweep",
+    """
+    WITH c AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+    ),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(list_dot_product(a.embedding, b.embedding)
+                   / (sqrt(list_dot_product(a.embedding, a.embedding))
+                      * sqrt(list_dot_product(b.embedding, b.embedding))), 6)
+               AS sim
+      FROM c a JOIN c b ON a.vec_id < b.vec_id
+    ),
+    kept AS (SELECT * FROM p WHERE sim >= 0.3),
+    buckets AS (
+      SELECT CAST(floor(sim * 10) AS BIGINT) AS thresh_deci,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             BIT_XOR(('0x' || substr(md5(id_a::VARCHAR || ':' || id_b::VARCHAR), 1, 15))::BIGINT)
+               AS pair_xor
+      FROM kept GROUP BY 1
+    )
+    SELECT thresh_deci, n_pairs,
+           CAST(SUM(n_pairs) OVER (ORDER BY thresh_deci DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_at_or_above,
+           pair_xor
+    FROM buckets
+    ORDER BY thresh_deci DESC
+    """,
+)
+def emb_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold tuning in ONE pass: every cosine pair ≥0.3
+    (exact distributed block-matrix kernel) bucketed by similarity
+    decile, with the reverse-cumulative pair count — the
+    "pairs you would merge at each threshold" curve that picks the
+    operating point BEFORE anyone runs the expensive full dedup at the
+    wrong cutoff. Per-bucket pair_xor pins the exact membership of
+    every band.
+
+    Scale: the pair generation is the same blocked BLAS kernel as
+    emb_near_dup_pairs (block pairs fan out, no corpus broadcast);
+    the sweep itself adds one bounded aggregation + a 7-row window.
+    One pass serves every candidate threshold — a per-threshold rerun
+    would scan the corpus O(|grid|) times."""
+    from pyspark.sql.window import Window
+
+    from datagouv_tools_spark.operators.similarity import cosine_pairs_blocked
+
+    emb = t(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs_blocked(emb, "vec_id", "embedding", threshold=0.3)
+    buckets = (
+        pairs.select(
+            F.floor(F.col("sim") * 10).cast("bigint").alias("thresh_deci"),
+            "id_a",
+            "id_b",
+        )
+        .groupBy("thresh_deci")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.expr(
+                "bit_xor(cast(conv(substring(md5(concat_ws(':', id_a, id_b)), 1, 15), 16, 10) as bigint))"
+            ).alias("pair_xor"),
+        )
+    )
+    w = Window.orderBy(F.desc("thresh_deci")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        buckets.select(
+            "thresh_deci",
+            "n_pairs",
+            F.sum("n_pairs").over(w).cast("bigint").alias("n_at_or_above"),
+            "pair_xor",
+        )
+        .orderBy(F.desc("thresh_deci"))
+    )
