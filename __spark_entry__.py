@@ -30,6 +30,7 @@ def _snapshot_counts() -> dict[str, int]:
     queries to the front, so every query lands in some round's hard signal.
     """
     counts: dict[str, int] = {name: 0 for name in q.QUERIES}
+    greens: dict[str, int] = {name: 0 for name in q.QUERIES}
     for path in sorted(Path(__file__).resolve().parent.glob("CORRECTNESS_r*.json")):
         try:
             seen = json.loads(path.read_text())
@@ -43,13 +44,27 @@ def _snapshot_counts() -> dict[str, int]:
                 continue
             if name in counts:
                 counts[name] += 1
-    return counts
+                if isinstance(entry, dict) and all(
+                    entry.get(k) for k in ("rows_match", "schema_match", "hash_match")
+                ):
+                    greens[name] += 1
+    return counts, greens
 
 
 def _rotated_names() -> list[str]:
-    counts = _snapshot_counts()
+    counts, greens = _snapshot_counts()
     order = list(q.QUERIES)
-    return sorted(order, key=lambda name: (counts[name], order.index(name)))
+    # Sampled-but-never-green queries carry a standing red verdict — they
+    # outrank even never-sampled ones (which at least aren't known-bad),
+    # then ascending green coverage rotates the rest through the sample.
+    return sorted(
+        order,
+        key=lambda name: (
+            not (counts[name] > 0 and greens[name] == 0),
+            greens[name],
+            order.index(name),
+        ),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
