@@ -66,18 +66,31 @@ def _merge_fold(l: Column, lft: Column, rgt: Column) -> Column:
     return F.aggregate(rest, init, fold)
 
 
-def bpe_train(words: DataFrame, rounds: int) -> DataFrame:
+def bpe_train(
+    words: DataFrame, rounds: int, *, return_corpus: bool = False
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Train ``rounds`` BPE merges over a word-frequency DataFrame.
 
     ``words`` must have columns ``w`` (string) and ``wc`` (bigint
     count). Returns one row per merge round: (merge_round, lft, rgt,
     merged, cnt), ties broken by (count desc, lft, rgt) so the winner
-    is unique and cross-engine deterministic.
+    is unique and cross-engine deterministic. With
+    ``return_corpus=True`` returns ``(winners, corpus)`` where
+    ``corpus`` is the fully-merged (w, wc, s) segmentation — identical
+    to ``bpe_apply(words, winners)`` (pinned by test) but free: the
+    trainer already built it, so tokenize-the-training-corpus callers
+    skip a redundant chain of |merges| fold passes.
+
+    Job economy: round r's winner ``collect`` is the only action — it
+    fills round r's cache, after which round r-1's cache is dropped.
+    The re-merged corpus for the LAST round is built only when
+    ``return_corpus`` asks for it (the winners don't need it).
     """
     spark = words.sparkSession
     corpus = words.select(
         "w", "wc", _spaced_chars(F.col("w")).alias("s")
     ).persist()
+    prev: DataFrame | None = None
     winners: list[tuple[int, str, str, str, int]] = []
     for r in range(rounds):
         l = F.split(F.col("s"), " ")
@@ -100,12 +113,19 @@ def bpe_train(words: DataFrame, rounds: int) -> DataFrame:
         # The winner is ONE row (TakeOrdered) — collecting it is the
         # bounded-driver pattern, and folding it back as literals keeps
         # each round's plan flat instead of stacking R crossJoin
-        # subtrees that re-execute the whole lineage per round.
+        # subtrees that re-execute the whole lineage per round. This
+        # collect also materializes THIS round's cache (counted reads
+        # corpus), so the previous round's cache can be released now.
         row = counted.orderBy(F.desc("cnt"), "lft", "rgt").limit(1).collect()
+        if prev is not None:
+            prev.unpersist()
+            prev = None
         if not row:
             break
         lft, rgt, cnt = row[0].lft, row[0].rgt, row[0].cnt
         winners.append((r + 1, lft, rgt, lft + rgt, int(cnt)))
+        if r + 1 == rounds and not return_corpus:
+            break  # nothing ever reads the final re-merged corpus
         nxt = corpus.select(
             "w",
             "wc",
@@ -113,13 +133,23 @@ def bpe_train(words: DataFrame, rounds: int) -> DataFrame:
                 F.split(F.col("s"), " "), F.lit(lft), F.lit(rgt)
             ).alias("s"),
         ).persist()
-        nxt.count()
-        corpus.unpersist()
-        corpus = nxt
-    corpus.unpersist()
-    return spark.createDataFrame(
+        prev, corpus = corpus, nxt
+    winners_df = spark.createDataFrame(
         winners, "merge_round bigint, lft string, rgt string, merged string, cnt bigint"
     ).orderBy("merge_round")
+    if return_corpus:
+        # materialize the final fold off the still-cached previous
+        # round, then detach it from the per-round lineage so the
+        # caches below can be released safely
+        final = corpus.localCheckpoint(eager=True)
+        corpus.unpersist()
+        if prev is not None:
+            prev.unpersist()
+        return winners_df, final
+    corpus.unpersist()
+    if prev is not None:
+        prev.unpersist()
+    return winners_df
 
 
 def bpe_oracle_sql(rounds: int, tokens_sql: str, tail: str | None = None) -> str:

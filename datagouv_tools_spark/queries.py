@@ -8082,19 +8082,21 @@ def _bpe_apply_oracle() -> str:
 
 @query("doc_bpe_apply_compression", _bpe_apply_oracle())
 def doc_bpe_apply_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The BPE round trip: train six merges on the corpus, apply them
-    back as a tokenizer, and report per-source subword compression
-    (chars per subword, subwords per token, in integer mille). The
-    oracle replays train AND apply in SQL off the same CTE chain, so
-    the full train→apply loop is value-hash-verified.
+    """The BPE round trip: train six merges on the corpus, tokenize the
+    corpus with them, and report per-source subword compression (chars
+    per subword, subwords per token, in integer mille). The trainer's
+    final re-merged corpus IS the applied segmentation
+    (``bpe_apply(words, merges)`` equality is pinned in
+    tests/test_bpe.py), so — exactly like the oracle's CTE chain, whose
+    ``seg`` reads ``c6`` directly — the query reuses it instead of
+    re-running six fold passes over the vocabulary.
 
     Scale: training as in doc_bpe_train_merges (vocab-grain rounds);
-    apply is six chained map-local folds over the vocabulary, and the
-    per-source stats join instances to the |V|-row segmentation table
-    (broadcastable at production vocab sizes) — corpus text is scanned
-    once for instances."""
+    the per-source stats join instances to the |V|-row segmentation
+    table (broadcastable at production vocab sizes) — corpus text is
+    scanned once for instances."""
     from datagouv_tools_spark.functions.text import tokens
-    from datagouv_tools_spark.operators.bpe import bpe_apply, bpe_train
+    from datagouv_tools_spark.operators.bpe import bpe_train
 
     docs = t(spark, sf_dir, "documents")
     words = (
@@ -8102,10 +8104,8 @@ def doc_bpe_apply_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("wc"))
     )
-    merges = [
-        (r.lft, r.rgt) for r in bpe_train(words, rounds=6).collect()
-    ]
-    seg = bpe_apply(words, merges).select(
+    _, trained = bpe_train(words, rounds=6, return_corpus=True)
+    seg = trained.select(
         "w",
         F.size(F.split("s", " ")).cast("bigint").alias("subwords"),
         F.length("w").cast("bigint").alias("chars"),

@@ -141,3 +141,27 @@ def test_merge_fold_three_way_property(spark):
         want = _py_greedy_merge(r.s.split(" "), r.lft, r.rgt)
         assert r.m == want, (r.s, r.lft, r.rgt, r.m, want)
         assert duck[(r.s, r.lft, r.rgt)] == want, (r.s, r.lft, r.rgt)
+
+
+def test_bpe_train_corpus_equals_apply(spark):
+    """``return_corpus=True`` must hand back exactly what
+    ``bpe_apply(words, winners)`` computes — the invariant that lets
+    doc_bpe_apply_compression reuse the trainer's final corpus instead
+    of re-running the fold chain (mirroring the oracle's ``c6``)."""
+    from datagouv_tools_spark.operators.bpe import bpe_apply
+
+    text = "aaaa aaaa aaa banana banana bandana ana na xa ab ab low lower"
+    words = (
+        spark.createDataFrame([(text,)], "text string")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    winners, corpus = bpe_train(words, rounds=4, return_corpus=True)
+    merges = [(r.lft, r.rgt) for r in winners.collect()]
+    assert len(merges) == 4
+    got = {(r.w, r.wc): r.s for r in corpus.collect()}
+    want = {(r.w, r.wc): r.s for r in bpe_apply(words, merges).collect()}
+    assert got == want
+    # the corpus really merged something (not the raw spaced chars)
+    assert any(" " not in s or len(s.split(" ")) < len(w) for (w, _), s in got.items())
