@@ -12,15 +12,19 @@ deterministic: the k vectors with the smallest vec_ids, cluster id =
 their rank. Every round is therefore bit-reproducible and the whole
 iterative clustering is value-hash-checkable in DuckDB.
 
-Scale: assignment is a broadcast of k·dim centroid literals against
-the corpus (map-local zip_with arithmetic, one argmin groupBy on
-vec_id is avoided entirely — the min is computed with min_by over the
-k candidate structs per row... no: candidates are generated per row by
-a transform over the broadcast array, so NO per-(vec,centroid) row
-explosion leaves the map side); centroid updates shuffle (cid, dim)
-partial sums with map-side combine. The k·dim state (≤ a few KB)
-crosses the driver between rounds — the same bounded-driver pattern as
-the BPE winners and the power-iteration vector.
+Scale: the k·dim centroid state NEVER visits the driver after init —
+rounds chain inside one lazy DAG, each round's centroids riding into
+the next assignment as a one-row broadcast ``array<struct<cid,c>>``
+singleton (a broadcast-exchange subquery, not a collect). Assignment
+is map-local (a transform over the broadcast candidates + array_min;
+no (vec × centroid) row explosion, no shuffle); the update shuffles
+only (cid, dim) partial sums with map-side combine. The corpus is
+quantized once into an eager localCheckpoint so each round's scan
+reads the materialized ints, not the raw parquet lineage. Centroid
+values travel as data rather than inlined literals, so the generated
+code is byte-identical across rounds and janino compiles it once
+(the literal version re-compiled a 512-constant tree every round —
+at sf0.1 the compile dominated the arithmetic).
 
 int64 headroom: |x|,|c| ≤ ~1060 milli ⇒ per-dim squared term ≤ 4.5e6,
 per-vector distance ≤ 2.9e8 (dim 64); inertia sums stay safe past 1e9
@@ -29,7 +33,7 @@ vectors.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -41,26 +45,35 @@ def _quantized(emb: DataFrame) -> DataFrame:
     return emb.select("vec_id", xq.alias("xq"))
 
 
-def _dist_to(c_lit: list[int]) -> Column:
-    carr = F.array(*[F.lit(int(v)) for v in c_lit])
-    return F.aggregate(
-        F.zip_with(F.col("xq"), carr, lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("bigint"),
-        lambda acc, t: acc + t,
+def _cands(cents: DataFrame) -> DataFrame:
+    """Collapse a (cid, c) centroid frame into the one-row
+    ``array<struct<cid,c>>`` singleton `_assign` broadcasts; sorted by
+    cid so the candidate order (and thus the generated code) is
+    deterministic."""
+    return cents.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("cands")
     )
 
 
-def _assign(q: DataFrame, centroids: dict[int, list[int]]) -> DataFrame:
-    """(vec_id, cid, dist): nearest centroid, ties to smallest cid —
-    computed map-local via a least() over per-centroid struct exprs."""
-    cands = [
-        F.struct(
-            _dist_to(c).alias("dist"), F.lit(cid).cast("bigint").alias("cid")
+def _assign(q: DataFrame, cands_df: DataFrame) -> DataFrame:
+    """(vec_id, cid, dist, xq): nearest centroid, ties to smallest cid
+    — array_min over struct(dist, cid) candidates, map-local."""
+    best = F.array_min(
+        F.transform(
+            F.col("cands"),
+            lambda s: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("xq"), s["c"], lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, t: acc + t,
+                ).alias("dist"),
+                s["cid"].alias("cid"),
+            ),
         )
-        for cid, c in sorted(centroids.items())
-    ]
-    best = F.least(*cands) if len(cands) > 1 else cands[0]
-    return q.select(
+    )
+    return q.crossJoin(F.broadcast(cands_df)).select(
         "vec_id",
         best["cid"].alias("cid"),
         best["dist"].alias("dist"),
@@ -68,39 +81,49 @@ def _assign(q: DataFrame, centroids: dict[int, list[int]]) -> DataFrame:
     )
 
 
+def _update(a: DataFrame) -> DataFrame:
+    """New (cid, c) centroids from an assignment: per-(cid, dim)
+    partial sums (map-side combined), then sign-magnitude integer
+    means re-assembled into the dim-ordered centroid array. `floor` on
+    the |s|/n magnitude equals truncation because |s| ≥ 0."""
+    mag = lambda t: F.floor(F.abs(t["s"]) / t["n"]).cast("bigint")  # noqa: E731
+    return (
+        a.select("cid", F.posexplode("xq").alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(
+            F.sum("x").cast("bigint").alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s", "n"))),
+                lambda t: F.when(t["s"] >= 0, mag(t)).otherwise(-mag(t)),
+            ).alias("c")
+        )
+    )
+
+
 def kmeans_fixed_point(
     emb: DataFrame, k: int, iters: int, dim: int
-) -> tuple[dict[int, list[int]], DataFrame]:
-    """Run ``iters`` Lloyd rounds; returns (final centroids, final
-    assignment DataFrame with (vec_id, cid, dist) against them)."""
-    q = _quantized(emb).persist()
-    init_rows = (
-        q.orderBy("vec_id").limit(k).collect()
+) -> tuple[DataFrame, DataFrame]:
+    """Run ``iters`` Lloyd rounds; returns ``(cents, final)`` — the
+    final (cid, c array<bigint>) centroid frame and the final
+    assignment (vec_id, cid, dist) against it. Both are LAZY: the only
+    eager work here is quantizing the corpus and collecting the k
+    init vectors; the rounds execute as broadcast-exchange subqueries
+    of whatever action the caller runs."""
+    q = _quantized(emb).localCheckpoint(eager=True)
+    spark = emb.sparkSession
+    init_rows = q.orderBy("vec_id").limit(k).collect()
+    cents = spark.createDataFrame(
+        [(i + 1, [int(v) for v in row.xq]) for i, row in enumerate(init_rows)],
+        "cid bigint, c array<bigint>",
     )
-    centroids = {
-        r_i + 1: list(row.xq) for r_i, row in enumerate(init_rows)
-    }
     for _ in range(iters):
-        a = _assign(q, centroids)
-        sums = (
-            a.select("cid", F.posexplode("xq").alias("pos", "x"))
-            .groupBy("cid", "pos")
-            .agg(
-                F.sum("x").cast("bigint").alias("s"),
-                F.count(F.lit(1)).cast("bigint").alias("n"),
-            )
-            .collect()
-        )
-        nxt: dict[int, list[int]] = {}
-        for row in sums:
-            vec = nxt.setdefault(int(row.cid), [0] * dim)
-            s, n = int(row.s), int(row.n)
-            mag = abs(s) // n
-            vec[int(row.pos)] = mag if s >= 0 else -mag
-        centroids = nxt
-    final = _assign(q, centroids).select("vec_id", "cid", "dist")
-    q.unpersist()
-    return centroids, final
+        cents = _update(_assign(q, _cands(cents)))
+    final = _assign(q, _cands(cents)).select("vec_id", "cid", "dist")
+    return cents, final
 
 
 def kmeans_oracle_sql(k: int, iters: int, dim: int) -> str:

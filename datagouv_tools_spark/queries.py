@@ -8032,16 +8032,20 @@ def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_ids.
 
     Scale: assignment never explodes (vec × centroid) rows — the k
-    candidate distances are a map-local least() over broadcast centroid
-    literals; only (cid, dim) partial sums shuffle for the update, and
-    the k·dim centroid state crosses the driver between rounds."""
+    candidate distances are a map-local array_min over a one-row
+    broadcast centroid singleton; only (cid, dim) partial sums shuffle
+    for the update, and the k·dim centroid state chains between rounds
+    as broadcast-exchange subqueries — after init it never visits the
+    driver."""
     from datagouv_tools_spark.operators.kmeans import kmeans_fixed_point
 
     emb = t(spark, sf_dir, "embeddings")
-    centroids, final = kmeans_fixed_point(emb, k=8, iters=2, dim=64)
-    cl1 = spark.createDataFrame(
-        [(cid, sum(abs(v) for v in vec)) for cid, vec in centroids.items()],
-        "cid bigint, c_l1 bigint",
+    cents, final = kmeans_fixed_point(emb, k=8, iters=2, dim=64)
+    cl1 = cents.select(
+        "cid",
+        F.aggregate(
+            F.col("c"), F.lit(0).cast("bigint"), lambda acc, v: acc + F.abs(v)
+        ).alias("c_l1"),
     )
     return (
         final.groupBy("cid")
