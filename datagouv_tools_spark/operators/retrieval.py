@@ -53,14 +53,21 @@ B = 0.75
 
 
 def corpus_stats(
-    docs: DataFrame, terms: list[str], text_col: str = "text"
+    docs: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> tuple[int, int, dict[str, int]]:
     """(N docs, total tokens, per-term document frequency) in one
     aggregation pass. Every component is an integer COUNT — ADD-
     mergeable across shards/batches, which is what lets a streaming
     counter store (streaming/counter_maintain.py) keep them fresh
-    without corpus rescans."""
-    ts = tokens(text_col)
+    without corpus rescans.
+
+    ``tokens_col`` names an ALREADY-TOKENIZED array column — pass it
+    when the caller tokenizes once and shares the array across several
+    scoring passes (multi-query evals), skipping the regex re-split."""
+    ts = F.col(tokens_col) if tokens_col else tokens(text_col)
     row = docs.agg(
         F.count(F.lit(1)).alias("__n"),
         F.sum(F.size(ts)).alias("__tot"),
@@ -84,6 +91,7 @@ def bm25_scores(
     b: float = B,
     round_to: int = 6,
     stats: tuple[int, int, dict[str, int]] | None = None,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Append ``bm25`` (rational-IDF BM25, rounded@round_to) for the
     given query terms to every document. Zero-scoring docs are kept —
@@ -102,9 +110,9 @@ def bm25_scores(
     pass over the candidate docs, no corpus aggregation at all.
     """
     n, tot, dfs = stats if stats is not None else corpus_stats(
-        docs, terms, text_col
+        docs, terms, text_col, tokens_col
     )
-    ts = tokens(text_col)
+    ts = F.col(tokens_col) if tokens_col else tokens(text_col)
     dl = F.size(ts).cast("double")
     avgdl = F.lit(float(tot)) / F.lit(float(n)) if n else F.lit(1.0)
     norm = F.lit(k1) * (
@@ -127,10 +135,14 @@ def bm25_topk(
     k: int = 10,
     text_col: str = "text",
     id_col: str = "doc_id",
+    stats: tuple[int, int, dict[str, int]] | None = None,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Top-k by BM25, ties to the smaller id (total order → unique
     result set; the plan is TakeOrdered, no corpus sort)."""
-    scored = bm25_scores(docs, terms, text_col, id_col)
+    scored = bm25_scores(
+        docs, terms, text_col, id_col, stats=stats, tokens_col=tokens_col
+    )
     return (
         scored.filter(F.col("bm25") > 0.0)
         .orderBy(F.desc("bm25"), F.asc(id_col))
