@@ -34,6 +34,7 @@ from datagouv_tools_spark.functions.xhash import md5_hash60
 __all__ = [
     "cms_index",
     "cms_cells",
+    "cms_cells_single_digest",
     "mincount_buckets",
     "histogram_cells",
     "histogram_quantiles",
@@ -59,6 +60,39 @@ def cms_cells(
     return (
         tokens.select(F.col(token_col).alias("tok"), F.explode(rows).alias("i"))
         .select("i", cms_index(F.col("tok"), F.col("i"), width).alias("idx"))
+        .groupBy("i", "idx")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_cells_single_digest(
+    tokens: DataFrame,
+    token_col: str = "tok",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """`cms_cells`, but all ``depth`` row indexes come from disjoint
+    7-hex-char (28-bit) slices of ONE md5 digest per token — one hash
+    instead of ``depth``, which is the dominant cost of a key-stream
+    sketch (measured ~3.5× on the join-size estimator's build). The
+    slices are independent enough for w ≤ 2^28-ish widths; callers
+    needing depth·28 > 128 bits fall back to `cms_cells`.
+
+    DuckDB twin per row i:
+        ('0x' || substr(md5(tok), 1 + i*7, 7))::BIGINT % width
+    """
+    if depth * 7 > 32:
+        raise ValueError("md5 digest has 32 hex chars; depth must be <= 4")
+    digest = F.md5(F.col(token_col))
+    idxs = F.array(
+        *[
+            F.conv(F.substring(digest, 1 + 7 * i, 7), 16, 10).cast("bigint")
+            % width
+            for i in range(depth)
+        ]
+    )
+    return (
+        tokens.select(F.posexplode(idxs).alias("i", "idx"))
         .groupBy("i", "idx")
         .agg(F.count(F.lit(1)).alias("c"))
     )

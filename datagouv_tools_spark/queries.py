@@ -10415,3 +10415,96 @@ def events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = t(spark, sf_dir, "events")
     return markov_removal_attribution(ev, _MARKOV_CHANNELS, iters=16)
+
+
+@query(
+    "orders_lineitem_join_size_sketch",
+    """
+    WITH ok AS (SELECT md5(o_orderkey::VARCHAR) AS dg FROM orders),
+    lk AS (SELECT md5(l_orderkey::VARCHAR) AS dg FROM lineitem),
+    co AS (
+      SELECT i, ('0x' || substr(dg, 1 + i * 7, 7))::BIGINT % 1024 AS idx,
+             COUNT(*) AS c
+      FROM ok, (SELECT unnest([0, 1, 2, 3]) AS i)
+      GROUP BY i, idx
+    ),
+    cl AS (
+      SELECT i, ('0x' || substr(dg, 1 + i * 7, 7))::BIGINT % 1024 AS idx,
+             COUNT(*) AS c
+      FROM lk, (SELECT unnest([0, 1, 2, 3]) AS i)
+      GROUP BY i, idx
+    ),
+    esti AS (
+      SELECT co.i, CAST(SUM(co.c * cl.c) AS BIGINT) AS est_i
+      FROM co JOIN cl USING (i, idx) GROUP BY co.i
+    ),
+    est AS (SELECT CAST(MIN(est_i) AS BIGINT) AS cms_est_rows FROM esti),
+    exact AS (
+      SELECT CAST(SUM(no.n * nl.n) AS BIGINT) AS exact_rows
+      FROM (SELECT o_orderkey AS k, COUNT(*) AS n FROM orders GROUP BY k) no
+      JOIN (SELECT l_orderkey AS k, COUNT(*) AS n FROM lineitem GROUP BY k) nl
+        USING (k)
+    )
+    SELECT exact_rows, cms_est_rows,
+           CAST((cms_est_rows - exact_rows) * 1000000 // exact_rows AS BIGINT)
+             AS overest_ppm
+    FROM exact CROSS JOIN est
+    """,
+)
+def orders_lineitem_join_size_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from count-min sketches (the AMS/CMS
+    inner-product estimator, Cormode & Muthukrishnan 2005 §4.2): |A ⋈ B|
+    on a key equals Σ_k n_A(k)·n_B(k), and the row-wise inner product of
+    the two sides' CMS rows — min over the d rows — upper-bounds it in
+    constant space. This is optimizer-statistics machinery (what a
+    planner consults before picking a join strategy, same family as
+    events_range_partition_plan); the exact count rides along so the
+    overcount is visible, and the oracle recomputes sketch, estimate,
+    and truth cell-for-cell.
+
+    Scale: THE POINT is that each side collapses to d×w cells by one
+    map-side-combining aggregation — the estimate costs two
+    constant-size sketch exchanges and a 4096-cell join, never a
+    shuffle of either table, and shard sketches merge by cell-wise ADD.
+    The exact baseline here shuffles per-key counts (one row per
+    distinct key — fine for a demo, the thing the sketch avoids at
+    scale). Single-digest md5 mode (one hash per key, d row indexes
+    sliced from one digest — sketches.cms_cells_single_digest, the
+    measured ~3.5× cheaper build) for the oracle; production uses
+    xxhash64 and widths sized so per-cell products stay in int64
+    headroom."""
+    from datagouv_tools_spark.operators.sketches import (
+        cms_cells_single_digest,
+    )
+
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    co = cms_cells_single_digest(
+        orders.select(F.col("o_orderkey").cast("string").alias("tok"))
+    )
+    cl = cms_cells_single_digest(
+        li.select(F.col("l_orderkey").cast("string").alias("tok"))
+    ).withColumnRenamed("c", "c2")
+    est = (
+        co.join(cl, ["i", "idx"])
+        .groupBy("i")
+        .agg(F.sum(F.col("c") * F.col("c2")).cast("bigint").alias("est_i"))
+        .agg(F.min("est_i").cast("bigint").alias("cms_est_rows"))
+    )
+    exact = (
+        orders.groupBy(F.col("o_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(
+            li.groupBy(F.col("l_orderkey").alias("k")).agg(
+                F.count(F.lit(1)).alias("n2")
+            ),
+            "k",
+        )
+        .agg(F.sum(F.col("n") * F.col("n2")).cast("bigint").alias("exact_rows"))
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_rows",
+        "cms_est_rows",
+        F.expr("cast((cms_est_rows - exact_rows) * 1000000 div exact_rows as bigint)")
+            .alias("overest_ppm"),
+    )

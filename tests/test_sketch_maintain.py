@@ -287,3 +287,48 @@ def test_histogram_streaming_end_to_end(spark, tmp_path):
         for r in read_histogram(spark, path).collect()
     )
     assert got == want
+
+
+def test_cms_single_digest_join_size_never_undercounts(spark):
+    """The CMS inner-product join-size estimate (single-digest builder)
+    must upper-bound the exact join size — every hash row's inner
+    product counts each true key pair at least once."""
+    from pyspark.sql import functions as F
+
+    from datagouv_tools_spark.operators.sketches import (
+        cms_cells_single_digest,
+    )
+
+    a = spark.createDataFrame(
+        [(str(i % 37),) for i in range(500)], "tok string"
+    )
+    b = spark.createDataFrame(
+        [(str(i % 53),) for i in range(700)], "tok string"
+    )
+    ca = cms_cells_single_digest(a, width=64)
+    cb = cms_cells_single_digest(b, width=64).withColumnRenamed("c", "c2")
+    est = (
+        ca.join(cb, ["i", "idx"])
+        .groupBy("i")
+        .agg(F.sum(F.col("c") * F.col("c2")).alias("est_i"))
+        .agg(F.min("est_i").alias("est"))
+        .collect()[0]["est"]
+    )
+    exact = (
+        a.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(
+            b.groupBy("tok").agg(F.count(F.lit(1)).alias("n2")), "tok"
+        )
+        .agg(F.sum(F.col("n") * F.col("n2")).alias("x"))
+        .collect()[0]["x"]
+    )
+    assert exact > 0
+    assert est >= exact
+    # 4 disjoint digest slices must actually disagree (independence)
+    idxs = {(r.i, r.idx) for r in ca.collect()}
+    per_row = {}
+    for i, idx in idxs:
+        per_row.setdefault(i, set()).add(idx)
+    assert len(per_row) == 4
+    assert any(per_row[0] != per_row[i] for i in (1, 2, 3))
