@@ -10508,3 +10508,157 @@ def orders_lineitem_join_size_sketch(spark: SparkSession, sf_dir: str) -> DataFr
         F.expr("cast((cms_est_rows - exact_rows) * 1000000 div exact_rows as bigint)")
             .alias("overest_ppm"),
     )
+
+
+@query(
+    "events_session_concurrency",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_no,
+             ts
+      FROM marked
+    ),
+    spans AS (
+      SELECT user_id, session_no, MIN(ts) AS s, MAX(ts) AS e
+      FROM sess GROUP BY user_id, session_no
+    ),
+    deltas AS (
+      SELECT user_id, session_no, s AS ts, 1 AS delta FROM spans
+      UNION ALL
+      SELECT user_id, session_no, e AS ts, -1 AS delta FROM spans
+    ),
+    run AS (
+      SELECT date_trunc('day', ts) AS day, ts, delta,
+             CAST(SUM(delta) OVER (ORDER BY ts, delta DESC, user_id, session_no
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+      FROM deltas
+    ),
+    peaks AS (
+      SELECT day, ts, run,
+             MAX(run) OVER (PARTITION BY day) AS daypeak
+      FROM run
+    ),
+    per_day AS (
+      SELECT day, CAST(MAX(run) AS BIGINT) AS peak_concurrency,
+             MIN(ts) AS peak_at
+      FROM peaks WHERE run = daypeak GROUP BY day
+    ),
+    counts AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_opened,
+             CAST(SUM(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_closed
+      FROM deltas GROUP BY day
+    )
+    SELECT day, peak_concurrency, peak_at, n_opened, n_closed
+    FROM per_day JOIN counts USING (day)
+    ORDER BY day
+    """,
+)
+def events_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line concurrency: peak number of simultaneously-open
+    30-min-gap sessions per day, with when the peak is first reached
+    and the day's open/close traffic. Sessions become ±1 boundary
+    deltas; concurrency is the running sum over the global
+    (ts, +1-before-−1, user, session) total order — boundary-inclusive
+    semantics, so back-to-back sessions at the same instant both count.
+
+    Scale: the GLOBAL running sum is computed as a DISTRIBUTED prefix
+    sum — within-day partials ride one day-partitioned window, and the
+    cross-day carry is a cumulative offset over the ≤|days| per-day
+    totals (a tiny frame whose unpartitioned window is free),
+    broadcast back. No single-partition pass ever touches row-grain
+    data; peak extraction and open/close counts reuse the same day
+    partitioning. The oracle runs the equivalent single window."""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    wlag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(wlag)
+    new_session = F.when(
+        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = (
+        ev.withColumn("new_session", new_session)
+        .withColumn(
+            "session_no", F.sum("new_session").over(wrun).cast("bigint")
+        )
+        .groupBy("user_id", "session_no")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    deltas = (
+        spans.select(
+            "user_id", "session_no", F.col("s").alias("ts"), F.lit(1).alias("delta")
+        )
+        .unionByName(
+            spans.select(
+                "user_id",
+                "session_no",
+                F.col("e").alias("ts"),
+                F.lit(-1).alias("delta"),
+            )
+        )
+        .withColumn("day", F.date_trunc("day", F.col("ts")))
+    )
+    # distributed prefix sum: within-day partial + cross-day carry
+    wday = (
+        Window.partitionBy("day")
+        .orderBy("ts", F.desc("delta"), "user_id", "session_no")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    partial = deltas.withColumn("run0", F.sum("delta").over(wday))
+    woff = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = (
+        deltas.groupBy("day")
+        .agg(F.sum("delta").alias("dsum"))
+        .withColumn(
+            "offset", F.coalesce(F.sum("dsum").over(woff), F.lit(0))
+        )
+        .select("day", "offset")
+    )
+    run = partial.join(F.broadcast(offs), "day").withColumn(
+        "run", (F.col("run0") + F.col("offset")).cast("bigint")
+    )
+    peaks = run.withColumn(
+        "daypeak", F.max("run").over(Window.partitionBy("day"))
+    )
+    per_day = (
+        peaks.filter(F.col("run") == F.col("daypeak"))
+        .groupBy("day")
+        .agg(
+            F.max("run").cast("bigint").alias("peak_concurrency"),
+            F.min("ts").alias("peak_at"),
+        )
+    )
+    counts = deltas.groupBy("day").agg(
+        F.sum((F.col("delta") == 1).cast("long"))
+        .cast("bigint")
+        .alias("n_opened"),
+        F.sum((F.col("delta") == -1).cast("long"))
+        .cast("bigint")
+        .alias("n_closed"),
+    )
+    return (
+        per_day.join(counts, "day")
+        .select("day", "peak_concurrency", "peak_at", "n_opened", "n_closed")
+        .orderBy("day")
+    )
