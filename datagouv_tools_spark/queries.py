@@ -6494,7 +6494,7 @@ def lineitem_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
       SELECT unnest({_SQL_TOKENS}) AS tok FROM documents
     ), cells AS (
-      SELECT i, ('0x' || substr(md5(tok || ':cms' || i::VARCHAR), 1, 15))::BIGINT
+      SELECT i, ('0x' || substr(md5(tok), 1 + i * 7, 7))::BIGINT
                % 1024 AS idx,
              COUNT(*) AS c
       FROM toks, (SELECT unnest([0, 1, 2, 3]) AS i)
@@ -6504,7 +6504,7 @@ def lineitem_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
       ORDER BY n_exact DESC, tok LIMIT 20
     ), probes AS (
       SELECT tok, n_exact, i,
-             ('0x' || substr(md5(tok || ':cms' || i::VARCHAR), 1, 15))::BIGINT
+             ('0x' || substr(md5(tok), 1 + i * 7, 7))::BIGINT
                % 1024 AS idx
       FROM exact, (SELECT unnest([0, 1, 2, 3]) AS i)
     )
@@ -6525,30 +6525,39 @@ def doc_token_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: exact vocabulary counts shuffle one row per distinct token —
     unbounded state on web-scale text. The CMS is 4×1024 bigints no
     matter the vocabulary, built by ONE map-side-combining aggregation
-    over the (token-occurrence × 4) stream, and sketches from corpus
-    shards merge by cell-wise addition. The estimate probe for the
-    reported tokens joins a 20×4-row table against the 4096-cell
+    over the (token-occurrence × 4) stream — hashing ONCE per
+    occurrence, the 4 row indexes sliced from one md5 digest
+    (sketches.cms_cells_single_digest; the 4-hash build was the
+    measured dominant cost of the md5 oracle mode) — and sketches from
+    corpus shards merge by cell-wise addition. The estimate probe for
+    the reported tokens joins a 20×4-row table against the 4096-cell
     sketch — driver-free, broadcast-sized."""
     from datagouv_tools_spark.functions.text import tokens as _toks
 
-    from datagouv_tools_spark.operators.sketches import cms_cells, cms_index
+    from datagouv_tools_spark.operators.sketches import (
+        cms_cells_single_digest,
+    )
 
     toks = (
         t(spark, sf_dir, "documents")
         .select(F.explode(_toks("text")).alias("tok"))
     )
-    rows = F.array(*[F.lit(i) for i in range(4)])
-    idx = cms_index
-    cells = cms_cells(toks)
+    cells = cms_cells_single_digest(toks)
     exact = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n_exact"))
         .orderBy(F.desc("n_exact"), "tok")
         .limit(20)
     )
-    probes = exact.select(
-        "tok", "n_exact", F.explode(rows).alias("i")
-    ).select("tok", "n_exact", "i", idx(F.col("tok"), F.col("i")).alias("idx"))
+    digest = F.md5(F.col("tok"))
+    idxs = F.array(
+        *[
+            F.conv(F.substring(digest, 1 + 7 * i, 7), 16, 10).cast("bigint")
+            % 1024
+            for i in range(4)
+        ]
+    )
+    probes = exact.select("tok", "n_exact", F.posexplode(idxs).alias("i", "idx"))
     return (
         probes.join(cells, ["i", "idx"])
         .groupBy("tok")
