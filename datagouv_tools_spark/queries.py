@@ -10671,3 +10671,85 @@ def events_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", "peak_concurrency", "peak_at", "n_opened", "n_closed")
         .orderBy("day")
     )
+
+
+_FD_CANDIDATES: tuple[tuple[str, tuple[str, ...], str], ...] = (
+    ("orders", ("o_orderkey",), "o_custkey"),
+    ("orders", ("o_custkey",), "o_orderpriority"),
+    ("lineitem", ("l_orderkey",), "l_returnflag"),
+    ("lineitem", ("l_partkey",), "l_suppkey"),
+    ("lineitem", ("l_orderkey", "l_linenumber"), "l_partkey"),
+)
+
+
+def _fd_oracle() -> str:
+    blocks = []
+    for table, lhs, rhs in _FD_CANDIDATES:
+        fd = f"{','.join(lhs)}->{rhs}"
+        lhs_sql = ", ".join(lhs)
+        blocks.append(
+            f"""
+      SELECT '{fd}' AS fd,
+             CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(SUM(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating_groups,
+             CAST(SUM(CASE WHEN ndv > 1 THEN nrows ELSE 0 END) AS BIGINT)
+               AS n_violating_rows,
+             CAST(CASE WHEN SUM(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) = 0
+                  THEN 1 ELSE 0 END AS BIGINT) AS holds
+      FROM (
+        SELECT {lhs_sql}, COUNT(DISTINCT {rhs}) AS ndv, COUNT(*) AS nrows
+        FROM {table} GROUP BY {lhs_sql}
+      )"""
+        )
+    union = "\n      UNION ALL".join(blocks)
+    return f"SELECT * FROM ({union}) ORDER BY fd"
+
+
+@query("orders_lineitem_fd_profile", _fd_oracle())
+def orders_lineitem_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery (the data-profiling /
+    schema-inference family, alongside orders_column_profile): for a
+    pinned candidate list A→B, report how many A-groups exist, how
+    many carry >1 distinct B (violations), the row mass inside
+    violating groups, and whether the FD holds exactly. The composite
+    candidate (l_orderkey,l_linenumber)→l_partkey is the interesting
+    one on this corpus — the synthetic lineitem carries duplicate
+    (orderkey, linenumber) pairs, so the "natural key" FD fails and
+    the profile quantifies by how much.
+
+    Scale: each candidate is ONE map-side-combined groupBy on its LHS
+    followed by a scalar rollup — no joins, no row movement beyond the
+    keyed aggregation; candidates are independent unions, so a real
+    profiler would batch dozens per table scan the same way."""
+    out = None
+    for table, lhs, rhs in _FD_CANDIDATES:
+        fd = f"{','.join(lhs)}->{rhs}"
+        per_group = (
+            t(spark, sf_dir, table)
+            .groupBy(*[F.col(c) for c in lhs])
+            .agg(
+                F.countDistinct(rhs).alias("ndv"),
+                F.count(F.lit(1)).alias("nrows"),
+            )
+        )
+        row = per_group.agg(
+            F.lit(fd).alias("fd"),
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum((F.col("ndv") > 1).cast("long"))
+            .cast("bigint")
+            .alias("n_violating_groups"),
+            F.sum(F.when(F.col("ndv") > 1, F.col("nrows")).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating_rows"),
+            F.when(
+                F.sum((F.col("ndv") > 1).cast("long")) == 0, F.lit(1)
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("holds"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "fd", "n_groups", "n_violating_groups", "n_violating_rows", "holds"
+    ).orderBy("fd")
