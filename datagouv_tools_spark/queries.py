@@ -10753,3 +10753,192 @@ def orders_lineitem_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "fd", "n_groups", "n_violating_groups", "n_violating_rows", "holds"
     ).orderBy("fd")
+
+
+@query(
+    "orders_merkle_antientropy",
+    """
+    WITH a AS (
+      SELECT o_orderkey AS k, o_orderpriority AS pri,
+             CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)) * 1000, 0)
+                  AS BIGINT) AS price_mille
+      FROM orders
+    ),
+    b AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey >= 2000 AND o_orderkey < 4000
+                  THEN '9-REWRITTEN' ELSE o_orderpriority END AS pri,
+             CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)) * 1000, 0)
+                  AS BIGINT) AS price_mille
+      FROM orders WHERE o_orderkey != 7777
+    ),
+    fa AS (
+      SELECT (k // 64) % 256 AS leaf, ((k // 64) % 256) // 16 AS branch,
+             ('0x' || substr(md5(k::VARCHAR || '|' || pri || '|'
+                                 || price_mille::VARCHAR), 1, 15))::BIGINT AS h
+      FROM a
+    ),
+    fb AS (
+      SELECT (k // 64) % 256 AS leaf, ((k // 64) % 256) // 16 AS branch,
+             ('0x' || substr(md5(k::VARCHAR || '|' || pri || '|'
+                                 || price_mille::VARCHAR), 1, 15))::BIGINT AS h
+      FROM b
+    ),
+    la AS (SELECT branch, leaf, BIT_XOR(h) AS x, COUNT(*) AS c
+           FROM fa GROUP BY branch, leaf),
+    lb AS (SELECT branch, leaf, BIT_XOR(h) AS x, COUNT(*) AS c
+           FROM fb GROUP BY branch, leaf),
+    leaves AS (
+      SELECT COALESCE(la.branch, lb.branch) AS branch,
+             COALESCE(la.leaf, lb.leaf) AS leaf,
+             COALESCE(la.x, 0) AS xa, COALESCE(lb.x, 0) AS xb,
+             COALESCE(la.c, 0) AS ca, COALESCE(lb.c, 0) AS cb
+      FROM la FULL OUTER JOIN lb ON la.branch = lb.branch AND la.leaf = lb.leaf
+    ),
+    branches AS (
+      SELECT branch, BIT_XOR(xa) AS bxa, BIT_XOR(xb) AS bxb,
+             SUM(ca) AS bca, SUM(cb) AS bcb
+      FROM leaves GROUP BY branch
+    ),
+    diffb AS (
+      SELECT branch FROM branches WHERE bxa != bxb OR bca != bcb
+    ),
+    probe AS (
+      SELECT l.* FROM leaves l JOIN diffb USING (branch)
+    )
+    SELECT CAST((SELECT COUNT(*) FROM branches) AS BIGINT) AS n_branches,
+           CAST((SELECT COUNT(*) FROM diffb) AS BIGINT)
+             AS n_branches_differing,
+           CAST(COUNT(*) AS BIGINT) AS n_leaves_probed,
+           CAST(SUM(CASE WHEN xa != xb OR ca != cb THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_leaves_differing,
+           CAST(SUM(CASE WHEN xa != xb OR ca != cb THEN ca ELSE 0 END)
+                AS BIGINT) AS rows_a_to_scan,
+           CAST(SUM(CASE WHEN xa != xb OR ca != cb THEN cb ELSE 0 END)
+                AS BIGINT) AS rows_b_to_scan,
+           BIT_XOR(CASE WHEN xa != xb OR ca != cb THEN leaf END)
+             AS diff_leaf_xor
+    FROM probe
+    """,
+)
+def orders_merkle_antientropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy sync PLANNING by hierarchical checksums (the
+    Merkle-tree reconciliation of Dynamo/Cassandra repair): snapshot b
+    drifts from a by a LOCALIZED defect — a rewritten key range
+    [2000, 4000) plus one lost row — and the compare walks 16 branch
+    checksums, recursing into only the differing branches' leaf
+    buckets, then reports the row mass a repair would actually scan.
+    Leaves cycle 64-key RUNS ((k div 64) % 256) so contiguous damage
+    stays in few subtrees — a modulo-sprayed leaf key would smear any
+    localized defect across every bucket and the tree would prune
+    nothing (measured: the %-spread variant probed all 256 leaves).
+    Checksums are bit_xor of per-row md5 fingerprints (ALGEBRAIC:
+    add/remove a row = one xor, so a store can maintain them
+    incrementally) over exact-decimal price milles — no float ever
+    enters a fingerprint. XOR-collision honesty: a branch whose
+    mutations cancel in xor AND preserve counts would be skipped —
+    the standard trade of checksum anti-entropy.
+
+    Scale: THE POINT is that a 100-TB reconciliation reads 16 + 16·d
+    checksums (d = differing branches) instead of every row — the
+    row-level diff runs only inside differing leaves (rows_*_to_scan
+    quantifies exactly how much). Checksum builds are one map-side-
+    combined aggregation per side keyed by (branch, leaf); the compare
+    joins ≤256-row frames."""
+    from datagouv_tools_spark.functions.xhash import md5_hash60
+
+    orders = t(spark, sf_dir, "orders")
+    price_mille = F.round(dec("o_totalprice") * 1000, 0).cast("bigint")
+    a = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        price_mille.alias("price_mille"),
+    )
+    b = orders.filter(F.col("o_orderkey") != 7777).select(
+        F.col("o_orderkey").alias("k"),
+        F.when(
+            (F.col("o_orderkey") >= 2000) & (F.col("o_orderkey") < 4000),
+            F.lit("9-REWRITTEN"),
+        )
+        .otherwise(F.col("o_orderpriority"))
+        .alias("pri"),
+        price_mille.alias("price_mille"),
+    )
+
+    def fp(side: DataFrame) -> DataFrame:
+        h = md5_hash60(
+            F.concat_ws(
+                "|",
+                F.col("k").cast("string"),
+                F.col("pri"),
+                F.col("price_mille").cast("string"),
+            )
+        )
+        return side.select(
+            F.expr("(k div 64) % 256").alias("leaf"),
+            F.expr("((k div 64) % 256) div 16").alias("branch"),
+            h.alias("h"),
+        )
+
+    la = (
+        fp(a)
+        .groupBy("branch", "leaf")
+        .agg(F.expr("bit_xor(h)").alias("x"), F.count(F.lit(1)).alias("c"))
+    )
+    lb = (
+        fp(b)
+        .groupBy("branch", "leaf")
+        .agg(F.expr("bit_xor(h)").alias("x2"), F.count(F.lit(1)).alias("c2"))
+    )
+    leaves = (
+        la.join(lb, ["branch", "leaf"], "full_outer")
+        .select(
+            "branch",
+            "leaf",
+            F.coalesce("x", F.lit(0)).alias("xa"),
+            F.coalesce("x2", F.lit(0)).alias("xb"),
+            F.coalesce("c", F.lit(0)).alias("ca"),
+            F.coalesce("c2", F.lit(0)).alias("cb"),
+        )
+    )
+    branches = leaves.groupBy("branch").agg(
+        F.expr("bit_xor(xa)").alias("bxa"),
+        F.expr("bit_xor(xb)").alias("bxb"),
+        F.sum("ca").alias("bca"),
+        F.sum("cb").alias("bcb"),
+    )
+    nb = branches.agg(F.count(F.lit(1)).cast("bigint").alias("n_branches"))
+    diffb = branches.filter(
+        (F.col("bxa") != F.col("bxb")) | (F.col("bca") != F.col("bcb"))
+    ).select("branch")
+    ndb = diffb.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_branches_differing")
+    )
+    probe = leaves.join(F.broadcast(diffb), "branch")
+    ldiff = (F.col("xa") != F.col("xb")) | (F.col("ca") != F.col("cb"))
+    summary = probe.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_leaves_probed"),
+        F.sum(ldiff.cast("long")).cast("bigint").alias("n_leaves_differing"),
+        F.sum(F.when(ldiff, F.col("ca")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_a_to_scan"),
+        F.sum(F.when(ldiff, F.col("cb")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_b_to_scan"),
+        F.expr(
+            "bit_xor(case when xa != xb or ca != cb then leaf end)"
+        ).alias("diff_leaf_xor"),
+    )
+    return (
+        summary.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(ndb))
+        .select(
+            "n_branches",
+            "n_branches_differing",
+            "n_leaves_probed",
+            "n_leaves_differing",
+            "rows_a_to_scan",
+            "rows_b_to_scan",
+            "diff_leaf_xor",
+        )
+    )
