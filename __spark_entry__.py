@@ -22,12 +22,14 @@ def entry(spark: SparkSession) -> DataFrame:
     return q.q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-def _snapshot_counts() -> dict[str, int]:
-    """How many past driver snapshots (CORRECTNESS_r*.json) checked each query.
+def _snapshot_counts() -> tuple[dict[str, int], dict[str, int]]:
+    """(checked, green) counts per query across past driver snapshots
+    (CORRECTNESS_r*.json).
 
     The driver's correctness gate samples a bounded prefix of ``queries()``.
-    Ordering the dict by ascending coverage count rotates never-yet-checked
-    queries to the front, so every query lands in some round's hard signal.
+    Ordering by the green counts rotates never-yet-green queries to the
+    front, so every query lands in some round's hard signal and a red
+    verdict is retried before any merely-unsampled query.
     """
     counts: dict[str, int] = {name: 0 for name in q.QUERIES}
     greens: dict[str, int] = {name: 0 for name in q.QUERIES}
