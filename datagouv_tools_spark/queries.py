@@ -8174,15 +8174,14 @@ def doc_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration shuffles |E| once (edges ⋈ ranks on src, then
     groupBy(dst)) — the canonical distributed PageRank round. The
     1-row node count is broadcast; top-20 is TakeOrdered."""
-    from datagouv_tools_spark.functions.text import tokens, word_bigrams
+    from datagouv_tools_spark.functions.text import tokens, word_pair_structs
     from datagouv_tools_spark.operators.pagerank import pagerank_fixed_point
 
     docs = t(spark, sf_dir, "documents")
     toks = docs.select(tokens("text").alias("ts"))
-    bg = toks.select(F.explode(word_bigrams(F.col("ts"))).alias("p")).select(
-        F.split_part(F.col("p"), F.lit(" "), F.lit(1)).alias("src"),
-        F.split_part(F.col("p"), F.lit(" "), F.lit(2)).alias("dst"),
-    )
+    bg = toks.select(
+        F.explode(word_pair_structs(F.col("ts"))).alias("p")
+    ).select(F.col("p.x").alias("src"), F.col("p.y").alias("dst"))
     e1 = (
         bg.filter(F.col("src") != F.col("dst"))
         .groupBy("src", "dst")
@@ -8493,16 +8492,15 @@ def doc_token_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: identical round shape to the PageRank query — |E| shuffle +
     (dst,label) combine + per-node argmax window per round, persisted
     loop invariants; top-20 communities by size is TakeOrdered."""
-    from datagouv_tools_spark.functions.text import tokens, word_bigrams
+    from datagouv_tools_spark.functions.text import tokens, word_pair_structs
     from datagouv_tools_spark.functions.xhash import md5_hash60
     from datagouv_tools_spark.operators.pagerank import label_propagation
 
     docs = t(spark, sf_dir, "documents")
     toks = docs.select(tokens("text").alias("ts"))
-    bg = toks.select(F.explode(word_bigrams(F.col("ts"))).alias("p")).select(
-        F.split_part(F.col("p"), F.lit(" "), F.lit(1)).alias("src"),
-        F.split_part(F.col("p"), F.lit(" "), F.lit(2)).alias("dst"),
-    )
+    bg = toks.select(
+        F.explode(word_pair_structs(F.col("ts"))).alias("p")
+    ).select(F.col("p.x").alias("src"), F.col("p.y").alias("dst"))
     e1 = (
         bg.filter(F.col("src") != F.col("dst"))
         .groupBy("src", "dst")
@@ -8654,15 +8652,14 @@ def token_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     to half the vocabulary contributes wedges only toward its few
     higher-ordered neighbors, never deg² pairs. Top-20 is
     TakeOrdered."""
-    from datagouv_tools_spark.functions.text import tokens, word_bigrams
+    from datagouv_tools_spark.functions.text import tokens, word_pair_structs
     from datagouv_tools_spark.operators.pagerank import triangle_counts
 
     docs = t(spark, sf_dir, "documents")
     toks = docs.select(tokens("text").alias("ts"))
-    bg = toks.select(F.explode(word_bigrams(F.col("ts"))).alias("p")).select(
-        F.split_part(F.col("p"), F.lit(" "), F.lit(1)).alias("x"),
-        F.split_part(F.col("p"), F.lit(" "), F.lit(2)).alias("y"),
-    )
+    bg = toks.select(
+        F.explode(word_pair_structs(F.col("ts"))).alias("p")
+    ).select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
     und = (
         bg.filter(F.col("x") != F.col("y"))
         .select(
@@ -9313,15 +9310,14 @@ def token_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     two semi-joins of the edge list against the surviving-node set;
     round edges are localCheckpoint-materialized so R rounds cost R
     passes, not a lineage blow-up."""
-    from datagouv_tools_spark.functions.text import tokens, word_bigrams
+    from datagouv_tools_spark.functions.text import tokens, word_pair_structs
     from datagouv_tools_spark.operators.pagerank import kcore_peel
 
     docs = t(spark, sf_dir, "documents")
     toks = docs.select(tokens("text").alias("ts"))
-    bg = toks.select(F.explode(word_bigrams(F.col("ts"))).alias("p")).select(
-        F.split_part(F.col("p"), F.lit(" "), F.lit(1)).alias("x"),
-        F.split_part(F.col("p"), F.lit(" "), F.lit(2)).alias("y"),
-    )
+    bg = toks.select(
+        F.explode(word_pair_structs(F.col("ts"))).alias("p")
+    ).select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
     und = (
         bg.filter(F.col("x") != F.col("y"))
         .select(F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v"))
@@ -9837,15 +9833,14 @@ def token_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: a round is one |E| equi-join against the distance vector +
     a min combine — same shape and persisted-invariant discipline as
     the PageRank loop."""
-    from datagouv_tools_spark.functions.text import tokens, word_bigrams
+    from datagouv_tools_spark.functions.text import tokens, word_pair_structs
     from datagouv_tools_spark.operators.pagerank import bfs_hops
 
     docs = t(spark, sf_dir, "documents")
     toks = docs.select(tokens("text").alias("ts"))
-    bg = toks.select(F.explode(word_bigrams(F.col("ts"))).alias("p")).select(
-        F.split_part(F.col("p"), F.lit(" "), F.lit(1)).alias("src"),
-        F.split_part(F.col("p"), F.lit(" "), F.lit(2)).alias("dst"),
-    )
+    bg = toks.select(
+        F.explode(word_pair_structs(F.col("ts"))).alias("p")
+    ).select(F.col("p.x").alias("src"), F.col("p.y").alias("dst"))
     e1 = bg.filter(F.col("src") != F.col("dst"))
     edges = e1.unionByName(
         e1.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
