@@ -10937,3 +10937,129 @@ def orders_merkle_antientropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "diff_leaf_xor",
         )
     )
+
+
+@query(
+    "doc_token_ids_pack",
+    f"""
+    WITH w AS (
+      SELECT doc_id, source, {_SQL_TOKENS} AS ws FROM documents
+    ),
+    nonempty AS (SELECT * FROM w WHERE len(ws) >= 1),
+    tk AS (SELECT unnest(ws) AS tok FROM nonempty),
+    vc AS (
+      SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok
+      ORDER BY c DESC, tok LIMIT 4095
+    ),
+    vocab AS (
+      SELECT tok, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS id FROM vc
+    ),
+    long AS (
+      SELECT doc_id, source, g.i AS pos, ws[g.i] AS tok
+      FROM nonempty, LATERAL UNNEST(generate_series(1, len(ws))) AS g(i)
+    ),
+    ids AS (
+      SELECT l.doc_id, l.source, l.pos, COALESCE(v.id, 0) AS id
+      FROM long l LEFT JOIN vocab v USING (tok)
+    ),
+    perdoc AS (
+      SELECT doc_id, source,
+             CAST(COUNT(*) AS BIGINT) AS n_tok,
+             CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+             ('0x' || substr(md5(doc_id::VARCHAR || ':'
+                || string_agg(id::VARCHAR, ',' ORDER BY pos)), 1, 15))::BIGINT
+               AS doc_hash
+      FROM ids GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(CEIL(SUM(n_tok) / 2048.0) AS BIGINT) AS n_samples,
+           CAST(SUM(n_oov) AS BIGINT) AS oov_tokens,
+           CAST(SUM(n_oov) * 1000000 // SUM(n_tok) AS BIGINT) AS oov_ppm,
+           BIT_XOR(doc_hash) AS ids_xor
+    FROM perdoc
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def doc_token_ids_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dictionary-encode → pack bridge that turns a curated corpus
+    into the actual pretraining artifact: a top-4095 frequency vocab
+    (id = rank, OOV → 0) maps every document to its token-ID sequence,
+    and per source the report carries total ids, 2048-token sample
+    count, OOV rate, and a bit_xor over per-document
+    md5(doc_id : id-CSV) hashes — the ENTIRE encoded stream (values
+    AND intra-doc order) is value-hash-pinned, not just counts.
+    Empty-token documents are excluded on both sides by contract.
+    Complements doc_bpe_* (subword vocab training) and doc_pack_bins
+    (bin accounting) with the id-level content artifact.
+
+    Scale: the vocabulary rides to every row as a one-row broadcast
+    MAP singleton (map_from_entries over the 4095-row vocab — the
+    values-as-data pattern from k-means), so encoding is a map-local
+    array transform with an O(1) JVM map probe per token: no explode,
+    no per-token shuffle, no join of the corpus against the vocab. The
+    per-doc hash folds the id array map-side; only (source, doc
+    aggregates) shuffle."""
+    from pyspark.sql.window import Window
+
+    from datagouv_tools_spark.functions.text import tokens as _toks
+    from datagouv_tools_spark.functions.xhash import md5_hash60
+
+    w = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "source", _toks("text").alias("ws"))
+        .filter(F.size("ws") >= 1)
+    )
+    vc = (
+        w.select(F.explode("ws").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "tok")
+        .limit(4095)
+    )
+    vocab = vc.withColumn(
+        "id",
+        F.row_number().over(Window.orderBy(F.desc("c"), F.asc("tok"))),
+    )
+    vmap = vocab.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("tok", "id"))
+        ).alias("m")
+    )
+    ids = F.transform(
+        F.col("ws"),
+        lambda tok: F.coalesce(F.element_at(F.col("m"), tok), F.lit(0)),
+    )
+    enc = w.crossJoin(F.broadcast(vmap)).select(
+        "doc_id",
+        "source",
+        F.size("ws").cast("bigint").alias("n_tok"),
+        F.size(F.filter(ids, lambda x: x == F.lit(0)))
+        .cast("bigint")
+        .alias("n_oov"),
+        md5_hash60(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.concat_ws(
+                    ",", F.transform(ids, lambda x: x.cast("string"))
+                ),
+            )
+        ).alias("doc_hash"),
+    )
+    return (
+        enc.groupBy("source")
+        .agg(
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.ceil(F.sum("n_tok") / F.lit(2048.0))
+            .cast("bigint")
+            .alias("n_samples"),
+            F.sum("n_oov").cast("bigint").alias("oov_tokens"),
+            F.expr("cast(sum(n_oov) * 1000000 div sum(n_tok) as bigint)")
+                .alias("oov_ppm"),
+            F.expr("bit_xor(doc_hash)").alias("ids_xor"),
+        )
+        .orderBy("source")
+    )
