@@ -11063,3 +11063,179 @@ def doc_token_ids_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: DuckDB twin of doc_dup_span_coverage: the same word-6-gram hashes
+#: (cross-engine md5-60bit), duplicate grams by corpus-wide occurrence
+#: count >= 2, and the interval union computed by the identical closed
+#: form — equal-length intervals sorted by start union to
+#: SUM(LEAST(k, pos - prev)) with the first start contributing k.
+_SQL_DUP_SPAN_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, source, {_SQL_TOKENS} AS ts FROM documents
+    ),
+    base AS (SELECT doc_id, source, len(ts) AS n_toks, ts FROM d),
+    occ0 AS (
+      SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 5)) AS pos
+      FROM base WHERE len(ts) >= 6
+    ),
+    occ AS (
+      SELECT doc_id, pos,
+             ('0x' || substr(md5(ts[pos] || ' ' || ts[pos+1] || ' ' ||
+                                 ts[pos+2] || ' ' || ts[pos+3] || ' ' ||
+                                 ts[pos+4] || ' ' || ts[pos+5]), 1, 15))::BIGINT AS gh
+      FROM occ0
+    ),
+    dupg AS (SELECT gh FROM occ GROUP BY gh HAVING COUNT(*) >= 2),
+    hits AS (SELECT occ.doc_id, occ.pos FROM occ JOIN dupg USING (gh)),
+    lagged AS (
+      SELECT doc_id, pos,
+             LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM hits
+    ),
+    cov AS (
+      SELECT doc_id,
+             CAST(SUM(LEAST(6, pos - COALESCE(prev, pos - 6))) AS BIGINT) AS covered
+      FROM lagged GROUP BY doc_id
+    ),
+    perdoc AS (
+      SELECT b.doc_id, b.source, b.n_toks, COALESCE(c.covered, 0) AS covered
+      FROM base b LEFT JOIN cov c USING (doc_id)
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN covered > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_hit,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           CAST(SUM(covered) AS BIGINT) AS dup_tokens,
+           CASE WHEN SUM(n_toks) > 0
+                THEN CAST(ROUND(SUM(covered)::DOUBLE / SUM(n_toks)::DOUBLE, 6) AS DOUBLE)
+                ELSE 0.0 END AS dup_ratio,
+           BIT_XOR(('0x' || substr(md5(doc_id::VARCHAR || '@' || covered::VARCHAR), 1, 15))::BIGINT) AS cover_xor
+    FROM perdoc
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+@query("doc_dup_span_coverage", _SQL_DUP_SPAN_ORACLE)
+def doc_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-SPAN detection (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"
+    substring-dedup tier, on word 6-grams): a token position is
+    duplicate-covered when it lies inside any 6-gram whose exact text
+    occurs >= 2 times anywhere in the corpus (cross-document OR
+    repeated within one document). This is finer than segment dedup
+    (doc_segment_dedup: whole paragraphs) and catches partially-copied
+    sentences that paragraph hashing misses. Per source: docs touched,
+    duplicate-covered token mass, coverage ratio, and a bit_xor
+    value-hash over every per-doc covered count — the full per-document
+    span decision is pinned, not just corpus totals.
+
+    Scale: gram construction is a map-local array transform; only
+    (8-byte gram hash, int position) pairs ever shuffle — never text.
+    Duplicate-gram selection is an algebraic count (map-side partial
+    agg collapses a 10^8-times-repeated gram per task) and the join
+    back is a shuffle equi-join on the hash. The interval union needs
+    NO second explode: equal-length intervals union in closed form
+    sum(min(k, gap)) over sorted starts, computed as a per-doc array
+    fold (collect_set is bounded by a document's own gram count). One
+    corpus shuffle on gh, one bounded per-doc shuffle on doc_id."""
+    from datagouv_tools_spark.functions.text import tokens as _toks
+    from datagouv_tools_spark.functions.xhash import md5_hash60
+
+    docs = t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source", _toks("text").alias("ts")
+    ).withColumn("n", F.size("ts"))
+
+    ts = F.col("ts")
+
+    def gram_hash(i: Column) -> Column:
+        return md5_hash60(
+            F.concat_ws(
+                " ", *[F.element_at(ts, i + F.lit(o)) for o in range(6)]
+            )
+        )
+
+    occ = (
+        base.filter(F.col("n") >= 6)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n") - F.lit(5)),
+                    lambda i: F.struct(
+                        i.alias("pos"), gram_hash(i).alias("gh")
+                    ),
+                )
+            ).alias("o"),
+        )
+        .select("doc_id", F.col("o.pos").alias("pos"), F.col("o.gh").alias("gh"))
+    )
+
+    dupg = (
+        occ.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("gh")
+    )
+    hits = occ.join(dupg, "gh").select("doc_id", "pos")
+
+    k = F.lit(6).cast("long")
+    covered = (
+        hits.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("pos")).alias("ps"))
+        .select(
+            "doc_id",
+            F.aggregate(
+                "ps",
+                F.struct(
+                    F.lit(0).cast("long").alias("c"),
+                    F.lit(-1000000).cast("long").alias("prev"),
+                ),
+                lambda acc, p: F.struct(
+                    (
+                        acc["c"]
+                        + F.least(k, p.cast("long") - acc["prev"])
+                    ).alias("c"),
+                    p.cast("long").alias("prev"),
+                ),
+                lambda acc: acc["c"],
+            ).alias("covered"),
+        )
+    )
+
+    perdoc = (
+        base.select("doc_id", "source", F.col("n").cast("long").alias("n_toks"))
+        .join(covered, "doc_id", "left")
+        .withColumn("covered", F.coalesce(F.col("covered"), F.lit(0).cast("long")))
+    )
+    xk = md5_hash60(
+        F.concat_ws(
+            "@", F.col("doc_id").cast("string"), F.col("covered").cast("string")
+        )
+    )
+    return (
+        perdoc.withColumn("__xk", xk)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("covered") > 0).cast("int"))
+            .cast("bigint")
+            .alias("n_docs_hit"),
+            F.sum("n_toks").cast("bigint").alias("total_tokens"),
+            F.sum("covered").cast("bigint").alias("dup_tokens"),
+            F.when(
+                F.sum("n_toks") > 0,
+                F.round(
+                    F.sum("covered").cast("double")
+                    / F.sum("n_toks").cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_ratio"),
+            F.expr("bit_xor(__xk)").alias("cover_xor"),
+        )
+        .orderBy("source")
+    )
