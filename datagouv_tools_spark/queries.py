@@ -11239,3 +11239,71 @@ def doc_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "orders_bucketed_colocated_join",
+    """
+    SELECT o.o_orderpriority,
+           COUNT(DISTINCT o.o_orderkey) AS n_orders,
+           COUNT(*) AS n_lines,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) *
+                          (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))), 2)
+                AS DOUBLE) AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def orders_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shuffle-free repeated join (operators/bucketing): orders and
+    lineitem are laid out as same-bucketed catalog tables on orderkey,
+    and the join plans as a SortMergeJoin with ZERO Exchange operators
+    — the shuffle was paid once at write time and is amortized over
+    every subsequent join on the key. The aggregate result is
+    hash-checked against the plain-join oracle (the bucketed copies
+    hold the same rows, so the answer is layout-invariant by
+    construction).
+
+    Scale: THE pattern for nightly fact-fact joins at 100 TB — without
+    bucketing every run re-shuffles both sides on orderkey; with it,
+    scan→SMJ co-located by the on-disk bucket scheme (plan-guarded in
+    tests/test_plans.py with broadcast disabled). The final groupBy is
+    the only exchange, over 5 priority rows of partial aggregates."""
+    import os
+    import tempfile
+
+    from datagouv_tools_spark.operators.bucketing import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_bucketed_b8_v1",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    l = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_extendedprice", "l_discount"
+    )
+    write_bucketed(o, "bkt_orders", f"{base}/orders", "okey", n_buckets=8)
+    write_bucketed(l, "bkt_lineitem", f"{base}/lineitem", "okey", n_buckets=8)
+    j = bucketed_join(spark, "bkt_orders", "bkt_lineitem", "okey")
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("okey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_lines"),
+            dround(
+                F.sum(
+                    dec("l_extendedprice")
+                    * (F.lit(1).cast(DEC) - dec("l_discount"))
+                ),
+                2,
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

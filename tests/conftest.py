@@ -82,8 +82,20 @@ def pg_dsn():
     res = sh(f"{initdb} -D {d}/data -E UTF8 --auth=trust")
     if res.returncode:
         pytest.skip(f"initdb failed: {res.stderr.strip()[:200]}")
+    # Pinned candidates first, then OS-assigned free ports: a crashed
+    # run leaks its server (teardown never ran), and three leaked
+    # servers used to exhaust the fixed list — silently skipping every
+    # PG test until someone cleaned /tmp by hand.
+    import socket
+
+    def free_port() -> int:
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            return s.getsockname()[1]
+
     port = None
-    for cand in (54799, 54807, 54811):
+    cands = [54799, 54807, 54811] + [free_port() for _ in range(3)]
+    for cand in cands:
         res = sh(
             f"{pg_ctl} -D {d}/data -l {d}/log "
             f"-o '-p {cand} -k {d} -c listen_addresses=localhost' start"

@@ -554,3 +554,39 @@ def test_bpe_pair_counts_aggregate_map_side(spark, sf_dir):
     out = bpe_train(words, rounds=1)
     plan = physical_plan(out, mode="simple")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """operators/bucketing: same-bucketed tables join with ZERO
+    Exchange — the write-once shuffle amortizes over every later join."""
+    from pyspark.sql import functions as F
+
+    from datagouv_tools_spark.operators.bucketing import (
+        assert_colocated_join,
+        bucketed_join,
+        write_bucketed,
+    )
+    from datagouv_tools_spark.sources.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_extendedprice"
+    )
+    write_bucketed(o, "t_bkt_o", str(tmp_path / "o"), "okey", n_buckets=4)
+    write_bucketed(li, "t_bkt_l", str(tmp_path / "l"), "okey", n_buckets=4)
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        j = bucketed_join(spark, "t_bkt_o", "t_bkt_l", "okey")
+        assert_colocated_join(j)  # SortMergeJoin, zero Exchange
+        # layout-invariant: the bucketed copies hold exactly the rows
+        assert j.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.sql("DROP TABLE IF EXISTS t_bkt_o")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_l")
