@@ -11307,3 +11307,118 @@ def orders_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("o_orderpriority")
     )
+
+
+#: DuckDB twin of source_gram_containment: distinct (source, 6-gram
+#: hash) pairs, pairwise intersection by self-join on the hash, per-
+#: source totals — identical md5-60bit gram hashes as the Spark side.
+_SQL_SRC_CONTAIN_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, source, {_SQL_TOKENS} AS ts FROM documents
+    ),
+    occ0 AS (
+      SELECT source, ts, unnest(generate_series(1, len(ts) - 5)) AS pos
+      FROM d WHERE len(ts) >= 6
+    ),
+    gs AS (
+      SELECT DISTINCT source,
+             ('0x' || substr(md5(ts[pos] || ' ' || ts[pos+1] || ' ' ||
+                                 ts[pos+2] || ' ' || ts[pos+3] || ' ' ||
+                                 ts[pos+4] || ' ' || ts[pos+5]), 1, 15))::BIGINT AS gh
+      FROM occ0
+    ),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+      FROM gs a JOIN gs b ON a.gh = b.gh AND a.source <> b.source
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT source, COUNT(*) AS n_grams FROM gs GROUP BY source)
+    SELECT i.src_a, i.src_b,
+           CAST(i.n_shared AS BIGINT) AS n_shared,
+           CAST(t.n_grams AS BIGINT) AS n_grams_a,
+           CAST(ROUND(i.n_shared::DOUBLE / t.n_grams::DOUBLE, 6) AS DOUBLE)
+             AS containment
+    FROM inter i JOIN tot t ON t.source = i.src_a
+    ORDER BY src_a, src_b
+    """
+
+
+@query("source_gram_containment", _SQL_SRC_CONTAIN_ORACLE)
+def source_gram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-containment matrix: for every ordered source
+    pair (a, b), the fraction of a's distinct word-6-grams that also
+    appear in b — the cross-source duplication signal behind domain
+    MIXING decisions (doc_source_mixing): a source largely contained
+    in another contributes little marginal data and double-counts its
+    distribution mass.
+
+    Scale: the corpus never self-joins — distinct (source, gram-hash)
+    pairs reduce to ONE row per gram carrying a bounded set of sources
+    (collect_set ≤ n_sources), and ordered pairs explode from that set
+    map-side: a gram shared by every source emits n·(n-1) pair rows
+    ONCE, not |occurrences|² join rows. Per-source totals are an
+    algebraic count; the oracle's self-join twin is the semantics
+    statement, not the plan."""
+    from datagouv_tools_spark.functions.text import tokens as _toks
+    from datagouv_tools_spark.functions.xhash import md5_hash60
+
+    docs = t(spark, sf_dir, "documents")
+    base = docs.select("source", _toks("text").alias("ts")).withColumn(
+        "n", F.size("ts")
+    )
+    ts = F.col("ts")
+
+    def gram_hash(i: Column) -> Column:
+        return md5_hash60(
+            F.concat_ws(
+                " ", *[F.element_at(ts, i + F.lit(o)) for o in range(6)]
+            )
+        )
+
+    gs = (
+        base.filter(F.col("n") >= 6)
+        .select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n") - F.lit(5)), gram_hash
+                )
+            ).alias("gh"),
+        )
+        .distinct()
+    )
+    sets = gs.groupBy("gh").agg(F.collect_set("source").alias("ss"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ss"),
+            lambda a: F.transform(
+                F.filter(F.col("ss"), lambda b: b != a),
+                lambda b: F.struct(a.alias("src_a"), b.alias("src_b")),
+            ),
+        )
+    )
+    inter = (
+        sets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    tot = gs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams_a")
+    )
+    return (
+        inter.join(
+            F.broadcast(tot), inter["src_a"] == tot["source"]
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            "n_grams_a",
+            F.round(
+                F.col("n_shared").cast("double")
+                / F.col("n_grams_a").cast("double"),
+                6,
+            ).alias("containment"),
+        )
+        .orderBy("src_a", "src_b")
+    )
