@@ -11422,3 +11422,179 @@ def source_gram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+#: DuckDB twin of doc_dup_span_scrub. Canonical occurrence of a
+#: duplicated gram = min (doc_id, pos); every OTHER occurrence's 6
+#: token positions are removed; cleaned text = surviving tokens in
+#: order. Remove-wins on overlap with a canonical span (the scrub is
+#: aggressive by contract).
+_SQL_DUP_SPAN_SCRUB_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, source, {_SQL_TOKENS} AS ts FROM documents
+    ),
+    base AS (SELECT doc_id, source, len(ts) AS n_toks, ts FROM d),
+    occ0 AS (
+      SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 5)) AS pos
+      FROM base WHERE len(ts) >= 6
+    ),
+    occ AS (
+      SELECT doc_id, pos,
+             ('0x' || substr(md5(ts[pos] || ' ' || ts[pos+1] || ' ' ||
+                                 ts[pos+2] || ' ' || ts[pos+3] || ' ' ||
+                                 ts[pos+4] || ' ' || ts[pos+5]), 1, 15))::BIGINT AS gh
+      FROM occ0
+    ),
+    dup AS (
+      SELECT gh, doc_id, pos,
+             ROW_NUMBER() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn,
+             COUNT(*) OVER (PARTITION BY gh) AS cnt
+      FROM occ
+    ),
+    noncanon AS (SELECT doc_id, pos FROM dup WHERE cnt >= 2 AND rn > 1),
+    removed AS (
+      SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + 5)) AS p
+      FROM noncanon
+    ),
+    tok AS (
+      SELECT doc_id, source, n_toks,
+             unnest(ts) AS tk,
+             unnest(generate_series(1, len(ts))) AS p
+      FROM base
+    ),
+    kept AS (
+      SELECT t2.doc_id, t2.source, t2.n_toks, t2.tk, t2.p
+      FROM tok t2 LEFT JOIN removed r ON r.doc_id = t2.doc_id AND r.p = t2.p
+      WHERE r.p IS NULL
+    ),
+    perdoc AS (
+      SELECT b.doc_id, b.source, b.n_toks,
+             COALESCE(k.n_kept, 0) AS n_kept,
+             COALESCE(k.cleaned, '') AS cleaned
+      FROM base b LEFT JOIN (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(tk, ' ' ORDER BY p) AS cleaned
+        FROM kept GROUP BY doc_id
+      ) k USING (doc_id)
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n_kept < n_toks THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_changed,
+           CAST(SUM(n_toks - n_kept) AS BIGINT) AS tokens_removed,
+           BIT_XOR(('0x' || substr(md5(doc_id::VARCHAR || '#' || cleaned), 1, 15))::BIGINT)
+             AS cleaned_xor
+    FROM perdoc
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+@query("doc_dup_span_scrub", _SQL_DUP_SPAN_SCRUB_ORACLE)
+def doc_dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span REMOVAL (the transform, where
+    doc_dup_span_coverage is the audit — the same pairing as
+    doc_segment_dedup / doc_boilerplate_scrub): every occurrence of a
+    duplicated word-6-gram EXCEPT the corpus-wide canonical first
+    (min (doc_id, pos) per gram) has its 6 token positions cut, and
+    each document is reassembled from the surviving tokens — the Lee
+    et al. 2022 "train on each substring once" transform. Remove wins
+    over overlap with a canonical span by contract. Per source: docs
+    changed, token mass removed, and a bit_xor value-hash of every
+    cleaned (doc_id, text) pair — the output corpus is pinned, not
+    just counts.
+
+    Scale: same hash-only shuffle discipline as the audit (grams
+    shuffle as 8-byte hashes + int positions; canonical selection is
+    an algebraic min-struct per gram, skew-collapsed map-side); the
+    removed-position set folds to a bounded per-doc array (a doc's own
+    positions), and reassembly is one equi-join of that array back to
+    the base scan + a map-local array filter — text never shuffles
+    except the final per-doc cleaned string into the source rollup."""
+    from datagouv_tools_spark.functions.text import tokens as _toks
+    from datagouv_tools_spark.functions.xhash import md5_hash60
+
+    docs = t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source", _toks("text").alias("ts")
+    ).withColumn("n", F.size("ts"))
+    ts = F.col("ts")
+
+    def gram_hash(i: Column) -> Column:
+        return md5_hash60(
+            F.concat_ws(
+                " ", *[F.element_at(ts, i + F.lit(o)) for o in range(6)]
+            )
+        )
+
+    occ = (
+        base.filter(F.col("n") >= 6)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n") - F.lit(5)),
+                    lambda i: F.struct(
+                        i.alias("pos"), gram_hash(i).alias("gh")
+                    ),
+                )
+            ).alias("o"),
+        )
+        .select("doc_id", F.col("o.pos").alias("pos"), F.col("o.gh").alias("gh"))
+    )
+    per_gram = occ.groupBy("gh").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.struct("doc_id", "pos")).alias("first"),
+    )
+    noncanon = (
+        occ.join(per_gram.filter(F.col("cnt") >= 2), "gh")
+        .filter(
+            (F.col("doc_id") != F.col("first.doc_id"))
+            | (F.col("pos") != F.col("first.pos"))
+        )
+        .select("doc_id", "pos")
+    )
+    removed = (
+        noncanon.select(
+            "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(5))).alias("p")
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("p").alias("rm"))
+    )
+    joined = base.join(removed, "doc_id", "left").withColumn(
+        "rm", F.coalesce(F.col("rm"), F.array().cast("array<int>"))
+    )
+    kept_pos = F.filter(
+        F.sequence(F.lit(1), F.col("n")),
+        lambda p: ~F.array_contains(F.col("rm"), p),
+    )
+    cleaned = F.concat_ws(
+        " ", F.transform(kept_pos, lambda p: F.element_at(ts, p))
+    )
+    perdoc = joined.select(
+        "doc_id",
+        "source",
+        F.col("n").cast("long").alias("n_toks"),
+        F.when(F.col("n") > 0, F.size(kept_pos).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("n_kept"),
+        F.when(F.col("n") > 0, cleaned).otherwise(F.lit("")).alias("cleaned"),
+    )
+    xk = md5_hash60(
+        F.concat_ws("#", F.col("doc_id").cast("string"), F.col("cleaned"))
+    )
+    return (
+        perdoc.withColumn("__xk", xk)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_kept") < F.col("n_toks")).cast("int"))
+            .cast("bigint")
+            .alias("n_docs_changed"),
+            F.sum(F.col("n_toks") - F.col("n_kept"))
+            .cast("bigint")
+            .alias("tokens_removed"),
+            F.expr("bit_xor(__xk)").alias("cleaned_xor"),
+        )
+        .orderBy("source")
+    )
