@@ -11598,3 +11598,87 @@ def doc_dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "events_time_weighted_value",
+    """
+    WITH nxt AS (
+      SELECT event_type, value, epoch_us(ts) AS us,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nus
+      FROM events
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(value AS DECIMAL(18,4)) AS v,
+             CAST((nus - us) // 1000000 AS DECIMAL(18,4)) AS gap_s
+      FROM nxt WHERE nus IS NOT NULL
+    ),
+    agg AS (
+      SELECT event_type,
+             COUNT(*) AS n_weighted,
+             CAST(SUM(gap_s) AS BIGINT) AS total_secs,
+             CAST(ROUND(SUM(v * gap_s), 6) AS DOUBLE) AS wsum
+      FROM g GROUP BY event_type
+    )
+    SELECT event_type, n_weighted, total_secs,
+           CASE WHEN total_secs > 0
+                THEN CAST(ROUND(wsum / CAST(total_secs AS DOUBLE), 6) AS DOUBLE)
+                ELSE 0.0 END AS twap
+    FROM agg
+    ORDER BY event_type
+    """,
+)
+def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value (TWAP) over irregular event samples:
+    each observation holds until the user's NEXT event, so its weight
+    is the gap to the successor — the right mean for sampled state
+    (price, queue depth, sensor reading) where arithmetic averaging
+    over-weights bursty periods. Last event per user carries no gap
+    and is excluded on both sides by contract.
+
+    Scale: one keyed window pass (shuffle on user_id — the same single
+    exchange every sessionization query pays), then an algebraic
+    per-type aggregation of decimal-exact (value × gap) products;
+    gaps are floor-exact integer seconds from microsecond epochs, so
+    no engine's interval semantics are involved."""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    nxt = ev.select(
+        "event_type",
+        "value",
+        us.alias("us"),
+        F.lead(us).over(w).alias("nus"),
+    ).filter(F.col("nus").isNotNull())
+    g = nxt.select(
+        "event_type",
+        dec("value").alias("v"),
+        F.expr("cast((nus - us) div 1000000 as decimal(18,4))").alias("gap_s"),
+    )
+    agg = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_weighted"),
+        F.sum("gap_s").cast("bigint").alias("total_secs"),
+        F.round(F.sum(F.col("v") * F.col("gap_s")), 6)
+        .cast("double")
+        .alias("wsum"),
+    )
+    return (
+        agg.select(
+            "event_type",
+            "n_weighted",
+            "total_secs",
+            F.when(
+                F.col("total_secs") > 0,
+                F.round(
+                    F.col("wsum") / F.col("total_secs").cast("double"), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("twap"),
+        )
+        .orderBy("event_type")
+    )
