@@ -682,3 +682,149 @@ def _cc_star(
         "node", F.coalesce("cl", F.col("node")).alias("cluster_id")
     )
     return labels, rounds
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_len: int = 6,
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Corpus-wide EXACT shingle-set Jaccard join via prefix filtering
+    (the AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al.
+    WWW'08): the scale path for exact set-similarity, where
+    ``ngram_jaccard_pairs`` is the O(n²) block verifier and MinHash is
+    the approximate tier. Sets are word-``shingle_len``-gram shingles
+    hashed to 60-bit ids (md5 — cross-engine, see functions/xhash):
+    unigram sets are non-discriminative on template-heavy corpora
+    (measured: 57% of ALL doc pairs here clear 0.6 on unigrams, vs
+    exactly the true near-dups on 6-gram shingles), and hashing keeps
+    every shuffle 8 bytes per element instead of text.
+
+    Completeness argument: if J(a,b) ≥ t then a and b share at least
+    ``|a| - ceil(t·|a|) + 1`` elements of a under ANY fixed total
+    order, so after globally ordering shingles rarest-first and
+    keeping only each set's first ``prefix_len`` elements, every
+    qualifying pair still collides on ≥ 1 prefix element. Rarest-first
+    makes those collision buckets the SMALLEST ones — candidates stay
+    near-linear instead of quadratic on common shingles.
+
+    The threshold is the rational ``threshold_num/threshold_den`` so
+    both the prefix length (integer ceil) and the final filter
+    (``den·inter ≥ num·union``) are exact integer arithmetic — no
+    float threshold can disagree across engines.
+
+    Returns (id_a < id_b, inter, uni, jaccard ≥ t), jaccard rounded.
+
+    Scale: two shuffles to attach global shingle frequencies and
+    rebuild per-doc sorted sets, one equi-join on prefix shingle
+    hashes for candidates (bucket sizes bounded by rarest-first
+    ordering), and one id-keyed verification join. Sets ride as
+    per-doc bounded bigint arrays; the corpus never block-crosses.
+    """
+    from datagouv_tools_spark.functions.text import tokens
+    from datagouv_tools_spark.functions.xhash import md5_hash60
+
+    num, den = threshold_num, threshold_den
+    k = shingle_len
+    # Materialize the token array as a PROJECTED COLUMN before the
+    # higher-order shingle transform references it k times per
+    # position: common-subexpression elimination does not reach into
+    # lambda bodies, so an inlined tokens() would re-tokenize the
+    # document k× per shingle (measured ~10× slowdown).
+    base = df.select(F.col(id_col).alias("__id"), tokens(text_col).alias("__tk"))
+    tk = F.col("__tk")
+    n_tok = F.size("__tk")
+    shingle_of = lambda i: md5_hash60(  # noqa: E731
+        F.concat_ws(
+            " ", *[F.element_at(tk, i + F.lit(o)) for o in range(k)]
+        )
+    )
+    # Distinct (doc, shingle-hash) pairs via explode→distinct — NOT a
+    # single array_distinct(transform(...)) mega-expression: folding
+    # filter + distinct + k element_at probes into one expression tree
+    # pushed it past whole-stage-codegen limits into interpreted
+    # evaluation (measured 26 s vs ~1 s for this explode form on the
+    # same data). PINNED with a local checkpoint: it feeds the rank
+    # pipeline, both candidate self-join sides, and both verification
+    # sides — without pinning, every branch re-runs the tokenize+hash
+    # scan. 16 bytes/row, the same bounded-intermediate discipline as
+    # the pagerank loops.
+    tok = (
+        base.filter(n_tok >= k)
+        .select(
+            "__id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n_tok - F.lit(k - 1)), shingle_of
+                )
+            ).alias("__tok"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    toks = tok.groupBy("__id").agg(F.collect_list("__tok").alias("__ts"))
+    freq = tok.groupBy("__tok").agg(F.count(F.lit(1)).alias("__cnt"))
+    ranked = (
+        tok.join(freq, "__tok")
+        .groupBy("__id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("__cnt", "__tok"))
+            ).alias("__sorted")
+        )
+        .select(
+            "__id",
+            F.transform(F.col("__sorted"), lambda s: s["__tok"]).alias("__ts"),
+        )
+    )
+    n = F.size("__ts")
+    # prefix_len = n - ceil(num*n/den) + 1; integer ceil = (x+den-1) div den
+    plen = n - F.expr(f"(({num} * size(__ts)) + {den - 1}) div {den}") + F.lit(1)
+    prefix = ranked.select(
+        "__id", F.explode(F.slice("__ts", 1, plen)).alias("__tok")
+    ).localCheckpoint()
+    a, b = prefix.alias("pa"), prefix.alias("pb")
+    cands = (
+        a.join(
+            b,
+            (F.col("pa.__tok") == F.col("pb.__tok"))
+            & (F.col("pa.__id") < F.col("pb.__id")),
+        )
+        .select(
+            F.col("pa.__id").alias("id_a"), F.col("pb.__id").alias("id_b")
+        )
+        .distinct()
+    )
+    # Verification reuses the cheap map-only shingle sets (element
+    # ORDER is irrelevant to intersection size) — not the ranked
+    # pipeline, which would drag its two shuffles in twice more.
+    sa = toks.select(
+        F.col("__id").alias("id_a"), F.col("__ts").alias("__tsa")
+    )
+    sb = toks.select(
+        F.col("__id").alias("id_b"), F.col("__ts").alias("__tsb")
+    )
+    inter = F.size(F.array_intersect("__tsa", "__tsb"))
+    uni = F.size("__tsa") + F.size("__tsb") - inter
+    verified = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            inter.cast("bigint").alias("inter"),
+            uni.cast("bigint").alias("uni"),
+        )
+        .filter(F.col("inter") * den >= F.col("uni") * num)
+    )
+    return verified.withColumn(
+        "jaccard",
+        F.round(
+            F.col("inter").cast("double") / F.col("uni").cast("double"),
+            round_to,
+        ),
+    )
