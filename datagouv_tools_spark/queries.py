@@ -11751,3 +11751,90 @@ def doc_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_filter_jaccard_pairs(
         docs, "text", "doc_id", shingle_len=6, threshold_num=3, threshold_den=5
     ).orderBy("id_a", "id_b")
+
+
+@query(
+    "lineitem_correlation_matrix",
+    """
+    WITH m AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sq,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sp,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sd,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sqq,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS spp,
+             CAST(SUM(CAST(l_discount AS DECIMAL(19,4)) * CAST(l_discount AS DECIMAL(19,4))) AS DOUBLE) AS sdd,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sqp,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_discount AS DECIMAL(19,4))) AS DOUBLE) AS sqd,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_discount AS DECIMAL(19,4))) AS DOUBLE) AS spd
+      FROM lineitem
+    )
+    SELECT col_x, col_y, CAST(n AS BIGINT) AS n_rows,
+           CAST(ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+                / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                   * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS DOUBLE) AS corr
+    FROM (
+      SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+             n, sq AS sx, sp AS sy, sqp AS sxy, sqq AS sxx, spp AS syy FROM m
+      UNION ALL
+      SELECT 'l_quantity', 'l_discount', n, sq, sd, sqd, sqq, sdd FROM m
+      UNION ALL
+      SELECT 'l_extendedprice', 'l_discount', n, sp, sd, spd, spp, sdd FROM m
+    )
+    ORDER BY col_x, col_y
+    """,
+)
+def lineitem_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations over (quantity, extendedprice,
+    discount) — the numeric-profiling primitive behind feature
+    selection and anomaly heuristics. Cross-engine exact: every raw
+    moment (Σx, Σx², Σxy) is a DECIMAL-exact sum cast to double, and
+    the correlation formula is a FIXED parenthesized shape of
+    +,*,/,sqrt over those identical doubles, so both engines produce
+    the same bits before the final ROUND.
+
+    Scale: ONE scan computing all 9 moments as algebraic aggregates
+    (map-side partial merge; no shuffle of data, only of 9 partial
+    sums); the 3-pair matrix unpivots from a single moments row."""
+    m = t(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("l_quantity")).cast("double").alias("sq"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("sp"),
+        F.sum(dec("l_discount")).cast("double").alias("sd"),
+        F.sum(dec("l_quantity") * dec("l_quantity")).cast("double").alias("sqq"),
+        F.sum(dec("l_extendedprice") * dec("l_extendedprice"))
+        .cast("double")
+        .alias("spp"),
+        F.sum(dec("l_discount") * dec("l_discount")).cast("double").alias("sdd"),
+        F.sum(dec("l_quantity") * dec("l_extendedprice"))
+        .cast("double")
+        .alias("sqp"),
+        F.sum(dec("l_quantity") * dec("l_discount")).cast("double").alias("sqd"),
+        F.sum(dec("l_extendedprice") * dec("l_discount"))
+        .cast("double")
+        .alias("spd"),
+    )
+    pairs = [
+        ("l_quantity", "l_extendedprice", "sq", "sp", "sqp", "sqq", "spp"),
+        ("l_quantity", "l_discount", "sq", "sd", "sqd", "sqq", "sdd"),
+        ("l_extendedprice", "l_discount", "sp", "sd", "spd", "spp", "sdd"),
+    ]
+    rows = None
+    for cx, cy, sx, sy, sxy, sxx, syy in pairs:
+        nd = F.col("n").cast("double")
+        corr = F.round(
+            (nd * F.col(sxy) - F.col(sx) * F.col(sy))
+            / (
+                F.sqrt(nd * F.col(sxx) - F.col(sx) * F.col(sx))
+                * F.sqrt(nd * F.col(syy) - F.col(sy) * F.col(sy))
+            ),
+            6,
+        )
+        r = m.select(
+            F.lit(cx).alias("col_x"),
+            F.lit(cy).alias("col_y"),
+            F.col("n").cast("bigint").alias("n_rows"),
+            corr.alias("corr"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows.orderBy("col_x", "col_y")
