@@ -11838,3 +11838,65 @@ def lineitem_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = r if rows is None else rows.unionByName(r)
     return rows.orderBy("col_x", "col_y")
+
+
+@query(
+    "events_partitioned_prune",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+    FROM events
+    WHERE CAST(ts AS DATE) >= DATE '2024-01-08'
+      AND CAST(ts AS DATE) < DATE '2024-01-15'
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-partitioned lake layout with partition PRUNING — the third
+    leg of the layout trilogy (bucketing = join locality, z-order =
+    multi-dim skipping, hive-style date partitions = time pruning):
+    events are laid out once as `event_date=.../part-*.parquet`, and a
+    week-long date predicate prunes every other partition directory
+    at PLANNING time — the scan never opens them (plan-guarded:
+    PartitionFilters non-empty, files read ≪ files on disk). The
+    aggregate is hash-checked against a plain filter oracle — layout
+    is answer-invariant by construction.
+
+    Scale: this is THE time-series lake pattern at 100 TB — a day's
+    query touches a day's directories regardless of corpus size.
+    One repartition by date at write time gives ~1 file per date;
+    the read is scan(7 dirs) → partial agg → 1 exchange."""
+    import os
+    import tempfile
+
+    ev = t(spark, sf_dir, "events")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_datepart_v1",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    marker = os.path.join(base, "_SUCCESS")
+    if not os.path.exists(marker):
+        (
+            ev.withColumn("event_date", F.col("ts").cast("date"))
+            .repartition(F.col("event_date"))
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(base)
+        )
+    part = spark.read.parquet(base).filter(
+        (F.col("event_date") >= F.lit("2024-01-08").cast("date"))
+        & (F.col("event_date") < F.lit("2024-01-15").cast("date"))
+    )
+    return (
+        part.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dround(F.sum(dec("value")), 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -590,3 +590,17 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         spark.sql("DROP TABLE IF EXISTS t_bkt_o")
         spark.sql("DROP TABLE IF EXISTS t_bkt_l")
+
+
+def test_events_partitioned_prune_query_plan(spark, sf_dir):
+    """events_partitioned_prune must prune at PLANNING time: the scan
+    plans PartitionFilters on event_date and the date range never
+    appears as a post-scan data filter — at 100 TB the other 23 days'
+    directories are never opened."""
+    df = q.QUERIES["events_partitioned_prune"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "PartitionFilters: [" in plan
+    tail = plan.split("PartitionFilters", 1)[1]
+    assert "event_date" in tail[:300]
+    # the range predicate must live in PartitionFilters, not PushedFilters
+    assert not any("event_date" in f for f in pushed_filters(df))
