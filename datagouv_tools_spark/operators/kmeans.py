@@ -126,9 +126,12 @@ def kmeans_fixed_point(
     return cents, final
 
 
-def kmeans_oracle_sql(k: int, iters: int, dim: int) -> str:
-    """DuckDB twin: same init, rounds, tie-breaks, and sign-magnitude
-    centroid means as one CTE chain over the long-format corpus."""
+def kmeans_assign_cte_sql(k: int, iters: int, dim: int) -> str:
+    """The shared DuckDB CTE chain (no final SELECT): long-format
+    quantized corpus ``q``, init ``c0``, per-round distance/assign/
+    update ``d{r}/a{r}/c{r}``, and the final assignment ``a{iters+1}``
+    against ``c{iters}``. ``kmeans_oracle_sql`` and downstream
+    composites (semantic dedup) append their own SELECTs."""
     head = f"""
     WITH q AS (
       SELECT vec_id, g.i,
@@ -183,7 +186,15 @@ def kmeans_oracle_sql(k: int, iters: int, dim: int) -> str:
                                   ORDER BY dist, cid) AS rn
         FROM d{fin}
       ) WHERE rn = 1
-    ),
+    )"""
+    return head + "".join(rounds) + tail
+
+
+def kmeans_oracle_sql(k: int, iters: int, dim: int) -> str:
+    """DuckDB twin: same init, rounds, tie-breaks, and sign-magnitude
+    centroid means as one CTE chain over the long-format corpus."""
+    fin = iters + 1
+    tail = f""",
     cl1 AS (
       SELECT cid, CAST(SUM(ABS(c)) AS BIGINT) AS c_l1 FROM c{iters}
       GROUP BY cid
@@ -195,4 +206,4 @@ def kmeans_oracle_sql(k: int, iters: int, dim: int) -> str:
     FROM a{fin} a JOIN cl1 USING (cid)
     GROUP BY a.cid, cl1.c_l1
     ORDER BY cluster_id"""
-    return head + "".join(rounds) + tail
+    return kmeans_assign_cte_sql(k, iters, dim) + tail

@@ -11900,3 +11900,149 @@ def events_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _semantic_dedup_oracle() -> str:
+    from datagouv_tools_spark.operators.kmeans import kmeans_assign_cte_sql
+
+    # cos(a,b) >= 0.40  ⟺  dot > 0 AND dot²·10⁴ ≥ 1600·‖a‖²·‖b‖² — all
+    # in int64: |x| ≤ 0.53 ⇒ |xq| ≤ 530 ⇒ dot ≤ 64·530² ≈ 1.8e7,
+    # dot²·10⁴ ≈ 3.2e18 < 2⁶³. list_inner_product sums 64 products each
+    # ≤ 2.8e5 — exactly representable in double, so the BIGINT cast is
+    # exact.
+    return (
+        kmeans_assign_cte_sql(8, 2, 64)
+        + """,
+    vq AS (
+      SELECT a3.vec_id, a3.cid,
+             list(q.x ORDER BY q.i) AS xq,
+             CAST(SUM(q.x * q.x) AS BIGINT) AS nn
+      FROM a3 JOIN q USING (vec_id)
+      GROUP BY a3.vec_id, a3.cid
+    ),
+    dup AS (
+      SELECT DISTINCT b.cid, b.vec_id
+      FROM vq a JOIN vq b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE CAST(list_inner_product(a.xq, b.xq) AS BIGINT) > 0
+        AND CAST(list_inner_product(a.xq, b.xq) AS BIGINT)
+            * CAST(list_inner_product(a.xq, b.xq) AS BIGINT) * 10000
+            >= 1600 * a.nn * b.nn
+    ),
+    dstat AS (
+      SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_dupes,
+             CAST(SUM(vec_id) AS BIGINT) AS dup_id_sum
+      FROM dup GROUP BY cid
+    )
+    SELECT v.cid AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(COALESCE(MAX(d.n_dupes), 0) AS BIGINT) AS n_dupes,
+           CAST(COUNT(*) - COALESCE(MAX(d.n_dupes), 0) AS BIGINT)
+             AS n_kept,
+           CAST(COALESCE(MAX(d.dup_id_sum), 0) AS BIGINT) AS dup_id_sum
+    FROM vq v LEFT JOIN dstat d ON v.cid = d.cid
+    GROUP BY v.cid
+    ORDER BY cluster_id"""
+    )
+
+
+@query("emb_semantic_dedup", _semantic_dedup_oracle())
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) composed end to
+    end: k-means the embedding corpus (operators/kmeans.py, fixed-point
+    Lloyd, k=8, 2 rounds), then WITHIN each cluster mark every vector
+    that has a lower-id neighbor with cos ≥ 0.40 as a semantic
+    duplicate (min-id canonical keep — the deterministic analog of the
+    paper's keep-one-per-ε-ball). The cosine test is exact integer
+    arithmetic on milli-quantized vectors (dot²·10⁴ ≥ 1600·n_a·n_b with
+    dot > 0 — no sqrt, no float), so per-cluster sizes, dup counts, and
+    the dup-id checksum value-hash-match the DuckDB replay of the whole
+    pipeline.
+
+    Scale: clustering is the whole point — pair generation is an
+    equi-join on cluster id, never a corpus cross; the paper's regime
+    uses k ≈ √N clusters so cluster sizes (and the per-cluster pair
+    quadratic) stay bounded as the corpus grows, and the join key count
+    grows with k, avoiding skew. Here k=8 pins the tiny-fixture
+    contract; production swaps k, nothing else."""
+    from datagouv_tools_spark.operators.kmeans import kmeans_fixed_point
+
+    emb = t(spark, sf_dir, "embeddings")
+    _, final = kmeans_fixed_point(emb, k=8, iters=2, dim=64)
+    xq = F.transform(
+        F.col("embedding"),
+        lambda v: F.round(v.cast("double") * 1000, 0).cast("bigint"),
+    )
+    q = emb.select("vec_id", xq.alias("xq"))
+    v = (
+        final.select("vec_id", "cid")
+        .join(q, "vec_id")
+        .select(
+            "cid",
+            "vec_id",
+            "xq",
+            F.aggregate(
+                F.zip_with(
+                    F.col("xq"), F.col("xq"), lambda a, b: a * b
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("nn"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = v.select(
+        "cid",
+        F.col("vec_id").alias("va"),
+        F.col("xq").alias("xa"),
+        F.col("nn").alias("na"),
+    )
+    b = v.select(
+        "cid",
+        F.col("vec_id").alias("vb"),
+        F.col("xq").alias("xb"),
+        F.col("nn").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("xa"), F.col("xb"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    dup = (
+        a.join(b, "cid")
+        .filter(F.col("va") < F.col("vb"))
+        .select("cid", "vb", dot.alias("dot"), "na", "nb")
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.col("dot") * F.col("dot") * F.lit(10000).cast("bigint")
+                >= F.lit(1600).cast("bigint") * F.col("na") * F.col("nb")
+            )
+        )
+        .select("cid", F.col("vb").alias("vec_id"))
+        .distinct()
+    )
+    dstat = dup.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dupes"),
+        F.sum("vec_id").cast("bigint").alias("dup_id_sum"),
+    )
+    return (
+        v.groupBy("cid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+        .join(dstat, "cid", "left")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_vecs",
+            F.coalesce("n_dupes", F.lit(0).cast("bigint")).alias("n_dupes"),
+            (
+                F.col("n_vecs")
+                - F.coalesce("n_dupes", F.lit(0).cast("bigint"))
+            )
+            .cast("bigint")
+            .alias("n_kept"),
+            F.coalesce("dup_id_sum", F.lit(0).cast("bigint")).alias(
+                "dup_id_sum"
+            ),
+        )
+        .orderBy("cluster_id")
+    )

@@ -604,3 +604,22 @@ def test_events_partitioned_prune_query_plan(spark, sf_dir):
     assert "event_date" in tail[:300]
     # the range predicate must live in PartitionFilters, not PushedFilters
     assert not any("event_date" in f for f in pushed_filters(df))
+
+
+def test_semantic_dedup_pairs_are_cluster_equi_join(spark, sf_dir):
+    """emb_semantic_dedup's pair generator must join on the cluster id
+    (equi-join), never cross the corpus: the only non-equi joins in
+    the composite are the kmeans one-row broadcast centroid singletons
+    (BroadcastNestedLoopJoin against a single-row cands relation),
+    which carry k·dim ints, not corpus rows."""
+    df = q.QUERIES["emb_semantic_dedup"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    # pair join present as a hash/sort equi-join on cid
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+    # the centroid singletons are the only nested-loop shapes and are
+    # broadcast one-row relations
+    for frag in plan.split("BroadcastNestedLoopJoin")[1:]:
+        assert "BuildRight" in frag[:80] or "BuildLeft" in frag[:80]
