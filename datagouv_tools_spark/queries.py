@@ -12046,3 +12046,85 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@query(
+    "events_stream_click_view_join",
+    """
+    SELECT c.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT c.event_id) AS BIGINT) AS n_clicks,
+           CAST(COUNT(DISTINCT v.event_id) AS BIGINT) AS n_views,
+           CAST(SUM(date_diff('microsecond', v.ts, c.ts)) AS BIGINT)
+             AS sum_lag_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id
+     AND v.ts >= c.ts - INTERVAL '10 minutes'
+     AND v.ts <= c.ts
+    GROUP BY c.user_id
+    ORDER BY c.user_id
+    """,
+)
+def events_stream_click_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL watermarked stream-stream interval join
+    (streaming/joins.interval_join on two live file streams): clicks
+    and views arrive as separate watermarked streams, every view within
+    10 minutes before a same-user click joins inside the streaming
+    engine's symmetric-hash join state, and the bounded replay's
+    appended output is summarized per user with an exact microsecond
+    lag sum — hash-checked against the batch interval-join oracle
+    (stream == batch is the correctness contract for bounded replays).
+
+    Scale: the interval + watermark bound BOTH sides' join state to
+    O(rate × (delay + interval)) — old rows age out of the state store
+    as the watermark advances, so an unbounded stream never accumulates
+    unbounded state; that bound is precisely the condition under which
+    Spark admits an inner stream-stream join. The per-user summary runs
+    AFTER the replay on the joined (bounded) result."""
+    from datagouv_tools_spark.streaming.joins import interval_join
+    from datagouv_tools_spark.streaming.source import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), "ts"
+    )
+    joined = run_to_memory(
+        interval_join(
+            clicks,
+            views,
+            on="user_id",
+            lower="10 minutes",
+            upper="0 seconds",
+            left_ts="c_ts",
+            right_ts="ts",
+            watermark="10 minutes",
+        ).select(
+            "user_id",
+            "click_id",
+            "view_id",
+            (
+                F.unix_micros(F.col("c_ts").cast("timestamp"))
+                - F.unix_micros(F.col("ts").cast("timestamp"))
+            ).alias("lag_us"),
+        ),
+        output_mode="append",
+    )
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.countDistinct("click_id").cast("bigint").alias("n_clicks"),
+            F.countDistinct("view_id").cast("bigint").alias("n_views"),
+            F.sum("lag_us").cast("bigint").alias("sum_lag_us"),
+        )
+        .orderBy("user_id")
+    )
