@@ -12128,3 +12128,70 @@ def events_stream_click_view_join(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "orders_mv_rewrite",
+    """
+    SELECT CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR)
+             AS month,
+           o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def orders_mv_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Summary-table (materialized-view) REWRITE: a daily
+    (order_date × priority) rollup MV is built once as parquet, and the
+    monthly query is answered by RE-AGGREGATING the MV — the answering
+    plan never scans the orders fact table (plan-guarded). Counts and
+    decimal partial sums are algebraic, so coarse = merge(fine) exactly;
+    the oracle computes the same answer straight from the fact table,
+    proving the rewrite answer-invariant.
+
+    Scale: THE classic OLAP lever — the MV is |days × priorities| rows
+    regardless of fact cardinality, so the monthly query touches ~10³
+    rows instead of 10¹¹; composition with orders_incremental_rollup's
+    delta maintenance keeps the MV fresh without fact rescans."""
+    import os
+    import tempfile
+
+    o = t(spark, sf_dir, "orders")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_mv_daily_v1",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    if not os.path.exists(os.path.join(base, "_SUCCESS")):
+        (
+            o.groupBy(
+                F.col("o_orderdate").cast("date").alias("order_date"),
+                "o_orderpriority",
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias(
+                    "sum_price"
+                ),
+            )
+            .write.mode("overwrite")
+            .parquet(base)
+        )
+    mv = spark.read.parquet(base)
+    return (
+        mv.groupBy(
+            F.trunc("order_date", "MM").cast("string").alias("month"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.round(F.sum("sum_price"), 2).cast("double").alias(
+                "total_price"
+            ),
+        )
+        .orderBy("month", "o_orderpriority")
+    )

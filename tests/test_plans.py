@@ -623,3 +623,14 @@ def test_semantic_dedup_pairs_are_cluster_equi_join(spark, sf_dir):
     # broadcast one-row relations
     for frag in plan.split("BroadcastNestedLoopJoin")[1:]:
         assert "BuildRight" in frag[:80] or "BuildLeft" in frag[:80]
+
+
+def test_mv_rewrite_never_scans_the_fact_table(spark, sf_dir):
+    """orders_mv_rewrite's answering plan reads the daily rollup MV
+    only — the orders fact table must not appear in any scan. That is
+    the whole value of the summary table: the monthly query costs
+    |days × priorities| rows however large the fact table grows."""
+    df = q.QUERIES["orders_mv_rewrite"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "spark_graft_mv_daily_v1" in plan
+    assert "orders.parquet" not in plan
