@@ -12195,3 +12195,77 @@ def orders_mv_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month", "o_orderpriority")
     )
+
+
+@query(
+    "user_erasure_cascade",
+    """
+    WITH survivors AS (
+      SELECT * FROM events WHERE user_id % 37 <> 0
+    ),
+    erased AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_erased
+      FROM events WHERE user_id % 37 = 0 GROUP BY event_type
+    )
+    SELECT s.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_after,
+           CAST(ROUND(SUM(CAST(s.value AS DECIMAL(28,6))), 2) AS DOUBLE)
+             AS total_after,
+           MIN(s.value) AS vmin_after,
+           MAX(s.value) AS vmax_after,
+           CAST(COALESCE(MAX(e.n_erased), 0) AS BIGINT) AS n_erased
+    FROM survivors s LEFT JOIN erased e ON s.event_type = e.event_type
+    GROUP BY s.event_type
+    ORDER BY s.event_type
+    """,
+)
+def user_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten CASCADE: an erasure list (every user with
+    user_id % 37 = 0) is removed from the event store and the derived
+    per-type rollup is repaired by DELTA MAINTENANCE
+    (operators/incremental.maintain_rollup) — delete rows become a
+    CDC delta, count/sum subtract algebraically, and min/max recompute
+    only for dirty keys via a broadcast semi-join into the surviving
+    base. The oracle recomputes everything from scratch over the
+    survivors, so the hash match proves the maintained state carries
+    no trace of the erased users.
+
+    Scale: erasure at 100 TB cannot re-aggregate the corpus per
+    request — the delta costs O(erased rows), the extrema repair
+    touches only dirty keys' partitions (pruned/bucketed base), and
+    the same delta drives every downstream rollup; this mirrors the
+    ANN index's tombstone-delete path on the relational side."""
+    from datagouv_tools_spark.operators.incremental import (
+        aggregate_base,
+        maintain_rollup,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    is_erased = F.col("user_id") % 37 == 0
+    erased = ev.filter(is_erased)
+    survivors = ev.filter(~is_erased)
+    # the stored rollup state (in production: the persisted MV)
+    rollup = aggregate_base(ev, "event_type", "value")
+    delta = erased.select(
+        "event_type", "value", F.lit("D").alias("op")
+    )
+    repaired = maintain_rollup(
+        rollup, delta, survivors, "event_type", "value"
+    )
+    n_erased = erased.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_erased")
+    )
+    return (
+        repaired.join(F.broadcast(n_erased), "event_type", "left")
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_after"),
+            F.round(F.col("total"), 2).cast("double").alias("total_after"),
+            F.col("vmin").alias("vmin_after"),
+            F.col("vmax").alias("vmax_after"),
+            F.coalesce("n_erased", F.lit(0).cast("bigint")).alias(
+                "n_erased"
+            ),
+        )
+        .orderBy("event_type")
+    )
