@@ -12269,3 +12269,96 @@ def user_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _kcenter_oracle() -> str:
+    return """
+    WITH RECURSIVE v AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE)*1000, 0) AS BIGINT)) AS xq
+      FROM embeddings
+    ),
+    dist AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             CAST(list_inner_product(
+               list_transform(range(64), i -> a.xq[i+1] - b.xq[i+1]),
+               list_transform(range(64), i -> a.xq[i+1] - b.xq[i+1]))
+               AS BIGINT) AS d2
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    ),
+    sel AS (
+      SELECT 1 AS r, [ (SELECT MIN(vec_id) FROM v) ] AS ids,
+             (SELECT MIN(vec_id) FROM v) AS pick, CAST(0 AS BIGINT) AS d2
+      UNION ALL
+      SELECT s.r + 1, list_append(s.ids, p.pick), p.pick, p.d2
+      FROM sel s, LATERAL (
+        SELECT va AS pick, MIN(d2) AS d2
+        FROM dist
+        WHERE list_contains(s.ids, vb) AND NOT list_contains(s.ids, va)
+        GROUP BY va
+        ORDER BY MIN(d2) DESC, va
+        LIMIT 1
+      ) p
+      WHERE s.r < 8
+    )
+    SELECT r AS sel_rank, pick AS vec_id, d2 AS d2_at_pick
+    FROM sel ORDER BY sel_rank"""
+
+
+@query("emb_kcenter_coreset", _kcenter_oracle())
+def emb_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (Gonzalez farthest-point) CORESET selection —
+    the diversity-sampling primitive for training-data subset picking:
+    start from the smallest vec_id, then 7 times add the vector
+    farthest (integer squared distance on milli-quantized coords, ties
+    to smallest id) from everything selected so far. Each pick's
+    distance-to-set is the 2-approximation certificate of the k-center
+    radius. The DuckDB twin replays the identical greedy order with a
+    WITH RECURSIVE selection over the pair-distance relation.
+
+    Scale: each of the k rounds is one corpus scan — a map-local
+    array_min over the ≤k-entry broadcast center singleton (values as
+    data, one janino compile) followed by a TakeOrdered(1); no pair
+    materialization, no shuffle beyond the top-1. k scans of 100 TB is
+    the known lower bound for exact greedy k-center; sketch variants
+    subsample between rounds, same plan shape."""
+    emb = t(spark, sf_dir, "embeddings")
+    xq = F.transform(
+        F.col("embedding"),
+        lambda v: F.round(v.cast("double") * 1000, 0).cast("bigint"),
+    )
+    q = emb.select("vec_id", xq.alias("xq")).localCheckpoint(eager=True)
+    first = q.orderBy("vec_id").limit(1).collect()[0]
+    picks = [(1, int(first.vec_id), 0)]
+    centers = [[int(x) for x in first.xq]]
+    for r in range(2, 9):
+        cands = spark.createDataFrame(
+            [(centers,)], "cands array<array<bigint>>"
+        )
+        mind = F.array_min(
+            F.transform(
+                F.col("cands"),
+                lambda c: F.aggregate(
+                    F.zip_with(
+                        F.col("xq"), c, lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x,
+                ),
+            )
+        )
+        chosen = [p[1] for p in picks]
+        row = (
+            q.filter(~F.col("vec_id").isin(chosen))
+            .crossJoin(F.broadcast(cands))
+            .select("vec_id", "xq", mind.alias("mind"))
+            .orderBy(F.desc("mind"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        picks.append((r, int(row.vec_id), int(row.mind)))
+        centers.append([int(x) for x in row.xq])
+    return spark.createDataFrame(
+        picks, "sel_rank int, vec_id bigint, d2_at_pick bigint"
+    ).orderBy("sel_rank")
