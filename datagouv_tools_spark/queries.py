@@ -12362,3 +12362,100 @@ def emb_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         picks, "sel_rank int, vec_id bigint, d2_at_pick bigint"
     ).orderBy("sel_rank")
+
+
+@query(
+    "events_ab_welch",
+    """
+    WITH m AS (
+      SELECT event_type,
+             CAST(COUNT(*) FILTER (user_id % 2 = 0) AS BIGINT) AS n_a,
+             CAST(COUNT(*) FILTER (user_id % 2 = 1) AS BIGINT) AS n_b,
+             CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                  FILTER (user_id % 2 = 0) AS DOUBLE) AS s1a,
+             CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                  FILTER (user_id % 2 = 1) AS DOUBLE) AS s1b,
+             CAST(SUM(CAST(value AS DECIMAL(19,4))
+                      * CAST(value AS DECIMAL(19,4)))
+                  FILTER (user_id % 2 = 0) AS DOUBLE) AS s2a,
+             CAST(SUM(CAST(value AS DECIMAL(19,4))
+                      * CAST(value AS DECIMAL(19,4)))
+                  FILTER (user_id % 2 = 1) AS DOUBLE) AS s2b
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n_a, n_b,
+           CAST(ROUND(s1a / n_a, 6) AS DOUBLE) AS mean_a,
+           CAST(ROUND(s1b / n_b, 6) AS DOUBLE) AS mean_b,
+           CAST(ROUND((s1a / n_a - s1b / n_b)
+                / sqrt(((s2a - s1a * s1a / n_a) / (n_a - 1.0)) / n_a
+                       + ((s2b - s1b * s1b / n_b) / (n_b - 1.0)) / n_b),
+                6) AS DOUBLE) AS t_welch,
+           CAST(ROUND(
+             (((s2a - s1a * s1a / n_a) / (n_a - 1.0)) / n_a
+              + ((s2b - s1b * s1b / n_b) / (n_b - 1.0)) / n_b)
+             * (((s2a - s1a * s1a / n_a) / (n_a - 1.0)) / n_a
+                + ((s2b - s1b * s1b / n_b) / (n_b - 1.0)) / n_b)
+             / ((((s2a - s1a * s1a / n_a) / (n_a - 1.0)) / n_a)
+                * (((s2a - s1a * s1a / n_a) / (n_a - 1.0)) / n_a)
+                / (n_a - 1.0)
+                + (((s2b - s1b * s1b / n_b) / (n_b - 1.0)) / n_b)
+                  * (((s2b - s1b * s1b / n_b) / (n_b - 1.0)) / n_b)
+                  / (n_b - 1.0)),
+             4) AS DOUBLE) AS dof
+    FROM m ORDER BY event_type""",
+)
+def events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment readout: Welch's unequal-variance t-statistic and
+    Welch–Satterthwaite degrees of freedom per event_type, variants
+    assigned by the deterministic user_id parity split. Cross-engine
+    exact by the repo's moment convention: per-variant n, Σv, Σv² are
+    decimal-exact conditional aggregates cast to double, and the t/dof
+    formulas are FIXED parenthesized shapes of +,*,/,sqrt over those
+    identical doubles — both engines produce the same bits before the
+    final ROUND.
+
+    Scale: one scan, six algebraic aggregates per group, map-side
+    combined; no shuffle of data rows, only of the per-type moment
+    partials — the same always-on cheapness that makes continuous
+    experiment monitoring viable on full traffic."""
+    ev = t(spark, sf_dir, "events")
+    a = F.col("user_id") % 2 == 0
+    m = ev.groupBy("event_type").agg(
+        F.count(F.when(a, 1)).cast("bigint").alias("n_a"),
+        F.count(F.when(~a, 1)).cast("bigint").alias("n_b"),
+        F.sum(F.when(a, dec("value"))).cast("double").alias("s1a"),
+        F.sum(F.when(~a, dec("value"))).cast("double").alias("s1b"),
+        F.sum(F.when(a, dec("value") * dec("value")))
+        .cast("double")
+        .alias("s2a"),
+        F.sum(F.when(~a, dec("value") * dec("value")))
+        .cast("double")
+        .alias("s2b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    s1a, s1b = F.col("s1a"), F.col("s1b")
+    s2a, s2b = F.col("s2a"), F.col("s2b")
+    va = (s2a - s1a * s1a / na) / (na - F.lit(1.0))
+    vb = (s2b - s1b * s1b / nb) / (nb - F.lit(1.0))
+    se2 = va / na + vb / nb
+    return m.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(s1a / na, 6).cast("double").alias("mean_a"),
+        F.round(s1b / nb, 6).cast("double").alias("mean_b"),
+        F.round((s1a / na - s1b / nb) / F.sqrt(se2), 6)
+        .cast("double")
+        .alias("t_welch"),
+        F.round(
+            se2
+            * se2
+            / (
+                (va / na) * (va / na) / (na - F.lit(1.0))
+                + (vb / nb) * (vb / nb) / (nb - F.lit(1.0))
+            ),
+            4,
+        )
+        .cast("double")
+        .alias("dof"),
+    ).orderBy("event_type")
