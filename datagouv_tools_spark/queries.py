@@ -12459,3 +12459,72 @@ def events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("dof"),
     ).orderBy("event_type")
+
+
+@query(
+    "events_dpp_join",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_value
+    FROM events
+    WHERE day(CAST(ts AS DATE)) % 3 = 0
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning — the runtime sibling of
+    events_partitioned_prune's static pruning: the campaign-day filter
+    lives on a separate broadcast dimension, so the fact scan cannot
+    prune at planning time; Spark instead injects a
+    dynamicpruningexpression subquery that evaluates the dim first and
+    prunes the date-partitioned fact to the 10 matching directories at
+    RUNTIME (plan-guarded). The oracle applies the equivalent date
+    predicate directly — the join is answer-invariant to the layout.
+
+    Scale: DPP is what makes star-schema joins against a partitioned
+    100 TB fact viable when the partition predicate is only implied by
+    a dim filter — without it the scan reads every date directory and
+    the filter happens post-join."""
+    import datetime
+    import os
+    import tempfile
+
+    ev = t(spark, sf_dir, "events")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_datepart_v1",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    if not os.path.exists(os.path.join(base, "_SUCCESS")):
+        (
+            ev.withColumn("event_date", F.col("ts").cast("date"))
+            .repartition(F.col("event_date"))
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(base)
+        )
+    part = spark.read.parquet(base)
+    dim = spark.createDataFrame(
+        [
+            (datetime.date(2024, 1, d), 1 if d % 3 == 0 else 0)
+            for d in range(1, 31)
+        ],
+        "event_date date, is_campaign int",
+    )
+    return (
+        part.join(
+            F.broadcast(dim.filter(F.col("is_campaign") == 1)),
+            "event_date",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("event_date").cast("bigint").alias("n_days"),
+            dround(F.sum(dec("value")), 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

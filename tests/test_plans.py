@@ -634,3 +634,14 @@ def test_mv_rewrite_never_scans_the_fact_table(spark, sf_dir):
     plan = physical_plan(df)
     assert "spark_graft_mv_daily_v1" in plan
     assert "orders.parquet" not in plan
+
+
+def test_dpp_join_prunes_at_runtime(spark, sf_dir):
+    """events_dpp_join's fact scan must carry a dynamicpruning
+    subquery in its PartitionFilters — the campaign predicate is only
+    implied by the broadcast dim, so pruning has to happen at runtime;
+    without DPP the scan reads all 30 date directories."""
+    df = q.QUERIES["events_dpp_join"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "dynamicpruning" in plan.lower()
+    assert "PartitionFilters: [" in plan
