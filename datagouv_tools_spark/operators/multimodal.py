@@ -43,6 +43,7 @@ __all__ = [
     "extract_image_features",
     "image_channel_stats",
     "audio_stats",
+    "audio_features",
     "resize_images",
     "sample_video_frames",
     "repartition_by_bytes",
@@ -462,3 +463,52 @@ def audio_stats(
             yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(run, AUDIO_STATS_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("zcr", T.LongType()),
+        T.StructField("peak_amp", T.LongType()),
+        T.StructField("ac_lag1", T.LongType()),
+        T.StructField("ac_lag4", T.LongType()),
+        T.StructField("ac_lag16", T.LongType()),
+    ]
+)
+
+
+def audio_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """REAL audio feature extraction from decoded PCM: zero-crossing
+    count (adjacent sample product < 0 — the pinned sign convention),
+    peak |amplitude|, and raw autocorrelation at lags 1/4/16
+    (Σ s[i]·s[i+L] over the mono mixdown) — all exact int64, so the
+    features cross engines bit-for-bit. ZCR and short-lag
+    autocorrelation are the classic cheap periodicity/voicing signals;
+    int16 × int16 over ≤2³¹ frames stays inside int64. Multi-channel
+    payloads analyze the per-frame channel SUM (an integer mixdown —
+    deterministic, no /2 rounding choice)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in AUDIO_FEATURES_SCHEMA.fieldNames()}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                _sr, _nch, s = decode_wav(bytes(payload))
+                mono = s.astype(np.int64).sum(axis=1)
+                out["media_id"].append(mid)
+                out["n_frames"].append(int(mono.shape[0]))
+                out["zcr"].append(int((mono[:-1] * mono[1:] < 0).sum()))
+                out["peak_amp"].append(int(np.abs(mono).max()) if mono.size else 0)
+                for lag, name in ((1, "ac_lag1"), (4, "ac_lag4"), (16, "ac_lag16")):
+                    out[name].append(
+                        int((mono[:-lag] * mono[lag:]).sum())
+                        if mono.size > lag
+                        else 0
+                    )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(run, AUDIO_FEATURES_SCHEMA)

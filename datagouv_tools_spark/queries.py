@@ -12528,3 +12528,71 @@ def events_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "multimodal_wav_features",
+    """
+    WITH s AS (
+      SELECT d.doc_id, i.i,
+             ((d.doc_id * 31 + i.i * 7) % 2048) - 1024 AS amp
+      FROM documents d, range(0, 256) i(i)
+      WHERE d.doc_id < 40
+    ),
+    w AS (
+      SELECT doc_id, amp,
+             LEAD(amp, 1) OVER (PARTITION BY doc_id ORDER BY i) AS a1,
+             LEAD(amp, 4) OVER (PARTITION BY doc_id ORDER BY i) AS a4,
+             LEAD(amp, 16) OVER (PARTITION BY doc_id ORDER BY i) AS a16
+      FROM s
+    )
+    SELECT doc_id AS media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(CASE WHEN amp * a1 < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS zcr,
+           CAST(MAX(ABS(amp)) AS BIGINT) AS peak_amp,
+           CAST(SUM(amp * a1) AS BIGINT) AS ac_lag1,
+           CAST(SUM(amp * a4) AS BIGINT) AS ac_lag4,
+           CAST(SUM(amp * a16) AS BIGINT) AS ac_lag16
+    FROM w GROUP BY doc_id ORDER BY media_id
+    """,
+)
+def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio FEATURE extraction over real decoded PCM (the analysis
+    sibling of multimodal_decode_wav): the same deterministic 256-sample
+    clips are serialized to genuine RIFF/WAVE bytes, decoded back by
+    the pure RIFF parser, and reduced to the classic cheap audio
+    signals — zero-crossing count, peak amplitude, and raw
+    autocorrelation at lags 1/4/16 — all exact int64. The oracle
+    recomputes the features from the generative rule with LEAD windows,
+    never seeing the bytes: any decode slip shifts every lagged product
+    and fails the hash.
+
+    Scale: one Arrow mapInPandas pass, map-local per batch; features
+    are O(samples) integer ops with no shuffle — the stats feed
+    downstream silence/voicing filters exactly like the image path's
+    channel stats feed quality gates."""
+    import pandas as pd
+
+    from datagouv_tools_spark.operators.multimodal import (
+        audio_features,
+        encode_wav,
+    )
+
+    def build(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                i = np.arange(256)
+                amp = ((int(did) * 31 + i * 7) % 2048) - 1024
+                ids.append(did)
+                payloads.append(encode_wav(amp.astype("<i2"), 8000))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    media = docs.select("doc_id").mapInPandas(
+        build, "media_id bigint, payload binary"
+    )
+    return audio_features(media).orderBy("media_id")

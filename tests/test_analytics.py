@@ -1508,3 +1508,40 @@ def test_cusum_window_identity_matches_sequential_fold():
     ]
     for ys in cases:
         assert window(ys) == fold(ys), ys
+
+
+def test_audio_features_match_numpy(spark):
+    """audio_features: ZCR / peak / lagged autocorrelation equal a
+    direct numpy recompute, including the multi-channel integer
+    mixdown and the short-clip lag guard (clip shorter than the lag
+    yields 0, not a crash)."""
+    import numpy as np
+
+    from datagouv_tools_spark.operators.multimodal import (
+        audio_features,
+        encode_wav,
+    )
+
+    rng = np.random.RandomState(7)
+    clips = {
+        1: rng.randint(-3000, 3000, size=(64, 1)).astype("<i2"),
+        2: rng.randint(-3000, 3000, size=(40, 2)).astype("<i2"),
+        3: rng.randint(-3000, 3000, size=(8, 1)).astype("<i2"),  # < lag 16
+    }
+    df = spark.createDataFrame(
+        [(i, encode_wav(c, 8000)) for i, c in clips.items()],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r for r in audio_features(df).collect()}
+    for i, c in clips.items():
+        mono = c.astype(np.int64).sum(axis=1)
+        assert got[i]["n_frames"] == c.shape[0]
+        assert got[i]["zcr"] == int((mono[:-1] * mono[1:] < 0).sum())
+        assert got[i]["peak_amp"] == int(np.abs(mono).max())
+        for lag, name in ((1, "ac_lag1"), (4, "ac_lag4"), (16, "ac_lag16")):
+            want = (
+                int((mono[:-lag] * mono[lag:]).sum())
+                if mono.size > lag
+                else 0
+            )
+            assert got[i][name] == want, (i, name)
