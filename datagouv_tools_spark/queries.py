@@ -12596,3 +12596,108 @@ def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         build, "media_id bigint, payload binary"
     )
     return audio_features(media).orderBy("media_id")
+
+
+@query(
+    "doc_heavy_hitters_verified",
+    f"""
+    WITH toks AS (
+      SELECT unnest({_SQL_TOKENS}) AS tok FROM documents
+    ), tot AS (SELECT COUNT(*) AS n FROM toks),
+    cells AS (
+      SELECT i, ('0x' || substr(md5(tok), 1 + i * 7, 7))::BIGINT
+               % 1024 AS idx,
+             COUNT(*) AS c
+      FROM toks, (SELECT unnest([0, 1, 2, 3]) AS i)
+      GROUP BY i, idx
+    ),
+    hh AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_exact
+      FROM toks GROUP BY tok
+      HAVING COUNT(*) * 256 >= (SELECT n FROM tot)
+    ),
+    probes AS (
+      SELECT tok, n_exact, i,
+             ('0x' || substr(md5(tok), 1 + i * 7, 7))::BIGINT
+               % 1024 AS idx
+      FROM hh, (SELECT unnest([0, 1, 2, 3]) AS i)
+    )
+    SELECT tok, MAX(n_exact) AS n_exact,
+           CAST(MIN(c) AS BIGINT) AS n_est
+    FROM probes JOIN cells USING (i, idx)
+    GROUP BY tok
+    ORDER BY n_exact DESC, tok
+    """,
+)
+def doc_heavy_hitters_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-PHASE exact heavy hitters (the sketch-then-verify pattern):
+    phase 1 builds the 4×1024 count-min sketch in one map-side-combined
+    pass; phase 2 re-scans the token stream, probes the BROADCAST
+    sketch map-locally, and drops every occurrence whose estimate is
+    below the φ=1/256 support threshold BEFORE the exact-count shuffle.
+    CMS never undercounts, so the candidate set provably contains every
+    true heavy hitter; the exact filter afterwards removes the sketch's
+    false positives — output is exactly {{tok : count·256 ≥ N}} with
+    the estimate alongside (overcount visible).
+
+    Scale: the vocabulary-sized groupBy is the scale-killer this
+    avoids — at web scale the exact shuffle touches only occurrences
+    of ~φ⁻¹ candidate tokens (here 256), not billions of distinct
+    keys; the sketch and the scalar total are 4096+1 broadcast
+    values."""
+    from datagouv_tools_spark.functions.text import tokens as _toks
+    from datagouv_tools_spark.operators.sketches import (
+        cms_cells_single_digest,
+    )
+
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(_toks("text")).alias("tok"))
+        .localCheckpoint(eager=True)
+    )
+    cells = cms_cells_single_digest(toks)
+    cellmap = cells.agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    (F.col("i") * 1024 + F.col("idx")).alias("k"),
+                    F.col("c").alias("v"),
+                )
+            )
+        ).alias("m")
+    )
+    tot = toks.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    digest = F.md5(F.col("tok"))
+    est = F.least(
+        *[
+            F.coalesce(
+                F.element_at(
+                    F.col("m"),
+                    F.lit(i * 1024)
+                    + F.conv(F.substring(digest, 1 + 7 * i, 7), 16, 10).cast(
+                        "bigint"
+                    )
+                    % 1024,
+                ),
+                F.lit(0).cast("bigint"),
+            )
+            for i in range(4)
+        ]
+    )
+    cand = (
+        toks.crossJoin(F.broadcast(cellmap))
+        .crossJoin(F.broadcast(tot))
+        .select("tok", est.alias("n_est"), "n")
+        .filter(F.col("n_est") * 256 >= F.col("n"))
+    )
+    return (
+        cand.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.min("n_est").cast("bigint").alias("n_est"),
+            F.max("n").alias("n_tot"),
+        )
+        .filter(F.col("n_exact") * 256 >= F.col("n_tot"))
+        .select("tok", "n_exact", "n_est")
+        .orderBy(F.desc("n_exact"), "tok")
+    )
