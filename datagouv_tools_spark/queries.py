@@ -778,6 +778,20 @@ def _sql_minhash_oracle() -> str:
     cross-engine; functions/xhash.py) and declares a candidate pair
     whenever any 4-row band matches in full — byte-identical semantics
     to the Spark banding join, no approximation slack."""
+    return (
+        _sql_minhash_cand_cte()
+        + """
+    SELECT id_a, id_b FROM cand
+    ORDER BY id_a, id_b
+    """
+    )
+
+
+def _sql_minhash_cand_cte() -> str:
+    """The shared WITH-chain ending in a ``cand`` CTE (the exact LSH
+    candidate set of minhash_pairs k=64/bands=16/md5/values on the
+    doc_id<100 slice, plus the ``toks`` token sets) — reused by the
+    candidate query's oracle and the precision/recall eval oracle."""
     from datagouv_tools_spark.operators.dedup import _MERSENNE_PRIME, _hash_params
 
     p = _MERSENNE_PRIME
@@ -807,12 +821,12 @@ def _sql_minhash_oracle() -> str:
       SELECT doc_id, [
       {perms}
       ] AS sig FROM hs
-    )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-    WHERE {bands}
-    ORDER BY id_a, id_b
-    """
+    ),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE {bands}
+    )"""
 
 
 @query("minhash_candidate_pairs", _sql_minhash_oracle())
@@ -12701,3 +12715,137 @@ def doc_heavy_hitters_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("tok", "n_exact", "n_est")
         .orderBy(F.desc("n_exact"), "tok")
     )
+
+
+def _minhash_eval_oracle() -> str:
+    return (
+        _sql_minhash_cand_cte()
+        + """,
+    sizes AS (SELECT doc_id, len(ts) AS sz FROM toks),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.ts, b.ts)) AS ix
+      FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT i.id_a, i.id_b, i.ix,
+             sa.sz + sb.sz - i.ix AS un,
+             CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END AS in_cand
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.id_a
+      JOIN sizes sb ON sb.doc_id = i.id_b
+      LEFT JOIN cand c ON c.id_a = i.id_a AND c.id_b = i.id_b
+    )
+    SELECT t.thr AS thr_mille,
+           CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_cand,
+           CAST(COUNT(*) FILTER (p.ix * 1000 >= t.thr * p.un) AS BIGINT)
+             AS n_truth,
+           CAST(COALESCE(SUM(p.in_cand)
+                  FILTER (p.ix * 1000 >= t.thr * p.un), 0) AS BIGINT) AS tp,
+           CAST(COALESCE(SUM(p.in_cand)
+                  FILTER (p.ix * 1000 >= t.thr * p.un), 0) * 1000
+                // (SELECT COUNT(*) FROM cand) AS BIGINT)
+             AS precision_mille,
+           CAST(CASE WHEN COUNT(*) FILTER (p.ix * 1000 >= t.thr * p.un) = 0
+                THEN -1
+                ELSE COALESCE(SUM(p.in_cand)
+                       FILTER (p.ix * 1000 >= t.thr * p.un), 0) * 1000
+                     // COUNT(*) FILTER (p.ix * 1000 >= t.thr * p.un)
+                END AS BIGINT) AS recall_mille
+    FROM pairs p, (SELECT unnest([300, 500, 700]) AS thr) t
+    GROUP BY t.thr
+    ORDER BY thr_mille"""
+    )
+
+
+@query("doc_minhash_eval", _minhash_eval_oracle())
+def doc_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-quality EVAL for the MinHash-LSH near-dup front: the
+    k=64/16-band candidate set is scored against exact token-set
+    Jaccard ground truth at three thresholds (0.3/0.5/0.7) —
+    TP/precision/recall in exact integer mille (j ≥ θ tested as
+    ix·1000 ≥ θ_mille·union, no float). The text-modality twin of
+    emb_dedup_threshold_sweep: it quantifies what the banding recalls
+    before anyone trusts it as a dedup front.
+
+    Scale: ground truth is quadratic BY DESIGN (that is what makes it
+    truth) and therefore runs on a pinned 100-doc audit slice — the
+    production pattern is exactly this: sample a slice, compute exact
+    truth locally, score the sketch front, alarm on recall drift. The
+    candidate side reuses the linear banding join unchanged."""
+    from datagouv_tools_spark.functions.text import tokens as _toks
+    from datagouv_tools_spark.operators.dedup import minhash_pairs
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    cand = minhash_pairs(
+        docs, "text", "doc_id", k=64, bands=16, token_hash="md5",
+        band_key="values",
+    ).localCheckpoint(eager=True)
+    tok_sets = docs.select(
+        "doc_id", F.array_distinct(_toks("text")).alias("ts")
+    )
+    sizes = tok_sets.select("doc_id", F.size("ts").alias("sz"))
+    ex = tok_sets.select("doc_id", F.explode("ts").alias("tok"))
+    inter = (
+        ex.alias("a")
+        .join(ex.alias("b"), "tok")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ix"))
+    )
+    pairs = (
+        inter.join(
+            F.broadcast(sizes.withColumnRenamed("doc_id", "id_a")), "id_a"
+        )
+        .withColumnRenamed("sz", "sza")
+        .join(
+            F.broadcast(
+                sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+                    "sz", "szb"
+                )
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "ix",
+            (F.col("sza") + F.col("szb") - F.col("ix")).alias("un"),
+        )
+        .join(
+            cand.select("id_a", "id_b", F.lit(1).alias("in_cand")),
+            ["id_a", "id_b"],
+            "left",
+        )
+        .fillna(0, subset=["in_cand"])
+    )
+    n_cand = cand.count()
+    rows = None
+    for thr in (300, 500, 700):
+        truth = F.col("ix") * 1000 >= F.lit(thr) * F.col("un")
+        r = pairs.agg(
+            F.lit(thr).cast("bigint").alias("thr_mille"),
+            F.lit(n_cand).cast("bigint").alias("n_cand"),
+            F.sum(F.when(truth, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_truth"),
+            F.sum(F.when(truth, F.col("in_cand")).otherwise(0))
+            .cast("bigint")
+            .alias("tp"),
+        ).select(
+            "thr_mille",
+            "n_cand",
+            "n_truth",
+            "tp",
+            F.expr(f"cast(tp * 1000 div {n_cand} as bigint)").alias(
+                "precision_mille"
+            ),
+            F.expr(
+                "cast(case when n_truth = 0 then -1"
+                " else tp * 1000 div n_truth end as bigint)"
+            ).alias("recall_mille"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows.orderBy("thr_mille")
