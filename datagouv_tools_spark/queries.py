@@ -12849,3 +12849,64 @@ def doc_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = r if rows is None else rows.unionByName(r)
     return rows.orderBy("thr_mille")
+
+
+@query(
+    "customer_cohort_ltv",
+    """
+    WITH firsts AS (
+      SELECT o_custkey,
+             MIN(CAST(date_trunc('month', o_orderdate) AS DATE)) AS cohort
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(f.cohort AS VARCHAR) AS cohort_month,
+           CAST(date_diff('month', f.cohort,
+                CAST(date_trunc('month', o.o_orderdate) AS DATE)) AS BIGINT)
+             AS offset_months,
+           CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_active,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))), 2)
+                AS DOUBLE) AS revenue
+    FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    GROUP BY f.cohort, offset_months
+    ORDER BY cohort_month, offset_months
+    """,
+)
+def customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: customers are grouped by
+    first-order month, every later order lands in its (cohort ×
+    month-offset) cell with distinct-actives, order counts, and
+    decimal-exact revenue — the classic retention/LTV triangle that
+    drives payback analysis, over the orders fact instead of the
+    events-based weekly_retention.
+
+    Scale: one window-free plan — the firsts table is a per-customer
+    MIN aggregate (map-side combined) that joins back on the customer
+    key; both sides shuffle once on o_custkey, then the cell aggregate
+    re-shuffles only (cohort, offset) partials. No per-customer window
+    sort, no fact re-scan."""
+    o = t(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.min(F.trunc(F.col("o_orderdate").cast("date"), "MM")).alias(
+            "cohort"
+        )
+    )
+    j = o.join(firsts, "o_custkey")
+    offset = (
+        F.months_between(
+            F.trunc(F.col("o_orderdate").cast("date"), "MM"), F.col("cohort")
+        )
+        .cast("bigint")
+        .alias("offset_months")
+    )
+    return (
+        j.groupBy(
+            F.col("cohort").cast("string").alias("cohort_month"), offset
+        )
+        .agg(
+            F.countDistinct("o_custkey").cast("bigint").alias("n_active"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            dround(F.sum(dec("o_totalprice")), 2).alias("revenue"),
+        )
+        .orderBy("cohort_month", "offset_months")
+    )
