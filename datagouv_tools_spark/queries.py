@@ -12910,3 +12910,113 @@ def customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_month", "offset_months")
     )
+
+
+@query(
+    "events_stream_orphan_clicks",
+    """
+    WITH mx AS (
+      SELECT LEAST(
+               (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+               (SELECT MAX(ts) FROM events WHERE event_type = 'view')
+             ) - INTERVAL '20 minutes' AS cutoff
+    ),
+    j AS (
+      SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        ON c.user_id = v.user_id
+       AND v.ts >= c.ts - INTERVAL '10 minutes'
+       AND v.ts <= c.ts
+      WHERE c.ts <= (SELECT cutoff FROM mx)
+    )
+    SELECT user_id,
+           CAST(COUNT(DISTINCT click_id) AS BIGINT) AS n_clicks,
+           CAST(COUNT(DISTINCT click_id)
+                FILTER (view_id IS NULL) AS BIGINT) AS n_orphans,
+           CAST(COUNT(view_id) AS BIGINT) AS n_pairs
+    FROM j GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_stream_orphan_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the watermark-GATED
+    emission semantics, driver-checked: a click with no view in its
+    10-minute lookback emits its null-padded row only once the global
+    watermark proves no matching view can still arrive. On a bounded
+    replay the final watermark stops 10 minutes shy of stream end, so
+    the summary pins a cutoff a full extra delay below that
+    (min(max click ts, max view ts) − 20 min): every click at or below
+    the cutoff has provably final state in BOTH engines, making
+    stream == batch deterministic without waiting on wall-clock.
+
+    Scale: outer stream-stream state is the inner join's plus the
+    not-yet-matched left rows — still O(rate × (delay + interval)),
+    evicted by the same watermark; orphan detection (ad clicks with no
+    attributable impression) is THE fraud/integrity stream job."""
+    from datagouv_tools_spark.streaming.joins import interval_join
+    from datagouv_tools_spark.streaming.source import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    ev_static = t(spark, sf_dir, "events")
+    mx = ev_static.filter(
+        F.col("event_type").isin("click", "view")
+    ).agg(
+        (
+            F.least(
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "view", F.col("ts"))),
+            ).cast("timestamp")
+            - F.expr("INTERVAL 20 minutes")
+        ).alias("cutoff")
+    )
+    # two SEPARATE source instances (see comment in the join call)
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select("user_id", F.col("event_id").alias("view_id"), "ts")
+    )
+    joined = run_to_memory(
+        interval_join(
+            clicks,
+            views,
+            on="user_id",
+            lower="10 minutes",
+            upper="0 seconds",
+            left_ts="c_ts",
+            right_ts="ts",
+            watermark="10 minutes",
+            how="left_outer",
+            # two separate source instances above: a left-outer
+            # self-join from ONE readStream hits Spark's self-join
+            # attribute dedup, which resolves the kept key to the
+            # null-padded right side for orphan rows
+        ).select("user_id", "click_id", "view_id", "c_ts"),
+        output_mode="append",
+    )
+    return (
+        joined.crossJoin(F.broadcast(mx))
+        .filter(F.col("c_ts").cast("timestamp") <= F.col("cutoff"))
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("click_id").cast("bigint").alias("n_clicks"),
+            F.countDistinct(
+                F.when(F.col("view_id").isNull(), F.col("click_id"))
+            )
+            .cast("bigint")
+            .alias("n_orphans"),
+            F.count("view_id").cast("bigint").alias("n_pairs"),
+        )
+        .orderBy("user_id")
+    )
