@@ -13020,3 +13020,118 @@ def events_stream_orphan_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "events_cep_click_purchase",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, event_type, ts FROM events
+      WHERE event_type IN ('click', 'purchase', 'error')
+    ),
+    w AS (
+      SELECT user_id, event_type, ts,
+             LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END
+                        IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_click_ts,
+             LAST_VALUE(CASE WHEN event_type = 'error' THEN ts END
+                        IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_error_ts
+      FROM e
+    ),
+    m AS (
+      SELECT user_id, event_type,
+             CASE WHEN event_type = 'purchase'
+                   AND last_click_ts IS NOT NULL
+                   AND date_diff('microsecond', last_click_ts, ts)
+                       <= 1800000000
+                   AND (last_error_ts IS NULL
+                        OR last_error_ts < last_click_ts)
+              THEN date_diff('microsecond', last_click_ts, ts) END AS lag_us
+      FROM w
+    )
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT)
+             AS n_purchases,
+           CAST(COUNT(lag_us) AS BIGINT) AS n_matched,
+           CAST(COALESCE(SUM(lag_us), 0) AS BIGINT) AS sum_lag_us
+    FROM m
+    GROUP BY user_id
+    HAVING COUNT(*) FILTER (event_type = 'purchase') > 0
+    ORDER BY user_id
+    """,
+)
+def events_cep_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-pattern matching — MATCH_RECOGNIZE semantics Spark
+    doesn't ship, composed from windows: per user, a purchase MATCHES
+    when its most recent preceding click is within 30 minutes and no
+    error event interleaves (skip-till-last-click / last-touch
+    semantics, ties broken by event_id). Emits per-user purchase
+    totals, match counts, and the exact microsecond click→purchase
+    latency sum.
+
+    Scale: ONE keyed window pass — the two LAST_VALUE(IGNORE NULLS)
+    running states turn the pattern into a linear scan per user
+    partition (no self-join, no per-purchase lookback probe); the
+    aggregate reuses the window's partitioning, so the fact shuffles
+    once on user_id."""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase", "error")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True
+    ).over(w)
+    last_error = F.last(
+        F.when(F.col("event_type") == "error", F.col("ts")), ignorenulls=True
+    ).over(w)
+    lag_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.col("last_click_ts").cast("timestamp")
+    )
+    m = (
+        ev.select(
+            "user_id",
+            "event_type",
+            "ts",
+            last_click.alias("last_click_ts"),
+            last_error.alias("last_error_ts"),
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.when(
+                (F.col("event_type") == "purchase")
+                & F.col("last_click_ts").isNotNull()
+                & (lag_us <= 1800000000)
+                & (
+                    F.col("last_error_ts").isNull()
+                    | (F.col("last_error_ts") < F.col("last_click_ts"))
+                ),
+                lag_us,
+            ).alias("lag_us"),
+        )
+    )
+    return (
+        m.groupBy("user_id")
+        .agg(
+            F.count(F.when(F.col("event_type") == "purchase", 1))
+            .cast("bigint")
+            .alias("n_purchases"),
+            F.count("lag_us").cast("bigint").alias("n_matched"),
+            F.coalesce(F.sum("lag_us"), F.lit(0))
+            .cast("bigint")
+            .alias("sum_lag_us"),
+        )
+        .filter(F.col("n_purchases") > 0)
+        .orderBy("user_id")
+    )
