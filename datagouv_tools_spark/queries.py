@@ -13135,3 +13135,98 @@ def events_cep_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_purchases") > 0)
         .orderBy("user_id")
     )
+
+
+@query(
+    "source_token_drift",
+    f"""
+    WITH toks AS (
+      SELECT source, unnest({_SQL_TOKENS}) AS tok FROM documents
+    ),
+    ctok AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_tok
+      FROM toks GROUP BY tok
+      ORDER BY c_tok DESC, tok LIMIT 30
+    ),
+    ctot AS (SELECT CAST(COUNT(*) AS BIGINT) AS c_tot FROM toks),
+    stot AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src
+      FROM toks GROUP BY source
+    ),
+    obs AS (
+      SELECT t.source, t.tok, CAST(COUNT(*) AS BIGINT) AS o
+      FROM toks t JOIN ctok USING (tok)
+      GROUP BY t.source, t.tok
+    ),
+    grid AS (
+      SELECT s.source, c.tok, c.c_tok, s.n_src, COALESCE(obs.o, 0) AS o
+      FROM stot s CROSS JOIN ctok c
+      LEFT JOIN obs ON obs.source = s.source AND obs.tok = c.tok
+    )
+    SELECT g.source,
+           MAX(g.n_src) AS n_tokens_src,
+           CAST(SUM(
+             ((g.o * ct.c_tot - g.n_src * g.c_tok)
+              * (g.o * ct.c_tot - g.n_src * g.c_tok))
+             // (g.n_src * g.c_tok) * 1000000 // ct.c_tot
+           ) AS BIGINT) AS chi2_scaled
+    FROM grid g, ctot ct
+    GROUP BY g.source
+    ORDER BY g.source
+    """,
+)
+def source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-DRIFT score per source: a Pearson-χ²-style statistic
+    of each source's token distribution against the corpus distribution
+    over the global top-30 tokens (deterministic count-then-token
+    order), computed ENTIRELY in fixed-point integer arithmetic —
+    per-token residuals ((o·C − n·c)² ÷ (n·c) · 10⁶ ÷ C) floor at two
+    pinned points and SUM order-free, so no float ever forms. The
+    production use: alarm when an incoming shard's score jumps against
+    its source's history (vocabulary rot, scraper drift, encoding
+    regressions).
+
+    Scale: two aggregations over one exploded token stream (corpus
+    counts and per-source×top-token counts, both map-side combined) +
+    a 20×30 broadcast grid; the residual grid never exceeds
+    |sources| × 30 rows regardless of corpus size."""
+    from datagouv_tools_spark.functions.text import tokens as _toks
+
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select("source", F.explode(_toks("text")).alias("tok"))
+        .localCheckpoint(eager=True)
+    )
+    ctok = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_tok"))
+        .orderBy(F.desc("c_tok"), "tok")
+        .limit(30)
+    )
+    ctot = toks.agg(F.count(F.lit(1)).cast("bigint").alias("c_tot"))
+    stot = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_src")
+    )
+    obs = (
+        toks.join(F.broadcast(ctok.select("tok")), "tok")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    )
+    grid = (
+        stot.crossJoin(F.broadcast(ctok))
+        .join(obs, ["source", "tok"], "left")
+        .fillna(0, subset=["o"])
+        .crossJoin(F.broadcast(ctot))
+    )
+    resid = F.expr(
+        "((o * c_tot - n_src * c_tok) * (o * c_tot - n_src * c_tok))"
+        " div (n_src * c_tok) * 1000000 div c_tot"
+    )
+    return (
+        grid.groupBy("source")
+        .agg(
+            F.max("n_src").alias("n_tokens_src"),
+            F.sum(resid).cast("bigint").alias("chi2_scaled"),
+        )
+        .orderBy("source")
+    )
