@@ -13230,3 +13230,66 @@ def source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "events_outlier_mad",
+    """
+    WITH med AS (
+      SELECT event_type, MEDIAN(value) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, m.med, ABS(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, MAX(med) AS med, MEDIAN(adev) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(MAX(m.med), 4) AS median_value,
+           ROUND(MAX(m.mad), 4) AS mad_value,
+           CAST(COUNT(*) FILTER (d.adev > 3 * m.mad) AS BIGINT)
+             AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    ORDER BY d.event_type
+    """,
+)
+def events_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection by MEDIAN ABSOLUTE DEVIATION: per
+    event_type, flag values more than 3 MADs from the median — the
+    estimator that survives the very outliers a mean/stddev rule gets
+    dragged by. Every cross-engine float op is a single IEEE
+    subtraction/multiply/compare (no accumulation), so the outlier
+    counts match bit-for-bit; medians interpolate identically in both
+    engines.
+
+    Scale: exact MAD is honestly TWO passes (median, then median of
+    deviations) with a broadcast of the 5-row median table between —
+    the streaming-friendly variant swaps each median for the mergeable
+    histogram sketch (events_hist_quantile_sketch), same plan shape,
+    one pass."""
+    ev = t(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.max("med").alias("med"), F.median("adev").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad.select("event_type", "mad")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.max("med"), 4).alias("median_value"),
+            F.round(F.max("mad"), 4).alias("mad_value"),
+            F.count(F.when(F.col("adev") > 3 * F.col("mad"), 1))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
