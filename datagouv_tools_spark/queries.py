@@ -13293,3 +13293,76 @@ def events_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _ppm_sobel_oracle() -> str:
+    def f(dr: int, dc: int) -> str:
+        return f"((d.doc_id * 7 + (r.r + {dr}) * 5 + (c.c + {dc}) * 3) % 256)"
+
+    gx = (
+        f"({f(-1, 1)} + 2 * {f(0, 1)} + {f(1, 1)}"
+        f" - {f(-1, -1)} - 2 * {f(0, -1)} - {f(1, -1)})"
+    )
+    gy = (
+        f"({f(1, -1)} + 2 * {f(1, 0)} + {f(1, 1)}"
+        f" - {f(-1, -1)} - 2 * {f(-1, 0)} - {f(-1, 1)})"
+    )
+    return f"""
+    WITH g AS (
+      SELECT d.doc_id, ABS({gx}) + ABS({gy}) AS grad
+      FROM documents d, range(1, 11) r(r), range(1, 15) c(c)
+      WHERE d.doc_id < 40
+    )
+    SELECT doc_id AS media_id,
+           CAST(16 AS INTEGER) AS width,
+           CAST(12 AS INTEGER) AS height,
+           CAST(SUM(grad) AS BIGINT) AS edge_energy,
+           CAST(MAX(grad) AS BIGINT) AS max_grad
+    FROM g GROUP BY doc_id ORDER BY media_id"""
+
+
+@query("multimodal_ppm_sobel", _ppm_sobel_oracle())
+def multimodal_ppm_sobel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 2-D convolution on real decoded pixels: the deterministic
+    16×12 P6 fixtures are serialized to genuine Netpbm bytes, decoded
+    back by the pure-numpy parser, and run through the Sobel gradient
+    pair on the red channel (operators/multimodal.image_conv_energy —
+    shifted-slice stencils, no Python pixel loop), reduced to exact
+    integer edge energy Σ(|gx|+|gy|) and max gradient over interior
+    pixels. The oracle INLINES the generative pixel formula at each of
+    the 6 stencil offsets per gradient — it never sees bytes, so any
+    raster offset slip or channel swap in the decode+conv path shifts
+    every gradient and fails the hash.
+
+    Scale: decode+conv are one Arrow mapInPandas pass, map-local per
+    batch, O(pixels) integer ops; the per-image reduction is the only
+    (tiny) aggregate — the same shape a real filter-bank featurizer or
+    pyramid downsampler runs at corpus scale."""
+    import pandas as pd
+
+    from datagouv_tools_spark.operators.multimodal import (
+        encode_ppm,
+        image_conv_energy,
+    )
+
+    def build(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                r = np.arange(12).reshape(12, 1, 1)
+                c = np.arange(16).reshape(1, 16, 1)
+                k = np.arange(3).reshape(1, 1, 3)
+                px = ((int(did) * 7 + r * 5 + c * 3 + k * 11) % 256).astype(
+                    np.uint8
+                )
+                ids.append(did)
+                payloads.append(encode_ppm(px))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    media = docs.select("doc_id").mapInPandas(
+        build, "media_id bigint, payload binary"
+    )
+    return image_conv_energy(media, channel=0).orderBy("media_id")
