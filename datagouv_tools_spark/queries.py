@@ -13366,3 +13366,166 @@ def multimodal_ppm_sobel(spark: SparkSession, sf_dir: str) -> DataFrame:
         build, "media_id bigint, payload binary"
     )
     return image_conv_energy(media, channel=0).orderBy("media_id")
+
+
+def _kmv_setops_oracle() -> str:
+    est = (
+        "SUM((9007199254740992000 // (mv + 1) - 1000)::DECIMAL(38,0))"
+    )
+    return f"""
+    WITH pairs AS (
+      SELECT * FROM (VALUES ('click', 'view'), ('click', 'purchase'),
+                            ('view', 'purchase')) p(type_a, type_b)
+    ),
+    hv AS (
+      SELECT event_type, user_id,
+             ('0x' || substr(md5(user_id::VARCHAR || ':ds'), 1, 15))::BIGINT
+               AS h
+      FROM events WHERE event_type IN ('click', 'view', 'purchase')
+    ),
+    bm AS (
+      SELECT event_type, h % 64 AS b, MIN(h // 128) AS mv
+      FROM hv GROUP BY event_type, h % 64
+    ),
+    sk AS (SELECT event_type, {est} AS est FROM bm GROUP BY event_type),
+    un AS (
+      SELECT p.type_a, p.type_b, b.b, MIN(b.mv) AS mv
+      FROM pairs p JOIN bm b
+        ON b.event_type = p.type_a OR b.event_type = p.type_b
+      GROUP BY p.type_a, p.type_b, b.b
+    ),
+    sku AS (
+      SELECT type_a, type_b, {est} AS est_u
+      FROM un GROUP BY type_a, type_b
+    ),
+    ex AS (
+      SELECT p.type_a, p.type_b,
+             COUNT(DISTINCT CASE WHEN h.event_type = p.type_a
+                                 THEN h.user_id END) AS nx_a,
+             COUNT(DISTINCT CASE WHEN h.event_type = p.type_b
+                                 THEN h.user_id END) AS nx_b,
+             COUNT(DISTINCT h.user_id) AS nx_union
+      FROM pairs p JOIN hv h
+        ON h.event_type = p.type_a OR h.event_type = p.type_b
+      GROUP BY p.type_a, p.type_b
+    )
+    SELECT e.type_a, e.type_b,
+           CAST(e.nx_a AS BIGINT) AS nx_a,
+           CAST(e.nx_b AS BIGINT) AS nx_b,
+           CAST(e.nx_union AS BIGINT) AS nx_union,
+           CAST(e.nx_a + e.nx_b - e.nx_union AS BIGINT) AS nx_intersect,
+           CAST(sa.est AS VARCHAR) AS est_a_mille,
+           CAST(sb.est AS VARCHAR) AS est_b_mille,
+           CAST(u.est_u AS VARCHAR) AS est_union_mille,
+           CAST(sa.est + sb.est - u.est_u AS VARCHAR) AS est_intersect_mille
+    FROM ex e
+    JOIN sk sa ON sa.event_type = e.type_a
+    JOIN sk sb ON sb.event_type = e.type_b
+    JOIN sku u ON u.type_a = e.type_a AND u.type_b = e.type_b
+    ORDER BY e.type_a, e.type_b"""
+
+
+@query("events_user_kmv_setops", _kmv_setops_oracle())
+def events_user_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET ALGEBRA on the mergeable KMV/MinCount state: per
+    event-type pair, the union's distinct-user estimate comes from the
+    bucket-wise MIN of the two stored sketches (the KMV merge — no
+    rescan of either side), and the intersection estimate follows by
+    inclusion-exclusion on the mille-scaled integer estimates (exact
+    DECIMAL arithmetic; emitted as VARCHAR so no decimal crosses the
+    harness). Exact counts ride along so the estimation error is
+    visible.
+
+    Scale: THE audience-overlap primitive — once per-segment sketches
+    exist (64 bigints each), any pairwise/n-way union or
+    inclusion-exclusion intersection is pure sketch arithmetic,
+    touching zero raw events; the exact columns here are the audit
+    that would be sampled, not computed, at 100 TB."""
+    from datagouv_tools_spark.operators.sketches import mincount_buckets
+
+    types = ["click", "view", "purchase"]
+    pairs = spark.createDataFrame(
+        [("click", "view"), ("click", "purchase"), ("view", "purchase")],
+        "type_a string, type_b string",
+    )
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type").isin(types))
+    bm = mincount_buckets(
+        ev, ["event_type"], F.col("user_id"), n_buckets=64
+    ).localCheckpoint(eager=True)
+    # integer floor of 2^53·1000/(mv+1) via bigint div (decimal
+    # division would round); mv+1 ≤ 2^53 keeps the div exact
+    sk = (
+        bm.select(
+            "event_type",
+            F.expr(
+                "cast(9007199254740992000 div (mv + 1) - 1000"
+                " as decimal(38,0))"
+            ).alias("term"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("term").cast("decimal(38,0)").alias("est"))
+    )
+    un = (
+        pairs.join(
+            bm,
+            (F.col("event_type") == F.col("type_a"))
+            | (F.col("event_type") == F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b", "b")
+        .agg(F.min("mv").alias("mv"))
+        .select(
+            "type_a",
+            "type_b",
+            F.expr(
+                "cast(9007199254740992000 div (mv + 1) - 1000"
+                " as decimal(38,0))"
+            ).alias("term"),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.sum("term").cast("decimal(38,0)").alias("est_u"))
+    )
+    hv = ev.select("event_type", "user_id")
+    ex = (
+        pairs.join(
+            hv,
+            (F.col("event_type") == F.col("type_a"))
+            | (F.col("event_type") == F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("event_type") == F.col("type_a"),
+                       F.col("user_id"))
+            ).cast("bigint").alias("nx_a"),
+            F.countDistinct(
+                F.when(F.col("event_type") == F.col("type_b"),
+                       F.col("user_id"))
+            ).cast("bigint").alias("nx_b"),
+            F.countDistinct("user_id").cast("bigint").alias("nx_union"),
+        )
+    )
+    sa = sk.select(F.col("event_type").alias("type_a"), F.col("est").alias("ea"))
+    sb = sk.select(F.col("event_type").alias("type_b"), F.col("est").alias("eb"))
+    return (
+        ex.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .join(F.broadcast(un), ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            "nx_a",
+            "nx_b",
+            "nx_union",
+            (F.col("nx_a") + F.col("nx_b") - F.col("nx_union"))
+            .cast("bigint")
+            .alias("nx_intersect"),
+            F.col("ea").cast("string").alias("est_a_mille"),
+            F.col("eb").cast("string").alias("est_b_mille"),
+            F.col("est_u").cast("string").alias("est_union_mille"),
+            (F.col("ea") + F.col("eb") - F.col("est_u"))
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("est_intersect_mille"),
+        )
+        .orderBy("type_a", "type_b")
+    )
