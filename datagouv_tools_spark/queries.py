@@ -13529,3 +13529,123 @@ def events_user_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@query(
+    "emb_hard_negatives",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE)*1000, 0) AS BIGINT)) AS xq,
+             label
+      FROM embeddings
+    ),
+    anchors AS (SELECT * FROM q WHERE vec_id < 10),
+    d AS (
+      SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+             c.vec_id, c.label,
+             CAST(list_inner_product(
+               list_transform(range(64), i -> a.xq[i+1] - c.xq[i+1]),
+               list_transform(range(64), i -> a.xq[i+1] - c.xq[i+1]))
+               AS BIGINT) AS d2
+      FROM anchors a JOIN q c ON c.vec_id <> a.vec_id
+    ),
+    hp AS (
+      SELECT anchor_id, vec_id AS hard_pos_id, d2 AS hard_pos_d2
+      FROM (SELECT anchor_id, vec_id, d2,
+                   ROW_NUMBER() OVER (PARTITION BY anchor_id
+                     ORDER BY d2 DESC, vec_id) AS rk
+            FROM d WHERE label = anchor_label) WHERE rk = 1
+    ),
+    hn AS (
+      SELECT anchor_id, vec_id AS hard_neg_id, d2 AS hard_neg_d2
+      FROM (SELECT anchor_id, vec_id, d2,
+                   ROW_NUMBER() OVER (PARTITION BY anchor_id
+                     ORDER BY d2 ASC, vec_id) AS rk
+            FROM d WHERE label <> anchor_label) WHERE rk = 1
+    )
+    SELECT hp.anchor_id, hp.hard_pos_id, hp.hard_pos_d2,
+           hn.hard_neg_id, hn.hard_neg_d2,
+           CAST(hp.hard_pos_d2 - hn.hard_neg_d2 AS BIGINT) AS violation
+    FROM hp JOIN hn USING (anchor_id)
+    ORDER BY anchor_id
+    """,
+)
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIPLET MINING for contrastive training: per anchor the hardest
+    positive (farthest same-label vector) and hardest negative (nearest
+    different-label vector) in exact integer squared distance, plus the
+    margin violation (pos_d2 − neg_d2; positive = the triplet the loss
+    actually learns from). Deterministic tie-breaks to the smallest
+    vec_id.
+
+    Scale: the 10 anchors broadcast; distances are ONE map-local pass
+    over the corpus (no pair shuffle) and the per-anchor argmax/argmin
+    reduce as a 20-row aggregate — the same TakeOrdered shape as the
+    ANN search path, so mining scales to any corpus the scan does."""
+    emb = t(spark, sf_dir, "embeddings")
+    xq = F.transform(
+        F.col("embedding"),
+        lambda v: F.round(v.cast("double") * 1000, 0).cast("bigint"),
+    )
+    q = emb.select("vec_id", xq.alias("xq"), "label")
+    anchors = q.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("xq").alias("aq"),
+        F.col("label").alias("anchor_label"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("aq"), F.col("xq"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    d = (
+        q.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "vec_id",
+            "label",
+            d2.alias("d2"),
+        )
+    )
+    hp = (
+        d.filter(F.col("label") == F.col("anchor_label"))
+        .groupBy("anchor_id")
+        .agg(
+            F.max(F.struct(F.col("d2"), (-F.col("vec_id")).alias("nv"))).alias(
+                "m"
+            )
+        )
+        .select(
+            "anchor_id",
+            (-F.col("m.nv")).cast("bigint").alias("hard_pos_id"),
+            F.col("m.d2").alias("hard_pos_d2"),
+        )
+    )
+    hn = (
+        d.filter(F.col("label") != F.col("anchor_label"))
+        .groupBy("anchor_id")
+        .agg(F.min(F.struct("d2", "vec_id")).alias("m"))
+        .select(
+            "anchor_id",
+            F.col("m.vec_id").alias("hard_neg_id"),
+            F.col("m.d2").alias("hard_neg_d2"),
+        )
+    )
+    return (
+        hp.join(hn, "anchor_id")
+        .select(
+            "anchor_id",
+            "hard_pos_id",
+            "hard_pos_d2",
+            "hard_neg_id",
+            "hard_neg_d2",
+            (F.col("hard_pos_d2") - F.col("hard_neg_d2"))
+            .cast("bigint")
+            .alias("violation"),
+        )
+        .orderBy("anchor_id")
+    )
