@@ -13649,3 +13649,100 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor_id")
     )
+
+
+@query(
+    "doc_chunk_windows",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_SQL_TOKENS} AS ts FROM documents
+    ),
+    n AS (
+      SELECT doc_id, source, ts, len(ts) AS nt,
+             CASE WHEN len(ts) <= 128 THEN 1
+                  ELSE 1 + CAST(CEIL((len(ts) - 128) / 96.0) AS BIGINT)
+             END AS n_chunks
+      FROM toks
+    ),
+    ch AS (
+      SELECT doc_id, source, nt, n_chunks,
+             array_to_string(
+               list_slice(ts, (g.i - 1) * 96 + 1,
+                          LEAST((g.i - 1) * 96 + 128, nt)), ' ') AS chunk
+      FROM n, LATERAL UNNEST(generate_series(1, n_chunks)) g(i)
+    )
+    SELECT source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(len(string_split(chunk, ' '))) AS BIGINT)
+             AS n_chunk_tokens,
+           CAST(bit_xor(('0x' || substr(md5(chunk), 1, 15))::BIGINT)
+                AS BIGINT) AS chunk_xor
+    FROM ch GROUP BY source ORDER BY source
+    """,
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-prep CHUNKING: every document splits into overlapping token
+    windows (128-token chunks, 96-token stride = 32-token overlap,
+    short docs → one chunk), and each source reports doc/chunk/token
+    totals plus the bit_xor of the 60-bit chunk-text hashes — the
+    checksum pins EVERY chunk boundary bit-exactly, so an off-by-one in
+    stride or slice bounds anywhere fails the hash.
+
+    Scale: chunking is a map-local array computation (slice bounds from
+    one sequence expression — no explode of raw tokens, only of chunk
+    indexes), and chunks shuffle only as 8-byte hashes into the
+    per-source XOR; the chunk texts themselves would stream straight to
+    the embedding/indexing stage in production."""
+    from datagouv_tools_spark.functions.text import tokens as _toks
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", _toks("text").alias("ts")
+    )
+    n = d.select(
+        "doc_id",
+        "source",
+        "ts",
+        F.size("ts").cast("bigint").alias("nt"),
+        F.when(F.size("ts") <= 128, F.lit(1).cast("bigint"))
+        .otherwise(
+            1 + F.ceil((F.size("ts") - 128) / F.lit(96.0)).cast("bigint")
+        )
+        .alias("n_chunks"),
+    )
+    ch = n.select(
+        "doc_id",
+        "source",
+        "ts",
+        "nt",
+        "n_chunks",
+        F.explode(F.sequence(F.lit(1), F.col("n_chunks"))).alias("i"),
+    ).select(
+        "doc_id",
+        "source",
+        F.array_join(
+            F.slice(
+                F.col("ts"),
+                (F.col("i") - 1) * 96 + 1,
+                F.least(
+                    F.lit(128),
+                    F.col("nt") - (F.col("i") - 1) * 96,
+                ),
+            ),
+            " ",
+        ).alias("chunk"),
+    )
+    from datagouv_tools_spark.functions.xhash import md5_hash60
+
+    return (
+        ch.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(F.size(F.split(F.col("chunk"), " ")))
+            .cast("bigint")
+            .alias("n_chunk_tokens"),
+            F.bit_xor(md5_hash60("chunk")).cast("bigint").alias("chunk_xor"),
+        )
+        .orderBy("source")
+    )
