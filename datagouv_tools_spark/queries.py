@@ -13746,3 +13746,73 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "supplier_wilson_reliability",
+    """
+    WITH s AS (
+      SELECT l_suppkey,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) FILTER (l_returnflag <> 'R') AS BIGINT) AS k
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    w AS (
+      SELECT l_suppkey, n, k,
+             ((k / n + (1.96 * 1.96) / (2 * n))
+              - 1.96 * sqrt(((k / n) * (1 - k / n)
+                             + (1.96 * 1.96) / (4 * n)) / n))
+             / (1 + (1.96 * 1.96) / n) AS wlow
+      FROM s
+    )
+    SELECT l_suppkey, n, k,
+           CAST(ROUND(wlow, 6) AS DOUBLE) AS wilson_low
+    FROM w
+    ORDER BY wlow DESC, l_suppkey
+    LIMIT 20
+    """,
+)
+def supplier_wilson_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking under uncertainty: suppliers ordered by the WILSON score
+    lower bound of their non-return rate (z=1.96) — the estimator that
+    stops a 3-for-3 newcomer from outranking a 980-for-1000 veteran,
+    the standard fix for naive success-rate sort. The bound is a fixed
+    parenthesized +,*,/,sqrt shape over exact integer (k, n), so both
+    engines produce identical doubles and identical order before the
+    display round.
+
+    Scale: one map-side-combined aggregate over the fact (two bigints
+    per supplier), then the bound computes on |suppliers| rows and a
+    TakeOrdered(20) ships the leaderboard — no second fact pass, no
+    window."""
+    li = t(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count(F.when(F.col("l_returnflag") != "R", 1))
+        .cast("bigint")
+        .alias("k"),
+    )
+    kn = F.col("k") / F.col("n")
+    z2 = F.lit(1.96) * F.lit(1.96)
+    nd = F.col("n")
+    wlow = (
+        (kn + z2 / (2 * nd))
+        - F.lit(1.96)
+        * F.sqrt((kn * (1 - kn) + z2 / (4 * nd)) / nd)
+    ) / (1 + z2 / nd)
+    return (
+        s.select(
+            "l_suppkey",
+            "n",
+            "k",
+            wlow.alias("wlow"),
+        )
+        .orderBy(F.desc("wlow"), "l_suppkey")
+        .limit(20)
+        .select(
+            "l_suppkey",
+            "n",
+            "k",
+            F.round(F.col("wlow"), 6).cast("double").alias("wilson_low"),
+        )
+    )
