@@ -13816,3 +13816,52 @@ def supplier_wilson_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("wlow"), 6).cast("double").alias("wilson_low"),
         )
     )
+
+
+@query(
+    "doc_zipf_spectrum",
+    f"""
+    WITH toks AS (
+      SELECT unnest({_SQL_TOKENS}) AS tok FROM documents
+    ),
+    tc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok)
+    SELECT CASE WHEN c <= 20 THEN c ELSE -1 END AS freq,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(c) AS BIGINT) AS n_occurrences
+    FROM tc
+    GROUP BY 1
+    ORDER BY freq
+    """,
+)
+def doc_zipf_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-of-frequency SPECTRUM of the corpus vocabulary (the
+    Zipf/Good-Turing profile): how many token types occur exactly once
+    (hapax legomena), twice, … up to 20, with the heavy tail folded
+    into one bucket (freq = -1). The hapax share drives vocabulary
+    pruning, Good-Turing smoothing mass, and OOV-rate forecasts for
+    tokenizer sizing.
+
+    Scale: two map-side-combined aggregations (token counts, then
+    count-of-counts); the second input is |vocabulary| rows and the
+    output is ≤ 21 rows regardless of corpus size."""
+    from datagouv_tools_spark.functions.text import tokens as _toks
+
+    tc = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(_toks("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    return (
+        tc.groupBy(
+            F.when(F.col("c") <= 20, F.col("c"))
+            .otherwise(F.lit(-1))
+            .cast("bigint")
+            .alias("freq")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.sum("c").cast("bigint").alias("n_occurrences"),
+        )
+        .orderBy("freq")
+    )
