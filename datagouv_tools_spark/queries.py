@@ -13865,3 +13865,60 @@ def doc_zipf_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("freq")
     )
+
+
+@query(
+    "doc_heaps_law",
+    f"""
+    WITH mx AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
+    toks AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents
+    )
+    SELECT q.q AS quartile,
+           CAST(COUNT(DISTINCT CASE WHEN t.doc_id * 4 < mx.m * q.q
+                                    THEN t.doc_id END) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN t.doc_id * 4 < mx.m * q.q
+                           THEN 1 END) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT CASE WHEN t.doc_id * 4 < mx.m * q.q
+                                    THEN t.tok END) AS BIGINT) AS n_types
+    FROM toks t, mx, (SELECT unnest([1, 2, 3, 4]) AS q) q
+    GROUP BY q.q
+    ORDER BY quartile
+    """,
+)
+def doc_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary GROWTH curve: distinct token types vs
+    tokens seen at four corpus checkpoints (doc_id quartiles of the id
+    range) — the curve that forecasts vocabulary size, tokenizer OOV
+    rates, and dedup-structure growth as a crawl scales. Checkpoints
+    are pure integer predicates (doc_id·4 < max·q), so the curve is
+    exactly reproducible.
+
+    Scale: one exploded-token pass with four conditional aggregates
+    (map-side combined); the distinct-type counts are the only
+    vocabulary-sized state, which is precisely what the curve is
+    measuring — production swaps them for the KMV sketch
+    (events_distinct_sketch) above memory bounds, same four
+    predicates."""
+    from datagouv_tools_spark.functions.text import tokens as _toks
+
+    docs = t(spark, sf_dir, "documents")
+    mx = docs.agg((F.max("doc_id") + 1).alias("m"))
+    toks = docs.select("doc_id", F.explode(_toks("text")).alias("tok"))
+    qs = spark.createDataFrame([(1,), (2,), (3,), (4,)], "q int")
+    cond = F.col("doc_id") * 4 < F.col("m") * F.col("q")
+    return (
+        toks.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(qs))
+        .groupBy(F.col("q").cast("bigint").alias("quartile"))
+        .agg(
+            F.countDistinct(F.when(cond, F.col("doc_id")))
+            .cast("bigint")
+            .alias("n_docs"),
+            F.count(F.when(cond, 1)).cast("bigint").alias("n_tokens"),
+            F.countDistinct(F.when(cond, F.col("tok")))
+            .cast("bigint")
+            .alias("n_types"),
+        )
+        .orderBy("quartile")
+    )
