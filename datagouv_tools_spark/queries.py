@@ -13922,3 +13922,104 @@ def doc_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("quartile")
     )
+
+
+@query(
+    "orders_bootstrap_spread",
+    """
+    WITH reps AS (SELECT unnest([0,1,2,3,4,5,6,7]) AS r),
+    sub AS (
+      SELECT o.o_orderpriority, r.r,
+             CAST(o.o_totalprice AS DECIMAL(18,4)) AS v
+      FROM orders o, reps r
+      WHERE ('0x' || substr(md5(o.o_orderkey::VARCHAR || ':bs'
+                                || r.r::VARCHAR), 1, 15))::BIGINT % 2 = 0
+    ),
+    rep_means AS (
+      SELECT o_orderpriority, r,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_v
+      FROM sub GROUP BY o_orderpriority, r
+    ),
+    full_mean AS (
+      SELECT o_orderpriority,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               / COUNT(*) AS mean_all
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT rm.o_orderpriority,
+           CAST(ROUND(MAX(f.mean_all), 4) AS DOUBLE) AS mean_all,
+           CAST(ROUND(MIN(rm.mean_v), 4) AS DOUBLE) AS rep_mean_min,
+           CAST(ROUND(MAX(rm.mean_v), 4) AS DOUBLE) AS rep_mean_max,
+           CAST(MIN(rm.n) AS BIGINT) AS rep_n_min,
+           CAST(MAX(rm.n) AS BIGINT) AS rep_n_max
+    FROM rep_means rm JOIN full_mean f USING (o_orderpriority)
+    GROUP BY rm.o_orderpriority
+    ORDER BY rm.o_orderpriority
+    """,
+)
+def orders_bootstrap_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resampling-based UNCERTAINTY: eight deterministic half-sample
+    replicas (row r-included iff md5(orderkey‖replica) is even — the
+    seeded, engine-portable analog of bootstrap resampling) each
+    estimate the mean order value per priority; the replica min/max
+    spread brackets the sampling error of the full-data mean. Each
+    replica mean is one decimal-exact sum over ~n/2 rows divided once
+    (a single IEEE division), so every number crosses engines
+    bit-for-bit before the display round.
+
+    Scale: the 8× row replication is map-local (orders × 8 → filter
+    drops half) feeding ONE combined aggregation keyed by
+    (priority, replica) — 40 cells out regardless of fact size; at
+    100 TB you'd fold the replica id into the same map-side combine
+    exactly like this."""
+    o = t(spark, sf_dir, "orders")
+    reps = spark.createDataFrame([(r,) for r in range(8)], "r int")
+    pick = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"),
+                        F.lit(":bs"),
+                        F.col("r").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+        == 0
+    )
+    rep_means = (
+        o.crossJoin(F.broadcast(reps))
+        .filter(pick)
+        .groupBy("o_orderpriority", "r")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (
+                F.sum(dec("o_totalprice")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_v"),
+        )
+    )
+    full_mean = o.groupBy("o_orderpriority").agg(
+        (F.sum(dec("o_totalprice")).cast("double") / F.count(F.lit(1))).alias(
+            "mean_all"
+        )
+    )
+    return (
+        rep_means.join(F.broadcast(full_mean), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.max("mean_all"), 4).cast("double").alias("mean_all"),
+            F.round(F.min("mean_v"), 4).cast("double").alias("rep_mean_min"),
+            F.round(F.max("mean_v"), 4).cast("double").alias("rep_mean_max"),
+            F.min("n").cast("bigint").alias("rep_n_min"),
+            F.max("n").cast("bigint").alias("rep_n_max"),
+        )
+        .orderBy("o_orderpriority")
+    )
