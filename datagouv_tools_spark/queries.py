@@ -14023,3 +14023,97 @@ def orders_bootstrap_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "customer_interpurchase_survival",
+    """
+    WITH mx AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+    seq AS (
+      SELECT o_custkey, o_orderdate,
+             LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS next_date
+      FROM orders
+    ),
+    gaps AS (
+      SELECT s.o_custkey,
+             CASE WHEN s.next_date IS NULL THEN NULL
+                  ELSE date_diff('day', s.o_orderdate, s.next_date)
+             END AS gap_days,
+             date_diff('day', s.o_orderdate, mx.maxd) AS window_days
+      FROM seq s, mx
+    )
+    SELECT h.h AS horizon_days,
+           CAST(COUNT(*) FILTER (window_days >= h.h) AS BIGINT)
+             AS n_at_risk,
+           CAST(COUNT(*) FILTER (window_days >= h.h
+                AND (gap_days IS NULL OR gap_days > h.h)) AS BIGINT)
+             AS n_survived,
+           CAST(COUNT(*) FILTER (window_days >= h.h
+                AND (gap_days IS NULL OR gap_days > h.h)) * 1000
+                // COUNT(*) FILTER (window_days >= h.h) AS BIGINT)
+             AS survival_mille
+    FROM gaps, (SELECT unnest([30, 90, 180, 365]) AS h) h
+    GROUP BY h.h
+    ORDER BY horizon_days
+    """,
+)
+def customer_interpurchase_survival(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SURVIVAL analysis of repurchase behavior: for each order, does
+    another order by the same customer arrive within h days? Orders
+    whose observation window (time to the corpus end) is shorter than
+    the horizon are EXCLUDED from that horizon's risk set — the
+    right-censoring correction that makes the naive repurchase rate
+    unbiased; survival at each fixed horizon reduces to exact integer
+    counting (the discrete Kaplan-Meier evaluated at h).
+
+    Scale: one keyed window pass (LEAD over customer order sequences),
+    a broadcast scalar max date, and four conditional aggregates —
+    output is |horizons| rows; no per-customer state survives the
+    aggregate."""
+    from pyspark.sql.window import Window
+
+    o = t(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("maxd"))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey",
+        "o_orderdate",
+        F.lead("o_orderdate").over(w).alias("next_date"),
+    )
+    gaps = seq.crossJoin(F.broadcast(mx)).select(
+        F.when(
+            F.col("next_date").isNotNull(),
+            F.datediff(
+                F.col("next_date").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            ),
+        ).alias("gap_days"),
+        F.datediff(
+            F.col("maxd").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("window_days"),
+    )
+    hs = spark.createDataFrame([(30,), (90,), (180,), (365,)], "h int")
+    at_risk = F.col("window_days") >= F.col("h")
+    survived = at_risk & (
+        F.col("gap_days").isNull() | (F.col("gap_days") > F.col("h"))
+    )
+    return (
+        gaps.crossJoin(F.broadcast(hs))
+        .groupBy(F.col("h").cast("bigint").alias("horizon_days"))
+        .agg(
+            F.count(F.when(at_risk, 1)).cast("bigint").alias("n_at_risk"),
+            F.count(F.when(survived, 1)).cast("bigint").alias("n_survived"),
+        )
+        .select(
+            "horizon_days",
+            "n_at_risk",
+            "n_survived",
+            F.expr(
+                "cast(n_survived * 1000 div n_at_risk as bigint)"
+            ).alias("survival_mille"),
+        )
+        .orderBy("horizon_days")
+    )
