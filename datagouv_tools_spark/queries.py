@@ -14117,3 +14117,126 @@ def customer_interpurchase_survival(
         )
         .orderBy("horizon_days")
     )
+
+
+def _ivf_recall_curve_oracle() -> str:
+    head = """
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
+    cent0 AS (
+      SELECT vec_id, embedding,
+             ('0x' || substr(md5(vec_id::VARCHAR || '-42'), 1, 15))::BIGINT AS h
+      FROM c ORDER BY h ASC, vec_id ASC LIMIT 16
+    ),
+    cent AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS list_id,
+             list_transform(embedding,
+                 x -> x / sqrt(list_dot_product(embedding, embedding))) AS cv
+      FROM cent0
+    ),
+    sims AS (
+      SELECT c.vec_id, cent.list_id,
+             ROUND(list_dot_product(c.embedding, cent.cv)
+                   / sqrt(list_dot_product(c.embedding, c.embedding)), 6)
+               AS csim
+      FROM c, cent
+    ),
+    ranked AS (
+      SELECT vec_id, list_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY csim DESC, list_id) AS crk
+      FROM sims
+    ),
+    lists AS (SELECT vec_id, list_id FROM ranked WHERE crk = 1),
+    exact AS (
+      SELECT q.vec_id AS query_id, e.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+               ROUND(list_dot_product(q.embedding, e.embedding)
+                 / (sqrt(list_dot_product(q.embedding, q.embedding))
+                    * sqrt(list_dot_product(e.embedding, e.embedding))), 6)
+               DESC, e.vec_id) AS rk
+      FROM c q JOIN c e ON e.vec_id <> q.vec_id
+      WHERE q.vec_id < 10
+    ),
+    ex5 AS (SELECT query_id, vec_id FROM exact WHERE rk <= 5)"""
+    parts = []
+    sel = []
+    for np_ in (1, 2, 4, 8):
+        parts.append(f""",
+    p{np_} AS (
+      SELECT pr.vec_id AS query_id, a.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY pr.vec_id ORDER BY
+               ROUND(list_dot_product(q.embedding, e.embedding)
+                 / (sqrt(list_dot_product(q.embedding, q.embedding))
+                    * sqrt(list_dot_product(e.embedding, e.embedding))), 6)
+               DESC, a.vec_id) AS rk
+      FROM (SELECT vec_id, list_id FROM ranked
+            WHERE vec_id < 10 AND crk <= {np_}) pr
+      JOIN lists a ON a.list_id = pr.list_id AND a.vec_id <> pr.vec_id
+      JOIN c q ON q.vec_id = pr.vec_id
+      JOIN c e ON e.vec_id = a.vec_id
+    ),
+    h{np_} AS (
+      SELECT CAST({np_} AS BIGINT) AS nprobe,
+             CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM (SELECT query_id, vec_id FROM p{np_} WHERE rk <= 5) t
+      JOIN ex5 USING (query_id, vec_id)
+    )""")
+        sel.append(f"SELECT nprobe, n_hits FROM h{np_}")
+    union = "\n    UNION ALL\n    ".join(sel)
+    return (
+        head
+        + "".join(parts)
+        + f"""
+    SELECT nprobe, n_hits,
+           CAST(n_hits * 1000 // 50 AS BIGINT) AS recall_mille
+    FROM ({union})
+    ORDER BY nprobe"""
+    )
+
+
+@query("emb_ivf_recall_curve", _ivf_recall_curve_oracle())
+def emb_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN quality/cost TRADEOFF, measured: recall@5 of IVF search
+    against the exact brute-force top-5 as nprobe sweeps 1→8 of 16
+    lists (10 query vectors, 50 truth pairs). Every stage — centroid
+    sampling, list assignment, probe ranking, rerank, and the exact
+    baseline — is deterministic, so the whole recall CURVE value-hash
+    matches the DuckDB replay; this is the artifact that picks nprobe
+    for a latency budget instead of folklore.
+
+    Scale: each sweep point scans ~nprobe/16 of the corpus (the IVF
+    bargain); the recall join is 50 truth rows against ≤50 result rows
+    per point. Production sweeps the persisted index
+    (emb_ivfpq_topk_indexed) the same way without re-clustering."""
+    from datagouv_tools_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    ex5 = cosine_topk(queries_df, emb, k=5).select("query_id", "vec_id")
+    rows = None
+    for np_ in (1, 2, 4, 8):
+        got = ivf_topk(
+            queries_df, emb, k=5, n_lists=16, nprobe=np_
+        ).select("query_id", "vec_id")
+        r = (
+            got.join(ex5, ["query_id", "vec_id"])
+            .agg(
+                F.lit(np_).cast("bigint").alias("nprobe"),
+                F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+            )
+            .select(
+                "nprobe",
+                "n_hits",
+                F.expr("cast(n_hits * 1000 div 50 as bigint)").alias(
+                    "recall_mille"
+                ),
+            )
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows.orderBy("nprobe")
