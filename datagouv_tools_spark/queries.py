@@ -14240,3 +14240,111 @@ def emb_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = r if rows is None else rows.unionByName(r)
     return rows.orderBy("nprobe")
+
+
+@query(
+    "token_graph_link_prediction",
+    f"""
+    WITH toks AS (
+      SELECT {_SQL_TOKENS} AS ts FROM documents
+    ),
+    bg AS (
+      SELECT ts[i] AS x, ts[i+1] AS y
+      FROM toks, LATERAL UNNEST(generate_series(1, len(ts) - 1)) g(i)
+      WHERE len(ts) >= 2
+    ),
+    und AS (
+      SELECT DISTINCT LEAST(x, y) AS u, GREATEST(x, y) AS v
+      FROM bg WHERE x <> y
+    ),
+    adj AS (
+      SELECT u AS a, v AS b FROM und
+      UNION ALL
+      SELECT v AS a, u AS b FROM und
+    ),
+    deg AS (SELECT a AS token, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM adj GROUP BY a),
+    mids AS (
+      SELECT adj.b AS z, adj.a, deg.degree
+      FROM adj JOIN deg ON deg.token = adj.b
+      WHERE deg.degree <= 64
+    ),
+    wedges AS (
+      SELECT m1.a AS ta, m2.a AS tb,
+             CAST(COUNT(*) AS BIGINT) AS cn,
+             CAST(SUM(1000000 // m1.degree) AS BIGINT) AS ra_ppm
+      FROM mids m1 JOIN mids m2
+        ON m1.z = m2.z AND m1.a < m2.a
+      GROUP BY m1.a, m2.a
+    ),
+    preds AS (
+      SELECT w.ta, w.tb, w.cn, w.ra_ppm
+      FROM wedges w LEFT JOIN und e ON e.u = w.ta AND e.v = w.tb
+      WHERE e.u IS NULL
+    )
+    SELECT ta, tb, cn, ra_ppm
+    FROM preds
+    ORDER BY cn DESC, ra_ppm DESC, ta, tb
+    LIMIT 20
+    """,
+)
+def token_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINK PREDICTION on the token co-occurrence graph: for
+    non-adjacent token pairs, common-neighbor count plus the
+    resource-allocation index (Σ 1/deg(z) over shared neighbors z — the
+    Zhou-Lü-Zhang predictor) in exact integer ppm, top-20. Middles are
+    capped at degree ≤ 64: hub tokens (stopwords adjacent to half the
+    vocabulary) are uninformative AND the skew bomb — the cap is both
+    the statistical downweight and the deg² fan-out bound.
+
+    Scale: one edge-list shuffle builds adjacency + degrees; the wedge
+    self-join fans out Σ_z deg(z)² only over capped middles; existing
+    edges drop by anti-join; top-20 is TakeOrdered. The same shape at
+    any vocabulary."""
+    from datagouv_tools_spark.functions.text import tokens, word_pair_structs
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(tokens("text").alias("ts"))
+    bg = toks.select(
+        F.explode(word_pair_structs(F.col("ts"))).alias("p")
+    ).select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+    und = (
+        bg.filter(F.col("x") != F.col("y"))
+        .select(
+            F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    adj = und.select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    ).unionByName(und.select(F.col("v").alias("a"), F.col("u").alias("b")))
+    deg = adj.groupBy(F.col("a").alias("token")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )
+    mids = (
+        adj.join(deg, adj["b"] == deg["token"])
+        .filter(F.col("degree") <= 64)
+        .select(F.col("b").alias("z"), "a", "degree")
+    )
+    m1 = mids.select(
+        F.col("z"), F.col("a").alias("ta"), F.col("degree").alias("dz")
+    )
+    m2 = mids.select(F.col("z"), F.col("a").alias("tb"))
+    wedges = (
+        m1.join(m2, "z")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cn"),
+            F.sum(F.expr("1000000 div dz")).cast("bigint").alias("ra_ppm"),
+        )
+    )
+    preds = wedges.join(
+        und,
+        (und["u"] == wedges["ta"]) & (und["v"] == wedges["tb"]),
+        "left_anti",
+    )
+    return preds.orderBy(
+        F.desc("cn"), F.desc("ra_ppm"), "ta", "tb"
+    ).limit(20)
