@@ -14348,3 +14348,70 @@ def token_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return preds.orderBy(
         F.desc("cn"), F.desc("ra_ppm"), "ta", "tb"
     ).limit(20)
+
+
+@query(
+    "customer_k_anonymity",
+    """
+    WITH qi AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             CAST(COUNT(*) AS BIGINT) AS class_size
+      FROM customer
+      GROUP BY 1, 2, 3
+    )
+    SELECT k.k AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(COUNT(*) FILTER (class_size < k.k) AS BIGINT)
+             AS n_classes_below,
+           CAST(COALESCE(SUM(class_size) FILTER (class_size < k.k), 0)
+                AS BIGINT) AS n_rows_reidentifiable,
+           CAST(MIN(class_size) AS BIGINT) AS k_anonymity_level
+    FROM qi, (SELECT unnest([2, 5, 10]) AS k) k
+    GROUP BY k.k
+    ORDER BY k
+    """,
+)
+def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy AUDIT: k-anonymity of the customer table under the
+    quasi-identifier tuple (nation, market segment, account-balance
+    band) — equivalence-class sizes, how many classes and rows fall
+    below k ∈ {2,5,10}, and the table's actual k-anonymity level
+    (the minimum class size — the worst-case re-identification
+    exposure). The release gate that pairs with user_erasure_cascade's
+    deletion path: one measures who can be singled out, the other
+    removes them.
+
+    Scale: one map-side-combined aggregate to class sizes
+    (|QI-combinations| rows, data-independent of row count), then a
+    3-row threshold sweep over the class table."""
+    c = t(spark, sf_dir, "customer")
+    qi = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("class_size"))
+    ks = spark.createDataFrame([(2,), (5,), (10,)], "k int")
+    return (
+        qi.crossJoin(F.broadcast(ks))
+        .groupBy(F.col("k").cast("bigint").alias("k"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+            F.count(F.when(F.col("class_size") < F.col("k"), 1))
+            .cast("bigint")
+            .alias("n_classes_below"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("class_size") < F.col("k"),
+                        F.col("class_size"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_rows_reidentifiable"),
+            F.min("class_size").cast("bigint").alias("k_anonymity_level"),
+        )
+        .orderBy("k")
+    )
