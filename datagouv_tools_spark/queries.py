@@ -14415,3 +14415,128 @@ def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@query(
+    "multimodal_scene_change",
+    """
+    WITH px AS (
+      SELECT d.doc_id, t.t, r.r, c.c, k.k,
+             ((d.doc_id * 7 + t.t * 13 + r.r * 5 + c.c * 3 + k.k * 11
+               + CASE WHEN t.t >= (d.doc_id % 6) + 1 THEN 97 ELSE 0 END)
+              % 256) AS v
+      FROM documents d, range(0, 8) t(t), range(0, 12) r(r),
+           range(0, 16) c(c), range(0, 3) k(k)
+      WHERE d.doc_id < 24
+    ),
+    dif AS (
+      SELECT a.doc_id, a.t,
+             CAST(SUM(ABS(a.v - b.v)) AS BIGINT) AS diff_energy
+      FROM px a JOIN px b
+        ON a.doc_id = b.doc_id AND b.t = a.t - 1
+       AND a.r = b.r AND a.c = b.c AND a.k = b.k
+      WHERE a.t >= 1
+      GROUP BY a.doc_id, a.t
+    ),
+    best AS (
+      SELECT doc_id, t AS detected_frame, diff_energy
+      FROM (SELECT doc_id, t, diff_energy,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                     ORDER BY diff_energy DESC, t) AS rk
+            FROM dif) WHERE rk = 1
+    )
+    SELECT b.doc_id AS media_id,
+           CAST((b.doc_id % 6) + 1 AS BIGINT) AS true_cut,
+           CAST(b.detected_frame AS BIGINT) AS detected_cut,
+           b.diff_energy AS cut_energy,
+           CAST(s.total AS BIGINT) AS total_diff_energy,
+           CASE WHEN b.detected_frame = (b.doc_id % 6) + 1
+                THEN 1 ELSE 0 END AS hit
+    FROM best b JOIN (SELECT doc_id, SUM(diff_energy) AS total
+                      FROM dif GROUP BY doc_id) s USING (doc_id)
+    ORDER BY media_id
+    """,
+)
+def multimodal_scene_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCENE-CHANGE detection on real decoded video frames: each
+    fixture 'video' is 8 PPM frames with slow per-frame drift plus one
+    hard luminance jump at a doc-dependent cut frame; every frame is
+    serialized to genuine Netpbm bytes, decoded back by the pure-numpy
+    parser, and consecutive frames difference into exact integer
+    temporal energy — the detected cut is the argmax transition (ties
+    to the earliest). The oracle recomputes the energies from the
+    generative rule, never seeing bytes; the hit column makes detector
+    accuracy visible (and hash-pinned).
+
+    Scale: frames fan out and diff INSIDE one Arrow mapInPandas pass
+    (two frames resident per comparison — a 4 GB video never
+    materializes whole), emitting |transitions| integers per medium;
+    the argmax is a per-key aggregate."""
+    import pandas as pd
+
+    from datagouv_tools_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+    )
+
+    def build_and_diff(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = {"media_id": [], "t": [], "diff_energy": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                prev = None
+                for ft in range(8):
+                    r = np.arange(12).reshape(12, 1, 1)
+                    c = np.arange(16).reshape(1, 16, 1)
+                    k = np.arange(3).reshape(1, 1, 3)
+                    jump = 97 if ft >= (did % 6) + 1 else 0
+                    px = (
+                        (did * 7 + ft * 13 + r * 5 + c * 3 + k * 11 + jump)
+                        % 256
+                    ).astype(np.uint8)
+                    # genuine bytes round-trip: encode, then decode back
+                    _w, _h, frame = decode_ppm(encode_ppm(px))
+                    f64 = frame.astype(np.int64)
+                    if prev is not None:
+                        out["media_id"].append(did)
+                        out["t"].append(ft)
+                        out["diff_energy"].append(
+                            int(np.abs(f64 - prev).sum())
+                        )
+                    prev = f64
+            yield pd.DataFrame(out)
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 24)
+    dif = docs.select("doc_id").mapInPandas(
+        build_and_diff, "media_id bigint, t bigint, diff_energy bigint"
+    )
+    best = (
+        dif.groupBy("media_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("diff_energy"), (-F.col("t")).alias("nt")
+                )
+            ).alias("m"),
+            F.sum("diff_energy").cast("bigint").alias("total_diff_energy"),
+        )
+        .select(
+            "media_id",
+            (-F.col("m.nt")).cast("bigint").alias("detected_cut"),
+            F.col("m.diff_energy").alias("cut_energy"),
+            "total_diff_energy",
+        )
+    )
+    return best.select(
+        "media_id",
+        (F.col("media_id") % 6 + 1).cast("bigint").alias("true_cut"),
+        "detected_cut",
+        "cut_energy",
+        "total_diff_energy",
+        F.when(F.col("detected_cut") == F.col("media_id") % 6 + 1, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("hit"),
+    ).orderBy("media_id")
