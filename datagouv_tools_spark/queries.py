@@ -14540,3 +14540,86 @@ def multimodal_scene_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("hit"),
     ).orderBy("media_id")
+
+
+@query(
+    "events_schema_evolution_merge",
+    """
+    WITH v1 AS (
+      SELECT event_id, user_id, event_type,
+             CAST(NULL AS DOUBLE) AS value, 1 AS schema_v
+      FROM events WHERE event_id % 2 = 0
+    ),
+    v2 AS (
+      SELECT event_id, user_id, event_type, value, 2 AS schema_v
+      FROM events WHERE event_id % 2 = 1
+    ),
+    merged AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT schema_v,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(value) AS BIGINT) AS n_value_present,
+           CAST(COUNT(*) - COUNT(value) AS BIGINT) AS n_value_null,
+           CAST(ROUND(SUM(CAST(COALESCE(value, 0) AS DECIMAL(18,4))), 2)
+                AS DOUBLE) AS total_value
+    FROM merged
+    GROUP BY schema_v
+    ORDER BY schema_v
+    """,
+)
+def events_schema_evolution_merge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SCHEMA EVOLUTION on the lake: generation-1 files were written
+    before the `value` column existed (even event_ids), generation-2
+    files carry it (odd event_ids); one mergeSchema read unifies both
+    generations, null-filling the missing column — and the per-schema
+    audit (row counts, value presence, decimal-exact totals) pins the
+    merge semantics. The oracle simulates the two generations with
+    typed NULL projection.
+
+    Scale: schema merge is a FOOTER operation (one schema union across
+    file footers, no data rewrite) — the property that lets a 100 TB
+    table add columns without a backfill; the audit is one scan of the
+    merged view."""
+    import os
+    import tempfile
+
+    ev = t(spark, sf_dir, "events")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_schemaevo_v1",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    g1, g2 = os.path.join(base, "gen=1"), os.path.join(base, "gen=2")
+    if not os.path.exists(os.path.join(g1, "_SUCCESS")):
+        (
+            ev.filter(F.col("event_id") % 2 == 0)
+            .select("event_id", "user_id", "event_type")
+            .write.mode("overwrite")
+            .parquet(g1)
+        )
+    if not os.path.exists(os.path.join(g2, "_SUCCESS")):
+        (
+            ev.filter(F.col("event_id") % 2 == 1)
+            .select("event_id", "user_id", "event_type", "value")
+            .write.mode("overwrite")
+            .parquet(g2)
+        )
+    merged = spark.read.option("mergeSchema", "true").parquet(g1, g2)
+    return (
+        merged.withColumn(
+            "schema_v",
+            F.when(F.col("event_id") % 2 == 0, 1).otherwise(2),
+        )
+        .groupBy("schema_v")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count("value").cast("bigint").alias("n_value_present"),
+            (F.count(F.lit(1)) - F.count("value"))
+            .cast("bigint")
+            .alias("n_value_null"),
+            dround(F.sum(dec(F.coalesce(F.col("value"), F.lit(0.0)))), 2)
+            .alias("total_value"),
+        )
+        .orderBy("schema_v")
+    )
