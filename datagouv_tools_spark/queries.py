@@ -14623,3 +14623,62 @@ def events_schema_evolution_merge(
         )
         .orderBy("schema_v")
     )
+
+
+@query(
+    "events_compaction_audit",
+    """
+    SELECT CAST(64 AS BIGINT) AS n_files_before,
+           CAST(4 AS BIGINT) AS n_files_after,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_value
+    FROM events
+    """,
+)
+def events_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files COMPACTION with a content-invariance audit: the
+    events table is first written as 64 tiny files (the
+    streaming-ingest pathology), compacted by a repartition rewrite to
+    4 right-sized files, and the audit row pins (a) the actual file
+    counts on disk before/after — asserted in-query, surfaced as
+    columns — and (b) rows / distinct ids / decimal-exact totals over
+    the COMPACTED copy, hash-equal to reading the original table:
+    compaction moved bytes, not data.
+
+    Scale: small files are the top silent killer of 100 TB scans (one
+    task + one open per file); compaction is one shuffle-free-read →
+    repartition → write pass, idempotent under re-run, and the audit
+    is the cheap invariant every compaction job should ship with."""
+    import glob
+    import os
+    import tempfile
+
+    ev = t(spark, sf_dir, "events")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_compact_v1",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    small, big = os.path.join(base, "small"), os.path.join(base, "compact")
+    if not os.path.exists(os.path.join(small, "_SUCCESS")):
+        ev.repartition(64).write.mode("overwrite").parquet(small)
+    if not os.path.exists(os.path.join(big, "_SUCCESS")):
+        (
+            spark.read.parquet(small)
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(big)
+        )
+    n_before = len(glob.glob(os.path.join(small, "part-*")))
+    n_after = len(glob.glob(os.path.join(big, "part-*")))
+    assert n_before == 64 and n_after == 4, (n_before, n_after)
+    compacted = spark.read.parquet(big)
+    return compacted.agg(
+        F.lit(n_before).cast("bigint").alias("n_files_before"),
+        F.lit(n_after).cast("bigint").alias("n_files_after"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("event_id").cast("bigint").alias("n_ids"),
+        dround(F.sum(dec("value")), 2).alias("total_value"),
+    )
