@@ -14682,3 +14682,96 @@ def events_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_id").cast("bigint").alias("n_ids"),
         dround(F.sum(dec("value")), 2).alias("total_value"),
     )
+
+
+@query(
+    "doc_dataset_card",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, unnest({_SQL_TOKENS}) AS tok FROM documents
+    ),
+    fp AS (SELECT doc_id, {_SQL_FP} AS fp FROM documents),
+    dup AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique
+      FROM fp
+    ),
+    tok_stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_types,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+      FROM toks
+    ),
+    hapax AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_hapax
+      FROM (SELECT tok FROM toks GROUP BY tok HAVING COUNT(*) = 1)
+    )
+    SELECT d.n_docs,
+           t.n_sources,
+           t.n_tokens,
+           t.n_types,
+           CAST(t.n_tokens * 1000 // d.n_docs AS BIGINT)
+             AS tokens_per_doc_mille,
+           CAST((d.n_docs - d.n_unique) * 1000 // d.n_docs AS BIGINT)
+             AS exact_dup_mille,
+           CAST(h.n_hapax * 1000 // t.n_types AS BIGINT)
+             AS hapax_share_mille
+    FROM dup d, tok_stats t, hapax h
+    """,
+)
+def doc_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DATASET CARD in one row — the datasheet numbers a corpus
+    release ships with (Gebru et al.'s datasheets, reduced to the
+    computable core): doc/source/token/type counts, mean tokens per doc
+    (mille), exact-duplicate share by normalized fingerprint (mille),
+    and hapax share of the vocabulary (mille) — all integer-exact and
+    reproducible by construction.
+
+    Scale: one token pass + one fingerprint pass, every statistic an
+    algebraic aggregate (the distinct counts swap for KMV sketches
+    above memory bounds); the card is the cheap always-on artifact
+    that should accompany every corpus snapshot."""
+    from datagouv_tools_spark.functions.text import (
+        fingerprint_md5,
+        tokens as _toks,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.explode(_toks("text")).alias("tok")
+    )
+    fp = docs.select(fingerprint_md5("text").alias("fp"))
+    dup = fp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("fp").cast("bigint").alias("n_unique"),
+    )
+    tok_stats = toks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.countDistinct("tok").cast("bigint").alias("n_types"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+    )
+    hapax = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") == 1)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hapax"))
+    )
+    return (
+        dup.crossJoin(F.broadcast(tok_stats))
+        .crossJoin(F.broadcast(hapax))
+        .select(
+            "n_docs",
+            "n_sources",
+            "n_tokens",
+            "n_types",
+            F.expr("cast(n_tokens * 1000 div n_docs as bigint)").alias(
+                "tokens_per_doc_mille"
+            ),
+            F.expr(
+                "cast((n_docs - n_unique) * 1000 div n_docs as bigint)"
+            ).alias("exact_dup_mille"),
+            F.expr("cast(n_hapax * 1000 div n_types as bigint)").alias(
+                "hapax_share_mille"
+            ),
+        )
+    )
