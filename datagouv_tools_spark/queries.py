@@ -14775,3 +14775,57 @@ def doc_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_FK_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def _fk_sweep_oracle() -> str:
+    parts = []
+    for child, ck, parent, pk in _FK_EDGES:
+        parts.append(f"""
+    SELECT '{child}.{ck}' AS fk_edge,
+           CAST(COUNT(*) AS BIGINT) AS n_child_rows,
+           CAST(COUNT(DISTINCT c.{ck}) AS BIGINT) AS n_child_keys,
+           CAST(COUNT(*) FILTER (p.{pk} IS NULL) AS BIGINT) AS n_orphans
+    FROM {child} c LEFT JOIN {parent} p ON c.{ck} = p.{pk}""")
+    return (
+        "\n    UNION ALL\n    ".join(parts) + "\n    ORDER BY fk_edge"
+    )
+
+
+@query("fk_integrity_sweep", _fk_sweep_oracle())
+def fk_integrity_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-wide REFERENTIAL INTEGRITY sweep: every foreign-key edge
+    of the schema (7 edges, fact→dim and dim→dim) audited for orphan
+    child rows in one statement — the release gate that catches partial
+    loads, late-arriving dimensions, and botched backfills before a
+    join silently drops rows.
+
+    Scale: each edge is a broadcast-dim left-anti-count where the
+    parent is dimension-sized; the two fact edges share the lineitem
+    scan through the unioned plan. Orphan counts are exact — this is
+    the audit that decides whether a snapshot ships."""
+    rows = None
+    for child, ck, parent, pk in _FK_EDGES:
+        c = t(spark, sf_dir, child)
+        p = t(spark, sf_dir, parent).select(F.col(pk))
+        joined = c.join(F.broadcast(p), c[ck] == p[pk], "left")
+        r = joined.agg(
+            F.lit(f"{child}.{ck}").alias("fk_edge"),
+            F.count(F.lit(1)).cast("bigint").alias("n_child_rows"),
+            F.countDistinct(c[ck]).cast("bigint").alias("n_child_keys"),
+            F.count(F.when(p[pk].isNull(), 1))
+            .cast("bigint")
+            .alias("n_orphans"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows.orderBy("fk_edge")
