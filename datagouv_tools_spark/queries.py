@@ -14829,3 +14829,114 @@ def fk_integrity_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = r if rows is None else rows.unionByName(r)
     return rows.orderBy("fk_edge")
+
+
+_SCD2_STREAM_FIXTURE: dict = {}
+
+
+def _scd2_stream_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Two ts-ordered micro-batch files of the user_id<20 event slice —
+    batch 0 is the early half, batch 1 the late half (the
+    log-compacted-topic ordering contract), pinned via mtimes exactly
+    like _scrub_stream_fixture."""
+    import os
+    import tempfile
+
+    if sf_dir in _SCD2_STREAM_FIXTURE:
+        return _SCD2_STREAM_FIXTURE[sf_dir]
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    split_ts = ev.agg(F.percentile_approx("ts", 0.5, 1000000)).collect()[0][0]
+    src = tempfile.mkdtemp(prefix="scd2_stream_src_")
+    cols = ["user_id", "event_type", "ts", "event_id"]
+    # coalesce(1): a 2-FILE fixture is the point (one micro-batch per
+    # file) — never copy this into a production write path
+    ev.filter(F.col("ts") < split_ts).select(*cols).coalesce(1).write.parquet(
+        f"{src}/f1"
+    )
+    ev.filter(F.col("ts") >= split_ts).select(*cols).coalesce(1).write.parquet(
+        f"{src}/f2"
+    )
+    t0 = 1_600_000_000
+    for sub, ts_ in (("f1", t0), ("f2", t0 + 100)):
+        for name in os.listdir(f"{src}/{sub}"):
+            os.utime(f"{src}/{sub}/{name}", (ts_, ts_))
+    _SCD2_STREAM_FIXTURE[sf_dir] = src
+    return src
+
+
+@query(
+    "user_scd2_stream",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events WHERE user_id < 20
+    ),
+    marked AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN prev_type IS NULL OR prev_type <> event_type THEN 1 ELSE 0 END AS chg
+      FROM seq
+    ),
+    grp AS (
+      SELECT user_id, event_type, ts,
+             CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+      FROM marked
+    )
+    SELECT user_id, event_type AS state, island,
+           MIN(ts) AS valid_from, MAX(ts) AS valid_to, COUNT(*) AS n_events
+    FROM grp
+    GROUP BY user_id, event_type, island
+    ORDER BY user_id, valid_from
+    """,
+)
+def user_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 state history maintained from a REAL stream
+    (streaming/scd2_maintain): the user_id<20 event slice replays as
+    two ts-ordered micro-batches through the recompute-bounded
+    maintainer — net-new events absorb into key-hash bucket partitions
+    (event_id anti-join = redelivery no-op), and only touched buckets'
+    interval partitions rebuild per batch. The final served history is
+    hash-checked against the SAME gaps-and-islands oracle as the batch
+    twin user_state_intervals: stream == batch, through the store.
+
+    Scale: per batch O(touched buckets' events) — an hour's CDC
+    touches an hour's keys, not the table's history; serving reads are
+    partition-pruned by the same bucket hash."""
+    import tempfile
+
+    from datagouv_tools_spark.streaming.scd2_maintain import (
+        foreach_batch_scd2_maintainer,
+        read_intervals,
+    )
+
+    src = _scd2_stream_fixture(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="scd2_stream_")
+    stream = (
+        spark.readStream.schema(
+            "user_id bigint, event_type string, ts timestamp_ntz,"
+            " event_id bigint"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_scd2_maintainer(
+                f"{tmp}/base", f"{tmp}/intervals", n_buckets=8
+            )
+        )
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    iv = read_intervals(spark, f"{tmp}/intervals")
+    return iv.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "island",
+        "valid_from",
+        "valid_to",
+        "n_events",
+    ).orderBy("user_id", "valid_from")
