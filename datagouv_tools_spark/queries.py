@@ -14940,3 +14940,96 @@ def user_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_to",
         "n_events",
     ).orderBy("user_id", "valid_from")
+
+
+def _matryoshka_oracle() -> str:
+    head = """
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+               FROM embeddings),
+    exact AS (
+      SELECT q.vec_id AS query_id, e.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+               ROUND(list_dot_product(q.embedding, e.embedding)
+                 / (sqrt(list_dot_product(q.embedding, q.embedding))
+                    * sqrt(list_dot_product(e.embedding, e.embedding))), 6)
+               DESC, e.vec_id) AS rk
+      FROM c q JOIN c e ON e.vec_id <> q.vec_id
+      WHERE q.vec_id < 10
+    ),
+    ex5 AS (SELECT query_id, vec_id FROM exact WHERE rk <= 5)"""
+    parts, sel = [], []
+    for d in (8, 16, 32, 64):
+        parts.append(f""",
+    t{d} AS (
+      SELECT q.vec_id AS query_id, e.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+               ROUND(list_dot_product(q.s, e.s)
+                 / (sqrt(list_dot_product(q.s, q.s))
+                    * sqrt(list_dot_product(e.s, e.s))), 6)
+               DESC, e.vec_id) AS rk
+      FROM (SELECT vec_id, list_slice(embedding, 1, {d}) AS s FROM c) q
+      JOIN (SELECT vec_id, list_slice(embedding, 1, {d}) AS s FROM c) e
+        ON e.vec_id <> q.vec_id
+      WHERE q.vec_id < 10
+    ),
+    h{d} AS (
+      SELECT CAST({d} AS BIGINT) AS n_dims,
+             CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM (SELECT query_id, vec_id FROM t{d} WHERE rk <= 5) t
+      JOIN ex5 USING (query_id, vec_id)
+    )""")
+        sel.append(f"SELECT n_dims, n_hits FROM h{d}")
+    union = "\n    UNION ALL\n    ".join(sel)
+    return (
+        head
+        + "".join(parts)
+        + f"""
+    SELECT n_dims, n_hits,
+           CAST(n_hits * 1000 // 50 AS BIGINT) AS recall_mille
+    FROM ({union})
+    ORDER BY n_dims"""
+    )
+
+
+@query("emb_matryoshka_recall", _matryoshka_oracle())
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIMENSION-TRUNCATION tradeoff, measured (the Matryoshka / MRL
+    question): recall@5 of exact cosine search using only the first
+    8/16/32/64 dimensions against full-dimension truth — the curve
+    that decides how many dims a serving index actually stores. Every
+    point is deterministic (rounded cosine, vec_id tie-breaks), so the
+    curve value-hash-matches the DuckDB replay.
+
+    Scale: each point is the brute-force kernel on a PREFIX slice —
+    compute drops linearly with dims while the scan stays one pass
+    with broadcast queries; production pairs this with the PQ path
+    (store d' dims, re-rank survivors at full d)."""
+    from datagouv_tools_spark.operators.similarity import cosine_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    ex5 = cosine_topk(queries_df, emb, k=5).select("query_id", "vec_id")
+    rows = None
+    for d in (8, 16, 32, 64):
+        emb_d = emb.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        q_d = queries_df.select(
+            "query_id", F.slice("query_vec", 1, d).alias("query_vec")
+        )
+        got = cosine_topk(q_d, emb_d, k=5).select("query_id", "vec_id")
+        r = got.join(ex5, ["query_id", "vec_id"]).agg(
+            F.lit(d).cast("bigint").alias("n_dims"),
+            F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+        ).select(
+            "n_dims",
+            "n_hits",
+            F.expr("cast(n_hits * 1000 div 50 as bigint)").alias(
+                "recall_mille"
+            ),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows.orderBy("n_dims")
