@@ -15033,3 +15033,147 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = r if rows is None else rows.unionByName(r)
     return rows.orderBy("n_dims")
+
+
+_SHAPLEY_CHANNELS = [("click", 1), ("view", 2), ("signup", 4), ("error", 8)]
+#: |S|!·(4−|S|−1)!/4! scaled by 24, indexed by |S|
+_SHAPLEY_W24 = {0: 6, 1: 2, 2: 2, 3: 6}
+
+
+def _shapley_terms(bit: int) -> list[tuple[int, int, int]]:
+    """(w24, S, S|bit) for every S ⊆ C\\{bit}, in ascending-S order —
+    the PINNED left-fold order both engines sum in."""
+    out = []
+    for s in range(16):
+        if s & bit:
+            continue
+        out.append((_SHAPLEY_W24[bin(s).count("1")], s, s | bit))
+    return out
+
+
+def _shapley_oracle() -> str:
+    chan_bits = " ".join(
+        f"WHEN '{name}' THEN {b}" for name, b in _SHAPLEY_CHANNELS
+    )
+    def v(m: int) -> str:
+        return (
+            f"(SELECT COALESCE(MAX(CAST(k AS DOUBLE) / n), 0.0)"
+            f" FROM coal WHERE mask = {m})"
+        )
+
+    rows = []
+    for name, bit in _SHAPLEY_CHANNELS:
+        expr = None
+        for w, s, si in _shapley_terms(bit):
+            term = f"{w} * ({v(si)} - {v(s)})"
+            expr = term if expr is None else f"({expr}) + {term}"
+        rows.append(
+            f"""SELECT '{name}' AS channel,
+           CAST(ROUND(({expr}) / 24, 6) AS DOUBLE) AS shapley_v"""
+        )
+    union = "\n    UNION ALL\n    ".join(rows)
+    return f"""
+    WITH fp AS (
+      SELECT user_id, MIN(ts) AS fp_ts
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    touch AS (
+      SELECT e.user_id,
+             CASE e.event_type {chan_bits} ELSE 0 END AS bit,
+             CASE WHEN f.fp_ts IS NOT NULL THEN 1 ELSE 0 END AS conv
+      FROM events e LEFT JOIN fp f USING (user_id)
+      WHERE e.event_type <> 'purchase'
+        AND (f.fp_ts IS NULL OR e.ts < f.fp_ts)
+    ),
+    urow AS (
+      SELECT user_id, bit_or(bit) AS mask, MAX(conv) AS conv
+      FROM touch GROUP BY user_id
+    ),
+    coal AS (
+      SELECT mask, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(conv) AS BIGINT) AS k
+      FROM urow WHERE mask > 0 GROUP BY mask
+    )
+    {union}
+    ORDER BY channel"""
+
+
+@query("events_shapley_attribution", _shapley_oracle())
+def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value attribution over observed channel
+    coalitions: each user's pre-conversion touch set becomes a 4-bit
+    coalition mask, coalition conversion rates v(S) come from exact
+    counts (unobserved coalitions impute v=0 — the standard
+    observed-coalition simplification), and each channel's Shapley
+    value is the exact 8-term weighted marginal sum, folded in pinned
+    ascending-mask order so both engines produce identical doubles
+    before the round. The game-theoretic answer to "which channel
+    earns the conversion credit" — complementing last-touch
+    (events_attribution_last_touch) and Markov removal
+    (events_attribution_markov).
+
+    Scale: ONE pass builds user masks (bit_or per user), coalition
+    stats are ≤ 2⁴ rows, and the Shapley fold is constant work — at
+    any event volume the cost is the mask aggregation."""
+    ev = t(spark, sf_dir, "events")
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp_ts"))
+    )
+    bit = F.when(F.col("event_type") == "click", 1)
+    for name, b in _SHAPLEY_CHANNELS[1:]:
+        bit = bit.when(F.col("event_type") == name, b)
+    bit = bit.otherwise(0)
+    touch = (
+        ev.filter(F.col("event_type") != "purchase")
+        .join(F.broadcast(fp), "user_id", "left")
+        .filter(F.col("fp_ts").isNull() | (F.col("ts") < F.col("fp_ts")))
+        .select(
+            "user_id",
+            bit.alias("bit"),
+            F.when(F.col("fp_ts").isNotNull(), 1).otherwise(0).alias("conv"),
+        )
+    )
+    urow = touch.groupBy("user_id").agg(
+        F.bit_or("bit").alias("mask"), F.max("conv").alias("conv")
+    )
+    coal = {
+        int(r["mask"]): (int(r["n"]), int(r["k"]))
+        for r in urow.filter(F.col("mask") > 0)
+        .groupBy("mask")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("conv").alias("k"),
+        )
+        .collect()
+    }
+
+    def v(m: int) -> float:
+        if m in coal and coal[m][0] > 0:
+            n, k = coal[m]
+            return float(k) / n
+        return 0.0
+
+    def round_half_away(x: float, nd: int = 6) -> float:
+        # DuckDB/Spark ROUND is half-away-from-zero; Python's round()
+        # is banker's — replicate the SQL semantics exactly
+        import math
+
+        scale = 10**nd
+        return (
+            math.floor(x * scale + 0.5) / scale
+            if x >= 0
+            else -math.floor(-x * scale + 0.5) / scale
+        )
+
+    out = []
+    for name, b in _SHAPLEY_CHANNELS:
+        acc = None
+        for w, s, si in _shapley_terms(b):
+            term = w * (v(si) - v(s))
+            acc = term if acc is None else acc + term
+        out.append((name, round_half_away(acc / 24)))
+    return spark.createDataFrame(
+        out, "channel string, shapley_v double"
+    ).orderBy("channel")
