@@ -15177,3 +15177,90 @@ def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "channel string, shapley_v double"
     ).orderBy("channel")
+
+
+@query(
+    "nation_revenue_mix_shift",
+    """
+    WITH y AS (
+      SELECT n.n_name AS nation,
+             EXTRACT(year FROM o.o_orderdate) AS yr,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE EXTRACT(year FROM o.o_orderdate) IN (1996, 1997)
+      GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT a.nation,
+             a.n_orders AS n1, b.n_orders AS n2,
+             a.revenue AS r1, b.revenue AS r2
+      FROM (SELECT * FROM y WHERE yr = 1996) a
+      JOIN (SELECT * FROM y WHERE yr = 1997) b USING (nation)
+    )
+    SELECT nation, n1, n2,
+           CAST(ROUND(r2 - r1, 2) AS DOUBLE) AS delta_revenue,
+           CAST(ROUND((n2 - n1) * (r1 / n1), 2) AS DOUBLE)
+             AS volume_effect,
+           CAST(ROUND(n2 * (r2 / n2 - r1 / n1), 2) AS DOUBLE)
+             AS price_effect
+    FROM p
+    ORDER BY nation
+    """,
+)
+def nation_revenue_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth ACCOUNTING: the 1996→1997 revenue change per nation
+    decomposed into a volume effect ((n₂−n₁)·avg₁) and a price/mix
+    effect (n₂·(avg₂−avg₁)) — the two terms sum to Δrevenue by
+    construction, so "we grew because more orders" and "we grew because
+    bigger orders" get exact, separately-attributable numbers. Revenues
+    are decimal-exact sums cast to double; every effect is a fixed
+    +,*,/ shape over those identical doubles.
+
+    Scale: one aggregation over the year-filtered fact (dims
+    broadcast), then the decomposition runs on |nations| rows."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    y = (
+        o.filter(F.year(F.col("o_orderdate")).isin(1996, 1997))
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year(F.col("o_orderdate")).alias("yr"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
+        )
+    )
+    a = y.filter(F.col("yr") == 1996).select(
+        "nation",
+        F.col("n_orders").alias("n1"),
+        F.col("revenue").alias("r1"),
+    )
+    b = y.filter(F.col("yr") == 1997).select(
+        "nation",
+        F.col("n_orders").alias("n2"),
+        F.col("revenue").alias("r2"),
+    )
+    p = a.join(b, "nation")
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    return p.select(
+        "nation",
+        "n1",
+        "n2",
+        F.round(F.col("r2") - F.col("r1"), 2).cast("double").alias(
+            "delta_revenue"
+        ),
+        F.round((n2d - n1d) * (F.col("r1") / n1d), 2)
+        .cast("double")
+        .alias("volume_effect"),
+        F.round(n2d * (F.col("r2") / n2d - F.col("r1") / n1d), 2)
+        .cast("double")
+        .alias("price_effect"),
+    ).orderBy("nation")
