@@ -15264,3 +15264,156 @@ def nation_revenue_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("price_effect"),
     ).orderBy("nation")
+
+
+_RAKE_STOPS = (
+    "'the','a','of','and','to','in','is','on','for','with'"
+)
+
+
+@query(
+    "doc_rake_keyphrases",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, g.i AS pos, ts[g.i] AS tok,
+             CASE WHEN ts[g.i] IN ({_RAKE_STOPS}) THEN 1 ELSE 0 END
+               AS is_stop
+      FROM (SELECT doc_id, {_SQL_TOKENS} AS ts FROM documents),
+           LATERAL UNNEST(generate_series(1, len(ts))) g(i)
+    ),
+    isl AS (
+      SELECT doc_id, pos, tok, is_stop,
+             SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS island
+      FROM toks
+    ),
+    runs AS (
+      SELECT doc_id, pos, tok, island FROM isl WHERE is_stop = 0
+    ),
+    phrases AS (
+      SELECT doc_id, island,
+             string_agg(tok, ' ' ORDER BY pos) AS phrase,
+             CAST(COUNT(*) AS BIGINT) AS plen,
+             list(tok ORDER BY pos) AS members
+      FROM runs GROUP BY doc_id, island
+      HAVING COUNT(*) <= 4
+    ),
+    words AS (
+      SELECT unnest(members) AS w, plen FROM phrases
+    ),
+    wscore AS (
+      SELECT w,
+             CAST(SUM(plen) * 1000 // COUNT(*) AS BIGINT) AS score_mille
+      FROM words GROUP BY w
+    ),
+    pscore AS (
+      SELECT p.phrase,
+             CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+             CAST(MAX(s.total) AS BIGINT) AS score_mille
+      FROM phrases p
+      JOIN (
+        SELECT phrase, doc_id, island, SUM(ws.score_mille) AS total
+        FROM (SELECT phrase, doc_id, island, unnest(members) AS w
+              FROM phrases) pm
+        JOIN wscore ws ON ws.w = pm.w
+        GROUP BY phrase, doc_id, island
+      ) s ON s.phrase = p.phrase AND s.doc_id = p.doc_id
+         AND s.island = p.island
+      GROUP BY p.phrase
+    )
+    SELECT phrase, n_occurrences, score_mille
+    FROM pscore
+    ORDER BY score_mille DESC, phrase
+    LIMIT 20
+    """,
+)
+def doc_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) in exact integers:
+    candidate phrases are maximal stopword-delimited token runs (≤4
+    words), word scores are degree/frequency in floor mille (degree =
+    Σ phrase length over containing phrases), and a phrase scores the
+    sum of its members' mille scores — the co-occurrence-based
+    extractor that complements TextRank's graph ranking, with zero
+    float anywhere.
+
+    Scale: one exploded-token window pass builds runs (stop-count
+    islands), word stats aggregate map-side, and phrase scoring joins
+    the |phrase-instances| relation against the |vocabulary| score
+    table — both corpus-linear; top-20 is TakeOrdered."""
+    from pyspark.sql.window import Window
+
+    from datagouv_tools_spark.functions.text import tokens as _toks
+
+    stops = [s.strip("'") for s in _RAKE_STOPS.split(",")]
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(_toks("text")).alias("pos", "tok")
+    )
+    toks = d.select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.when(F.col("tok").isin(stops), 1).otherwise(0).alias("is_stop"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runs = (
+        toks.select(
+            "doc_id",
+            "pos",
+            "tok",
+            F.sum("is_stop").over(w).alias("island"),
+            "is_stop",
+        )
+        .filter(F.col("is_stop") == 0)
+        .drop("is_stop")
+    )
+    phrases = (
+        runs.groupBy("doc_id", "island")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "tok"))
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("bigint").alias("plen"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ).alias("members"),
+        )
+        .filter(F.col("plen") <= 4)
+        .localCheckpoint(eager=True)
+    )
+    words = phrases.select(
+        F.explode("members").alias("w"), "plen"
+    )
+    wscore = words.groupBy("w").agg(
+        F.expr("cast(sum(plen) * 1000 div count(1) as bigint)").alias(
+            "score_mille"
+        )
+    )
+    inst = phrases.select(
+        "phrase", "doc_id", "island", F.explode("members").alias("w")
+    )
+    inst_score = (
+        inst.join(wscore, "w")
+        .groupBy("phrase", "doc_id", "island")
+        .agg(F.sum("score_mille").alias("total"))
+    )
+    return (
+        phrases.join(inst_score, ["phrase", "doc_id", "island"])
+        .groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.max("total").cast("bigint").alias("score_mille"),
+        )
+        .orderBy(F.desc("score_mille"), "phrase")
+        .limit(20)
+    )
