@@ -15415,3 +15415,92 @@ def doc_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_mille"), "phrase")
         .limit(20)
     )
+
+
+@query(
+    "part_price_index",
+    """
+    WITH pq AS (
+      SELECT l_partkey,
+             EXTRACT(year FROM l_shipdate) AS yr,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS spend,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+      FROM lineitem
+      WHERE EXTRACT(year FROM l_shipdate) IN (1996, 1997)
+      GROUP BY 1, 2
+    ),
+    both_ AS (
+      SELECT a.l_partkey,
+             a.spend / a.qty AS p1, a.qty AS q1,
+             b.spend / b.qty AS p2, b.qty AS q2
+      FROM (SELECT * FROM pq WHERE yr = 1996) a
+      JOIN (SELECT * FROM pq WHERE yr = 1997) b USING (l_partkey)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_common_parts,
+           CAST(ROUND(CAST(SUM(CAST(p2 * q1 AS DECIMAL(28,8))) AS DOUBLE)
+                / CAST(SUM(CAST(p1 * q1 AS DECIMAL(28,8))) AS DOUBLE)
+                * 1000, 3) AS DOUBLE) AS laspeyres_mille,
+           CAST(ROUND(CAST(SUM(CAST(p2 * q2 AS DECIMAL(28,8))) AS DOUBLE)
+                / CAST(SUM(CAST(p1 * q2 AS DECIMAL(28,8))) AS DOUBLE)
+                * 1000, 3) AS DOUBLE) AS paasche_mille,
+           CAST(ROUND(sqrt((CAST(SUM(CAST(p2 * q1 AS DECIMAL(28,8))) AS DOUBLE)
+                            / CAST(SUM(CAST(p1 * q1 AS DECIMAL(28,8))) AS DOUBLE))
+                           * (CAST(SUM(CAST(p2 * q2 AS DECIMAL(28,8))) AS DOUBLE)
+                              / CAST(SUM(CAST(p1 * q2 AS DECIMAL(28,8))) AS DOUBLE)))
+                * 1000, 3) AS DOUBLE) AS fisher_mille
+    FROM both_
+    """,
+)
+def part_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEX NUMBERS: the Laspeyres (base-year basket), Paasche
+    (current basket), and Fisher (geometric mean) price indexes for
+    1996→1997 over parts traded in both years — the econ/BI metric
+    family behind inflation and price-realization dashboards. Unit
+    prices derive from decimal-exact spend/quantity sums; the index
+    ratios are fixed +,*,/,sqrt shapes.
+
+    Scale: one aggregation over the year-filtered fact to per-part
+    (spend, qty), a self-join on the part key (both sides already
+    aggregated — dimension-sized), and a scalar reduce. The p·q terms
+    quantize to DECIMAL(28,8) before summing, so the basket sums are
+    order-free exact on both engines — the only doubles are the pinned
+    per-part unit-price divisions and the final ratio shape."""
+    li = t(spark, sf_dir, "lineitem")
+    pq = (
+        li.filter(F.year("l_shipdate").isin(1996, 1997))
+        .groupBy("l_partkey", F.year("l_shipdate").alias("yr"))
+        .agg(
+            F.sum(dec("l_extendedprice")).cast("double").alias("spend"),
+            F.sum(dec("l_quantity")).cast("double").alias("qty"),
+        )
+    )
+    a = pq.filter(F.col("yr") == 1996).select(
+        "l_partkey",
+        (F.col("spend") / F.col("qty")).alias("p1"),
+        F.col("qty").alias("q1"),
+    )
+    b = pq.filter(F.col("yr") == 1997).select(
+        "l_partkey",
+        (F.col("spend") / F.col("qty")).alias("p2"),
+        F.col("qty").alias("q2"),
+    )
+    j = a.join(b, "l_partkey")
+    lasp = F.sum(
+        (F.col("p2") * F.col("q1")).cast("decimal(28,8)")
+    ).cast("double") / F.sum(
+        (F.col("p1") * F.col("q1")).cast("decimal(28,8)")
+    ).cast("double")
+    paas = F.sum(
+        (F.col("p2") * F.col("q2")).cast("decimal(28,8)")
+    ).cast("double") / F.sum(
+        (F.col("p1") * F.col("q2")).cast("decimal(28,8)")
+    ).cast("double")
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common_parts"),
+        F.round(lasp * 1000, 3).cast("double").alias("laspeyres_mille"),
+        F.round(paas * 1000, 3).cast("double").alias("paasche_mille"),
+        F.round(F.sqrt(lasp * paas) * 1000, 3)
+        .cast("double")
+        .alias("fisher_mille"),
+    )
