@@ -15504,3 +15504,103 @@ def part_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("fisher_mille"),
     )
+
+
+@query(
+    "nation_revenue_concentration",
+    """
+    WITH r AS (
+      SELECT n.n_name AS nation, o.o_custkey,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT nation, rev,
+             ROW_NUMBER() OVER (PARTITION BY nation
+                                ORDER BY rev, o_custkey) AS i,
+             COUNT(*) OVER (PARTITION BY nation) AS n
+      FROM r
+    )
+    SELECT nation,
+           CAST(MAX(n) AS BIGINT) AS n_customers,
+           CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS total_revenue,
+           CAST(ROUND(CAST(SUM((2 * i - n - 1) * rev) AS DOUBLE)
+                / (MAX(n) * CAST(SUM(rev) AS DOUBLE)), 6) AS DOUBLE)
+             AS gini,
+           CAST(ROUND(CAST(SUM(CAST(rev AS DECIMAL(19,4))
+                               * CAST(rev AS DECIMAL(19,4))) AS DOUBLE)
+                / (CAST(SUM(rev) AS DOUBLE) * CAST(SUM(rev) AS DOUBLE)),
+                6) AS DOUBLE) AS hhi
+    FROM w
+    GROUP BY nation
+    ORDER BY nation
+    """,
+)
+def nation_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONCENTRATION metrics per market: the Gini coefficient
+    (Σ(2i−n−1)·rᵢ over rank-sorted customer revenues — inequality of
+    the revenue distribution) and the Herfindahl-Hirschman index
+    (Σ shareᵢ² — few-big-accounts risk), both per nation. Every sum is
+    decimal-exact (rank-weighted revenue products, squared revenues);
+    only the final normalizing divisions are doubles in fixed shapes —
+    so the metrics cross engines bit-for-bit.
+
+    Scale: one fact aggregation to per-customer revenue, one keyed
+    window for ranks (same nation partitioning reused by the final
+    aggregate), output |nations| rows. The audit that tells a revenue
+    team whether growth is broad or one whale."""
+    from pyspark.sql.window import Window
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"), "o_custkey")
+        .agg(F.sum(dec("o_totalprice")).alias("rev"))
+    )
+    w = Window.partitionBy("nation").orderBy("rev", "o_custkey")
+    wn = Window.partitionBy("nation")
+    g = r.select(
+        "nation",
+        "rev",
+        F.row_number().over(w).cast("bigint").alias("i"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+    )
+    return (
+        g.groupBy("nation")
+        .agg(
+            F.max("n").cast("bigint").alias("n_customers"),
+            F.round(F.sum("rev"), 2).cast("double").alias("total_revenue"),
+            F.round(
+                F.sum(
+                    (2 * F.col("i") - F.col("n") - 1) * F.col("rev")
+                ).cast("double")
+                / (
+                    F.max("n").cast("double")
+                    * F.sum("rev").cast("double")
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("gini"),
+            F.round(
+                F.sum(
+                    F.col("rev").cast("decimal(19,4)")
+                    * F.col("rev").cast("decimal(19,4)")
+                ).cast("double")
+                / (
+                    F.sum("rev").cast("double")
+                    * F.sum("rev").cast("double")
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("hhi"),
+        )
+        .orderBy("nation")
+    )
