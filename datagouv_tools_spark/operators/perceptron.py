@@ -78,8 +78,11 @@ def perceptron_train(
     return w, stats
 
 
-def perceptron_oracle_sql(positive_label: int, iters: int, dim: int) -> str:
-    """DuckDB twin: identical rounds over the long-format corpus."""
+def perceptron_cte_sql(positive_label: int, iters: int, dim: int) -> str:
+    """The shared DuckDB CTE chain (no final SELECT): long-format
+    corpus ``q``, zero weights ``w0``, per-round score/mistake/update
+    CTEs ending at ``w{iters}`` and the ``st{r}`` stat rows — reused by
+    the training-trajectory oracle and the calibration oracle."""
     head = f"""
     WITH q AS (
       SELECT vec_id,
@@ -117,7 +120,15 @@ def perceptron_oracle_sql(positive_label: int, iters: int, dim: int) -> str:
              (SELECT CAST(SUM(ABS(w)) AS BIGINT) FROM w{r}) AS w_l1_after
     )"""
         )
+    return head + "".join(rounds)
+
+
+def perceptron_oracle_sql(positive_label: int, iters: int, dim: int) -> str:
+    """DuckDB twin: identical rounds over the long-format corpus."""
     union = "\n    UNION ALL ".join(
         f"SELECT * FROM st{r}" for r in range(1, iters + 1)
     )
-    return head + "".join(rounds) + f"\n    {union}\n    ORDER BY round"
+    return (
+        perceptron_cte_sql(positive_label, iters, dim)
+        + f"\n    {union}\n    ORDER BY round"
+    )

@@ -15604,3 +15604,92 @@ def nation_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+def _calibration_oracle() -> str:
+    from datagouv_tools_spark.operators.perceptron import perceptron_cte_sql
+
+    return (
+        perceptron_cte_sql(0, 4, 64)
+        + """,
+    sc AS (
+      SELECT q.vec_id, ANY_VALUE(q.y) AS y,
+             CAST(SUM(q.x * w.w) AS BIGINT) AS s
+      FROM q JOIN w4 w USING (i) GROUP BY q.vec_id
+    ),
+    rk AS (
+      SELECT vec_id, y, s,
+             ROW_NUMBER() OVER (ORDER BY s DESC, vec_id) AS r,
+             COUNT(*) OVER () AS n
+      FROM sc
+    )
+    SELECT CAST((r - 1) * 10 // n AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(COUNT(*) FILTER (y = 1) AS BIGINT) AS n_pos,
+           CAST(COUNT(*) FILTER (y = 1) * 1000 // COUNT(*) AS BIGINT)
+             AS pos_rate_mille,
+           CAST(SUM(s) AS BIGINT) AS sum_score
+    FROM rk GROUP BY 1 ORDER BY bin"""
+    )
+
+
+@query("emb_calibration_bins", _calibration_oracle())
+def emb_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RELIABILITY DIAGRAM for a trained classifier: the 4-round
+    integer perceptron's scores rank the corpus into score deciles
+    (rank-based bins, ties to vec_id), and each bin reports its actual
+    positive rate in exact mille — monotone-decreasing rates mean the
+    score ORDERS well; the rate-vs-bin shape is the calibration curve
+    every model-based filter (doc_quality_logit-style) should ship
+    with. Training, scoring, binning, and rates are all integer-exact,
+    so the whole eval hash-matches the DuckDB training replay.
+
+    Scale: training is the perceptron's dim-bounded rounds; scoring is
+    one map-local pass with the weight array as data; binning is one
+    global rank window over |corpus| score rows (at 100 TB: bin by
+    pre-computed score-quantile boundaries from the histogram sketch,
+    same output contract)."""
+    from pyspark.sql.window import Window
+
+    from datagouv_tools_spark.operators.perceptron import perceptron_train
+
+    emb = t(spark, sf_dir, "embeddings")
+    w, _ = perceptron_train(emb, positive_label=0, iters=4, dim=64)
+    warr = F.array(*[F.lit(int(v)).cast("bigint") for v in w])
+    score = F.aggregate(
+        F.zip_with(F.col("xq"), warr, lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    q = emb.select(
+        "vec_id",
+        F.when(F.col("label") == 0, 1).otherwise(-1).cast("bigint").alias("y"),
+        F.transform(
+            F.col("embedding"),
+            lambda v: F.round(v.cast("double") * 1000, 0).cast("bigint"),
+        ).alias("xq"),
+    ).select("vec_id", "y", score.alias("s"))
+    rk = q.select(
+        "y",
+        "s",
+        F.row_number()
+        .over(Window.orderBy(F.desc("s"), F.asc("vec_id")))
+        .cast("bigint")
+        .alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    return (
+        rk.groupBy(
+            F.expr("cast((r - 1) * 10 div n as bigint)").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.count(F.when(F.col("y") == 1, 1)).cast("bigint").alias("n_pos"),
+            F.expr(
+                "cast(count(case when y = 1 then 1 end) * 1000"
+                " div count(1) as bigint)"
+            ).alias("pos_rate_mille"),
+            F.sum("s").cast("bigint").alias("sum_score"),
+        )
+        .orderBy("bin")
+    )
