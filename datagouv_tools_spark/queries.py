@@ -15693,3 +15693,92 @@ def emb_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+def _auc_oracle() -> str:
+    from datagouv_tools_spark.operators.perceptron import perceptron_cte_sql
+
+    return (
+        perceptron_cte_sql(0, 4, 64)
+        + """,
+    sc AS (
+      SELECT q.vec_id, ANY_VALUE(q.y) AS y,
+             CAST(SUM(q.x * w.w) AS BIGINT) AS s
+      FROM q JOIN w4 w USING (i) GROUP BY q.vec_id
+    ),
+    rk AS (
+      SELECT y,
+             ROW_NUMBER() OVER (ORDER BY s, vec_id) AS r
+      FROM sc
+    ),
+    agg AS (
+      SELECT CAST(SUM(CASE WHEN y = 1 THEN r ELSE 0 END) AS BIGINT)
+               AS rank_sum,
+             CAST(COUNT(*) FILTER (y = 1) AS BIGINT) AS n_pos,
+             CAST(COUNT(*) FILTER (y <> 1) AS BIGINT) AS n_neg
+      FROM rk
+    )
+    SELECT n_pos, n_neg,
+           CAST(rank_sum - n_pos * (n_pos + 1) // 2 AS BIGINT) AS u_stat,
+           CAST((rank_sum - n_pos * (n_pos + 1) // 2) * 1000000
+                // (n_pos * n_neg) AS BIGINT) AS auc_ppm
+    FROM agg"""
+    )
+
+
+@query("emb_classifier_auc", _auc_oracle())
+def emb_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of the trained perceptron as the EXACT Mann-Whitney
+    rank-sum: AUC = (Σ positive ranks − n₊(n₊+1)/2) / (n₊·n₋), every
+    term an integer (deterministic rank ties by vec_id), emitted in
+    floor ppm — the threshold-free ordering metric beside
+    emb_calibration_bins' threshold-wise rates, hash-matched against
+    the full DuckDB training replay.
+
+    Scale: one score pass, one global rank window, a 3-integer reduce;
+    at 100 TB the window swaps for sketch-quantile rank estimation,
+    same contract."""
+    from pyspark.sql.window import Window
+
+    from datagouv_tools_spark.operators.perceptron import perceptron_train
+
+    emb = t(spark, sf_dir, "embeddings")
+    w, _ = perceptron_train(emb, positive_label=0, iters=4, dim=64)
+    warr = F.array(*[F.lit(int(v)).cast("bigint") for v in w])
+    score = F.aggregate(
+        F.zip_with(F.col("xq"), warr, lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    q = emb.select(
+        "vec_id",
+        F.when(F.col("label") == 0, 1).otherwise(-1).cast("bigint").alias("y"),
+        F.transform(
+            F.col("embedding"),
+            lambda v: F.round(v.cast("double") * 1000, 0).cast("bigint"),
+        ).alias("xq"),
+    ).select("vec_id", "y", score.alias("s"))
+    rk = q.select(
+        "y",
+        F.row_number()
+        .over(Window.orderBy(F.asc("s"), F.asc("vec_id")))
+        .cast("bigint")
+        .alias("r"),
+    )
+    return rk.agg(
+        F.count(F.when(F.col("y") == 1, 1)).cast("bigint").alias("n_pos"),
+        F.count(F.when(F.col("y") != 1, 1)).cast("bigint").alias("n_neg"),
+        F.sum(F.when(F.col("y") == 1, F.col("r")).otherwise(0))
+        .cast("bigint")
+        .alias("rank_sum"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        F.expr("cast(rank_sum - n_pos * (n_pos + 1) div 2 as bigint)").alias(
+            "u_stat"
+        ),
+        F.expr(
+            "cast((rank_sum - n_pos * (n_pos + 1) div 2) * 1000000"
+            " div (n_pos * n_neg) as bigint)"
+        ).alias("auc_ppm"),
+    )
