@@ -15782,3 +15782,81 @@ def emb_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (n_pos * n_neg) as bigint)"
         ).alias("auc_ppm"),
     )
+
+
+@query(
+    "events_dau_stickiness",
+    """
+    WITH days AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d FROM events
+    ),
+    ud AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    )
+    SELECT CAST(days.d AS VARCHAR) AS day,
+           CAST(COUNT(DISTINCT CASE WHEN ud.d = days.d
+                                    THEN ud.user_id END) AS BIGINT) AS dau,
+           CAST(COUNT(DISTINCT CASE WHEN ud.d > days.d - 7
+                                    THEN ud.user_id END) AS BIGINT) AS wau,
+           CAST(COUNT(DISTINCT CASE WHEN ud.d > days.d - 30
+                                    THEN ud.user_id END) AS BIGINT) AS mau,
+           CAST(COUNT(DISTINCT CASE WHEN ud.d = days.d
+                                    THEN ud.user_id END) * 1000
+                // COUNT(DISTINCT CASE WHEN ud.d > days.d - 30
+                                       THEN ud.user_id END) AS BIGINT)
+             AS stickiness_mille
+    FROM days JOIN ud ON ud.d <= days.d AND ud.d > days.d - 30
+    GROUP BY days.d
+    ORDER BY day
+    """,
+)
+def events_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The product-analytics staple: DAU / trailing-7-day WAU /
+    trailing-30-day MAU distinct users per day, plus the DAU/MAU
+    stickiness ratio in exact mille — the engagement dashboard row. The
+    (day, user) relation is deduplicated FIRST, so the trailing windows
+    join day-grain rows, not raw events.
+
+    Scale: |days × trailing-window| day-user rows feed one conditional
+    distinct aggregate — at 100 TB the exact distincts swap for the
+    per-day KMV sketches (events_user_kmv_setops' union merge gives any
+    trailing window from 30 daily sketches), same output contract."""
+    ev = t(spark, sf_dir, "events")
+    ud = ev.select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    days = ud.select("d").distinct().withColumnRenamed("d", "day_d")
+    j = days.join(
+        ud,
+        (F.col("d") <= F.col("day_d"))
+        & (F.col("d") > F.date_sub(F.col("day_d"), 30)),
+    )
+    return (
+        j.groupBy(F.col("day_d").cast("string").alias("day"))
+        .agg(
+            F.countDistinct(
+                F.when(F.col("d") == F.col("day_d"), F.col("user_id"))
+            )
+            .cast("bigint")
+            .alias("dau"),
+            F.countDistinct(
+                F.when(
+                    F.col("d") > F.date_sub(F.col("day_d"), 7),
+                    F.col("user_id"),
+                )
+            )
+            .cast("bigint")
+            .alias("wau"),
+            F.countDistinct("user_id").cast("bigint").alias("mau"),
+        )
+        .select(
+            "day",
+            "dau",
+            "wau",
+            "mau",
+            F.expr("cast(dau * 1000 div mau as bigint)").alias(
+                "stickiness_mille"
+            ),
+        )
+        .orderBy("day")
+    )
