@@ -15860,3 +15860,77 @@ def events_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "lineitem_return_pchart",
+    """
+    WITH m AS (
+      SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS mon,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) FILTER (l_returnflag = 'R') AS BIGINT) AS k
+      FROM lineitem GROUP BY 1
+    ),
+    g AS (
+      SELECT CAST(SUM(k) AS DOUBLE) / SUM(n) AS pbar FROM m
+    )
+    SELECT CAST(mon AS VARCHAR) AS month, n, k,
+           CAST(ROUND(CAST(k AS DOUBLE) / n, 6) AS DOUBLE) AS p,
+           CAST(ROUND(g.pbar + 3 * sqrt(g.pbar * (1 - g.pbar) / n), 6)
+                AS DOUBLE) AS ucl,
+           CAST(ROUND(g.pbar - 3 * sqrt(g.pbar * (1 - g.pbar) / n), 6)
+                AS DOUBLE) AS lcl,
+           CASE WHEN CAST(k AS DOUBLE) / n
+                     > g.pbar + 3 * sqrt(g.pbar * (1 - g.pbar) / n)
+                  OR CAST(k AS DOUBLE) / n
+                     < g.pbar - 3 * sqrt(g.pbar * (1 - g.pbar) / n)
+                THEN 1 ELSE 0 END AS out_of_control
+    FROM m, g
+    ORDER BY month
+    """,
+)
+def lineitem_return_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical process control: the p-CHART of monthly return
+    proportions — each month's return rate against ±3σ binomial
+    control limits around the grand rate, with the out-of-control flag
+    that pages a supply-chain owner. All rates and limits are fixed
+    +,*,/,sqrt shapes over exact integer counts, so flags match
+    bit-for-bit cross-engine.
+
+    Scale: one map-side-combined aggregate to (month, n, k), a
+    broadcast scalar grand rate, |months| output rows."""
+    li = t(spark, sf_dir, "lineitem")
+    m = li.groupBy(
+        F.trunc(F.col("l_shipdate").cast("date"), "MM").alias("mon")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1))
+        .cast("bigint")
+        .alias("k"),
+    )
+    g = m.agg(
+        (F.sum("k").cast("double") / F.sum("n")).alias("pbar")
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("k").cast("double") / F.col("n")
+    sig = F.sqrt(F.col("pbar") * (1 - F.col("pbar")) / nd)
+    return (
+        m.crossJoin(F.broadcast(g))
+        .select(
+            F.col("mon").cast("string").alias("month"),
+            "n",
+            "k",
+            F.round(p, 6).cast("double").alias("p"),
+            F.round(F.col("pbar") + 3 * sig, 6).cast("double").alias("ucl"),
+            F.round(F.col("pbar") - 3 * sig, 6).cast("double").alias("lcl"),
+            F.when(
+                (p > F.col("pbar") + 3 * sig)
+                | (p < F.col("pbar") - 3 * sig),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("out_of_control"),
+        )
+        .orderBy("month")
+    )
