@@ -15934,3 +15934,79 @@ def lineitem_return_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@query(
+    "emb_hubness_profile",
+    """
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+               FROM embeddings),
+    ranked AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS nb,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+               ROUND(list_dot_product(q.embedding, e.embedding)
+                 / (sqrt(list_dot_product(q.embedding, q.embedding))
+                    * sqrt(list_dot_product(e.embedding, e.embedding))),
+                 6) DESC, e.vec_id) AS rk
+      FROM c q JOIN c e ON e.vec_id <> q.vec_id
+    ),
+    knn AS (SELECT query_id, nb FROM ranked WHERE rk <= 5),
+    deg AS (SELECT nb AS vec_id, COUNT(*) AS d FROM knn GROUP BY nb),
+    indeg AS (
+      SELECT c.vec_id, COALESCE(deg.d, 0) AS in_deg
+      FROM c LEFT JOIN deg ON deg.vec_id = c.vec_id
+    )
+    SELECT CAST(in_deg AS BIGINT) AS in_degree,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(MAX(CASE WHEN in_deg >= 15 THEN 1 ELSE 0 END) AS INTEGER)
+             AS is_hub_band
+    FROM indeg
+    GROUP BY in_deg
+    ORDER BY in_degree
+    """,
+)
+def emb_hubness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space HEALTH check: the in-degree distribution of the
+    exact 5-NN graph — how often each vector appears in other vectors'
+    neighbor lists. A heavy right tail (hubs with in-degree ≫ k) is the
+    classic high-dimensional pathology that silently degrades kNN
+    classification and ANN recall; the profile is the metric an
+    embedding QA gate alarms on. Exact cosine, deterministic ties, so
+    the whole histogram value-hash-matches.
+
+    Scale: the all-pairs 5-NN here is the audit-slice form; production
+    computes neighbor lists with the ANN index (same output contract)
+    and the in-degree histogram stays a two-aggregation reduction."""
+    from datagouv_tools_spark.operators.similarity import cosine_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries_df = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    knn = cosine_topk(queries_df, emb, k=5).select("vec_id")
+    indeg = (
+        emb.select("vec_id")
+        .join(
+            knn.groupBy("vec_id").agg(
+                F.count(F.lit(1)).cast("bigint").alias("in_deg")
+            ),
+            "vec_id",
+            "left",
+        )
+        .select(
+            F.coalesce("in_deg", F.lit(0).cast("bigint")).alias("in_deg")
+        )
+    )
+    return (
+        indeg.groupBy(F.col("in_deg").alias("in_degree"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.max(
+                F.when(F.col("in_deg") >= 15, 1).otherwise(0)
+            )
+            .cast("int")
+            .alias("is_hub_band"),
+        )
+        .orderBy("in_degree")
+    )
