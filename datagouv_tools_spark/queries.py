@@ -15977,14 +15977,37 @@ def emb_hubness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the all-pairs 5-NN here is the audit-slice form; production
     computes neighbor lists with the ANN index (same output contract)
     and the in-degree histogram stays a two-aggregation reduction."""
-    from datagouv_tools_spark.operators.similarity import cosine_topk
+    from pyspark.sql.window import Window
+
+    from datagouv_tools_spark.operators.similarity import (
+        cosine_pairs_blocked,
+    )
 
     emb = t(spark, sf_dir, "embeddings")
-    queries_df = emb.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("query_vec"),
+    # all-pairs sims via the distributed block-matrix kernel (one BLAS
+    # matmul per block pair — the per-query broadcast kernel costs
+    # minutes when EVERY vector is a query), then a per-query top-5
+    # window over the directed pair list
+    pairs = cosine_pairs_blocked(
+        emb, "vec_id", "embedding", threshold=-1.0
     )
-    knn = cosine_topk(queries_df, emb, k=5).select("vec_id")
+    directed = pairs.select(
+        F.col("id_a").alias("query_id"), F.col("id_b").alias("vec_id"), "sim"
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("query_id"),
+            F.col("id_a").alias("vec_id"),
+            "sim",
+        )
+    )
+    w5 = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("vec_id")
+    )
+    knn = (
+        directed.withColumn("rk", F.row_number().over(w5))
+        .filter(F.col("rk") <= 5)
+        .select("vec_id")
+    )
     indeg = (
         emb.select("vec_id")
         .join(
