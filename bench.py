@@ -13,6 +13,15 @@ Methodology (hardened in round 3 per VERDICT r02 "What's wrong" #1):
   MEDIAN (robust to transient contention on a shared box), with the MIN
   kept alongside in ``queries_min`` so a reader can spot noise
   (median >> min ⇒ contention, not code).
+- Variance pinning (round 7, per VERDICT r06 "What's wrong" #5): the
+  cross-round regression signal is ``queries_min`` / ``batch_total_min``
+  — the min over repeats is the least contaminated estimate of the
+  plan's real cost on a noisy shared box (same-code totals swung ±20%+
+  across r6 runs; medians absorb ambient load, minima don't). Queries
+  whose median/min ratio exceeds ``NOISE_RATIO`` get up to
+  ``EXTRA_REPEATS`` additional samples so their min is drawn from a
+  larger pool, and the run records its load context (loadavg before and
+  after, cpu count) so a reader can tell a loaded run from a quiet one.
 - Streaming replays (micro-batch availableNow pipelines, ~2-9 s of
   fixed per-batch overhead regardless of data volume) run LAST and are
   totalled separately in ``streaming_total`` so suite-total comparisons
@@ -27,6 +36,10 @@ import statistics
 import time
 
 REPEATS = 3
+# median/min above this ratio ⇒ the samples are contention-polluted:
+# draw extra repeats so the reported min comes from a larger pool.
+NOISE_RATIO = 1.5
+EXTRA_REPEATS = 2
 
 
 def _is_streaming(name: str) -> bool:
@@ -49,6 +62,8 @@ def main() -> None:
         n for n in QUERIES if _is_streaming(n)
     ]
 
+    load_before = os.getloadavg()
+
     medians: dict[str, float] = {}
     minima: dict[str, float] = {}
     for name in ordered:
@@ -58,11 +73,26 @@ def main() -> None:
             start = time.perf_counter()
             fn(spark, sf_dir).collect()
             samples.append(time.perf_counter() - start)
+        extra = 0
+        while (
+            extra < EXTRA_REPEATS
+            and statistics.median(samples) > NOISE_RATIO * min(samples)
+        ):
+            start = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            samples.append(time.perf_counter() - start)
+            extra += 1
         medians[name] = round(statistics.median(samples), 4)
         minima[name] = round(min(samples), 4)
 
     batch_total = round(sum(v for n, v in medians.items() if not _is_streaming(n)), 4)
     streaming_total = round(sum(v for n, v in medians.items() if _is_streaming(n)), 4)
+    batch_total_min = round(
+        sum(v for n, v in minima.items() if not _is_streaming(n)), 4
+    )
+    streaming_total_min = round(
+        sum(v for n, v in minima.items() if _is_streaming(n)), 4
+    )
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     payload = {
         "metric": "query_suite_total",
@@ -72,7 +102,15 @@ def main() -> None:
         "queries_min": minima,
         "batch_total": batch_total,
         "streaming_total": streaming_total,
+        # regression signal: compare THESE across rounds, not medians
+        "batch_total_min": batch_total_min,
+        "streaming_total_min": streaming_total_min,
         "repeats": REPEATS,
+        "load_context": {
+            "loadavg_before": [round(x, 2) for x in load_before],
+            "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+            "cpus": os.cpu_count(),
+        },
         "sf": sf,
     }
     print(json.dumps(payload))

@@ -100,19 +100,21 @@ def sorted_neighborhood_pairs(
     Scale shape: candidates come from an EQUI-join on (rank + offset)
     — offsets exploded from a literal 1..window sequence — so the
     candidate count is exactly n·window, linear in the data, never a
-    quadratic block zone. Ranking uses one global row_number here; at
-    extreme n swap in the repo's range-partitioned two-pass rank
-    (events_cumulative_distinct's layout) — the pair generation and
-    verify are unchanged.
+    quadratic block zone. Ranking is the repo's range-partitioned
+    two-pass rank (operators/ranking.distributed_row_number): one
+    parallel range shuffle + local sort + bounded offset carry — no
+    ``Exchange SinglePartition`` anywhere, so the sort that feeds the
+    neighborhood scales with the cluster instead of funneling the
+    corpus through one task. Rank values equal the global row_number
+    exactly (equivalence is pytest-pinned), so pair generation and
+    the verify are unchanged.
     """
-    from pyspark.sql.window import Window
+    from datagouv_tools_spark.operators.ranking import distributed_row_number
 
-    ranked = df.select(
-        F.col(id_col),
-        F.col(key_col),
-        F.row_number()
-        .over(Window.orderBy(sort_key, F.col(id_col)))
-        .alias("__rn"),
+    ranked = distributed_row_number(
+        df.select(F.col(id_col), F.col(key_col)),
+        [sort_key, F.col(id_col)],
+        rank_col="__rn",
     )
     a = ranked.select(
         F.col(id_col).alias("id_a"),

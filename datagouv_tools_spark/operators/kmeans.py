@@ -6,8 +6,10 @@ mean sums, tie-handling); this implementation pins all of them:
 embeddings quantize to milli ints (`ROUND(x*1000)`), distances are
 integer Σ(x−c)², assignment ties break to the smallest centroid id,
 and centroid updates are sign-magnitude integer means
-(`sgn(s)·(|s|//n)` — negative integer division FLOORS in DuckDB but
-TRUNCATES in Spark, so both operate on magnitudes). Initialization is
+(`sgn(s)·(|s|//n)` — DuckDB's `//` truncates toward zero, same as
+Spark's `div`; the sign-magnitude form is kept anyway so Python-side
+folds — whose `//` FLOORS — reproduce the same values, and to defend
+against engines that floor). Initialization is
 deterministic: the k vectors with the smallest vec_ids, cluster id =
 their rank. Every round is therefore bit-reproducible and the whole
 iterative clustering is value-hash-checkable in DuckDB.

@@ -13,9 +13,10 @@ the same trick the engine uses for its sketches.
 Scale: each iteration is one equi-join of the edge list against the
 current rank vector (both partitioned by src) plus a groupBy(dst) with
 map-side combine — the standard |E|-shuffle-per-round distributed
-PageRank. The node spine and weighted degrees are computed once. A
-fixed iteration count keeps the whole run ONE lazy DAG; Spark reuses
-the edge/degree shuffle outputs across rounds.
+PageRank. The node spine and weighted degrees are computed once and
+checkpointed; each round's rank vector is an eager localCheckpoint, so
+round R's plan (and the returned DataFrame's lineage) is one join-agg
+deep, never R rounds deep.
 """
 
 from __future__ import annotations
@@ -36,24 +37,27 @@ def pagerank_fixed_point(
     ``src, dst, w`` (directed, pre-symmetrized by the caller for
     undirected graphs). Returns (token, pr_nano).
     """
-    # Loop invariants are persisted once: without this every iteration
+    # Loop invariants and each round's rank vector are materialized
+    # with eager localCheckpoint: without it every iteration
     # re-executes the full upstream lineage (no ReusedExchange fires —
     # AQE re-plans each subtree, so textual identity breaks), turning R
-    # rounds into O(R²) scans. Each round's rank vector is materialized
-    # eagerly to truncate lineage — the standard iterative-algorithm
-    # pattern (MLlib does the same).
-    nodes = nodes.persist()
-    edges = edges.persist()
+    # rounds into O(R²) scans — and unlike persist()+count() (the
+    # pre-r7 form), checkpointing also TRUNCATES the logical plan, so
+    # the returned DataFrame's lineage is O(1) deep instead of
+    # re-embedding all R rounds (the dedup_clusters pattern; measured
+    # there 33→6 s, and it keeps downstream consumers' analyzed plans
+    # from exploding — doc_textrank_keywords carried 386 exchanges).
+    nodes = nodes.localCheckpoint()
+    edges = edges.localCheckpoint()
     nn = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     wdeg = (
         edges.groupBy("src")
         .agg(F.sum("w").cast("bigint").alias("wd"))
-        .persist()
+        .localCheckpoint()
     )
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
         "token", F.expr(f"{SCALE} div n").alias("pr")
     )
-    prev = None
     for _ in range(iters):
         inflow = (
             edges.join(ranks.withColumnRenamed("token", "src"), "src")
@@ -73,12 +77,8 @@ def pagerank_fixed_point(
                     " + (85 * coalesce(inflow, 0)) div 100"
                 ).alias("pr"),
             )
-            .persist()
+            .localCheckpoint()
         )
-        ranks.count()
-        if prev is not None:
-            prev.unpersist()
-        prev = ranks
     return ranks
 
 
@@ -98,15 +98,14 @@ def label_propagation(
     Scale: one |E| shuffle per round (edges ⋈ labels on src, then the
     (dst, label) weight aggregation) plus a per-node argmax window over
     the label-weight rows — both map-side-combinable; same iterative
-    hygiene as :func:`pagerank_fixed_point` (persisted invariants,
-    per-round materialization).
+    hygiene as :func:`pagerank_fixed_point` (checkpointed invariants,
+    per-round lineage-truncating materialization).
     """
     from pyspark.sql import Window as W
 
-    nodes = nodes.persist()
-    edges = edges.persist()
+    nodes = nodes.localCheckpoint()
+    edges = edges.localCheckpoint()
     labels = nodes.select("token", F.col("token").alias("label"))
-    prev = None
     for _ in range(iters):
         lw = (
             edges.join(
@@ -130,12 +129,8 @@ def label_propagation(
                 "token",
                 F.coalesce("label", F.col("token")).alias("label"),
             )
-            .persist()
+            .localCheckpoint()
         )
-        labels.count()
-        if prev is not None:
-            prev.unpersist()
-        prev = labels
     return labels
 
 

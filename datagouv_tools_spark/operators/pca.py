@@ -12,9 +12,10 @@ INTEGER arithmetic end to end: embeddings quantize to milli units
 
 — all int64 sums and divisions. L∞ normalization replaces the L2 norm
 so no sqrt enters the contract, and the division is written
-sign-magnitude because integer division of NEGATIVES diverges between
-engines (DuckDB `//` floors, Spark `div` truncates toward zero);
-operating on |u| makes both truncate identically.
+sign-magnitude so every engine agrees on negatives: DuckDB's `//`
+truncates toward zero like Spark's `div`, but Python's `//` FLOORS —
+operating on |u| makes all three truncate identically (and defends
+against any engine that floors).
 
 Scale: each iteration is two shuffles — (vec_id) for the projections,
 (dim) for the Gram product — both map-side-combined; the 64-value

@@ -52,7 +52,10 @@ def ewma_fold(
         # arrive pre-aggregated to their bucket grain.
         for x in pdf[x_col].tolist():
             x = int(x)
-            s = x if s is None else (a * x + b * s) // 1000
+            # _tdiv, not //: DuckDB's // truncates toward zero while
+            # Python's floors — they agree only for nonnegative values,
+            # and the documented contract is truncating.
+            s = x if s is None else _tdiv(a * x + b * s, 1000)
             out.append(s)
         pdf["i"] = range(1, len(pdf) + 1)
         pdf["ewma"] = out

@@ -163,9 +163,13 @@ def foreach_batch_cms_maintainer(
     return run
 
 
-def read_cms(spark, store_path: str) -> DataFrame:
-    """The maintained cells, sans tag columns."""
-    return _read_current(spark, store_path).drop("__run", "__seq", "__width")
+def read_cms(spark, store_path: str) -> DataFrame | None:
+    """The maintained cells, sans tag columns; ``None`` if the store
+    has never committed a version (mirrors ``read_counters``)."""
+    cur = _read_current(spark, store_path)
+    if cur is None:
+        return None
+    return cur.drop("__run", "__seq", "__width")
 
 
 def cms_estimate(spark, store_path: str, tokens: list[str]) -> dict[str, int]:
@@ -174,6 +178,10 @@ def cms_estimate(spark, store_path: str, tokens: list[str]) -> dict[str, int]:
     from datagouv_tools_spark.operators.sketches import cms_index
 
     raw = _read_current(spark, store_path)
+    if raw is None:
+        raise FileNotFoundError(
+            f"CMS store at {store_path!r} has no committed version"
+        )
     meta = raw.select(F.max("i"), F.first("__width")).first()
     depth, width = int(meta[0]) + 1, int(meta[1])
     cells = raw.drop("__run", "__seq", "__width")
@@ -233,9 +241,14 @@ def mincount_maintain_batch(
     _commit_version(out, store_path)
 
 
-def read_mincount(spark, store_path: str) -> DataFrame:
-    """The maintained MinCount buckets, sans tag columns."""
-    return _read_current(spark, store_path).drop("__run", "__seq")
+def read_mincount(spark, store_path: str) -> DataFrame | None:
+    """The maintained MinCount buckets, sans tag columns; ``None`` if
+    the store has never committed a version (mirrors
+    ``read_counters``)."""
+    cur = _read_current(spark, store_path)
+    if cur is None:
+        return None
+    return cur.drop("__run", "__seq")
 
 
 def mincount_estimate(spark, store_path: str) -> DataFrame:
@@ -243,6 +256,10 @@ def mincount_estimate(spark, store_path: str) -> DataFrame:
     events_distinct_sketch estimator: Σ_b (2^53/(m_b+1) − 1), scaled
     ×1000 integer-exact)."""
     cells = read_mincount(spark, store_path)
+    if cells is None:
+        raise FileNotFoundError(
+            f"MinCount store at {store_path!r} has no committed version"
+        )
     group_cols = [c for c in cells.columns if c not in ("b", "mv")]
     return (
         cells.withColumn(
@@ -311,10 +328,14 @@ def histogram_maintain_batch(
     _commit_version(out, store_path)
 
 
-def read_histogram(spark, store_path: str) -> DataFrame:
+def read_histogram(spark, store_path: str) -> DataFrame | None:
     """The maintained histogram cells, sans tag columns — feed to
-    ``operators.sketches.histogram_quantiles`` for estimates."""
-    return _read_current(spark, store_path).drop("__run", "__seq")
+    ``operators.sketches.histogram_quantiles`` for estimates.
+    ``None`` if the store has never committed a version."""
+    cur = _read_current(spark, store_path)
+    if cur is None:
+        return None
+    return cur.drop("__run", "__seq")
 
 
 def foreach_batch_histogram_maintainer(

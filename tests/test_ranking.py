@@ -1,0 +1,126 @@
+"""Distributed two-pass rank (operators/ranking.py): value-equivalence
+with the global row_number, and the plan guarantee (no single-partition
+exchange) that is the operator's whole point."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from datagouv_tools_spark.operators.ranking import distributed_row_number
+
+
+def _global_rank(df, order_cols):
+    return df.withColumn(
+        "__rn", F.row_number().over(Window.orderBy(*order_cols))
+    )
+
+
+def test_rank_equals_global_row_number_on_customer(spark):
+    """Real-data equivalence: rank customers by (name, custkey) both
+    ways; every (id, rank) pair must match across many range
+    partitions (num_ranges > 1 forces real offset carries)."""
+    from datagouv_tools_spark.sources.catalog import load_table
+
+    cust = load_table(spark, "/root/testdata/sf0.01", "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("key")
+    )
+    got = {
+        (r["id"], r["__rn"])
+        for r in distributed_row_number(
+            cust, [F.col("key"), F.col("id")], num_ranges=7
+        ).collect()
+    }
+    want = {
+        (r["id"], r["__rn"])
+        for r in _global_rank(cust, [F.col("key"), F.col("id")]).collect()
+    }
+    assert got == want and len(got) > 100
+
+
+def test_rank_handles_duplicate_sort_keys_and_tiny_partitions(spark):
+    """Heavy ties on the sort key (range boundaries may split equal
+    keys) and more ranges than rows (empty partitions) both preserve
+    the exact (key, id) total order."""
+    rows = [(i, f"k{i % 3}") for i in range(40)]
+    df = spark.createDataFrame(rows, "id bigint, key string")
+    got = sorted(
+        (r["id"], r["__rn"])
+        for r in distributed_row_number(
+            df, [F.col("key"), F.col("id")], num_ranges=64
+        ).collect()
+    )
+    want = sorted(
+        (r["id"], r["__rn"])
+        for r in _global_rank(df, [F.col("key"), F.col("id")]).collect()
+    )
+    assert got == want
+
+
+def test_rank_empty_input(spark):
+    df = spark.createDataFrame([], "id bigint, key string")
+    assert (
+        distributed_row_number(df, [F.col("key"), F.col("id")]).count() == 0
+    )
+
+
+def test_sorted_neighborhood_plan_has_no_single_partition_exchange(spark):
+    """The r6 scale fix: sorted_neighborhood_pairs must not funnel the
+    corpus through one task. The analyzed plan of the full query chain
+    may contain no 'Exchange SinglePartition' (the bounded offset
+    carry is a broadcast, the rank shuffle is range-parallel)."""
+    from datagouv_tools_spark.operators.fuzzy import sorted_neighborhood_pairs
+    from datagouv_tools_spark.sources.catalog import load_table
+
+    cust = load_table(spark, "/root/testdata/sf0.001", "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("key")
+    )
+    pairs = sorted_neighborhood_pairs(
+        cust, "key", "id", F.col("key"), window=5, max_distance=1
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert pairs.count() >= 0  # chain executes end-to-end
+
+
+def test_sorted_neighborhood_pairs_unchanged_by_rank_swap(spark):
+    """Pair-set equivalence on real names: the distributed rank must
+    yield the exact same neighborhood pair set as a global-rank
+    reimplementation run side by side."""
+    from datagouv_tools_spark.operators.fuzzy import sorted_neighborhood_pairs
+    from datagouv_tools_spark.sources.catalog import load_table
+
+    cust = load_table(spark, "/root/testdata/sf0.01", "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("key")
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in sorted_neighborhood_pairs(
+            cust, "key", "id", F.col("key"), window=5, max_distance=1
+        ).collect()
+    }
+
+    ranked = _global_rank(cust, [F.col("key"), F.col("id")])
+    a = ranked.select(
+        F.col("id").alias("id_a"),
+        F.col("key").alias("__ka"),
+        "__rn",
+        F.explode(F.sequence(F.lit(1), F.lit(5))).alias("__off"),
+    ).select("id_a", "__ka", (F.col("__rn") + F.col("__off")).alias("__rn"))
+    b = ranked.select(
+        F.col("id").alias("id_b"), F.col("key").alias("__kb"), "__rn"
+    )
+    want = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in a.join(b, "__rn")
+        .withColumn("distance", F.levenshtein("__ka", "__kb"))
+        .filter(F.col("distance") <= 1)
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "distance",
+        )
+        .distinct()
+        .collect()
+    }
+    assert got == want and len(got) > 0

@@ -332,3 +332,25 @@ def test_cms_single_digest_join_size_never_undercounts(spark):
         per_row.setdefault(i, set()).add(idx)
     assert len(per_row) == 4
     assert any(per_row[0] != per_row[i] for i in (1, 2, 3))
+
+
+def test_uninitialized_store_reads_are_descriptive(spark, tmp_path):
+    """Reading a store that never committed a version returns None
+    (readers) or raises a store-naming error (estimators) — never a
+    bare AttributeError (ADVICE r6)."""
+    import pytest
+
+    from datagouv_tools_spark.streaming.sketch_maintain import (
+        mincount_estimate,
+        read_histogram,
+        read_mincount,
+    )
+
+    empty = str(tmp_path / "never_written")
+    assert read_cms(spark, empty) is None
+    assert read_mincount(spark, empty) is None
+    assert read_histogram(spark, empty) is None
+    with pytest.raises(FileNotFoundError, match="never_written"):
+        cms_estimate(spark, empty, ["tok"])
+    with pytest.raises(FileNotFoundError, match="never_written"):
+        mincount_estimate(spark, empty)

@@ -46,6 +46,44 @@ def test_ewma_truncating_division_is_the_contract(spark):
     assert _run(spark, rows) == [("c", 1, 0), ("c", 2, 0)]
 
 
+def test_ewma_negative_values_truncate_toward_zero(spark):
+    """Negative observations must truncate like DuckDB's `//` (toward
+    zero), not Python's floor: s2 = (300*-2500 + 700*1000) // 1000 is
+    -50 truncating, -50 here too, but s3 = (300*1 + 700*-50) = -34700
+    → trunc -34, floor -35. The fold must produce -34."""
+    h = lambda i: datetime(2024, 1, 1, i)  # noqa: E731
+    rows = [("n", h(0), 1000), ("n", h(1), -2500), ("n", h(2), 1)]
+    got = _run(spark, rows)
+    assert got == [("n", 1, 1000), ("n", 2, -50), ("n", 3, -34)]
+
+
+def test_ewma_negative_matches_duckdb_recurrence(spark):
+    """End-to-end cross-engine parity on a sign-mixed series: the
+    Spark fold and the documented DuckDB recursive-CTE oracle must
+    value-agree for negatives (the _tdiv fix; ADVICE r6)."""
+    import duckdb
+
+    from datagouv_tools_spark.operators.timeseries import ewma_oracle_sql
+
+    h = lambda i: datetime(2024, 1, 1, i)  # noqa: E731
+    xs = [1000, -2500, 1, -7, 333, -999, 12]
+    rows = [("m", h(i), x) for i, x in enumerate(xs)]
+    spark_got = _run(spark, rows)
+
+    con = duckdb.connect()
+    pts = ", ".join(
+        f"('m', TIMESTAMP '2024-01-01 {i:02d}:00:00', {x})"
+        for i, x in enumerate(xs)
+    )
+    sql = ewma_oracle_sql(
+        f"SELECT * FROM (VALUES {pts}) AS t(k, h, xm)", "k", "h", "xm", 300
+    )
+    duck_got = sorted(
+        (r[0], int(r[2]), int(r[4])) for r in con.execute(sql).fetchall()
+    )
+    assert spark_got == duck_got
+
+
 # ---------------------------------------------------------------------------
 # debounce_fold
 # ---------------------------------------------------------------------------
