@@ -4283,16 +4283,37 @@ def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth histogram via NTILE: ten equal-population value
     buckets with their boundaries — the distribution profile that
     drives range-partitioning and skew decisions. Deterministic: the
-    ntile ordering carries an event_id tie-break. Scale note: an
-    unpartitioned window plans Exchange SinglePartition — ALL rows sort
-    in one task, fine here, unusable at 100 TB; at that scale use
-    approx_percentile (map-combinable sketch) for the same decision."""
-    from pyspark.sql.window import Window
+    ntile ordering carries an event_id tie-break.
+
+    Scale (r7): the rank comes from the repo's range-partitioned
+    two-pass rank (operators/ranking.distributed_row_number) — one
+    parallel range shuffle, no Exchange SinglePartition — and NTILE is
+    recovered arithmetically from (rank, n): the first n%10 buckets
+    hold ceil(n/10) rows, the rest floor(n/10) (the SQL-standard NTILE
+    rule, identical in Spark and DuckDB, pinned by the unchanged
+    oracle). So the exact equi-depth profile is now itself
+    cluster-scalable; events_value_deciles_sketch (end of module) is
+    the sampled variant for when even one full sort pass is too much."""
+    from datagouv_tools_spark.operators.ranking import distributed_row_number
 
     ev = t(spark, sf_dir, "events")
-    w = Window.orderBy("value", "event_id")
+    ranked = distributed_row_number(
+        ev.select("value", "event_id"),
+        [F.col("value"), F.col("event_id")],
+        rank_col="rk",
+    )
+    nrow = ev.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # NTILE(10) from (rk, n): q = n div 10 rows per bucket, the first
+    # r = n mod 10 buckets take one extra row each.
+    decile = F.expr(
+        "CASE WHEN rk <= (n % 10) * (n div 10 + 1)"
+        "     THEN (rk + n div 10) div (n div 10 + 1)"
+        "     ELSE (n % 10) + 1 + (rk - (n % 10) * (n div 10 + 1) - 1)"
+        "          div (n div 10) END"
+    ).cast("int")
     return (
-        ev.select("value", F.ntile(10).over(w).alias("decile"))
+        ranked.crossJoin(F.broadcast(nrow))
+        .select("value", decile.alias("decile"))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -10158,19 +10179,17 @@ def events_range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     real range shuffle would suffer. The layout-debugging companion to
     the repo's z-order and salting queries.
 
-    Scale: one rank window (swap in the range-partitioned two-pass
-    rank at extreme n), a 7-row broadcast of boundary cuts, map-local
-    assignment (expressed as a grouped count against broadcast cuts),
-    and an 8-row report."""
-    from pyspark.sql.window import Window
+    Scale (r7): the rank is the range-partitioned two-pass rank
+    (operators/ranking.distributed_row_number — no Exchange
+    SinglePartition), then a 7-row broadcast of boundary cuts,
+    map-local assignment (expressed as a grouped count against
+    broadcast cuts), and an 8-row report."""
+    from datagouv_tools_spark.operators.ranking import distributed_row_number
 
     ev = t(spark, sf_dir, "events").select("value", "event_id")
-    ranked = ev.select(
-        "value",
-        F.row_number()
-        .over(Window.orderBy("value", "event_id"))
-        .alias("rk"),
-    )
+    ranked = distributed_row_number(
+        ev, [F.col("value"), F.col("event_id")], rank_col="rk"
+    ).select("value", "rk")
     nrow = ev.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     cut_ranks = (
         spark.range(1, 8)
@@ -16032,4 +16051,109 @@ def emb_hubness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_hub_band"),
         )
         .orderBy("in_degree")
+    )
+
+
+@query(
+    "events_value_deciles_sketch",
+    """
+    WITH s AS (
+      SELECT value, event_id FROM events
+      WHERE ('0x' || substr(md5(event_id::VARCHAR || ':dq'), 1, 15))::BIGINT
+            % 16 = 0
+    ),
+    rs AS (
+      SELECT value, event_id,
+             ROW_NUMBER() OVER (ORDER BY value, event_id) AS rk,
+             COUNT(*) OVER () AS n
+      FROM s
+    ),
+    b AS (
+      SELECT value AS bv, event_id AS bid
+      FROM rs
+      WHERE rk IN ((1*n+9)//10, (2*n+9)//10, (3*n+9)//10, (4*n+9)//10,
+                   (5*n+9)//10, (6*n+9)//10, (7*n+9)//10, (8*n+9)//10,
+                   (9*n+9)//10)
+    ),
+    a AS (
+      SELECT e.event_id, e.value,
+             1 + SUM(CASE WHEN b.bv < e.value
+                            OR (b.bv = e.value AND b.bid < e.event_id)
+                     THEN 1 ELSE 0 END) AS decile
+      FROM events e CROSS JOIN b
+      GROUP BY e.event_id, e.value
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(ROUND(MIN(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS lo,
+           CAST(ROUND(MAX(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS hi
+    FROM a
+    GROUP BY decile
+    ORDER BY decile
+    """,
+)
+def events_value_deciles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for events_value_deciles: decile BOUNDARIES come
+    from a deterministic 1/16 hash sample (seeded md5 residue — the
+    same rows on every engine, run, and cluster layout, the
+    events_sampled_quantiles discipline), the full table is then
+    assigned map-locally against the 9 broadcast boundary tuples, and
+    the per-decile population/lo/hi report reads off one
+    map-side-combining aggregation. Populations are ~n/10 ± sampling
+    error (pytest pins the bound at sf0.1) instead of exactly n/10 —
+    the trade that deletes the full-data sort entirely.
+
+    Scale: the only sort anywhere is the range-partitioned two-pass
+    rank over the SAMPLE (operators/ranking.distributed_row_number —
+    no single-partition funnel even there); boundary selection is a
+    9-row filter; assignment is a 1-row-broadcast array scan inside
+    codegen (comparisons only — no float arithmetic crosses engines);
+    tune the residue modulus to the accuracy target (boundary-rank
+    stderr ~ n·sqrt(f(1-f)/n_s) rows at sampling fraction f)."""
+    from datagouv_tools_spark.functions.xhash import md5_hash60
+    from datagouv_tools_spark.operators.ranking import distributed_row_number
+
+    ev = t(spark, sf_dir, "events").select("value", "event_id")
+    h = md5_hash60(F.concat(F.col("event_id").cast("string"), F.lit(":dq")))
+    rs = distributed_row_number(
+        ev.filter(h % 16 == 0),
+        [F.col("value"), F.col("event_id")],
+        rank_col="rk",
+    )
+    ns = rs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    cut = " OR ".join(f"rk = ({d}*n+9) div 10" for d in range(1, 10))
+    barr = (
+        rs.crossJoin(F.broadcast(ns))
+        .filter(F.expr(cut))
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("value").alias("bv"),
+                        F.col("event_id").alias("bid"),
+                    )
+                )
+            ).alias("bs")
+        )
+    )
+    assigned = ev.crossJoin(F.broadcast(barr)).select(
+        "value",
+        (
+            F.lit(1)
+            + F.expr(
+                "size(filter(bs, b -> b.bv < value"
+                " OR (b.bv = value AND b.bid < event_id)))"
+            )
+        )
+        .cast("bigint")
+        .alias("decile"),
+    )
+    return (
+        assigned.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            dround(F.min(dec("value"))).alias("lo"),
+            dround(F.max(dec("value"))).alias("hi"),
+        )
+        .orderBy("decile")
     )

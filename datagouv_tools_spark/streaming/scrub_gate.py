@@ -113,15 +113,21 @@ def scrub_gate_batch(
         .withColumn("__bucket", _bucket("seg_hash", n_buckets))
         .localCheckpoint(eager=True)
     )
-    touched = [
-        r["__bucket"] for r in marks.select("__bucket").distinct().collect()
-    ]
-    if not touched:
-        return
-
     jpath = spark._jvm.org.apache.hadoop.fs.Path(store_path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     store_exists = fs.exists(jpath)
+    # the touched-bucket list only prunes reads OF THE STORE — when the
+    # store doesn't exist yet (first batch) skip the distinct+collect
+    # job and use the cheaper any-rows probe for the empty-batch guard
+    if store_exists:
+        touched = [
+            r["__bucket"]
+            for r in marks.select("__bucket").distinct().collect()
+        ]
+        if not touched:
+            return
+    elif marks.isEmpty():
+        return
     if store_exists:
         known = (
             spark.read.parquet(store_path)
@@ -184,7 +190,10 @@ def scrub_gate_batch(
             )
             merged = existing.unionByName(novel).localCheckpoint()
         else:
-            merged = novel.localCheckpoint()
+            # first batch: the store path is not being read, and novel
+            # derives from the marks checkpoint — write directly, no
+            # extra materialization job
+            merged = novel
         merged.write.mode("overwrite").partitionBy(
             "__bucket", "__epoch"
         ).parquet(store_path)

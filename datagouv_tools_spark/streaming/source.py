@@ -101,7 +101,7 @@ def run_to_memory(
     df: DataFrame,
     output_mode: str = "complete",
     name: str | None = None,
-    state_partitions: int | None = 8,
+    state_partitions: int | None = 4,
 ) -> DataFrame:
     """Replay a bounded stream to its final result (availableNow →
     memory sink), return the result as a static DataFrame.
@@ -113,7 +113,10 @@ def run_to_memory(
     ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for the
     stream's state stores (captured at first start, immutable for the
     checkpoint's lifetime): a fresh bounded replay doesn't need one
-    state store per session core. Pass None to inherit the session
+    state store per session core — every state-store instance costs a
+    per-batch open/commit, and stream-stream joins keep FOUR stores per
+    partition, so the default is small (r7 measured the per-batch fixed
+    cost roughly linear in the count). Pass None to inherit the session
     setting (what a long-lived production stream would size
     explicitly).
     """

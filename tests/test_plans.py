@@ -645,3 +645,20 @@ def test_dpp_join_prunes_at_runtime(spark, sf_dir):
     plan = physical_plan(df)
     assert "dynamicpruning" in plan.lower()
     assert "PartitionFilters: [" in plan
+
+
+def test_deciles_family_ranks_distributed(spark, sf_dir):
+    """The r7 rank swap: the exact NTILE profile, the range-partition
+    plan, and the sampled sketch all rank via the distributed two-pass
+    rank — there must be NO window operator left in any of the three
+    plans (the old global ntile/row_number was a Window over an
+    Exchange SinglePartition: the whole table sorted in one task).
+    Scalar 1-row aggregates still legitimately plan a SinglePartition
+    exchange over partial-agg rows, so the guard targets Window."""
+    for name in (
+        "events_value_deciles",
+        "events_value_deciles_sketch",
+        "events_range_partition_plan",
+    ):
+        plan = physical_plan(q.QUERIES[name](spark, sf_dir))
+        assert "Window" not in plan, name

@@ -117,3 +117,37 @@ def test_parity_comparator_detects_drift():
     kind = base.copy()
     kind["a"] = kind["a"].astype(float)  # int64 vs float64 hash drift
     assert compare(base, kind)
+
+
+def test_deciles_sketch_error_bound_vs_exact(spark, sf01_dir):
+    """The sampled decile profile must track the exact one: at sf0.1
+    (1/16 sample of ~1.4M events) every decile's population is n/10
+    within 3% of n, and the sampled boundaries (hi of deciles 1..9)
+    sit within the exact neighbor deciles' value range."""
+    from datagouv_tools_spark.queries import QUERIES
+
+    exact = {
+        r["decile"]: r
+        for r in QUERIES["events_value_deciles"](spark, sf01_dir).collect()
+    }
+    sketch = {
+        r["decile"]: r
+        for r in QUERIES["events_value_deciles_sketch"](
+            spark, sf01_dir
+        ).collect()
+    }
+    assert set(sketch) == set(range(1, 11))
+    n = sum(r["n_events"] for r in exact.values())
+    assert n == sum(r["n_events"] for r in sketch.values())
+    for d in range(1, 11):
+        assert abs(sketch[d]["n_events"] - n / 10) <= 0.03 * n, (
+            d,
+            sketch[d]["n_events"],
+            n,
+        )
+    # sampled decile-d upper boundary lies between the exact (d-1)-th
+    # and (d+1)-th deciles' hi values
+    for d in range(1, 10):
+        lo_ok = d == 1 or sketch[d]["hi"] >= exact[d - 1]["hi"]
+        hi_ok = sketch[d]["hi"] <= exact[d + 1]["hi"]
+        assert lo_ok and hi_ok, (d, sketch[d]["hi"])
