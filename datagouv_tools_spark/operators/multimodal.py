@@ -4,12 +4,14 @@ Images/audio/video ride through the engine as opaque ``binary``
 columns with a typed metadata struct alongside. The Spark-side
 plumbing — schema convention, Arrow-batched ``mapInPandas`` transform
 shape, partition sizing — is real and tested. The codec layer is
-split honestly: the uncompressed containers decode FOR REAL with
-pure-numpy parsers — Netpbm P6 images (``decode_ppm``) and RIFF/WAVE
-16-bit PCM audio (``decode_wav``); this container ships numpy but no
-PIL/pyvips/ffmpeg — and every compressed format either raises
-NotImplementedError (strict mode) or produces a deterministic fake
-(plumbing-test mode).
+split honestly: Netpbm P6 images (``decode_ppm``) and RIFF/WAVE
+16-bit PCM audio (``decode_wav``) decode FOR REAL with pure-numpy
+parsers, and 8-bit RGB PNG (``decode_png``, r7) decodes FOR REAL via
+stdlib ``zlib`` inflate + a numpy scanline un-filter (all five PNG
+filter types) — this container ships numpy and zlib but no
+PIL/pyvips/ffmpeg — while every remaining compressed format (JPEG,
+WebP, video codecs) either raises NotImplementedError (strict mode)
+or produces a deterministic fake (plumbing-test mode).
 
 Scale notes:
 - binary payloads make rows wide: size partitions by bytes, not rows
@@ -37,6 +39,8 @@ __all__ = [
     "attach_media_metadata",
     "decode_ppm",
     "encode_ppm",
+    "decode_png",
+    "encode_png",
     "decode_wav",
     "encode_wav",
     "decode_image_batch",
@@ -166,16 +170,204 @@ def encode_ppm(pixels) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunks(payload: bytes):
+    """Yield (type, data) for every chunk, CRC-verified — a corrupt
+    chunk fails loudly instead of decoding garbage."""
+    import zlib
+
+    i = len(_PNG_SIG)
+    while i + 8 <= len(payload):
+        n = int.from_bytes(payload[i : i + 4], "big")
+        ctype = payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + n]
+        if len(data) < n or i + 12 + n > len(payload):
+            raise ValueError("truncated PNG chunk")
+        crc = int.from_bytes(payload[i + 8 + n : i + 12 + n], "big")
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        yield ctype, data
+        i += 12 + n
+        if ctype == b"IEND":
+            return
+    raise ValueError("truncated PNG: no IEND")
+
+
+def _png_unfilter(raw: bytes, w: int, h: int):
+    """Reverse the per-scanline PNG filters (types 0-4) for 8-bit RGB.
+
+    numpy where the recurrence allows it — none/up are whole-row ops,
+    sub is a per-lane cumulative sum mod 256 — and a per-pixel walk for
+    average/paeth, whose left-neighbor dependence is inherently serial
+    within a row (row width bounds the loop, never image count: the
+    batch dimension stays vectorized in the caller)."""
+    import numpy as np
+
+    stride = w * 3
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG raster size mismatch")
+    out = np.zeros((h, w, 3), dtype=np.uint8)
+    prev = np.zeros((w, 3), dtype=np.int64)
+    for y in range(h):
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (1 + stride) + 1
+        ).reshape(w, 3).astype(np.int64)
+        ftype = raw[y * (1 + stride)]
+        if ftype == 0:
+            rec = row
+        elif ftype == 1:  # sub: recon[x] = filt[x] + recon[x-1]
+            rec = np.cumsum(row, axis=0) % 256
+        elif ftype == 2:  # up
+            rec = (row + prev) % 256
+        elif ftype == 3:  # average
+            rec = np.zeros_like(row)
+            left = np.zeros(3, dtype=np.int64)
+            for x in range(w):
+                rec[x] = (row[x] + (left + prev[x]) // 2) % 256
+                left = rec[x]
+        elif ftype == 4:  # paeth
+            rec = np.zeros_like(row)
+            left = np.zeros(3, dtype=np.int64)
+            upleft = np.zeros(3, dtype=np.int64)
+            for x in range(w):
+                p = left + prev[x] - upleft
+                pa, pb, pc = (
+                    np.abs(p - left),
+                    np.abs(p - prev[x]),
+                    np.abs(p - upleft),
+                )
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc),
+                    left,
+                    np.where(pb <= pc, prev[x], upleft),
+                )
+                rec[x] = (row[x] + pred) % 256
+                left = rec[x]
+                upleft = prev[x]
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out
+
+
+def decode_png(payload: bytes):
+    """REAL compressed-image decode for 8-bit RGB (colortype 2,
+    non-interlaced) PNG — pure stdlib ``zlib`` for the IDAT inflate
+    plus the numpy/loop un-filter above; no PIL/pyvips needed. Returns
+    (width, height, pixels) like :func:`decode_ppm`. Other colortypes,
+    bit depths, and interlacing raise (honest boundary: supporting
+    them is bookkeeping, but untested paths stay closed)."""
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    w = h = None
+    idat = bytearray()
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            depth, color, comp, filt, interlace = data[8:13]
+            if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    "unsupported PNG variant (need 8-bit RGB colortype 2, "
+                    f"non-interlaced; got depth={depth} color={color} "
+                    f"interlace={interlace})"
+                )
+        elif ctype == b"IDAT":
+            idat.extend(data)
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    return w, h, _png_unfilter(raw, w, h)
+
+
+def encode_png(pixels, row_filter=None) -> bytes:
+    """The inverse (fixture/builder side): (h, w, 3) uint8 → PNG bytes.
+
+    ``row_filter(y) -> 0..4`` picks each scanline's filter (default 0)
+    so fixtures can exercise every un-filter path; any choice decodes
+    to the same pixels — filters change the compressed form only."""
+    import zlib
+
+    import numpy as np
+
+    arr = np.ascontiguousarray(pixels, dtype=np.uint8).astype(np.int64)
+    h, w, c = arr.shape
+    if c != 3:
+        raise ValueError("expected (h, w, 3) RGB")
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + ctype
+            + data
+            + (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])
+    )
+    raw = bytearray()
+    prev = np.zeros((w, 3), dtype=np.int64)
+    for y in range(h):
+        row = arr[y]
+        ftype = int(row_filter(y)) if row_filter is not None else 0
+        left = np.vstack([np.zeros((1, 3), dtype=np.int64), row[:-1]])
+        upleft = np.vstack([np.zeros((1, 3), dtype=np.int64), prev[:-1]])
+        if ftype == 0:
+            filt = row
+        elif ftype == 1:
+            filt = (row - left) % 256
+        elif ftype == 2:
+            filt = (row - prev) % 256
+        elif ftype == 3:
+            filt = (row - (left + prev) // 2) % 256
+        elif ftype == 4:
+            p = left + prev - upleft
+            pa, pb, pc = (
+                np.abs(p - left),
+                np.abs(p - prev),
+                np.abs(p - upleft),
+            )
+            pred = np.where(
+                (pa <= pb) & (pa <= pc),
+                left,
+                np.where(pb <= pc, prev, upleft),
+            )
+            filt = (row - pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        raw.append(ftype)
+        raw.extend(filt.astype(np.uint8).tobytes())
+        prev = row
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image_batch(payload: bytes) -> object:
-    """Decode a single image payload. P6 PPM decodes for real
-    (``decode_ppm``); every other format needs PIL/libvips, absent in
-    this container — strict mode raises rather than faking silently."""
+    """Decode a single image payload. P6 PPM and 8-bit RGB PNG decode
+    for real (``decode_ppm`` / ``decode_png`` — pure numpy + stdlib
+    zlib); every other format (JPEG, WebP, ...) needs PIL/libvips,
+    absent in this container — strict mode raises rather than faking
+    silently."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        return decode_png(payload)
     raise NotImplementedError(
-        "non-PPM image decode requires an image library (PIL/pyvips); "
+        "non-PPM/PNG image decode requires an image library (PIL/pyvips); "
         "this environment ships none — use extract_image_features(fake=True) "
-        "for plumbing tests, or P6 payloads for real decode"
+        "for plumbing tests, or P6/PNG payloads for real decode"
     )
 
 
@@ -222,14 +414,16 @@ CHANNEL_STATS_SCHEMA = T.StructType(
 def image_channel_stats(
     df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
 ) -> DataFrame:
-    """REAL pixel statistics from P6 payloads: per image, the decoded
-    width/height and each channel's exact integer Σv and Σv² (uint8
-    samples — means/variances derive losslessly downstream, and integer
-    sums cross engines bit-for-bit where float accumulation wouldn't).
+    """REAL pixel statistics from P6/PNG payloads: per image, the
+    decoded width/height and each channel's exact integer Σv and Σv²
+    (uint8 samples — means/variances derive losslessly downstream, and
+    integer sums cross engines bit-for-bit where float accumulation
+    wouldn't).
 
-    Runs the genuine decode path (``decode_ppm``) inside the standard
+    Runs the genuine decode path (``decode_image_batch``, which routes
+    P6 → ``decode_ppm`` and PNG → ``decode_png``) inside the standard
     Arrow ``mapInPandas`` batch shape — the proof the multimodal
-    plumbing carries real pixels, not just sha256 fakes. A non-P6
+    plumbing carries real pixels, not just sha256 fakes. Any other
     payload fails the whole task loudly (strict semantics; pre-filter
     on a mime column to route mixed corpora)."""
 
@@ -239,7 +433,7 @@ def image_channel_stats(
         for pdf in batches:
             out = {k: [] for k in CHANNEL_STATS_SCHEMA.fieldNames()}
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                w, h, px = decode_ppm(bytes(payload))
+                w, h, px = decode_image_batch(bytes(payload))
                 s = px.reshape(-1, 3).astype(np.int64)
                 sums = s.sum(axis=0)
                 sqs = (s * s).sum(axis=0)

@@ -1545,3 +1545,92 @@ def test_audio_features_match_numpy(spark):
                 else 0
             )
             assert got[i][name] == want, (i, name)
+
+
+class TestPngDecode:
+    """The r7 real compressed-codec path: stdlib-zlib + numpy PNG
+    decode (operators/multimodal.decode_png), every scanline filter
+    type exercised."""
+
+    def _img(self, w=6, h=5, seed=3):
+        import numpy as np
+
+        r = np.arange(h).reshape(h, 1, 1)
+        c = np.arange(w).reshape(1, w, 1)
+        k = np.arange(3).reshape(1, 1, 3)
+        return ((seed + r * 7 + c * 5 + k * 13) % 256).astype(np.uint8)
+
+    def test_round_trip_every_filter_type(self):
+        import numpy as np
+
+        from datagouv_tools_spark.operators.multimodal import (
+            decode_png,
+            encode_png,
+        )
+
+        px = self._img()
+        for f in range(5):
+            w, h, back = decode_png(encode_png(px, row_filter=lambda y: f))
+            assert (w, h) == (6, 5), f
+            assert np.array_equal(back, px), f"filter {f}"
+        # mixed filters per row (the fixture rule the query uses)
+        w, h, back = decode_png(encode_png(px, row_filter=lambda y: y % 5))
+        assert np.array_equal(back, px)
+
+    def test_decodes_random_content_under_all_filters(self):
+        import numpy as np
+
+        from datagouv_tools_spark.operators.multimodal import (
+            decode_png,
+            encode_png,
+        )
+
+        rng = np.random.default_rng(42)
+        px = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+        for f in range(5):
+            _, _, back = decode_png(encode_png(px, row_filter=lambda y: f))
+            assert np.array_equal(back, px), f"filter {f}"
+
+    def test_decode_image_batch_routes_png(self):
+        from datagouv_tools_spark.operators.multimodal import (
+            decode_image_batch,
+            encode_png,
+        )
+
+        w, h, _ = decode_image_batch(encode_png(self._img()))
+        assert (w, h) == (6, 5)
+
+    def test_errors_are_loud(self):
+        import pytest
+
+        from datagouv_tools_spark.operators.multimodal import (
+            decode_png,
+            encode_png,
+        )
+
+        full = bytearray(encode_png(self._img()))
+        with pytest.raises(ValueError, match="not a PNG"):
+            decode_png(b"P6\n1 1\n255\n\x00\x00\x00")
+        # flip one IDAT byte: CRC must catch it
+        full[40] ^= 0xFF
+        with pytest.raises(ValueError, match="CRC mismatch|truncated"):
+            decode_png(bytes(full))
+        with pytest.raises(ValueError, match="truncated"):
+            decode_png(encode_png(self._img())[:-6])
+        # grayscale (colortype 0) IHDR must refuse, not mis-decode
+        import zlib
+
+        sig = b"\x89PNG\r\n\x1a\n"
+        ihdr = (
+            (1).to_bytes(4, "big")
+            + (1).to_bytes(4, "big")
+            + bytes([8, 0, 0, 0, 0])
+        )
+        chunk = (
+            len(ihdr).to_bytes(4, "big")
+            + b"IHDR"
+            + ihdr
+            + (zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+        with pytest.raises(ValueError, match="unsupported PNG variant"):
+            decode_png(sig + chunk)
