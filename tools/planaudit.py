@@ -43,6 +43,20 @@ def audit(plan: str) -> dict:
         ),
         "exchanges": len(re.findall(r"Exchange (hash|range)partitioning", plan)),
         "take_ordered": "TakeOrderedAndProject" in plan,
+        # a Window fed (within its immediate subtree) by an
+        # Exchange SinglePartition = the window's whole input sorts in
+        # ONE task. Over a ROW-grain input that's the 100 TB cliff the
+        # distributed two-pass rank (operators/ranking.py) removes;
+        # over an already-aggregated bounded domain (part grain,
+        # monthly series, partition counts) it's fine — the metric is
+        # informational, reviewed per occurrence. Scalar 1-row
+        # aggregates also plan SinglePartition exchanges but have no
+        # Window above them, so they don't match.
+        "single_partition_window": len(
+            re.findall(
+                r"Window .*\n(?:.*\n){0,2}?.*Exchange SinglePartition", plan
+            )
+        ),
     }
 
 
@@ -55,7 +69,12 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     names = sys.argv[1:] or sorted(QUERIES)
     report: dict[str, dict] = {}
-    totals = {"cartesian": 0, "bnlj": 0, "python_row": 0}
+    totals = {
+        "cartesian": 0,
+        "bnlj": 0,
+        "python_row": 0,
+        "single_partition_window": 0,
+    }
     for name in names:
         try:
             df = QUERIES[name](spark, SF_DIR)
@@ -74,6 +93,7 @@ def main() -> int:
         "total_cartesian": totals["cartesian"],
         "total_python_row_udf": totals["python_row"],
         "total_bnlj": totals["bnlj"],
+        "total_single_partition_window": totals["single_partition_window"],
     }
     print(json.dumps({"summary": summary}))
     out = os.environ.get("SPARK_GRAFT_PLANAUDIT", "PLANAUDIT.json")
