@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["distributed_row_number"]
+__all__ = ["distributed_row_number", "distributed_ntile"]
 
 
 def distributed_row_number(
@@ -101,4 +101,38 @@ def distributed_row_number(
             *df.columns,
             (F.col("__off") + F.col("__lrn") + 1).alias(rank_col),
         )
+    )
+
+
+def distributed_ntile(
+    df: DataFrame,
+    n_buckets: int,
+    order_by: list[Column],
+    bucket_col: str = "__bucket",
+    num_ranges: int = 0,
+) -> DataFrame:
+    """``df`` plus ``bucket_col`` = NTILE(n_buckets) over the given
+    total order, without a single-partition window sort.
+
+    NTILE is pure arithmetic on (rank, n): with q = n div k and
+    r = n mod k, the first r buckets hold q+1 rows and the rest q (the
+    SQL-standard rule, identical in Spark and DuckDB) — so the rank
+    from :func:`distributed_row_number` plus one scalar row count
+    reproduces NTILE exactly, and any consumer's value-hash oracle is
+    unchanged by the swap.
+    """
+    ranked = distributed_row_number(
+        df, order_by, rank_col="__rk", num_ranges=num_ranges
+    )
+    n = ranked.agg(F.max("__rk").cast("bigint").alias("__n"))
+    k = int(n_buckets)
+    bucket = F.expr(
+        f"CASE WHEN __rk <= (__n % {k}) * (__n div {k} + 1)"
+        f"     THEN (__rk + __n div {k}) div (__n div {k} + 1)"
+        f"     ELSE (__n % {k}) + 1 + (__rk - (__n % {k}) * (__n div {k} + 1) - 1)"
+        f"          div (__n div {k}) END"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select(*df.columns, bucket.cast("int").alias(bucket_col))
     )

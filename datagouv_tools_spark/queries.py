@@ -4294,26 +4294,16 @@ def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle). So the exact equi-depth profile is now itself
     cluster-scalable; events_value_deciles_sketch (end of module) is
     the sampled variant for when even one full sort pass is too much."""
-    from datagouv_tools_spark.operators.ranking import distributed_row_number
+    from datagouv_tools_spark.operators.ranking import distributed_ntile
 
     ev = t(spark, sf_dir, "events")
-    ranked = distributed_row_number(
-        ev.select("value", "event_id"),
-        [F.col("value"), F.col("event_id")],
-        rank_col="rk",
-    )
-    nrow = ev.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    # NTILE(10) from (rk, n): q = n div 10 rows per bucket, the first
-    # r = n mod 10 buckets take one extra row each.
-    decile = F.expr(
-        "CASE WHEN rk <= (n % 10) * (n div 10 + 1)"
-        "     THEN (rk + n div 10) div (n div 10 + 1)"
-        "     ELSE (n % 10) + 1 + (rk - (n % 10) * (n div 10 + 1) - 1)"
-        "          div (n div 10) END"
-    ).cast("int")
     return (
-        ranked.crossJoin(F.broadcast(nrow))
-        .select("value", decile.alias("decile"))
+        distributed_ntile(
+            ev.select("value", "event_id"),
+            10,
+            [F.col("value"), F.col("event_id")],
+            bucket_col="decile",
+        )
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -8458,13 +8448,11 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer cents. Output is the 5×5 R×F segment matrix with per-cell
     monetary mass.
 
-    Scale: one shuffle to customer grain with map-side combine; the
-    NTILE windows are unpartitioned over the REDUCED (customer-grain)
-    domain — at 100 TB the same scores come from a two-pass quantile-
-    boundary computation (sampled cutpoints + broadcast), the engine's
-    events_value_deciles pattern; the 25-cell final agg is trivial."""
-    from pyspark.sql import Window as W
-
+    Scale (r7): one shuffle to customer grain with map-side combine;
+    each quintile score is NTILE recovered arithmetically from the
+    distributed two-pass rank (operators/ranking.distributed_ntile —
+    no single-partition window over the customer grain, which is
+    data-sized at 100 TB); the 25-cell final agg is trivial."""
     orders = t(spark, sf_dir, "orders")
     base = orders.groupBy("o_custkey").agg(
         F.datediff(
@@ -8478,18 +8466,27 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("monetary_cents"),
     )
-    scored = base.select(
-        "o_custkey",
-        F.ntile(5)
-        .over(W.orderBy(F.asc("recency_days"), "o_custkey"))
-        .alias("r_score"),
-        F.ntile(5)
-        .over(W.orderBy(F.desc("frequency"), "o_custkey"))
-        .alias("f_score"),
-        F.ntile(5)
-        .over(W.orderBy(F.desc("monetary_cents"), "o_custkey"))
-        .alias("m_score"),
-        "monetary_cents",
+    # Three NTILE(5) scores without a single-partition window sort
+    # each: the distributed two-pass rank (r7) handles the customer
+    # grain, which IS data-sized at 100 TB (its oracle's NTILE is
+    # reproduced arithmetically, values unchanged).
+    from datagouv_tools_spark.operators.ranking import distributed_ntile
+
+    scored = base
+    for key, name in (
+        # DESC on an integer metric = ASC on its negation (exact)
+        (F.col("recency_days"), "r_score"),
+        (-F.col("frequency"), "f_score"),
+        (-F.col("monetary_cents"), "m_score"),
+    ):
+        scored = distributed_ntile(
+            scored,
+            5,
+            [key, F.col("o_custkey")],
+            bucket_col=name,
+        )
+    scored = scored.select(
+        "o_custkey", "r_score", "f_score", "m_score", "monetary_cents"
     )
     return (
         scored.groupBy(
@@ -15663,14 +15660,13 @@ def emb_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     with. Training, scoring, binning, and rates are all integer-exact,
     so the whole eval hash-matches the DuckDB training replay.
 
-    Scale: training is the perceptron's dim-bounded rounds; scoring is
-    one map-local pass with the weight array as data; binning is one
-    global rank window over |corpus| score rows (at 100 TB: bin by
-    pre-computed score-quantile boundaries from the histogram sketch,
-    same output contract)."""
-    from pyspark.sql.window import Window
-
+    Scale (r7): training is the perceptron's dim-bounded rounds;
+    scoring is one map-local pass with the weight array as data;
+    binning uses the distributed two-pass rank
+    (operators/ranking.distributed_row_number) — no single-partition
+    window over the corpus-sized score rows."""
     from datagouv_tools_spark.operators.perceptron import perceptron_train
+    from datagouv_tools_spark.operators.ranking import distributed_row_number
 
     emb = t(spark, sf_dir, "embeddings")
     w, _ = perceptron_train(emb, positive_label=0, iters=4, dim=64)
@@ -15688,14 +15684,17 @@ def emb_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda v: F.round(v.cast("double") * 1000, 0).cast("bigint"),
         ).alias("xq"),
     ).select("vec_id", "y", score.alias("s"))
-    rk = q.select(
-        "y",
-        "s",
-        F.row_number()
-        .over(Window.orderBy(F.desc("s"), F.asc("vec_id")))
-        .cast("bigint")
-        .alias("r"),
-        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
+    # DESC on the bigint score = ASC on its negation (exact); the rank
+    # comes from the distributed two-pass rank and n from a scalar
+    # max-rank broadcast — no single-partition window over the corpus
+    ranked = distributed_row_number(
+        q.select("y", "s", "vec_id"),
+        [(-F.col("s")), F.col("vec_id")],
+        rank_col="r",
+    )
+    ntot = ranked.agg(F.max("r").cast("bigint").alias("n"))
+    rk = ranked.crossJoin(F.broadcast(ntot)).select(
+        "y", "s", F.col("r").cast("bigint").alias("r"), "n"
     )
     return (
         rk.groupBy(
@@ -15754,12 +15753,11 @@ def emb_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_calibration_bins' threshold-wise rates, hash-matched against
     the full DuckDB training replay.
 
-    Scale: one score pass, one global rank window, a 3-integer reduce;
-    at 100 TB the window swaps for sketch-quantile rank estimation,
-    same contract."""
-    from pyspark.sql.window import Window
-
+    Scale (r7): one score pass, the distributed two-pass rank
+    (operators/ranking.distributed_row_number — no single-partition
+    window over the corpus-sized score rows), a 3-integer reduce."""
     from datagouv_tools_spark.operators.perceptron import perceptron_train
+    from datagouv_tools_spark.operators.ranking import distributed_row_number
 
     emb = t(spark, sf_dir, "embeddings")
     w, _ = perceptron_train(emb, positive_label=0, iters=4, dim=64)
@@ -15777,13 +15775,11 @@ def emb_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda v: F.round(v.cast("double") * 1000, 0).cast("bigint"),
         ).alias("xq"),
     ).select("vec_id", "y", score.alias("s"))
-    rk = q.select(
-        "y",
-        F.row_number()
-        .over(Window.orderBy(F.asc("s"), F.asc("vec_id")))
-        .cast("bigint")
-        .alias("r"),
-    )
+    rk = distributed_row_number(
+        q.select("y", "s", "vec_id"),
+        [F.col("s"), F.col("vec_id")],
+        rank_col="r",
+    ).select("y", F.col("r").cast("bigint").alias("r"))
     return rk.agg(
         F.count(F.when(F.col("y") == 1, 1)).cast("bigint").alias("n_pos"),
         F.count(F.when(F.col("y") != 1, 1)).cast("bigint").alias("n_neg"),

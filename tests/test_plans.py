@@ -659,6 +659,9 @@ def test_deciles_family_ranks_distributed(spark, sf_dir):
         "events_value_deciles",
         "events_value_deciles_sketch",
         "events_range_partition_plan",
+        "customer_rfm_segments",
+        "emb_calibration_bins",
+        "emb_classifier_auc",
     ):
         plan = physical_plan(q.QUERIES[name](spark, sf_dir))
         assert "Window" not in plan, name
