@@ -41,7 +41,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["distributed_row_number", "distributed_ntile"]
+__all__ = [
+    "distributed_row_number",
+    "distributed_ntile",
+    "distributed_rank_cumsum",
+]
 
 
 def distributed_row_number(
@@ -135,4 +139,92 @@ def distributed_ntile(
     return (
         ranked.crossJoin(F.broadcast(n))
         .select(*df.columns, bucket.cast("int").alias(bucket_col))
+    )
+
+
+def distributed_rank_cumsum(
+    df: DataFrame,
+    order_by: list[Column],
+    sum_col: str,
+    rank_col: str = "__rn",
+    cumsum_col: str = "__cum",
+    num_ranges: int = 0,
+) -> DataFrame:
+    """``df`` plus ``rank_col`` (global row number) AND ``cumsum_col``
+    (running sum of ``sum_col`` over the same total order) — the
+    distributed prefix-sum layout: one range shuffle pins the order,
+    per-partition totals (a bounded ≤num_ranges-row collect) become
+    broadcast rank/sum offsets, and the within-partition running sum
+    rides a window PARTITIONED BY the range id — a parallel hash
+    exchange, never an Exchange SinglePartition.
+
+    The classic Pareto / cumulative-share / equi-depth machinery at
+    cluster scale: ``cumsum_col`` equals the single-task
+    ``SUM() OVER (ORDER BY ...)`` exactly (integer sums — no
+    reassociation drift), so consumers' value-hash oracles are
+    unchanged by the swap.
+    """
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    if num_ranges <= 0:
+        num_ranges = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+
+    sort_cols = [c.alias(f"__sk{i}") for i, c in enumerate(order_by)]
+    keyed = df.select("*", *sort_cols)
+    sk_names = [f"__sk{i}" for i in range(len(order_by))]
+    laid = (
+        keyed.repartitionByRange(num_ranges, *[F.col(c) for c in sk_names])
+        .sortWithinPartitions(*sk_names)
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .localCheckpoint()
+    )
+    laid = laid.select(
+        "*",
+        F.shiftright("__mid", 33).alias("__pid"),
+        (F.col("__mid") - (F.shiftright("__mid", 33) * (1 << 33))).alias(
+            "__lrn"
+        ),
+    )
+    # Bounded driver round-trip: ≤ num_ranges rows of (count, sum).
+    per_pid = sorted(
+        (r["__pid"], r["n"], r["s"])
+        for r in laid.groupBy("__pid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(sum_col).cast("bigint").alias("s"),
+        )
+        .collect()
+    )
+    offsets, n_acc, s_acc = [], 0, 0
+    for pid, n, s in per_pid:
+        offsets.append((pid, n_acc, s_acc))
+        n_acc += n
+        s_acc += int(s or 0)
+    if not offsets:
+        return laid.select(
+            *df.columns,
+            (F.lit(1) + F.col("__lrn")).alias(rank_col),
+            F.col(sum_col).cast("bigint").alias(cumsum_col),
+        )
+    off_df = spark.createDataFrame(
+        offsets, "__pid bigint, __noff bigint, __soff bigint"
+    )
+    win = (
+        Window.partitionBy("__pid")
+        .orderBy(*sk_names)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        laid.join(F.broadcast(off_df), "__pid")
+        .select(
+            *df.columns,
+            (F.col("__noff") + F.col("__lrn") + 1).alias(rank_col),
+            (
+                F.col("__soff")
+                + F.sum(F.col(sum_col)).over(win).cast("bigint")
+            )
+            .cast("bigint")
+            .alias(cumsum_col),
+        )
     )

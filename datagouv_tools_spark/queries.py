@@ -8278,13 +8278,14 @@ def part_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the running sum, the shares, and the class boundaries are all
     bit-stable cross-engine.
 
-    Scale: one map-side-combining aggregation to part grain, then an
-    UNPARTITIONED running-sum window — fine because part grain is
-    already the reduced domain (|parts| ≪ |lineitem|); at true 100 TB
-    part cardinality the running share would move to a two-pass
-    range-partitioned cumsum (repartitionByRange + per-partition
-    offsets), the documented scale path."""
-    from pyspark.sql import Window as W
+    Scale (r7): one map-side-combining aggregation to part grain, then
+    the distributed two-pass rank+cumsum
+    (operators/ranking.distributed_rank_cumsum — range shuffle +
+    per-partition prefix sums + bounded offset carry, no
+    single-partition window): part cardinality is itself data-sized at
+    100 TB, so the running share must not funnel through one task.
+    DESC revenue ordered as ASC on the integer negation (exact)."""
+    from datagouv_tools_spark.operators.ranking import distributed_rank_cumsum
 
     li = t(spark, sf_dir, "lineitem")
     pr = li.groupBy("l_partkey").agg(
@@ -8296,17 +8297,13 @@ def part_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rev_cents").cast("bigint").alias("tot_cents"),
         F.count(F.lit(1)).cast("bigint").alias("n_parts"),
     )
-    w = W.orderBy(F.desc("rev_cents"), "l_partkey")
-    ranked = (
-        pr.withColumn("rnk", F.row_number().over(w))
-        .withColumn(
-            "cum_cents",
-            F.sum("rev_cents")
-            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
-            .cast("bigint"),
-        )
-        .crossJoin(F.broadcast(tot))
-    )
+    ranked = distributed_rank_cumsum(
+        pr,
+        [(-F.col("rev_cents")), F.col("l_partkey")],
+        "rev_cents",
+        rank_col="rnk",
+        cumsum_col="cum_cents",
+    ).crossJoin(F.broadcast(tot))
     classed = ranked.select(
         "l_partkey",
         "rnk",

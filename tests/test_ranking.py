@@ -124,3 +124,44 @@ def test_sorted_neighborhood_pairs_unchanged_by_rank_swap(spark):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_rank_cumsum_equals_global_window(spark):
+    """distributed_rank_cumsum must reproduce the single-task
+    SUM() OVER (ORDER BY ...) and row_number exactly, including under
+    heavy sort-key ties and negative values."""
+    from datagouv_tools_spark.operators.ranking import distributed_rank_cumsum
+
+    rows = [(i, (i * 37) % 11 - 5, f"g{i % 4}") for i in range(200)]
+    df = spark.createDataFrame(rows, "id bigint, v bigint, key string")
+    got = sorted(
+        (r["id"], r["__rn"], r["__cum"])
+        for r in distributed_rank_cumsum(
+            df, [F.col("key"), F.col("id")], "v", num_ranges=9
+        ).collect()
+    )
+    w = Window.orderBy("key", "id")
+    want = sorted(
+        (r["id"], r["__rn"], r["__cum"])
+        for r in df.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "__cum",
+            F.sum("v")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("bigint"),
+        )
+        .collect()
+    )
+    assert got == want
+
+
+def test_rank_cumsum_plan_has_no_single_partition_window(spark):
+    from datagouv_tools_spark.operators.ranking import distributed_rank_cumsum
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).cast("bigint").alias("v")
+    )
+    out = distributed_rank_cumsum(df, [F.col("v"), F.col("id")], "v")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert out.count() == 100
