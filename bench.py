@@ -85,6 +85,7 @@ def main() -> None:
 
     medians: dict[str, float] = {}
     minima: dict[str, float] = {}
+    n_samples: dict[str, int] = {}
     for name in ordered:
         fn = QUERIES[name]
         samples: list[float] = []
@@ -103,6 +104,7 @@ def main() -> None:
             extra += 1
         medians[name] = round(statistics.median(samples), 4)
         minima[name] = round(min(samples), 4)
+        n_samples[name] = len(samples)
 
     batch_total = round(sum(v for n, v in medians.items() if not _is_streaming(n)), 4)
     streaming_total = round(sum(v for n, v in medians.items() if _is_streaming(n)), 4)
@@ -125,6 +127,10 @@ def main() -> None:
         "batch_total_min": batch_total_min,
         "streaming_total_min": streaming_total_min,
         "repeats": REPEATS,
+        # actual per-query sample pool (REPEATS + noise-triggered
+        # extras) — minima from larger pools are distinguishable
+        "max_repeats": REPEATS + EXTRA_REPEATS,
+        "queries_samples": n_samples,
         "load_context": {
             "loadavg_before": [round(x, 2) for x in load_before],
             "loadavg_after": [round(x, 2) for x in os.getloadavg()],

@@ -549,6 +549,9 @@ def _cc_minlabel(
     def _label_sum(lbls: DataFrame):
         return lbls.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).collect()[0][0]
 
+    from datagouv_tools_spark.operators.ckpt import RoundCheckpointer
+
+    _ckpt = RoundCheckpointer()
     prev_sum = _label_sum(labels)
     rounds = 0
     for _ in range(max_iter):
@@ -574,7 +577,7 @@ def _cc_minlabel(
         hop = propagated.select(
             F.col("node").alias("h_node"), F.col("lbl").alias("h_lbl")
         )
-        new_labels = (
+        new_labels = _ckpt(
             propagated.join(hop, propagated.lbl == F.col("h_node"), "left")
             .select(
                 "node",
@@ -582,7 +585,6 @@ def _cc_minlabel(
                     "lbl"
                 ),
             )
-            .localCheckpoint()
         )
         labels = new_labels
         new_sum = _label_sum(labels)
@@ -666,11 +668,14 @@ def _cc_star(
         ).collect()[0]
         return tuple(row)
 
+    from datagouv_tools_spark.operators.ckpt import RoundCheckpointer
+
+    _ckpt2 = RoundCheckpointer()
     prev = _sig(edges)
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
-        edges = _small_star(_large_star(edges)).localCheckpoint()
+        edges = _ckpt2(_small_star(_large_star(edges)))
         cur = _sig(edges)
         if cur == prev:
             break

@@ -115,6 +115,10 @@ def sorted_neighborhood_pairs(
         df.select(F.col(id_col), F.col(key_col)),
         [sort_key, F.col(id_col)],
         rank_col="__rn",
+        # pin: the (id, key) projection is two narrow columns — cheaper
+        # to materialize once than to recompute the caller's derivation
+        # for the range layout's boundary sampler
+        pin_input=True,
     )
     a = ranked.select(
         F.col(id_col).alias("id_a"),

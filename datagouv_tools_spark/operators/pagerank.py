@@ -58,6 +58,9 @@ def pagerank_fixed_point(
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
         "token", F.expr(f"{SCALE} div n").alias("pr")
     )
+    from datagouv_tools_spark.operators.ckpt import RoundCheckpointer
+
+    ckpt = RoundCheckpointer()
     for _ in range(iters):
         inflow = (
             edges.join(ranks.withColumnRenamed("token", "src"), "src")
@@ -77,8 +80,9 @@ def pagerank_fixed_point(
                     " + (85 * coalesce(inflow, 0)) div 100"
                 ).alias("pr"),
             )
-            .localCheckpoint()
         )
+        # materialize the round and release the previous round's blocks
+        ranks = ckpt(ranks)
     return ranks
 
 
@@ -105,6 +109,9 @@ def label_propagation(
 
     nodes = nodes.localCheckpoint()
     edges = edges.localCheckpoint()
+    from datagouv_tools_spark.operators.ckpt import RoundCheckpointer
+
+    ckpt = RoundCheckpointer()
     labels = nodes.select("token", F.col("token").alias("label"))
     for _ in range(iters):
         lw = (
@@ -123,13 +130,11 @@ def label_propagation(
             .filter(F.col("__rn") == 1)
             .select(F.col("dst").alias("token"), "label")
         )
-        labels = (
-            nodes.join(best, "token", "left")
-            .select(
+        labels = ckpt(
+            nodes.join(best, "token", "left").select(
                 "token",
                 F.coalesce("label", F.col("token")).alias("label"),
             )
-            .localCheckpoint()
         )
     return labels
 
@@ -374,6 +379,9 @@ def kcore_peel(und: DataFrame, k: int, rounds: int) -> DataFrame:
     surviving-node set; each round's edges are materialized to
     truncate lineage — the pagerank loop-invariant discipline.
     """
+    from datagouv_tools_spark.operators.ckpt import RoundCheckpointer
+
+    ckpt = RoundCheckpointer()
     edges = und
     for _ in range(rounds):
         deg = (
@@ -389,8 +397,8 @@ def kcore_peel(und: DataFrame, k: int, rounds: int) -> DataFrame:
             )
             .join(keep.withColumnRenamed("token", "v"), "v", "left_semi")
             .select("u", "v")
-            .localCheckpoint()
         )
+        edges = ckpt(edges)
     return edges
 
 
@@ -471,6 +479,9 @@ def bfs_hops(
         .select("token", F.col("__s").cast("bigint").alias("hops"))
         .localCheckpoint()
     )
+    from datagouv_tools_spark.operators.ckpt import RoundCheckpointer
+
+    ckpt = RoundCheckpointer()
     for _ in range(rounds):
         relaxed = (
             edges.join(
@@ -483,10 +494,10 @@ def bfs_hops(
             .groupBy("token")
             .agg(F.min("h").alias("h"))
         )
-        dist = (
-            dist.join(relaxed, "token", "left")
-            .select("token", F.least("hops", "h").alias("hops"))
-            .localCheckpoint()
+        dist = ckpt(
+            dist.join(relaxed, "token", "left").select(
+                "token", F.least("hops", "h").alias("hops")
+            )
         )
     return dist
 

@@ -8293,6 +8293,10 @@ def part_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rev_cents")
     )
+    # Pin the part-grain aggregate: three consumers follow (the scalar
+    # total, the range layout's boundary sampler, the shuffle itself) —
+    # without the pin each re-runs the lineitem aggregation.
+    pr = pr.localCheckpoint()
     tot = pr.agg(
         F.sum("rev_cents").cast("bigint").alias("tot_cents"),
         F.count(F.lit(1)).cast("bigint").alias("n_parts"),
@@ -8445,11 +8449,16 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer cents. Output is the 5×5 R×F segment matrix with per-cell
     monetary mass.
 
-    Scale (r7): one shuffle to customer grain with map-side combine;
-    each quintile score is NTILE recovered arithmetically from the
-    distributed two-pass rank (operators/ranking.distributed_ntile —
-    no single-partition window over the customer grain, which is
-    data-sized at 100 TB); the 25-cell final agg is trivial."""
+    Scale (r8): one shuffle to customer grain with map-side combine;
+    the three quintile scores ride ONE distributed two-pass rank over
+    the stacked (metric, value, custkey) frame — a single range shuffle
+    of 3n narrow rows instead of three sequential full-width layouts
+    (same bytes, one barrier, no single-partition window over the
+    customer grain, which is data-sized at 100 TB). Each metric holds
+    exactly n rows, so its local rank is the global rank minus a
+    driver-literal offset and NTILE is literal arithmetic; the pivot
+    back to customer grain is one hash aggregation, and the 25-cell
+    final agg is trivial."""
     orders = t(spark, sf_dir, "orders")
     base = orders.groupBy("o_custkey").agg(
         F.datediff(
@@ -8463,27 +8472,61 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("monetary_cents"),
     )
-    # Three NTILE(5) scores without a single-partition window sort
-    # each: the distributed two-pass rank (r7) handles the customer
-    # grain, which IS data-sized at 100 TB (its oracle's NTILE is
-    # reproduced arithmetically, values unchanged).
-    from datagouv_tools_spark.operators.ranking import distributed_ntile
+    # Three NTILE(5) scores from ONE distributed two-pass rank: stack
+    # the metrics into (metric id, sort value, custkey) — DESC metrics
+    # as ASC on the integer negation (exact) — rank the tall frame
+    # once, recover each metric's local rank by a driver-literal
+    # offset (every metric holds exactly n rows), and NTILE by the
+    # SQL-standard (q, r) literal arithmetic. Values identical to
+    # three separate NTILE windows; one range shuffle instead of three.
+    from datagouv_tools_spark.operators.ranking import (
+        distributed_row_number_total,
+    )
 
-    scored = base
-    for key, name in (
-        # DESC on an integer metric = ASC on its negation (exact)
-        (F.col("recency_days"), "r_score"),
-        (-F.col("frequency"), "f_score"),
-        (-F.col("monetary_cents"), "m_score"),
+    pinned = base.localCheckpoint()
+    stacked = None
+    for m_id, key in (
+        (1, F.col("recency_days")),
+        (2, -F.col("frequency")),
+        (3, -F.col("monetary_cents")),
     ):
-        scored = distributed_ntile(
-            scored,
-            5,
-            [key, F.col("o_custkey")],
-            bucket_col=name,
+        part = pinned.select(
+            "o_custkey",
+            "monetary_cents",
+            F.lit(m_id).cast("int").alias("__m"),
+            key.cast("bigint").alias("__v"),
         )
-    scored = scored.select(
-        "o_custkey", "r_score", "f_score", "m_score", "monetary_cents"
+        stacked = part if stacked is None else stacked.unionByName(part)
+    ranked, tot = distributed_row_number_total(
+        stacked,
+        [F.col("__m"), F.col("__v"), F.col("o_custkey")],
+        rank_col="__r",
+    )
+    n = tot // 3
+    q5, r5 = divmod(n, 5)
+    bucket = F.expr(
+        f"CASE WHEN __rr <= {r5 * (q5 + 1)}"
+        f"     THEN (__rr + {q5}) div {q5 + 1}"
+        f"     ELSE {r5 + 1} + (__rr - {r5 * (q5 + 1) + 1}) div {max(q5, 1)}"
+        f" END"
+    )
+    scored = (
+        ranked.select(
+            "o_custkey",
+            "monetary_cents",
+            "__m",
+            (F.col("__r") - (F.col("__m") - 1).cast("bigint") * n).alias(
+                "__rr"
+            ),
+        )
+        .select("o_custkey", "monetary_cents", "__m", bucket.alias("__b"))
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.when(F.col("__m") == 1, F.col("__b"))).alias("r_score"),
+            F.max(F.when(F.col("__m") == 2, F.col("__b"))).alias("f_score"),
+            F.max(F.when(F.col("__m") == 3, F.col("__b"))).alias("m_score"),
+            F.max("monetary_cents").alias("monetary_cents"),
+        )
     )
     return (
         scored.groupBy(
@@ -15011,39 +15054,107 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     point is deterministic (rounded cosine, vec_id tie-breaks), so the
     curve value-hash-matches the DuckDB replay.
 
-    Scale: each point is the brute-force kernel on a PREFIX slice —
-    compute drops linearly with dims while the scan stays one pass
-    with broadcast queries; production pairs this with the PQ path
-    (store d' dims, re-rank survivors at full d)."""
-    from datagouv_tools_spark.operators.similarity import cosine_topk
+    Scale (r8): ONE corpus pass — all four prefix-dim cosines are
+    computed per pair in the same select and exploded into a
+    (n_dims, query_id) tall frame, so one window exchange ranks all
+    four curves at once (|Q|·|D|-bounded groups, never
+    corpus-partitioned). Prefix NORMS are precomputed per ROW (once
+    per corpus/query vector, not per pair), so per-pair work is just
+    the four prefix dots; each dot accumulates sequentially over
+    element_at — bit-identical to dot-of-slice and to DuckDB's
+    list_dot_product fold, keeping the rounded-to-6 hash exact. The
+    64-dim prefix IS the full-dimension truth, so exact top-5 falls
+    out of the same pass; the ≤|D|·|Q|·k-row top table is pinned
+    (localCheckpoint) before the recall self-join. Was 5 sequential
+    cosine_topk corpus scans."""
+    from pyspark.sql.window import Window
+
+    from datagouv_tools_spark.functions.vectors import dot
+
+    dims = (8, 16, 32, 64)
+
+    def _prefix_dot(a: str, b: str, d: int):
+        # sequential fold i=1..d of double products: the exact
+        # accumulation order of dot(slice(a,1,d), slice(b,1,d))
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(d)),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.element_at(F.col(a), i).cast("double")
+            * F.element_at(F.col(b), i).cast("double"),
+        )
+
+    def _with_prefix_norms(df: DataFrame, vec: str, prefix: str) -> DataFrame:
+        return df.select(
+            "*",
+            *[
+                F.sqrt(dot(F.slice(vec, 1, d), F.slice(vec, 1, d))).alias(
+                    f"{prefix}{d}"
+                )
+                for d in dims
+            ],
+        )
 
     emb = t(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("query_vec"),
+    queries_df = _with_prefix_norms(
+        emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        ),
+        "query_vec",
+        "qn",
     )
-    ex5 = cosine_topk(queries_df, emb, k=5).select("query_id", "vec_id")
-    rows = None
-    for d in (8, 16, 32, 64):
-        emb_d = emb.select(
-            "vec_id", F.slice("embedding", 1, d).alias("embedding")
-        )
-        q_d = queries_df.select(
-            "query_id", F.slice("query_vec", 1, d).alias("query_vec")
-        )
-        got = cosine_topk(q_d, emb_d, k=5).select("query_id", "vec_id")
-        r = got.join(ex5, ["query_id", "vec_id"]).agg(
-            F.lit(d).cast("bigint").alias("n_dims"),
-            F.count(F.lit(1)).cast("bigint").alias("n_hits"),
-        ).select(
+    corpus = _with_prefix_norms(
+        emb.select("vec_id", "embedding"), "embedding", "en"
+    )
+    pairs = (
+        F.broadcast(queries_df)
+        .crossJoin(corpus)
+        .filter(F.col("query_id") != F.col("vec_id"))
+    )
+
+    def _sim(d: int):
+        dp = _prefix_dot("query_vec", "embedding", d)
+        qn, en = F.col(f"qn{d}"), F.col(f"en{d}")
+        return F.when((qn > 0) & (en > 0), F.round(dp / (qn * en), 6))
+
+    sims = F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("bigint").alias("n_dims"),
+                _sim(d).alias("sim"),
+            )
+            for d in dims
+        ]
+    )
+    tall = pairs.select(
+        "query_id", "vec_id", F.explode(sims).alias("s")
+    ).select("query_id", "vec_id", "s.n_dims", "s.sim")
+    w = Window.partitionBy("n_dims", "query_id").orderBy(
+        F.desc("sim"), F.asc("vec_id")
+    )
+    top = (
+        tall.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("n_dims", "query_id", "vec_id")
+        .localCheckpoint()  # ≤|D|·|Q|·k rows; both join sides read it
+    )
+    ex5 = top.filter(F.col("n_dims") == 64).select(
+        "query_id", "vec_id", F.lit(1).alias("__hit")
+    )
+    return (
+        top.join(F.broadcast(ex5), ["query_id", "vec_id"], "left")
+        .groupBy("n_dims")
+        .agg(F.count("__hit").cast("bigint").alias("n_hits"))
+        .select(
             "n_dims",
             "n_hits",
             F.expr("cast(n_hits * 1000 div 50 as bigint)").alias(
                 "recall_mille"
             ),
         )
-        rows = r if rows is None else rows.unionByName(r)
-    return rows.orderBy("n_dims")
+        .orderBy("n_dims")
+    )
 
 
 _SHAPLEY_CHANNELS = [("click", 1), ("view", 2), ("signup", 4), ("error", 8)]
@@ -15663,7 +15774,9 @@ def emb_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/ranking.distributed_row_number) — no single-partition
     window over the corpus-sized score rows."""
     from datagouv_tools_spark.operators.perceptron import perceptron_train
-    from datagouv_tools_spark.operators.ranking import distributed_row_number
+    from datagouv_tools_spark.operators.ranking import (
+        distributed_row_number_total,
+    )
 
     emb = t(spark, sf_dir, "embeddings")
     w, _ = perceptron_train(emb, positive_label=0, iters=4, dim=64)
@@ -15682,20 +15795,21 @@ def emb_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("xq"),
     ).select("vec_id", "y", score.alias("s"))
     # DESC on the bigint score = ASC on its negation (exact); the rank
-    # comes from the distributed two-pass rank and n from a scalar
-    # max-rank broadcast — no single-partition window over the corpus
-    ranked = distributed_row_number(
+    # comes from the distributed two-pass rank; n falls out of the same
+    # bounded offsets collect as a driver literal (pin_input: the score
+    # pass materializes once, not once more for the boundary sampler)
+    ranked, ntot = distributed_row_number_total(
         q.select("y", "s", "vec_id"),
         [(-F.col("s")), F.col("vec_id")],
         rank_col="r",
+        pin_input=True,
     )
-    ntot = ranked.agg(F.max("r").cast("bigint").alias("n"))
-    rk = ranked.crossJoin(F.broadcast(ntot)).select(
-        "y", "s", F.col("r").cast("bigint").alias("r"), "n"
-    )
+    rk = ranked.select("y", "s", F.col("r").cast("bigint").alias("r"))
     return (
         rk.groupBy(
-            F.expr("cast((r - 1) * 10 div n as bigint)").alias("bin")
+            F.expr(f"cast((r - 1) * 10 div {max(ntot, 1)} as bigint)").alias(
+                "bin"
+            )
         )
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
@@ -15776,6 +15890,9 @@ def emb_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.select("y", "s", "vec_id"),
         [F.col("s"), F.col("vec_id")],
         rank_col="r",
+        # pin: the score pass materializes once instead of re-running
+        # for the range layout's boundary sampler
+        pin_input=True,
     ).select("y", F.col("r").cast("bigint").alias("r"))
     return rk.agg(
         F.count(F.when(F.col("y") == 1, 1)).cast("bigint").alias("n_pos"),
@@ -16104,20 +16221,32 @@ def events_value_deciles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune the residue modulus to the accuracy target (boundary-rank
     stderr ~ n·sqrt(f(1-f)/n_s) rows at sampling fraction f)."""
     from datagouv_tools_spark.functions.xhash import md5_hash60
-    from datagouv_tools_spark.operators.ranking import distributed_row_number
+    from datagouv_tools_spark.operators.ranking import (
+        distributed_row_number_total,
+    )
 
     ev = t(spark, sf_dir, "events").select("value", "event_id")
     h = md5_hash60(F.concat(F.col("event_id").cast("string"), F.lit(":dq")))
-    rs = distributed_row_number(
+    rs, ns = distributed_row_number_total(
         ev.filter(h % 16 == 0),
         [F.col("value"), F.col("event_id")],
         rank_col="rk",
+        # pin: the 1/16 sample (2 narrow columns) materializes once
+        # instead of re-running the scan+hash-filter for the sampler
+        pin_input=True,
     )
-    ns = rs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    cut = " OR ".join(f"rk = ({d}*n+9) div 10" for d in range(1, 10))
+    # The DuckDB twin's CROSS JOIN against an empty boundary set yields
+    # an empty result; here every event would land in decile 1 instead.
+    # At any real scale factor the 1/16 sample is never empty — fail
+    # loudly rather than diverge silently on degenerate inputs.
+    if ns == 0:
+        raise ValueError(
+            "events_value_deciles_sketch: empty 1/16 sample — input too "
+            "small for the sketch (use events_value_deciles instead)"
+        )
+    cut = " OR ".join(f"rk = ({d}*{ns}+9) div 10" for d in range(1, 10))
     barr = (
-        rs.crossJoin(F.broadcast(ns))
-        .filter(F.expr(cut))
+        rs.filter(F.expr(cut))
         .agg(
             F.sort_array(
                 F.collect_list(

@@ -165,3 +165,105 @@ def test_rank_cumsum_plan_has_no_single_partition_window(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
     assert out.count() == 100
+
+
+def test_rank_total_and_inline_carry_matches_broadcast_path(spark):
+    """The two carry paths (inline literal CASE ≤64 ranges, broadcast
+    join above) produce identical ranks, and the returned total equals
+    the row count."""
+    from datagouv_tools_spark.operators.ranking import (
+        _INLINE_CARRY_MAX,
+        distributed_row_number_total,
+    )
+
+    rows = [(i, (i * 37) % 101) for i in range(500)]
+    df = spark.createDataFrame(rows, "id bigint, v bigint")
+    inline, n1 = distributed_row_number_total(
+        df, [F.col("v"), F.col("id")], num_ranges=8
+    )
+    joined, n2 = distributed_row_number_total(
+        df, [F.col("v"), F.col("id")], num_ranges=_INLINE_CARRY_MAX + 16
+    )
+    assert n1 == n2 == 500
+    assert sorted((r["id"], r["__rn"]) for r in inline.collect()) == sorted(
+        (r["id"], r["__rn"]) for r in joined.collect()
+    )
+
+
+def test_ntile_small_input_no_divide_by_zero(spark):
+    """n < n_buckets: every row lands in its own singleton bucket and
+    the clamped ELSE divisor never raises under ANSI mode."""
+    from datagouv_tools_spark.operators.ranking import distributed_ntile
+
+    df = spark.createDataFrame([(1,), (2,), (3,)], "id bigint")
+    got = {
+        (r["id"], r["b"])
+        for r in distributed_ntile(
+            df, 5, [F.col("id")], bucket_col="b"
+        ).collect()
+    }
+    assert got == {(1, 1), (2, 2), (3, 3)}
+
+
+def test_ntile_matches_window_ntile_across_sizes(spark):
+    """Literal (q, r) NTILE arithmetic == Spark's NTILE window for
+    remainder-heavy and exact-multiple sizes."""
+    from datagouv_tools_spark.operators.ranking import distributed_ntile
+
+    for n, k in ((23, 5), (25, 5), (7, 3)):
+        df = spark.createDataFrame([(i,) for i in range(n)], "id bigint")
+        got = {
+            (r["id"], r["b"])
+            for r in distributed_ntile(
+                df, k, [F.col("id")], bucket_col="b"
+            ).collect()
+        }
+        want = {
+            (r["id"], r["b"])
+            for r in df.select(
+                "id", F.ntile(k).over(Window.orderBy("id")).alias("b")
+            ).collect()
+        }
+        assert got == want, (n, k)
+
+
+def test_pin_input_preserves_values(spark):
+    """pin_input only changes materialization, never values."""
+    df = spark.createDataFrame(
+        [(i, (i * 13) % 7) for i in range(60)], "id bigint, v bigint"
+    )
+    a = sorted(
+        (r["id"], r["__rn"])
+        for r in distributed_row_number(
+            df, [F.col("v"), F.col("id")], pin_input=True
+        ).collect()
+    )
+    b = sorted(
+        (r["id"], r["__rn"])
+        for r in distributed_row_number(
+            df, [F.col("v"), F.col("id")], pin_input=False
+        ).collect()
+    )
+    assert a == b
+
+
+def test_round_checkpointer_releases_previous_round(spark):
+    """RoundCheckpointer unpersists round N-1's blocks once round N is
+    materialized, and never touches the latest round."""
+    from datagouv_tools_spark.operators.ckpt import RoundCheckpointer
+
+    def persistent_ids():
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keys())
+
+    base = persistent_ids()
+    ck = RoundCheckpointer()
+    df = ck(spark.range(100))
+    first = persistent_ids() - base
+    assert len(first) == 1
+    df = ck(df.withColumn("x", F.col("id") + 1))
+    second = persistent_ids() - base
+    # first round's block set is gone, second round's remains
+    assert first.isdisjoint(second) and len(second) == 1
+    assert df.count() == 100
+    ck.release()
+    assert persistent_ids() - base == set()
