@@ -106,54 +106,53 @@ def dedup_gate_batch(
     else:
         admitted = fp
 
-    # 1) output first (see module docstring for the replay argument)
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        admitted.withColumn("__batch", F.lit(batch_id)).write.mode(
-            "overwrite"
-        ).partitionBy("__batch").parquet(out_path)
-        # 2) then the store: touched buckets ∪ new fingerprints, distinct
-        new_fps = admitted.select("__fp", "__bucket")
-        if min_epoch is None:
-            if store_exists:
-                merged = (
-                    spark.read.parquet(store_path)
-                    .filter(F.col("__bucket").isin(touched))
-                    .select("__fp", "__bucket")
-                    .unionByName(new_fps)
-                    .distinct()
-                )
-            else:
-                merged = new_fps.distinct()
-            part_cols = ["__bucket"]
+    # 1) output first (see module docstring for the replay argument).
+    # Dynamic overwrite is a per-WRITE option (never a session-conf
+    # toggle): safe under concurrent streams sharing the session.
+    admitted.withColumn("__batch", F.lit(batch_id)).write.option(
+        "partitionOverwriteMode", "dynamic"
+    ).mode("overwrite").partitionBy("__batch").parquet(out_path)
+    # 2) then the store: touched buckets ∪ new fingerprints, distinct
+    new_fps = admitted.select("__fp", "__bucket")
+    if min_epoch is None:
+        if store_exists:
+            merged = (
+                spark.read.parquet(store_path)
+                .filter(F.col("__bucket").isin(touched))
+                .select("__fp", "__bucket")
+                .unionByName(new_fps)
+                .distinct()
+            )
         else:
-            new_fps = new_fps.withColumn("__epoch", F.lit(epoch_now))
-            if store_exists:
-                merged = (
-                    spark.read.parquet(store_path)
-                    .filter(
-                        F.col("__bucket").isin(touched)
-                        & (F.col("__epoch") == epoch_now)
-                    )
-                    .select("__fp", "__bucket", "__epoch")
-                    .unionByName(new_fps)
-                    .distinct()
+            merged = new_fps.distinct()
+        part_cols = ["__bucket"]
+    else:
+        new_fps = new_fps.withColumn("__epoch", F.lit(epoch_now))
+        if store_exists:
+            merged = (
+                spark.read.parquet(store_path)
+                .filter(
+                    F.col("__bucket").isin(touched)
+                    & (F.col("__epoch") == epoch_now)
                 )
-            else:
-                merged = new_fps.distinct()
-            part_cols = ["__bucket", "__epoch"]
-        # materialize the merged slice BEFORE overwriting the same
-        # path: with a direct-write/object-store committer, a write
-        # that still lazily reads its own target could lose touched
-        # buckets on task failure (then previously-admitted dups would
-        # be re-admitted). Bounded: touched buckets only.
-        merged = merged.localCheckpoint()
-        merged.write.mode("overwrite").partitionBy(*part_cols).parquet(store_path)
-        if min_epoch is not None:
-            _vacuum_expired_epochs(spark, store_path, min_epoch)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+                .select("__fp", "__bucket", "__epoch")
+                .unionByName(new_fps)
+                .distinct()
+            )
+        else:
+            merged = new_fps.distinct()
+        part_cols = ["__bucket", "__epoch"]
+    # materialize the merged slice BEFORE overwriting the same
+    # path: with a direct-write/object-store committer, a write
+    # that still lazily reads its own target could lose touched
+    # buckets on task failure (then previously-admitted dups would
+    # be re-admitted). Bounded: touched buckets only.
+    merged = merged.localCheckpoint()
+    merged.write.option("partitionOverwriteMode", "dynamic").mode(
+        "overwrite"
+    ).partitionBy(*part_cols).parquet(store_path)
+    if min_epoch is not None:
+        _vacuum_expired_epochs(spark, store_path, min_epoch)
 
 
 def foreach_batch_dedup_gate(

@@ -70,19 +70,23 @@ def _versions(spark, root: str) -> list[tuple[int, str, bool]]:
     return out
 
 
-def _current(spark, root: str) -> tuple[str, dict] | None:
-    committed = [(n, p) for n, p, ok in _versions(spark, root) if ok]
-    if not committed:
-        return None
-    path = max(committed)[1]
-    fs, _ = _fs(spark, root)
+def _read_tag(spark, path: str) -> dict:
+    fs, _ = _fs(spark, path)
     jtag = spark._jvm.org.apache.hadoop.fs.Path(f"{path}/tag.json")
     stream = fs.open(jtag)
     try:
         raw = bytes(stream.readAllBytes())
     finally:
         stream.close()
-    return path, json.loads(raw.decode("utf-8"))
+    return json.loads(raw.decode("utf-8"))
+
+
+def _current(spark, root: str) -> tuple[str, dict] | None:
+    committed = [(n, p) for n, p, ok in _versions(spark, root) if ok]
+    if not committed:
+        return None
+    path = max(committed)[1]
+    return path, _read_tag(spark, path)
 
 
 def read_join_store(
@@ -138,15 +142,17 @@ def join_maintain_batch(
     excluded). The view's columns are key + a_cols + b_cols.
     """
     spark = batch.sparkSession
-    cur = _current(spark, root)
-    if cur is not None:
-        path, tag = cur
+    versions = _versions(spark, root)  # one listing serves both uses
+    committed = [(n, p) for n, p, ok in versions if ok]
+    if committed:
+        path = max(committed)[1]
+        tag = _read_tag(spark, path)
         if tag.get("run") == run_key and int(tag.get("seq", -1)) >= batch_id:
             return  # redelivered batch: already committed
         a_old = spark.read.parquet(f"{path}/a")
         b_old = spark.read.parquet(f"{path}/b")
         view = spark.read.parquet(f"{path}/view")
-        nxt = max(n for n, _, _ in _versions(spark, root)) + 1
+        nxt = max(n for n, _, _ in versions) + 1
     else:
         a_old = b_old = view = None
         nxt = 0
@@ -167,9 +173,24 @@ def join_maintain_batch(
     new_view = maintain_join(view, a_old, b_old, da, db, key_cols, op_col)
 
     target = f"{root}/v{nxt}"
-    new_a.write.mode("overwrite").parquet(f"{target}/a")
-    new_b.write.mode("overwrite").parquet(f"{target}/b")
-    new_view.write.mode("overwrite").parquet(f"{target}/view")
+    # The three relation writes are independent jobs over the SAME
+    # committed v{N-1} inputs — submit them concurrently (Spark's
+    # scheduler interleaves their stages across the executor pool;
+    # atomicity is unaffected because the _COMMIT marker still goes
+    # last, after ALL three have landed).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [
+            pool.submit(
+                lambda df, p: df.write.mode("overwrite").parquet(p),
+                df,
+                f"{target}/{rel}",
+            )
+            for df, rel in ((new_a, "a"), (new_b, "b"), (new_view, "view"))
+        ]
+        for f in futs:
+            f.result()
     fs, _ = _fs(spark, root)
     tag_path = spark._jvm.org.apache.hadoop.fs.Path(f"{target}/tag.json")
     out = fs.create(tag_path, True)

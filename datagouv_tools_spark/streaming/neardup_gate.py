@@ -234,59 +234,56 @@ def _banded_admission_batch(
     )
     admitted = batch.join(verdict, id_col, "left_semi")
 
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        # 1) output first (module docstring: the replay argument)
-        admitted.withColumn("__batch", F.lit(batch_id)).write.mode(
-            "overwrite"
-        ).partitionBy("__batch").parquet(out_path)
-        # 2) then the store: touched buckets ∪ admitted docs' bands
-        new_bands = (
-            entries.join(verdict, id_col, "left_semi")
-            .select("band_idx", "band_hash", "__bucket")
-            .distinct()
-        )
-        if min_epoch is None:
-            if store_exists:
-                merged = (
-                    spark.read.parquet(store_path)
-                    .filter(F.col("__bucket").isin(touched))
-                    .select("band_idx", "band_hash", "__bucket")
-                    .unionByName(new_bands)
-                    .distinct()
-                )
-            else:
-                merged = new_bands
-            part_cols = ["__bucket"]
+    # 1) output first (module docstring: the replay argument)
+    admitted.withColumn("__batch", F.lit(batch_id)).write.option(
+        "partitionOverwriteMode", "dynamic"
+    ).mode("overwrite").partitionBy("__batch").parquet(out_path)
+    # 2) then the store: touched buckets ∪ admitted docs' bands
+    new_bands = (
+        entries.join(verdict, id_col, "left_semi")
+        .select("band_idx", "band_hash", "__bucket")
+        .distinct()
+    )
+    if min_epoch is None:
+        if store_exists:
+            merged = (
+                spark.read.parquet(store_path)
+                .filter(F.col("__bucket").isin(touched))
+                .select("band_idx", "band_hash", "__bucket")
+                .unionByName(new_bands)
+                .distinct()
+            )
         else:
-            # merge within the CURRENT epoch's slice only — older
-            # epochs are immutable and never rewritten
-            new_bands = new_bands.withColumn("__epoch", F.lit(epoch_now))
-            if store_exists:
-                merged = (
-                    spark.read.parquet(store_path)
-                    .filter(
-                        F.col("__bucket").isin(touched)
-                        & (F.col("__epoch") == epoch_now)
-                    )
-                    .select("band_idx", "band_hash", "__bucket", "__epoch")
-                    .unionByName(new_bands)
-                    .distinct()
+            merged = new_bands
+        part_cols = ["__bucket"]
+    else:
+        # merge within the CURRENT epoch's slice only — older
+        # epochs are immutable and never rewritten
+        new_bands = new_bands.withColumn("__epoch", F.lit(epoch_now))
+        if store_exists:
+            merged = (
+                spark.read.parquet(store_path)
+                .filter(
+                    F.col("__bucket").isin(touched)
+                    & (F.col("__epoch") == epoch_now)
                 )
-            else:
-                merged = new_bands
-            part_cols = ["__bucket", "__epoch"]
-        # materialize before overwriting the path being read (see
-        # dedup_gate: direct-write committers could otherwise corrupt
-        # touched buckets on task failure). Bounded: touched buckets
-        # (current epoch only, under TTL).
-        merged = merged.localCheckpoint()
-        merged.write.mode("overwrite").partitionBy(*part_cols).parquet(store_path)
-        if min_epoch is not None:
-            _vacuum_expired_epochs(spark, store_path, min_epoch)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+                .select("band_idx", "band_hash", "__bucket", "__epoch")
+                .unionByName(new_bands)
+                .distinct()
+            )
+        else:
+            merged = new_bands
+        part_cols = ["__bucket", "__epoch"]
+    # materialize before overwriting the path being read (see
+    # dedup_gate: direct-write committers could otherwise corrupt
+    # touched buckets on task failure). Bounded: touched buckets
+    # (current epoch only, under TTL).
+    merged = merged.localCheckpoint()
+    merged.write.option("partitionOverwriteMode", "dynamic").mode(
+        "overwrite"
+    ).partitionBy(*part_cols).parquet(store_path)
+    if min_epoch is not None:
+        _vacuum_expired_epochs(spark, store_path, min_epoch)
 
 
 def foreach_batch_neardup_gate(

@@ -162,7 +162,12 @@ def _has_buckets(spark, path: str) -> bool:
     return False
 
 
-def _overwrite_partitions(df: DataFrame, path: str, touched: list[int]) -> None:
+def _overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    touched: list[int],
+    with_rows: set[int] | None = None,
+) -> None:
     """Dynamic partition overwrite of the touched ``__bucket`` dirs.
     ``df`` MUST already be materialized (localCheckpoint) when its plan
     reads the same path — the caller holds that invariant so ONE
@@ -171,16 +176,24 @@ def _overwrite_partitions(df: DataFrame, path: str, touched: list[int]) -> None:
     Dynamic overwrite only rewrites partitions PRESENT in the written
     data — a touched bucket whose every row was deleted would silently
     keep its stale files (resurrecting a fully-deleted group), so those
-    buckets are removed explicitly."""
+    buckets are removed explicitly. A caller that can PROVE every
+    touched bucket holds rows (append-only state like the SCD2 event
+    base: the batch itself puts rows in every touched bucket) passes
+    ``with_rows=touched`` and skips the distinct-collect job."""
     spark = df.sparkSession
-    with_rows = {r["__bucket"] for r in df.select("__bucket").distinct().collect()}
+    if with_rows is None:
+        with_rows = {
+            r["__bucket"] for r in df.select("__bucket").distinct().collect()
+        }
+    else:
+        with_rows = set(with_rows)
     if with_rows:
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            df.write.mode("overwrite").partitionBy("__bucket").parquet(path)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # per-WRITE dynamic overwrite (not a session-conf toggle): safe
+        # under concurrent writer threads / concurrent streams sharing
+        # the session
+        df.write.option(
+            "partitionOverwriteMode", "dynamic"
+        ).mode("overwrite").partitionBy("__bucket").parquet(path)
     elif not _exists(spark, path):
         # nothing to write and no store yet: creating an empty parquet
         # dir would just break later schema inference

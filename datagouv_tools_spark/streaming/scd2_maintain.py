@@ -108,11 +108,29 @@ def scd2_batch(
     else:
         slice_df = b
     slice_df = slice_df.localCheckpoint(eager=True)
-    _overwrite_partitions(slice_df, base_path, touched)
     iv = _islands(slice_df, key, state).withColumn(
         "__bucket", _bucket([key], n_buckets)
     )
-    _overwrite_partitions(iv, intervals_path, touched)
+    # both writes read only the materialized slice checkpoint — submit
+    # them concurrently (independent jobs; scheduler interleaves)
+    from concurrent.futures import ThreadPoolExecutor
+
+    # append-only state: the batch itself puts rows in every touched
+    # bucket (and islands emit >=1 interval per key), so with_rows ==
+    # touched by construction — no per-write distinct-collect job
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [
+            pool.submit(
+                _overwrite_partitions, slice_df, base_path, touched,
+                set(touched),
+            ),
+            pool.submit(
+                _overwrite_partitions, iv, intervals_path, touched,
+                set(touched),
+            ),
+        ]
+        for f in futs:
+            f.result()
 
 
 def foreach_batch_scd2_maintainer(

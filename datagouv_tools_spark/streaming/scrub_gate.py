@@ -9,12 +9,14 @@ every later delivery, across batches. Unlike the admission gates
 (dedup_gate / neardup_gate), no document is dropped: the unit of
 dedup is the segment, the unit of output is the cleaned document.
 
-State is a parquet segment-hash store partitioned by (bucket, epoch),
-read only at the buckets a batch touches; merges rewrite only the
-current epoch's slice (bounded by ``epoch_batches`` of admissions —
-older epochs' files are never rewritten). Every store row carries the
-``__batch`` that added it, and the novelty anti-join filters
-``__batch < batch_id`` — so a checkpoint-replayed batch sees EXACTLY the store
+State is a parquet segment-hash store partitioned by (bucket, epoch,
+batch), read only at the buckets a batch touches; a batch's store
+write dynamically overwrites ONLY its own ``__batch`` partitions —
+no other batch's files are ever read or rewritten (r8: this deleted
+the per-batch epoch-slice read-merge-rewrite and its materialization
+checkpoint). ``__batch`` is a partition column, and the novelty
+anti-join filters ``__batch < batch_id`` — partition-pruned — so a
+checkpoint-replayed batch sees EXACTLY the store
 state that preceded its original run and recomputes byte-identical
 output whether or not its store merge landed (a stronger replay
 contract than the admission gates' output-first ordering, needed here
@@ -79,11 +81,11 @@ def scrub_gate_batch(
        STRICTLY before this one) is dropped everywhere in this batch.
 
     Store layout: partitioned by (__bucket, __epoch = batch_id //
-    epoch_batches), rows keep their exact ``__batch``. The merge
-    rewrites ONLY the current epoch's slice of touched buckets (bounded
-    by epoch_batches of admissions, never store history — the
-    dedup_gate/neardup_gate compaction contract); the novelty read
-    prunes to touched buckets across epochs.
+    epoch_batches, __batch). A batch's store write dynamically
+    overwrites only its OWN ``__batch`` partitions (deterministic
+    replay lands byte-identically; no other batch's files are read or
+    rewritten); the novelty read prunes to touched buckets and
+    earlier-batch partitions.
 
     ``ttl_epochs=T`` bounds BOTH state and the novelty read to the last
     T epochs (expired epoch dirs are vacuumed — a directory delete,
@@ -156,55 +158,56 @@ def scrub_gate_batch(
         )
     )
 
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        # 1) cleaned docs to the output table (replay rewrites own slice)
-        if post_transform is not None:
-            cleaned = post_transform(cleaned)
-        cleaned.withColumn("__batch", F.lit(batch_id)).write.mode(
-            "overwrite"
-        ).partitionBy("__batch").parquet(out_path)
-        # 2) then the store: touched buckets ∪ this batch's novel kept
-        # segments, tagged with this batch id. localCheckpoint before
-        # overwriting the path being read (streaming-store contract).
-        novel = (
-            marks.filter(F.col("kept"))
-            .select("seg_hash", "__bucket")
-            .distinct()
-            .withColumn("__batch", F.lit(batch_id).cast("long"))
-            .withColumn("__epoch", F.lit(epoch_now).cast("long"))
-        )
-        if store_exists:
-            # merge within the CURRENT epoch slice only: keep that
-            # slice's rows from every other batch (an out-of-order
-            # replay of batch N after N+1 must not delete N+1's
-            # segments) and replace this batch's own rows with the
-            # recomputed set. Older epochs' partitions are never read
-            # or rewritten here — bounded merge cost.
-            existing = (
-                spark.read.parquet(store_path)
-                .filter(F.col("__bucket").isin(touched))
-                .filter(F.col("__epoch") == F.lit(epoch_now))
-                .filter(F.col("__batch") != F.lit(batch_id))
-            )
-            merged = existing.unionByName(novel).localCheckpoint()
-        else:
-            # first batch: the store path is not being read, and novel
-            # derives from the marks checkpoint — write directly, no
-            # extra materialization job
-            merged = novel
-        merged.write.mode("overwrite").partitionBy(
-            "__bucket", "__epoch"
-        ).parquet(store_path)
-        if min_epoch is not None:
-            from datagouv_tools_spark.streaming.neardup_gate import (
-                _vacuum_expired_epochs,
-            )
+    # 1) cleaned docs to the output table (replay rewrites own slice)
+    if post_transform is not None:
+        cleaned = post_transform(cleaned)
 
-            _vacuum_expired_epochs(spark, store_path, min_epoch)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    def _write_cleaned() -> None:
+        cleaned.withColumn("__batch", F.lit(batch_id)).write.option(
+            "partitionOverwriteMode", "dynamic"
+        ).mode("overwrite").partitionBy("__batch").parquet(out_path)
+    # 2) the store: this batch's novel kept segments, written into
+    # per-(__bucket, __epoch, __batch) partitions. With dynamic
+    # partition overwrite, the write replaces ONLY this batch's own
+    # partitions — an out-of-order replay of batch N after N+1 cannot
+    # delete N+1's segments, and the recomputed (deterministic) novel
+    # set lands byte-identically — so the former read-merge-rewrite of
+    # the epoch slice (a store read plus a materialization checkpoint
+    # per batch) is gone entirely. The novelty read prunes on the
+    # __batch partition column now, too. Scale note: within-epoch
+    # batch dirs are small; epoch close is the natural compaction
+    # point if file counts ever matter (same knob as the admission
+    # gates).
+    novel = (
+        marks.filter(F.col("kept"))
+        .select("seg_hash", "__bucket")
+        .distinct()
+        .withColumn("__batch", F.lit(batch_id).cast("long"))
+        .withColumn("__epoch", F.lit(epoch_now).cast("long"))
+    )
+
+    def _write_store() -> None:
+        novel.write.option("partitionOverwriteMode", "dynamic").mode(
+            "overwrite"
+        ).partitionBy("__bucket", "__epoch", "__batch").parquet(store_path)
+
+    # Both writes read only the materialized marks checkpoint (plus,
+    # for the cleaned side, earlier-batch store partitions) and neither
+    # reads what the other writes — unlike the admission gates, scrub's
+    # replay contract comes from the __batch < batch_id novelty filter,
+    # not from output-before-store ordering. Submit them concurrently.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [pool.submit(_write_cleaned), pool.submit(_write_store)]
+        for f in futs:
+            f.result()
+    if min_epoch is not None:
+        from datagouv_tools_spark.streaming.neardup_gate import (
+            _vacuum_expired_epochs,
+        )
+
+        _vacuum_expired_epochs(spark, store_path, min_epoch)
 
 
 def foreach_batch_scrub_gate(

@@ -101,7 +101,7 @@ def run_to_memory(
     df: DataFrame,
     output_mode: str = "complete",
     name: str | None = None,
-    state_partitions: int | None = 4,
+    state_partitions: int | None = 2,
 ) -> DataFrame:
     """Replay a bounded stream to its final result (availableNow →
     memory sink), return the result as a static DataFrame.
@@ -116,7 +116,9 @@ def run_to_memory(
     state store per session core — every state-store instance costs a
     per-batch open/commit, and stream-stream joins keep FOUR stores per
     partition, so the default is small (r7 measured the per-batch fixed
-    cost roughly linear in the count). Pass None to inherit the session
+    cost roughly linear in the count; r8 re-measured 4->2 partitions
+    cutting a bounded stream-stream join replay ~25-30%). Pass None to
+    inherit the session
     setting (what a long-lived production stream would size
     explicitly).
     """

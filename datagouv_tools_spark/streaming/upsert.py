@@ -71,12 +71,9 @@ def upsert_batch(
     # cannot delete inputs mid-job (same fix as the streaming gates)
     merged = merged.localCheckpoint(eager=True)
 
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        merged.write.mode("overwrite").partitionBy("__bucket").parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    merged.write.option("partitionOverwriteMode", "dynamic").mode(
+    "overwrite"
+).partitionBy("__bucket").parquet(path)
 
 
 def foreach_batch_upserter(

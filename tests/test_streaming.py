@@ -975,10 +975,11 @@ def test_scrub_gate_template_flood_bounds(spark, tmp_path):
 
 
 def test_scrub_gate_merge_rewrites_only_current_epoch(spark, tmp_path):
-    """Bounded merge: with epoch_batches=1 every batch owns its own
-    epoch partitions, so a later batch's store merge must leave earlier
-    epochs' part-files byte-untouched (same contract, and same
-    file-name-set check, as the near-dup gate's TTL store)."""
+    """Bounded merge: a batch's store write touches ONLY its own
+    ``__batch`` partitions, so a later batch must leave every earlier
+    batch's part-files byte-untouched (same contract, and same
+    file-name-set check, as the near-dup gate's TTL store; r8 layout
+    nests __batch under __epoch)."""
     import glob
 
     from datagouv_tools_spark.streaming.scrub_gate import scrub_gate_batch
@@ -990,7 +991,9 @@ def test_scrub_gate_merge_rewrites_only_current_epoch(spark, tmp_path):
         ),
         store, out, seg_len=3, n_buckets=4, batch_id=0, epoch_batches=1,
     )
-    epoch0 = sorted(glob.glob(f"{store}/*/__epoch=0/part-*.parquet"))
+    epoch0 = sorted(
+        glob.glob(f"{store}/*/__epoch=0/__batch=0/part-*.parquet")
+    )
     assert epoch0
     scrub_gate_batch(
         spark.createDataFrame(
@@ -998,7 +1001,10 @@ def test_scrub_gate_merge_rewrites_only_current_epoch(spark, tmp_path):
         ),
         store, out, seg_len=3, n_buckets=4, batch_id=1, epoch_batches=1,
     )
-    assert sorted(glob.glob(f"{store}/*/__epoch=0/part-*.parquet")) == epoch0
+    assert (
+        sorted(glob.glob(f"{store}/*/__epoch=0/__batch=0/part-*.parquet"))
+        == epoch0
+    )
     # cross-epoch novelty still enforced: the shared leading segment
     # was scrubbed from doc 2
     got = {

@@ -13,10 +13,13 @@ Usage: python tools/streamprofile.py [sf_dir ...]   (default: sf0.01 sf0.1)
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sys
 import tempfile
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _progress_rows(q) -> list[dict]:
