@@ -41,6 +41,8 @@ __all__ = [
     "encode_ppm",
     "decode_png",
     "encode_png",
+    "decode_gif",
+    "encode_gif",
     "decode_wav",
     "encode_wav",
     "decode_image_batch",
@@ -355,19 +357,22 @@ def encode_png(pixels, row_filter=None) -> bytes:
 
 
 def decode_image_batch(payload: bytes) -> object:
-    """Decode a single image payload. P6 PPM and 8-bit RGB PNG decode
-    for real (``decode_ppm`` / ``decode_png`` — pure numpy + stdlib
-    zlib); every other format (JPEG, WebP, ...) needs PIL/libvips,
-    absent in this container — strict mode raises rather than faking
-    silently."""
+    """Decode a single image payload. P6 PPM, 8-bit RGB PNG, and
+    single-frame GIF decode for real (``decode_ppm`` / ``decode_png`` /
+    ``decode_gif`` — pure numpy + stdlib zlib + pure-Python LZW); every
+    other format (JPEG, WebP, ...) needs PIL/libvips, absent in this
+    container — strict mode raises rather than faking silently."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:6] in _GIF_SIGS:
+        return decode_gif(payload)
     raise NotImplementedError(
-        "non-PPM/PNG image decode requires an image library (PIL/pyvips); "
-        "this environment ships none — use extract_image_features(fake=True) "
-        "for plumbing tests, or P6/PNG payloads for real decode"
+        "non-PPM/PNG/GIF image decode requires an image library "
+        "(PIL/pyvips); this environment ships none — use "
+        "extract_image_features(fake=True) for plumbing tests, or "
+        "P6/PNG/GIF payloads for real decode"
     )
 
 
@@ -543,6 +548,258 @@ def sample_video_frames(
             yield pd.DataFrame({"media_id": ids, "frame_no": nos, "frame": frames})
 
     return df.select(id_col, payload_col).mapInPandas(run, FRAMES_SCHEMA)
+
+
+_GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW (spec / giflib behavior): LSB-first bit packing,
+    CLEAR resets the string table, code width grows when the table
+    reaches 2^width entries, capped at 12 bits."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+    next_code = end + 1
+    width = min_code_size + 1
+    buf = nbits = pos = 0
+    n = len(data)
+    prev: bytes | None = None
+    while True:
+        while nbits < width:
+            if pos >= n:
+                raise ValueError("truncated GIF LZW stream (no END code)")
+            buf |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = buf & ((1 << width) - 1)
+        buf >>= width
+        nbits -= width
+        if code == clear:
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return bytes(out)
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                raise ValueError("corrupt GIF LZW stream (first code)")
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError("corrupt GIF LZW stream (code out of range)")
+        out.extend(entry)
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """The spec-complement encoder (fixture/builder side): tracks the
+    DECODER's table/width schedule as shadow state, so the emitted
+    stream decodes under :func:`_lzw_decode`'s (and giflib's) growth
+    rule; emits CLEAR when the table would pass 12 bits."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    buf = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal buf, nbits
+        buf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1       # encoder's next assignment
+    dec_next = end + 1        # decoder's table size after it processes
+    width = min_code_size + 1
+    first_since_clear = True
+
+    def emit_data(code: int) -> None:
+        # decoder processes this code, THEN (except for the first code
+        # after a clear) adds one entry and maybe widens — mirror that
+        nonlocal dec_next, width, first_since_clear
+        emit(code, width)
+        if first_since_clear:
+            first_since_clear = False
+            return
+        if dec_next < 4096:
+            dec_next += 1
+            if dec_next == (1 << width) and width < 12:
+                width += 1
+
+    emit(clear, width)
+    w = b""
+    for b in indices:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        emit_data(table[w])
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+        else:
+            # table full: reset both sides
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            dec_next = end + 1
+            width = min_code_size + 1
+            first_since_clear = True
+        w = bytes([b])
+    if w:
+        emit_data(table[w])
+    emit(end, width)
+    if nbits:
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
+def _gif_subblocks(stream: bytes, pos: int) -> tuple[bytes, int]:
+    """Concatenate data sub-blocks starting at ``pos``; return
+    (data, position after the 0x00 terminator)."""
+    chunks = bytearray()
+    n = len(stream)
+    while True:
+        if pos >= n:
+            raise ValueError("truncated GIF (unterminated sub-blocks)")
+        size = stream[pos]
+        pos += 1
+        if size == 0:
+            return bytes(chunks), pos
+        if pos + size > n:
+            raise ValueError("truncated GIF sub-block")
+        chunks.extend(stream[pos : pos + size])
+        pos += size
+
+
+def decode_gif(payload: bytes):
+    """REAL compressed-image decode for single-frame, non-interlaced
+    GIF87a/89a — pure-Python LZW (:func:`_lzw_decode`), global or local
+    color table, extensions skipped. Returns (width, height, pixels)
+    like :func:`decode_png` (pixels (h, w, 3) uint8 via the palette).
+    Interlaced images and missing color tables raise (honest boundary,
+    same contract as the PNG decoder's colortype gate)."""
+    import numpy as np
+
+    if payload[:6] not in _GIF_SIGS:
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        size = 2 << (packed & 0x07)
+        gct = np.frombuffer(
+            payload[pos : pos + 3 * size], dtype=np.uint8
+        ).reshape(size, 3)
+        if gct.shape[0] != size:
+            raise ValueError("truncated GIF color table")
+        pos += 3 * size
+    n = len(payload)
+    while pos < n:
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer before any image
+            raise ValueError("GIF contains no image data")
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            _, pos = _gif_subblocks(payload, pos)
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        if pos + 9 > n:
+            raise ValueError("truncated GIF image descriptor")
+        w = int.from_bytes(payload[pos + 4 : pos + 6], "little")
+        h = int.from_bytes(payload[pos + 6 : pos + 8], "little")
+        ipacked = payload[pos + 8]
+        pos += 9
+        if ipacked & 0x40:
+            raise ValueError(
+                "unsupported GIF variant (interlaced image data)"
+            )
+        ct = gct
+        if ipacked & 0x80:
+            size = 2 << (ipacked & 0x07)
+            ct = np.frombuffer(
+                payload[pos : pos + 3 * size], dtype=np.uint8
+            ).reshape(size, 3)
+            pos += 3 * size
+        if ct is None:
+            raise ValueError("GIF image has no color table")
+        if pos >= n:
+            raise ValueError("truncated GIF (missing LZW code size)")
+        min_code_size = payload[pos]
+        pos += 1
+        if not 2 <= min_code_size <= 11:
+            raise ValueError(f"bad GIF LZW code size {min_code_size}")
+        data, pos = _gif_subblocks(payload, pos)
+        idx = np.frombuffer(_lzw_decode(data, min_code_size), dtype=np.uint8)
+        if idx.size != w * h:
+            raise ValueError(
+                f"GIF pixel count mismatch: got {idx.size}, want {w * h}"
+            )
+        if int(idx.max(initial=0)) >= ct.shape[0]:
+            raise ValueError("GIF pixel index outside color table")
+        return w, h, ct[idx].reshape(h, w, 3)
+    raise ValueError("truncated GIF (no trailer)")
+
+
+def encode_gif(pixels) -> bytes:
+    """The inverse (fixture/builder side): (h, w, 3) uint8 with ≤256
+    distinct colors → single-frame GIF89a with a global color table
+    and real LZW image data."""
+    import numpy as np
+
+    arr = np.ascontiguousarray(pixels, dtype=np.uint8)
+    h, w, c = arr.shape
+    if c != 3:
+        raise ValueError("expected (h, w, 3) RGB")
+    flat = arr.reshape(-1, 3)
+    colors, idx = np.unique(flat, axis=0, return_inverse=True)
+    if colors.shape[0] > 256:
+        raise ValueError("GIF fixtures need ≤256 distinct colors")
+    # palette size = 2^(k+1) per the GCT size field
+    k = 0
+    while (2 << k) < colors.shape[0]:
+        k += 1
+    size = 2 << k
+    palette = np.zeros((size, 3), dtype=np.uint8)
+    palette[: colors.shape[0]] = colors
+    min_code_size = max(2, k + 1)
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out.append(0x80 | ((min_code_size - 1) << 4) | k)  # GCT flag + size
+    out += b"\x00\x00"  # bg color, aspect
+    out += palette.tobytes()
+    out.append(0x2C)  # image descriptor
+    out += (0).to_bytes(2, "little") * 2
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out.append(0x00)  # no LCT, not interlaced
+    out.append(min_code_size)
+    data = _lzw_encode(idx.astype(np.uint8).tobytes(), min_code_size)
+    for i in range(0, len(data), 255):
+        block = data[i : i + 255]
+        out.append(len(block))
+        out += block
+    out.append(0x00)  # sub-block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)
 
 
 def decode_wav(payload: bytes):

@@ -58,13 +58,19 @@ def perceptron_train(
         mis = q.select("y", "xq", score.alias("s")).filter(
             F.col("y") * F.col("s") <= 0
         )
+        # one action per round: every misclassified row explodes into
+        # exactly one row per pos, so any pos group's count(1) IS the
+        # misclassified-row count — no separate count job
         upd_rows = (
             mis.select(F.posexplode("xq").alias("pos", "x"), "y")
             .groupBy("pos")
-            .agg(F.sum(F.col("y") * F.col("x")).cast("bigint").alias("u"))
+            .agg(
+                F.sum(F.col("y") * F.col("x")).cast("bigint").alias("u"),
+                F.count(F.lit(1)).cast("bigint").alias("c"),
+            )
             .collect()
         )
-        n_mis = mis.count()
+        n_mis = int(upd_rows[0].c) if upd_rows else 0
         upd = {int(r_.pos): int(r_.u) for r_ in upd_rows}
         w = [w[i] + upd.get(i, 0) for i in range(dim)]
         stats.append(

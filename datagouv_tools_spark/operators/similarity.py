@@ -589,9 +589,13 @@ def _probe_lists(
     cents: list[list[float]],
     n: int,
     round_to: int = 6,
+    rank_col: str | None = None,
 ) -> DataFrame:
     """Append ``__list``: each input row fans out to its ``n`` nearest
     coarse lists by cosine (1 row per probe; n=1 is plain assignment).
+    ``rank_col`` additionally emits the 1-based probe position — the
+    nearest-list rank — so an nprobe SWEEP can reuse one n=max fan-out
+    (probes for nprobe=p are exactly the rows with rank <= p).
 
     Arrow-batched ``mapInPandas``: one BLAS matmul per batch against
     the normalized centroid matrix — executor-side, no shuffle, no
@@ -609,6 +613,8 @@ def _probe_lists(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     )
     out_schema = f"{fields}, __list int"
+    if rank_col is not None:
+        out_schema += f", {rank_col} int"
 
     def gen(batches):
         for pdf in batches:
@@ -629,6 +635,10 @@ def _probe_lists(
             idx = np.repeat(np.arange(len(pdf)), n)
             out = pdf.iloc[idx].copy()
             out["__list"] = top.reshape(-1).astype("int32")
+            if rank_col is not None:
+                out[rank_col] = np.tile(
+                    np.arange(1, n + 1, dtype="int32"), len(pdf)
+                )
             yield out
 
     return df.mapInPandas(gen, out_schema)

@@ -11243,6 +11243,10 @@ def doc_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("o.pos").alias("pos"), F.col("o.gh").alias("gh"))
     )
 
+    # same double-consumer shape as doc_dup_span_scrub: pin the compact
+    # hash+ints occ so the dup-gram aggregate and the join back don't
+    # each re-run the tokenize + 6-gram md5 corpus pass
+    occ = occ.localCheckpoint()
     dupg = (
         occ.groupBy("gh")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -11612,6 +11616,12 @@ def doc_dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.col("o.pos").alias("pos"), F.col("o.gh").alias("gh"))
     )
+    # occ feeds BOTH the canonical-selection aggregate and the join
+    # back — without a pin each consumer re-runs the tokenize + 6-gram
+    # md5 pass over the corpus (measured: 3 document scans, 0 reused
+    # exchanges). occ is hashes + ints only (no text), the compact
+    # thing to materialize.
+    occ = occ.localCheckpoint()
     per_gram = occ.groupBy("gh").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.min(F.struct("doc_id", "pos")).alias("first"),
@@ -14258,13 +14268,26 @@ def emb_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches the DuckDB replay; this is the artifact that picks nprobe
     for a latency budget instead of folklore.
 
-    Scale: each sweep point scans ~nprobe/16 of the corpus (the IVF
-    bargain); the recall join is 50 truth rows against ≤50 result rows
-    per point. Production sweeps the persisted index
-    (emb_ivfpq_topk_indexed) the same way without re-clustering."""
+    Scale (r8): ONE IVF pass serves the whole sweep — probes for
+    nprobe=p are exactly the first p of the nprobe=8 fan-out, so the
+    corpus is list-assigned once, joined against the 8-probe query fan
+    once (each candidate pair tagged with its probe RANK), and every
+    sweep point is a rank-filtered slice ranked by one
+    (nprobe, query)-partitioned window. Was 4 ivf_topk passes (each
+    with its own centroid job); now 1 centroid job + 1 assigned-corpus
+    scan + the exact-baseline scan. Per point the candidate work is
+    still ~nprobe/16 of the corpus (the IVF bargain); the recall join
+    is 50 truth rows against ≤50 result rows per point. Production
+    sweeps the persisted index (emb_ivfpq_topk_indexed) the same way
+    without re-clustering."""
+    from pyspark.sql.window import Window
+
+    from datagouv_tools_spark.functions.vectors import cosine
     from datagouv_tools_spark.operators.similarity import (
+        _ivf_centroids,
+        _probe_lists,
         cosine_topk,
-        ivf_topk,
+        ivf_assign,
     )
 
     emb = t(spark, sf_dir, "embeddings")
@@ -14272,28 +14295,59 @@ def emb_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
     )
-    ex5 = cosine_topk(queries_df, emb, k=5).select("query_id", "vec_id")
-    rows = None
-    for np_ in (1, 2, 4, 8):
-        got = ivf_topk(
-            queries_df, emb, k=5, n_lists=16, nprobe=np_
-        ).select("query_id", "vec_id")
-        r = (
-            got.join(ex5, ["query_id", "vec_id"])
-            .agg(
-                F.lit(np_).cast("bigint").alias("nprobe"),
-                F.count(F.lit(1)).cast("bigint").alias("n_hits"),
-            )
-            .select(
-                "nprobe",
-                "n_hits",
-                F.expr("cast(n_hits * 1000 div 50 as bigint)").alias(
-                    "recall_mille"
-                ),
-            )
+    ex5 = cosine_topk(queries_df, emb, k=5).select(
+        "query_id", "vec_id", F.lit(1).alias("__hit")
+    )
+    corpus = emb.select("vec_id", "embedding")
+    cents = _ivf_centroids(corpus, "vec_id", "embedding", 16, 42)
+    corpus_l = ivf_assign(
+        corpus, "embedding", 16, 42, cents=cents, id_col="vec_id"
+    )
+    q8 = _probe_lists(queries_df, "query_vec", cents, n=8, rank_col="__prk")
+    pairs = (
+        F.broadcast(q8)
+        .join(corpus_l, "__list")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "__prk",
+            F.round(cosine("query_vec", "embedding"), 6).alias("sim"),
         )
-        rows = r if rows is None else rows.unionByName(r)
-    return rows.orderBy("nprobe")
+    )
+    # each sweep point = the candidates whose list ranks within nprobe
+    tall = pairs.select(
+        "query_id",
+        "vec_id",
+        "sim",
+        F.explode(
+            F.filter(
+                F.array(*[F.lit(p) for p in (1, 2, 4, 8)]),
+                lambda p: p >= F.col("__prk"),
+            )
+        ).alias("nprobe"),
+    )
+    w = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("sim"), F.asc("vec_id")
+    )
+    got = (
+        tall.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("nprobe", "query_id", "vec_id")
+    )
+    return (
+        got.join(F.broadcast(ex5), ["query_id", "vec_id"], "left")
+        .groupBy(F.col("nprobe").cast("bigint").alias("nprobe"))
+        .agg(F.count("__hit").cast("bigint").alias("n_hits"))
+        .select(
+            "nprobe",
+            "n_hits",
+            F.expr("cast(n_hits * 1000 div 50 as bigint)").alias(
+                "recall_mille"
+            ),
+        )
+        .orderBy("nprobe")
+    )
 
 
 @query(

@@ -1634,3 +1634,106 @@ class TestPngDecode:
         )
         with pytest.raises(ValueError, match="unsupported PNG variant"):
             decode_png(sig + chunk)
+
+
+class TestGifDecode:
+    """The r8 second compressed codec: single-frame GIF87a/89a via
+    pure-Python spec LZW (operators/multimodal.decode_gif) — table
+    growth, 12-bit cap + clear-reset, and the KwKwK case all
+    exercised."""
+
+    def _img(self, w=6, h=5, seed=3):
+        import numpy as np
+
+        r = np.arange(h).reshape(h, 1, 1)
+        c = np.arange(w).reshape(1, w, 1)
+        k = np.arange(3).reshape(1, 1, 3)
+        return ((seed + r * 7 + c * 5 + k * 13) % 256).astype(np.uint8)
+
+    def test_round_trip(self):
+        import numpy as np
+
+        from datagouv_tools_spark.operators.multimodal import (
+            decode_gif,
+            encode_gif,
+        )
+
+        px = self._img()
+        w, h, back = decode_gif(encode_gif(px))
+        assert (w, h) == (6, 5)
+        assert np.array_equal(back, px)
+
+    def test_lzw_growth_cap_and_kwkwk(self):
+        """Direct LZW round trips through every state-machine edge:
+        width growth to 12 bits, the table-full clear-reset, and the
+        code==next_code (KwKwK) reconstruction."""
+        import numpy as np
+
+        from datagouv_tools_spark.operators.multimodal import (
+            _lzw_decode,
+            _lzw_encode,
+        )
+
+        rng = np.random.default_rng(7)
+        for mcs, size in ((2, 64), (4, 5000), (8, 300_000)):
+            idx = rng.integers(
+                0, 1 << mcs, size=size, dtype=np.uint8
+            ).tobytes()
+            assert _lzw_decode(_lzw_encode(idx, mcs), mcs) == idx
+        # KwKwK: every-run-extends input, and a single-symbol flood
+        for idx in (b"\x01\x01\x02" * 50_000, bytes(100_000)):
+            assert _lzw_decode(_lzw_encode(idx, 2), 2) == idx
+
+    def test_palette_and_extension_handling(self):
+        """≤256-color palette round-trips exactly; a graphic-control
+        extension block before the image descriptor is skipped."""
+        import numpy as np
+
+        from datagouv_tools_spark.operators.multimodal import (
+            decode_gif,
+            encode_gif,
+        )
+
+        rng = np.random.default_rng(11)
+        pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+        px = pal[rng.integers(0, 16, size=(9, 7))]
+        blob = bytearray(encode_gif(px))
+        # splice a GCE extension right after header+GCT (13 + 3*palette)
+        gct_len = 3 * (2 << (blob[10] & 0x07))
+        at = 13 + gct_len
+        gce = bytes([0x21, 0xF9, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00])
+        blob2 = bytes(blob[:at]) + gce + bytes(blob[at:])
+        w, h, back = decode_gif(blob2)
+        assert (w, h) == (7, 9)
+        assert np.array_equal(back, px)
+
+    def test_decode_image_batch_routes_gif(self):
+        from datagouv_tools_spark.operators.multimodal import (
+            decode_image_batch,
+            encode_gif,
+        )
+
+        w, h, _ = decode_image_batch(encode_gif(self._img()))
+        assert (w, h) == (6, 5)
+
+    def test_errors_are_loud(self):
+        import pytest
+
+        from datagouv_tools_spark.operators.multimodal import (
+            decode_gif,
+            encode_gif,
+        )
+
+        with pytest.raises(ValueError, match="not a GIF"):
+            decode_gif(b"P6\n1 1\n255\n\x00\x00\x00")
+        full = encode_gif(self._img())
+        with pytest.raises(ValueError, match="truncated"):
+            decode_gif(full[:-8])
+        # interlace flag on the image descriptor must refuse
+        blob = bytearray(full)
+        gct_len = 3 * (2 << (blob[10] & 0x07))
+        desc = 13 + gct_len  # 0x2C image descriptor offset
+        assert blob[desc] == 0x2C
+        blob[desc + 9] |= 0x40
+        with pytest.raises(ValueError, match="interlaced"):
+            decode_gif(bytes(blob))
