@@ -8,10 +8,13 @@ split honestly: Netpbm P6 images (``decode_ppm``) and RIFF/WAVE
 16-bit PCM audio (``decode_wav``) decode FOR REAL with pure-numpy
 parsers, and 8-bit RGB PNG (``decode_png``, r7) decodes FOR REAL via
 stdlib ``zlib`` inflate + a numpy scanline un-filter (all five PNG
-filter types) — this container ships numpy and zlib but no
-PIL/pyvips/ffmpeg — while every remaining compressed format (JPEG,
-WebP, video codecs) either raises NotImplementedError (strict mode)
-or produces a deterministic fake (plumbing-test mode).
+filter types), single-frame GIF decodes FOR REAL via a pure-Python
+spec LZW (r8), and baseline-sequential JPEG decodes FOR REAL via
+canonical-Huffman entropy decode + numpy IDCT (r8, ``decode_jpeg``) —
+this container ships numpy and zlib but no PIL/pyvips/ffmpeg — while
+every remaining compressed format (progressive JPEG, WebP, video
+codecs) either raises NotImplementedError (strict mode) or produces a
+deterministic fake (plumbing-test mode).
 
 Scale notes:
 - binary payloads make rows wide: size partitions by bytes, not rows
@@ -43,6 +46,8 @@ __all__ = [
     "encode_png",
     "decode_gif",
     "encode_gif",
+    "decode_jpeg",
+    "encode_jpeg",
     "decode_wav",
     "encode_wav",
     "decode_image_batch",
@@ -357,22 +362,26 @@ def encode_png(pixels, row_filter=None) -> bytes:
 
 
 def decode_image_batch(payload: bytes) -> object:
-    """Decode a single image payload. P6 PPM, 8-bit RGB PNG, and
-    single-frame GIF decode for real (``decode_ppm`` / ``decode_png`` /
-    ``decode_gif`` — pure numpy + stdlib zlib + pure-Python LZW); every
-    other format (JPEG, WebP, ...) needs PIL/libvips, absent in this
-    container — strict mode raises rather than faking silently."""
+    """Decode a single image payload. P6 PPM, 8-bit RGB PNG,
+    single-frame GIF, and baseline-sequential JPEG decode for real
+    (``decode_ppm`` / ``decode_png`` / ``decode_gif`` /
+    ``decode_jpeg`` — pure numpy + stdlib zlib + pure-Python LZW and
+    Huffman); every other format (WebP, progressive JPEG, video
+    codecs) needs PIL/libvips, absent in this container — strict mode
+    raises rather than faking silently."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
         return decode_png(payload)
     if payload[:6] in _GIF_SIGS:
         return decode_gif(payload)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "non-PPM/PNG/GIF image decode requires an image library "
+        "non-PPM/PNG/GIF/JPEG image decode requires an image library "
         "(PIL/pyvips); this environment ships none — use "
         "extract_image_features(fake=True) for plumbing tests, or "
-        "P6/PNG/GIF payloads for real decode"
+        "P6/PNG/GIF/baseline-JPEG payloads for real decode"
     )
 
 
@@ -1016,3 +1025,542 @@ def image_conv_energy(
             yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(run, IMAGE_CONV_SCHEMA)
+
+
+# ----------------------------------------------------------------- JPEG
+#
+# Baseline sequential DCT JFIF (ITU-T T.81 / ISO 10918-1), the one
+# compressed image format every large training corpus actually stores.
+# The DECODER is the deliverable and is general over the baseline
+# profile: canonical Huffman tables read from DHT, 8-bit quant tables
+# from DQT, interleaved multi-component scans with arbitrary
+# (h, v) <= (2, 2) sampling factors (4:4:4, 4:2:2, 4:2:0), DRI/RSTn
+# restart markers, 0xFF00 byte-stuffing, per-block dequantize + exact
+# float IDCT (numpy matrix product) + JFIF YCbCr->RGB. Progressive
+# (SOF2), arithmetic coding, 12-bit precision, and hierarchical modes
+# raise (honest boundary). The ENCODER exists to build fixtures and
+# inverse-test the decoder: it emits spec-valid streams using simple
+# uniform-length canonical Huffman tables (self-describing via DHT, so
+# any conforming decoder reads them; compression ratio is not its job)
+# and Annex-K quantization scaled by the libjpeg quality formula --
+# quality=None writes all-ones tables, making the roundtrip lossy only
+# through DCT-coefficient rounding (max pixel error provably < 5).
+
+_JPEG_ZZ = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+# Annex K example quantization tables (natural row-major order).
+_JPEG_QUANT_LUMA = (
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+)
+_JPEG_QUANT_CHROMA = (
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+)
+
+# Encoder-side canonical Huffman tables: every DC size category at
+# length 4 (12 codes of 16, all-ones code unused as T.81 requires),
+# every AC run/size symbol at length 8 (162 codes of 256). Trivially
+# Kraft-valid, self-describing via DHT; the decoder exercises the same
+# general canonical-code path real-world Annex-K streams use.
+_JPEG_DC_BITS = (0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_DC_VALS = tuple(range(12))
+_JPEG_AC_BITS = (0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_AC_VALS = (
+    (0x00,)
+    + tuple((r << 4) | s for r in range(16) for s in range(1, 11))
+    + (0xF0,)
+)
+
+
+def _jpeg_dct_matrix():
+    """8x8 DCT-II matrix M with M[u,x] = c(u)/2 * cos((2x+1)u*pi/16);
+    forward F = M B M^T, inverse B = M^T F M (M is orthonormal)."""
+    import numpy as np
+
+    x = np.arange(8, dtype=np.float64)
+    u = x.reshape(8, 1)
+    m = np.cos((2.0 * x + 1.0) * u * np.pi / 16.0) / 2.0
+    m[0, :] = 0.5 / np.sqrt(2.0)
+    return m
+
+
+def _jpeg_encode_map(bits, vals):
+    """Canonical Huffman assignment: symbol -> (code, length)."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_decode_map(bits, vals):
+    """Canonical Huffman assignment: (length, code) -> symbol."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        if code > (1 << ln):
+            raise ValueError("invalid JPEG Huffman table (Kraft overflow)")
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with T.81 0xFF -> 0xFF00 stuffing."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def align(self) -> None:
+        """Pad to a byte boundary with 1-bits (spec padding)."""
+        if self.n:
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)
+
+    def marker(self, m: int) -> None:
+        """Byte-align and emit a raw marker (no stuffing)."""
+        self.align()
+        self.buf.append(0xFF)
+        self.buf.append(m)
+
+
+class _JpegBitReader:
+    """MSB-first reader over entropy-coded data: un-stuffs 0xFF00 and
+    stops (raises) on any non-RST marker inside the scan."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.d = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _load(self) -> None:
+        if self.pos >= len(self.d):
+            raise ValueError("truncated JPEG scan")
+        b = self.d[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            m = self.d[self.pos] if self.pos < len(self.d) else None
+            if m != 0x00:
+                raise ValueError(
+                    "unexpected marker 0xFF%02X inside JPEG scan"
+                    % (m if m is not None else 0)
+                )
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            self._load()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def read_bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def expect_restart(self) -> None:
+        """Byte-align and consume the next RSTn marker."""
+        self.acc = 0
+        self.n = 0
+        if (
+            self.pos + 1 >= len(self.d)
+            or self.d[self.pos] != 0xFF
+            or not 0xD0 <= self.d[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("expected JPEG restart marker")
+        self.pos += 2
+
+
+def _jpeg_huff_read(reader: _JpegBitReader, table) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in JPEG scan")
+
+
+def _jpeg_extend(v: int, size: int) -> int:
+    """T.81 EXTEND: map `size` raw bits to the signed coefficient."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _jpeg_magnitude(v: int):
+    """Inverse of EXTEND: signed value -> (size category, raw bits)."""
+    if v == 0:
+        return 0, 0
+    size = abs(v).bit_length()
+    if v < 0:
+        v += (1 << size) - 1
+    return size, v & ((1 << size) - 1)
+
+
+def _jpeg_quality_tables(quality):
+    """Annex-K tables scaled by the public libjpeg quality formula;
+    quality=None -> all-ones (near-lossless, for inverse testing)."""
+    import numpy as np
+
+    if quality is None:
+        one = np.ones(64, dtype=np.int64)
+        return one, one.copy()
+    q = max(1, min(100, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    out = []
+    for base in (_JPEG_QUANT_LUMA, _JPEG_QUANT_CHROMA):
+        t = (np.asarray(base, dtype=np.int64) * scale + 50) // 100
+        out.append(np.clip(t, 1, 255))
+    return out[0], out[1]
+
+
+def encode_jpeg(pixels, quality=None, subsample=False, restart_interval=0):
+    """(h, w, 3) uint8 RGB -> baseline JFIF bytes (fixture builder).
+
+    ``subsample=True`` emits 4:2:0 (Y at 2x2 sampling, 2x2-mean
+    chroma); default is 4:4:4. ``restart_interval`` (MCUs) inserts
+    DRI + RSTn markers so the decoder's restart path is testable.
+    """
+    import numpy as np
+
+    arr = np.ascontiguousarray(pixels, dtype=np.uint8).astype(np.float64)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("encode_jpeg needs (h, w, 3) RGB pixels")
+    h, w = arr.shape[:2]
+    if not h or not w:
+        raise ValueError("empty image")
+    r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+
+    if subsample:
+        samp = ((2, 2), (1, 1), (1, 1))
+        ye = np.pad(y, ((0, h % 2), (0, w % 2)), mode="edge")
+        cbe = np.pad(cb, ((0, h % 2), (0, w % 2)), mode="edge")
+        cre = np.pad(cr, ((0, h % 2), (0, w % 2)), mode="edge")
+        cb = (
+            cbe[0::2, 0::2] + cbe[1::2, 0::2] + cbe[0::2, 1::2] + cbe[1::2, 1::2]
+        ) / 4.0
+        cr = (
+            cre[0::2, 0::2] + cre[1::2, 0::2] + cre[0::2, 1::2] + cre[1::2, 1::2]
+        ) / 4.0
+        y = ye[:h, :w]
+    else:
+        samp = ((1, 1), (1, 1), (1, 1))
+    max_h = max(s[0] for s in samp)
+    max_v = max(s[1] for s in samp)
+    mcux = -(-w // (8 * max_h))
+    mcuy = -(-h // (8 * max_v))
+
+    ql, qc = _jpeg_quality_tables(quality)
+    qmats = (ql.reshape(8, 8), qc.reshape(8, 8), qc.reshape(8, 8))
+    planes = []
+    for plane, (sh, sv) in zip((y, cb, cr), samp):
+        th, tw = mcuy * sv * 8, mcux * sh * 8
+        planes.append(
+            np.pad(
+                plane,
+                ((0, th - plane.shape[0]), (0, tw - plane.shape[1])),
+                mode="edge",
+            )
+        )
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00\x01\x01\x00"
+    out += (1).to_bytes(2, "big") + (1).to_bytes(2, "big") + b"\x00\x00"
+    for tq, tbl in ((0, ql), (1, qc)):
+        out += b"\xff\xdb" + (67).to_bytes(2, "big") + bytes([tq])
+        out += bytes(int(tbl[_JPEG_ZZ[z]]) for z in range(64))
+    out += b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+    out += h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x03"
+    for cid, (sh, sv) in zip((1, 2, 3), samp):
+        out += bytes([cid, (sh << 4) | sv, 0 if cid == 1 else 1])
+    for tc, th, bits, vals in (
+        (0, 0, _JPEG_DC_BITS, _JPEG_DC_VALS),
+        (1, 0, _JPEG_AC_BITS, _JPEG_AC_VALS),
+        (0, 1, _JPEG_DC_BITS, _JPEG_DC_VALS),
+        (1, 1, _JPEG_AC_BITS, _JPEG_AC_VALS),
+    ):
+        out += b"\xff\xc4" + (19 + len(vals)).to_bytes(2, "big")
+        out += bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + (4).to_bytes(2, "big")
+        out += int(restart_interval).to_bytes(2, "big")
+    out += b"\xff\xda" + (12).to_bytes(2, "big") + b"\x03"
+    for cid in (1, 2, 3):
+        out += bytes([cid, 0x00 if cid == 1 else 0x11])
+    out += b"\x00\x3f\x00"
+
+    dc_map = _jpeg_encode_map(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_map = _jpeg_encode_map(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    m = _jpeg_dct_matrix()
+    writer = _JpegBitWriter()
+    pred = [0, 0, 0]
+    mcu_i = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                writer.marker(0xD0 + ((mcu_i // restart_interval - 1) % 8))
+                pred = [0, 0, 0]
+            for ci, (plane, (sh, sv), qmat) in enumerate(
+                zip(planes, samp, qmats)
+            ):
+                for by in range(sv):
+                    for bx in range(sh):
+                        y0 = (my * sv + by) * 8
+                        x0 = (mx * sh + bx) * 8
+                        block = plane[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                        coef = m @ block @ m.T
+                        qz = np.rint(coef / qmat).astype(np.int64)
+                        zz = [int(qz.flat[_JPEG_ZZ[z]]) for z in range(64)]
+                        diff = zz[0] - pred[ci]
+                        pred[ci] = zz[0]
+                        size, bits = _jpeg_magnitude(diff)
+                        code, ln = dc_map[size]
+                        writer.put(code, ln)
+                        writer.put(bits, size)
+                        run = 0
+                        last = max(
+                            (k for k in range(1, 64) if zz[k]), default=0
+                        )
+                        for k in range(1, last + 1):
+                            if zz[k] == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                code, ln = ac_map[0xF0]
+                                writer.put(code, ln)
+                                run -= 16
+                            size, bits = _jpeg_magnitude(zz[k])
+                            code, ln = ac_map[(run << 4) | size]
+                            writer.put(code, ln)
+                            writer.put(bits, size)
+                            run = 0
+                        if last < 63:
+                            code, ln = ac_map[0x00]
+                            writer.put(code, ln)
+            mcu_i += 1
+    writer.align()
+    out += writer.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def decode_jpeg(payload: bytes):
+    """REAL baseline-JPEG decode: general over the T.81 baseline
+    sequential profile — DQT/DHT tables from the stream (canonical
+    Huffman), interleaved scans at any (h, v) sampling whose factors
+    divide the maxima (4:4:4 / 4:2:2 / 4:2:0), DRI/RSTn restarts,
+    byte-stuffing, dequantize + exact float IDCT + JFIF YCbCr->RGB.
+    Returns (width, height, (h, w, 3) uint8) like :func:`decode_ppm`.
+    Progressive (SOF2), arithmetic, lossless, hierarchical, and 12-bit
+    streams raise (honest boundary)."""
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qt = {}
+    huff = {}
+    comps = None
+    w = h = None
+    restart_interval = 0
+    scan = None
+    while pos + 1 < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("malformed JPEG marker stream")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG segment")
+        seg_len = int.from_bytes(payload[pos : pos + 2], "big")
+        data = payload[pos + 2 : pos + seg_len]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(data):
+                pq, tq = data[i] >> 4, data[i] & 15
+                i += 1
+                if pq != 0:
+                    raise NotImplementedError(
+                        "16-bit JPEG quantization tables unsupported"
+                    )
+                tbl = np.zeros(64, dtype=np.float64)
+                for z in range(64):
+                    tbl[_JPEG_ZZ[z]] = data[i + z]
+                qt[tq] = tbl.reshape(8, 8)
+                i += 64
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(data):
+                tc, th = data[i] >> 4, data[i] & 15
+                i += 1
+                bits = tuple(data[i : i + 16])
+                i += 16
+                n = sum(bits)
+                vals = tuple(data[i : i + n])
+                i += n
+                huff[(tc, th)] = _jpeg_decode_map(bits, vals)
+        elif marker == 0xC0:  # SOF0 baseline sequential
+            if data[0] != 8:
+                raise NotImplementedError("only 8-bit JPEG supported")
+            h = int.from_bytes(data[1:3], "big")
+            w = int.from_bytes(data[3:5], "big")
+            comps = []
+            for c in range(data[5]):
+                cid, hv, tq = data[6 + 3 * c : 9 + 3 * c]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
+                )
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline sequential (SOF0) JPEG is supported; "
+                "got SOF marker 0xFF%02X" % marker
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(data[:2], "big")
+        elif marker == 0xDA:  # SOS
+            if comps is None:
+                raise ValueError("JPEG SOS before SOF0")
+            scan = []
+            for c in range(data[0]):
+                cs, tt = data[1 + 2 * c], data[2 + 2 * c]
+                comp = next(x for x in comps if x["id"] == cs)
+                scan.append((comp, tt >> 4, tt & 15))
+            pos += seg_len
+            break
+        pos += seg_len
+    if scan is None:
+        raise ValueError("JPEG missing SOS scan")
+
+    max_h = max(c["h"] for c, _, _ in scan)
+    max_v = max(c["v"] for c, _, _ in scan)
+    for c, _, _ in scan:
+        if max_h % c["h"] or max_v % c["v"]:
+            raise NotImplementedError(
+                "non-dividing JPEG sampling factors unsupported"
+            )
+    mcux = -(-w // (8 * max_h))
+    mcuy = -(-h // (8 * max_v))
+    m = _jpeg_dct_matrix()
+    planes = {
+        c["id"]: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8))
+        for c, _, _ in scan
+    }
+    pred = {c["id"]: 0 for c, _, _ in scan}
+    reader = _JpegBitReader(payload, pos)
+    mcu_i = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                reader.expect_restart()
+                pred = {c["id"]: 0 for c, _, _ in scan}
+            for comp, dcid, acid in scan:
+                dct = huff.get((0, dcid))
+                act = huff.get((1, acid))
+                qmat = qt.get(comp["tq"])
+                if dct is None or act is None or qmat is None:
+                    raise ValueError("JPEG scan references missing table")
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        size = _jpeg_huff_read(reader, dct)
+                        diff = _jpeg_extend(reader.read_bits(size), size)
+                        pred[comp["id"]] += diff
+                        zz = np.zeros(64, dtype=np.float64)
+                        zz[0] = pred[comp["id"]]
+                        k = 1
+                        while k < 64:
+                            sym = _jpeg_huff_read(reader, act)
+                            if sym == 0x00:  # EOB
+                                break
+                            run, size = sym >> 4, sym & 15
+                            if size == 0:
+                                if run != 15:
+                                    raise ValueError(
+                                        "invalid JPEG AC symbol"
+                                    )
+                                k += 16
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("JPEG AC run overflow")
+                            zz[k] = _jpeg_extend(
+                                reader.read_bits(size), size
+                            )
+                            k += 1
+                        nat = np.zeros(64, dtype=np.float64)
+                        nat[list(_JPEG_ZZ)] = zz
+                        coef = nat.reshape(8, 8) * qmat
+                        block = m.T @ coef @ m + 128.0
+                        y0 = (my * comp["v"] + by) * 8
+                        x0 = (mx * comp["h"] + bx) * 8
+                        planes[comp["id"]][y0 : y0 + 8, x0 : x0 + 8] = block
+            mcu_i += 1
+
+    full = []
+    for comp, _, _ in scan:
+        p = planes[comp["id"]]
+        p = np.repeat(p, max_v // comp["v"], axis=0)
+        p = np.repeat(p, max_h // comp["h"], axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:  # grayscale: replicate luma
+        yp = full[0]
+        rgb = np.stack([yp, yp, yp], axis=-1)
+    elif len(full) == 3:
+        yp, cbp, crp = full
+        r = yp + 1.402 * (crp - 128.0)
+        g = yp - 0.344136 * (cbp - 128.0) - 0.714136 * (crp - 128.0)
+        b = yp + 1.772 * (cbp - 128.0)
+        rgb = np.stack([r, g, b], axis=-1)
+    else:
+        raise NotImplementedError(
+            "JPEG scans with %d components unsupported" % len(full)
+        )
+    return w, h, np.clip(np.rint(rgb), 0, 255).astype(np.uint8)

@@ -1737,3 +1737,148 @@ class TestGifDecode:
         blob[desc + 9] |= 0x40
         with pytest.raises(ValueError, match="interlaced"):
             decode_gif(bytes(blob))
+
+
+class TestJpegDecode:
+    """The r8 third compressed codec: baseline sequential JFIF
+    (operators/multimodal.decode_jpeg) — canonical Huffman from DHT,
+    dequantize + exact numpy IDCT, 4:4:4 and 4:2:0 sampling, restart
+    markers, byte-stuffing, and the honest SOF2/12-bit boundary."""
+
+    def _img(self, w=11, h=13, seed=7):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+    def test_flat_block_is_exact(self):
+        """A constant image has only DC energy: quant=1 round-trips
+        bit-exactly (DC rounding cancels through the level shift)."""
+        import numpy as np
+
+        from datagouv_tools_spark.operators.multimodal import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        px = np.full((16, 16, 3), 128, np.uint8)
+        w, h, back = decode_jpeg(encode_jpeg(px))
+        assert (w, h) == (16, 16)
+        assert np.array_equal(back, px)
+
+    def test_near_lossless_roundtrip_odd_dims(self):
+        """quant=1 4:4:4: the only loss is DCT-coefficient rounding,
+        provably < 5 per pixel — random pixels, non-multiple-of-8
+        dims (exercises edge-replication padding + crop)."""
+        import numpy as np
+
+        from datagouv_tools_spark.operators.multimodal import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        px = self._img()
+        w, h, back = decode_jpeg(encode_jpeg(px))
+        assert (w, h) == (11, 13)
+        assert back.shape == px.shape
+        assert np.abs(back.astype(int) - px.astype(int)).max() < 5
+
+    def test_420_subsampling(self):
+        """4:2:0: gray content (flat chroma) makes the 2x2 chroma mean
+        lossless, so the same <5 DCT-rounding bound holds; odd dims
+        exercise the chroma pad + repeat-upsample + crop path."""
+        import numpy as np
+
+        from datagouv_tools_spark.operators.multimodal import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        rng = np.random.default_rng(3)
+        gray = rng.integers(0, 256, size=(21, 17), dtype=np.uint8)
+        px = np.stack([gray] * 3, axis=-1)
+        w, h, back = decode_jpeg(encode_jpeg(px, subsample=True))
+        assert (w, h) == (17, 21)
+        assert np.abs(back.astype(int) - px.astype(int)).max() < 5
+
+    def test_restart_markers_do_not_change_pixels(self):
+        import numpy as np
+
+        from datagouv_tools_spark.operators.multimodal import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        px = self._img(w=24, h=24, seed=11)
+        blob = encode_jpeg(px, restart_interval=2)
+        assert b"\xff\xdd" in blob  # DRI present
+        a = decode_jpeg(blob)[2]
+        b = decode_jpeg(encode_jpeg(px))[2]
+        assert np.array_equal(a, b)
+
+    def test_lossy_quality_stays_bounded_on_smooth_content(self):
+        """Annex-K tables at quality=90 on a smooth gradient: lossy,
+        but the error must stay small (sanity that quant scaling,
+        zigzag, and run-length coding compose correctly)."""
+        import numpy as np
+
+        from datagouv_tools_spark.operators.multimodal import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        g = np.tile(np.linspace(0, 255, 32), (32, 1))
+        px = np.stack([g, g, g], axis=-1).astype(np.uint8)
+        w, h, back = decode_jpeg(encode_jpeg(px, quality=90))
+        assert np.abs(back.astype(int) - px.astype(int)).max() <= 8
+        # and the full lossy stack (q50 + 4:2:0 + restarts) decodes
+        px2 = self._img(w=32, h=32, seed=5)
+        blob = encode_jpeg(px2, quality=50, subsample=True, restart_interval=3)
+        assert decode_jpeg(blob)[2].shape == px2.shape
+
+    def test_byte_stuffing_survives(self):
+        """Entropy bytes equal to 0xFF must be stuffed/unstuffed; a
+        sweep of seeds makes at least one stuffed byte near-certain."""
+        import numpy as np
+
+        from datagouv_tools_spark.operators.multimodal import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        saw_stuffed = False
+        for seed in range(8):
+            px = self._img(w=16, h=16, seed=seed)
+            blob = encode_jpeg(px)
+            saw_stuffed = saw_stuffed or b"\xff\x00" in blob
+            back = decode_jpeg(blob)[2]
+            assert np.abs(back.astype(int) - px.astype(int)).max() < 5
+        assert saw_stuffed
+
+    def test_decode_image_batch_routes_jpeg(self):
+        from datagouv_tools_spark.operators.multimodal import (
+            decode_image_batch,
+            encode_jpeg,
+        )
+
+        w, h, _ = decode_image_batch(encode_jpeg(self._img()))
+        assert (w, h) == (11, 13)
+
+    def test_errors_are_loud(self):
+        import pytest
+
+        from datagouv_tools_spark.operators.multimodal import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        with pytest.raises(ValueError, match="not a JPEG"):
+            decode_jpeg(b"P6\n1 1\n255\n\x00\x00\x00")
+        full = bytearray(encode_jpeg(self._img()))
+        with pytest.raises(ValueError, match="truncated"):
+            decode_jpeg(bytes(full[:-40]))
+        # progressive (SOF2) must refuse, not mis-decode
+        at = full.find(b"\xff\xc0")
+        full[at + 1] = 0xC2
+        with pytest.raises(NotImplementedError, match="baseline"):
+            decode_jpeg(bytes(full))
