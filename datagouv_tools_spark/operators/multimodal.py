@@ -435,7 +435,8 @@ def image_channel_stats(
     wouldn't).
 
     Runs the genuine decode path (``decode_image_batch``, which routes
-    P6 → ``decode_ppm`` and PNG → ``decode_png``) inside the standard
+    P6 → ``decode_ppm``, PNG → ``decode_png``, GIF → ``decode_gif``,
+    and baseline JPEG → ``decode_jpeg``) inside the standard
     Arrow ``mapInPandas`` batch shape — the proof the multimodal
     plumbing carries real pixels, not just sha256 fakes. Any other
     payload fails the whole task loudly (strict semantics; pre-filter

@@ -1882,3 +1882,36 @@ class TestJpegDecode:
         full[at + 1] = 0xC2
         with pytest.raises(NotImplementedError, match="baseline"):
             decode_jpeg(bytes(full))
+
+
+def test_jpeg_round_trip_property():
+    """Hypothesis sweep: any (h, w, 3) uint8 array round-trips through
+    quant=1 baseline JPEG with error < 5 (4:4:4; pure DCT rounding) and
+    exact dimensions under 4:2:0 too (chroma mean is genuinely lossy on
+    adversarial content, so only the geometry is asserted there)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    from datagouv_tools_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        arrays(
+            np.uint8,
+            st.tuples(st.integers(1, 20), st.integers(1, 20), st.just(3)),
+        ),
+        st.booleans(),
+    )
+    def check(px, sub):
+        w, h, back = decode_jpeg(encode_jpeg(px, subsample=sub))
+        assert (w, h) == (px.shape[1], px.shape[0])
+        assert back.shape == px.shape
+        if not sub:
+            assert np.abs(back.astype(int) - px.astype(int)).max() < 5
+
+    check()
