@@ -21,6 +21,10 @@ eager materialization. The handle is taken straight off the
 checkpointed frame's own ``LogicalRDD`` — no persistent-RDD-registry
 diffing, so concurrently persisted RDDs (streaming maintainers on
 other threads) are never touched.
+
+Measured cost (local[32], sf0.1 textrank, 12 rounds): ~20-30 ms per
+round of JVM reflection + unpersist bookkeeping — a deliberate trade
+for storage bounded at one round's blocks instead of all R rounds'.
 """
 
 from __future__ import annotations
