@@ -121,6 +121,25 @@ def _fake_features(payload: bytes) -> list[float]:
     return [int.from_bytes(digest[i * 4 : i * 4 + 4], "big") / 2**32 for i in range(_FEATURE_DIM)]
 
 
+#: Decompression-bomb guard shared by every image decoder: a corrupt
+#: or hostile HEADER must never size an allocation — 64 Mpx ≈ 8192²
+#: (192 MiB of RGB) is far above any legitimate fixture yet small
+#: enough that one bad payload cannot OOM an executor processing an
+#: Arrow batch of them. (A 4-byte width/height field can declare
+#: 60000×60000 → a ~29 GiB plane; PIL guards the same way.)
+MAX_DECODE_PIXELS = 1 << 26
+
+
+def _check_decode_dims(w: int, h: int, what: str) -> None:
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid {what} dimensions {w}x{h}")
+    if w * h > MAX_DECODE_PIXELS:
+        raise ValueError(
+            f"{what} declares {w}x{h} = {w * h} pixels, over the "
+            f"MAX_DECODE_PIXELS bomb guard ({MAX_DECODE_PIXELS})"
+        )
+
+
 def _ppm_header(buf: bytes) -> tuple[int, int, int, int]:
     """Parse a P6 header: magic, then three whitespace-separated ints
     (width, height, maxval) with ``#`` comments allowed between tokens,
@@ -157,6 +176,7 @@ def decode_ppm(payload: bytes):
     import numpy as np
 
     w, h, maxval, off = _ppm_header(payload)
+    _check_decode_dims(w, h, "PPM")
     if not (0 < maxval < 256):
         raise ValueError(f"unsupported P6 maxval {maxval} (2-byte samples)")
     need = w * h * 3
@@ -277,6 +297,7 @@ def decode_png(payload: bytes):
         if ctype == b"IHDR":
             w = int.from_bytes(data[0:4], "big")
             h = int.from_bytes(data[4:8], "big")
+            _check_decode_dims(w, h, "PNG")
             depth, color, comp, filt, interlace = data[8:13]
             if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
                 raise ValueError(
@@ -288,7 +309,13 @@ def decode_png(payload: bytes):
             idat.extend(data)
     if w is None:
         raise ValueError("PNG missing IHDR")
-    raw = zlib.decompress(bytes(idat))
+    # cap the inflate at the raster size the header declares — a tiny
+    # IDAT can otherwise expand ~1000x (zlib bomb)
+    want = h * (1 + 3 * w)
+    d = zlib.decompressobj()
+    raw = d.decompress(bytes(idat), want)
+    if d.unconsumed_tail and d.decompress(d.unconsumed_tail, 1):
+        raise ValueError("PNG IDAT inflates past the declared raster")
     return w, h, _png_unfilter(raw, w, h)
 
 
@@ -563,10 +590,15 @@ def sample_video_frames(
 _GIF_SIGS = (b"GIF87a", b"GIF89a")
 
 
-def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+def _lzw_decode(
+    data: bytes, min_code_size: int, max_len: int | None = None
+) -> bytes:
     """GIF-variant LZW (spec / giflib behavior): LSB-first bit packing,
     CLEAR resets the string table, code width grows when the table
-    reaches 2^width entries, capped at 12 bits."""
+    reaches 2^width entries, capped at 12 bits. ``max_len`` bounds the
+    decoded size (callers pass the descriptor's pixel count): LZW
+    expands up to ~2700x, so an unbounded decode of a corrupt stream
+    is a memory bomb."""
     clear = 1 << min_code_size
     end = clear + 1
     out = bytearray()
@@ -605,6 +637,10 @@ def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
         else:
             raise ValueError("corrupt GIF LZW stream (code out of range)")
         out.extend(entry)
+        if max_len is not None and len(out) > max_len:
+            raise ValueError(
+                "GIF LZW stream decodes past the declared pixel count"
+            )
         if prev is not None and next_code < 4096:
             table[next_code] = prev + entry[:1]
             next_code += 1
@@ -737,6 +773,7 @@ def decode_gif(payload: bytes):
             raise ValueError("truncated GIF image descriptor")
         w = int.from_bytes(payload[pos + 4 : pos + 6], "little")
         h = int.from_bytes(payload[pos + 6 : pos + 8], "little")
+        _check_decode_dims(w, h, "GIF")
         ipacked = payload[pos + 8]
         pos += 9
         if ipacked & 0x40:
@@ -759,7 +796,10 @@ def decode_gif(payload: bytes):
         if not 2 <= min_code_size <= 11:
             raise ValueError(f"bad GIF LZW code size {min_code_size}")
         data, pos = _gif_subblocks(payload, pos)
-        idx = np.frombuffer(_lzw_decode(data, min_code_size), dtype=np.uint8)
+        idx = np.frombuffer(
+            _lzw_decode(data, min_code_size, max_len=w * h),
+            dtype=np.uint8,
+        )
         if idx.size != w * h:
             raise ValueError(
                 f"GIF pixel count mismatch: got {idx.size}, want {w * h}"
@@ -1453,6 +1493,7 @@ def decode_jpeg(payload: bytes):
                 raise NotImplementedError("only 8-bit JPEG supported")
             h = int.from_bytes(data[1:3], "big")
             w = int.from_bytes(data[3:5], "big")
+            _check_decode_dims(w, h, "JPEG")
             comps = []
             for c in range(data[5]):
                 cid, hv, tq = data[6 + 3 * c : 9 + 3 * c]

@@ -1915,3 +1915,112 @@ def test_jpeg_round_trip_property():
             assert np.abs(back.astype(int) - px.astype(int)).max() < 5
 
     check()
+
+
+class TestDecodeBombGuards:
+    """Corrupt or hostile headers must never size an allocation: every
+    decoder refuses declared dimensions over MAX_DECODE_PIXELS before
+    touching pixel memory, and the two genuinely expanding codecs (PNG
+    zlib, GIF LZW) cap their decompressed output at the declared
+    raster. One bad payload in an Arrow batch must fail loudly, not
+    OOM the executor."""
+
+    def test_dimension_guard_all_decoders(self):
+        import numpy as np
+        import pytest
+
+        from datagouv_tools_spark.operators.multimodal import (
+            decode_gif,
+            decode_jpeg,
+            decode_png,
+            decode_ppm,
+            encode_gif,
+            encode_jpeg,
+        )
+
+        big = (60000).to_bytes(2, "big")
+        with pytest.raises(ValueError, match="bomb guard"):
+            decode_ppm(b"P6\n60000 60000\n255\n" + b"\x00" * 64)
+
+        blob = bytearray(encode_jpeg(np.zeros((8, 8, 3), np.uint8)))
+        at = blob.find(b"\xff\xc0")
+        blob[at + 5 : at + 9] = big + big
+        with pytest.raises(ValueError, match="bomb guard"):
+            decode_jpeg(bytes(blob))
+
+        blob = bytearray(encode_gif(np.zeros((4, 4, 3), np.uint8)))
+        desc = 13 + 3 * (2 << (blob[10] & 0x07))
+        blob[desc + 5 : desc + 9] = (60000).to_bytes(2, "little") * 2
+        with pytest.raises(ValueError, match="bomb guard"):
+            decode_gif(bytes(blob))
+
+        # PNG with a VALID CRC on the tampered IHDR (the CRC check must
+        # not be the only thing standing between a header and a 29 GiB
+        # allocation)
+        import zlib
+
+        sig = bytes.fromhex("89504e470d0a1a0a")
+
+        def chunk(t, d):
+            return (
+                len(d).to_bytes(4, "big")
+                + t
+                + d
+                + (zlib.crc32(t + d) & 0xFFFFFFFF).to_bytes(4, "big")
+            )
+
+        ihdr = (50000).to_bytes(4, "big") + (50000).to_bytes(4, "big")
+        ihdr += bytes([8, 2, 0, 0, 0])
+        png = sig + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+        with pytest.raises(ValueError, match="bomb guard"):
+            from datagouv_tools_spark.operators.multimodal import decode_png
+
+            decode_png(png)
+
+    def test_png_zlib_bomb_capped(self):
+        """A 10 KB IDAT inflating to 10 MB against a 4x4 raster is
+        refused at the declared-raster cap, not materialized."""
+        import zlib
+
+        import pytest
+
+        from datagouv_tools_spark.operators.multimodal import decode_png
+
+        sig = bytes.fromhex("89504e470d0a1a0a")
+
+        def chunk(t, d):
+            return (
+                len(d).to_bytes(4, "big")
+                + t
+                + d
+                + (zlib.crc32(t + d) & 0xFFFFFFFF).to_bytes(4, "big")
+            )
+
+        ihdr = (4).to_bytes(4, "big") + (4).to_bytes(4, "big")
+        ihdr += bytes([8, 2, 0, 0, 0])
+        bomb = zlib.compress(bytes(10_000_000))
+        png = sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", bomb)
+        png += chunk(b"IEND", b"")
+        with pytest.raises(ValueError, match="inflates past"):
+            decode_png(png)
+
+    def test_gif_lzw_overrun_capped(self):
+        """An LZW stream decoding past the descriptor's pixel count is
+        refused mid-decode (the cap), not after materializing."""
+        import numpy as np
+        import pytest
+
+        from datagouv_tools_spark.operators.multimodal import (
+            decode_gif,
+            encode_gif,
+        )
+
+        # encode an 8x8 but shrink the declared descriptor to 2x2: the
+        # LZW payload now decodes 64 indices against a 4-pixel raster
+        blob = bytearray(encode_gif(np.zeros((8, 8, 3), np.uint8)))
+        desc = 13 + 3 * (2 << (blob[10] & 0x07))
+        assert blob[desc] == 0x2C
+        blob[desc + 5 : desc + 7] = (2).to_bytes(2, "little")
+        blob[desc + 7 : desc + 9] = (2).to_bytes(2, "little")
+        with pytest.raises(ValueError, match="past the declared pixel"):
+            decode_gif(bytes(blob))
