@@ -751,11 +751,11 @@ def decode_gif(payload: bytes):
     gct = None
     if packed & 0x80:
         size = 2 << (packed & 0x07)
+        if len(payload) - pos < 3 * size:
+            raise ValueError("truncated GIF color table")
         gct = np.frombuffer(
             payload[pos : pos + 3 * size], dtype=np.uint8
         ).reshape(size, 3)
-        if gct.shape[0] != size:
-            raise ValueError("truncated GIF color table")
         pos += 3 * size
     n = len(payload)
     while pos < n:
@@ -783,6 +783,8 @@ def decode_gif(payload: bytes):
         ct = gct
         if ipacked & 0x80:
             size = 2 << (ipacked & 0x07)
+            if len(payload) - pos < 3 * size:
+                raise ValueError("truncated GIF local color table")
             ct = np.frombuffer(
                 payload[pos : pos + 3 * size], dtype=np.uint8
             ).reshape(size, 3)
@@ -806,6 +808,23 @@ def decode_gif(payload: bytes):
             )
         if int(idx.max(initial=0)) >= ct.shape[0]:
             raise ValueError("GIF pixel index outside color table")
+        # honest boundary: a second image descriptor means an animated
+        # GIF — raise like the interlace gate rather than silently
+        # passing off frame 1 as the whole image
+        while pos < n:
+            block = payload[pos]
+            pos += 1
+            if block == 0x3B:
+                break
+            if block == 0x21:
+                pos += 1
+                _, pos = _gif_subblocks(payload, pos)
+                continue
+            if block == 0x2C:
+                raise NotImplementedError(
+                    "multi-frame (animated) GIF unsupported"
+                )
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
         return w, h, ct[idx].reshape(h, w, 3)
     raise ValueError("truncated GIF (no trailer)")
 
@@ -1437,8 +1456,8 @@ def decode_jpeg(payload: bytes):
     divide the maxima (4:4:4 / 4:2:2 / 4:2:0), DRI/RSTn restarts,
     byte-stuffing, dequantize + exact float IDCT + JFIF YCbCr->RGB.
     Returns (width, height, (h, w, 3) uint8) like :func:`decode_ppm`.
-    Progressive (SOF2), arithmetic, lossless, hierarchical, and 12-bit
-    streams raise (honest boundary)."""
+    Progressive (SOF2), arithmetic, lossless, hierarchical, 12-bit,
+    and non-interleaved multi-scan streams raise (honest boundary)."""
     import numpy as np
 
     if payload[:2] != b"\xff\xd8":
@@ -1494,12 +1513,27 @@ def decode_jpeg(payload: bytes):
             h = int.from_bytes(data[1:3], "big")
             w = int.from_bytes(data[3:5], "big")
             _check_decode_dims(w, h, "JPEG")
+            if not 1 <= data[5] <= 4:
+                raise ValueError(
+                    "JPEG declares %d components (max 4)" % data[5]
+                )
+            # planes are one float32 per pixel per component: scale the
+            # bomb guard by the component count so the worst case stays
+            # ~256 MiB, same order as the other decoders
+            if w * h * data[5] > MAX_DECODE_PIXELS:
+                raise ValueError(
+                    f"JPEG declares {w}x{h}x{data[5]} samples, over the "
+                    f"MAX_DECODE_PIXELS bomb guard ({MAX_DECODE_PIXELS})"
+                )
             comps = []
             for c in range(data[5]):
                 cid, hv, tq = data[6 + 3 * c : 9 + 3 * c]
-                comps.append(
-                    {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
-                )
+                sh, sv = hv >> 4, hv & 15
+                if not (1 <= sh <= 4 and 1 <= sv <= 4):
+                    raise ValueError(
+                        "corrupt JPEG sampling factors %dx%d" % (sh, sv)
+                    )
+                comps.append({"id": cid, "h": sh, "v": sv, "tq": tq})
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -1511,6 +1545,12 @@ def decode_jpeg(payload: bytes):
         elif marker == 0xDA:  # SOS
             if comps is None:
                 raise ValueError("JPEG SOS before SOF0")
+            if data[0] != len(comps):
+                raise NotImplementedError(
+                    "non-interleaved (multi-scan) baseline JPEG "
+                    "unsupported: scan covers %d of %d components"
+                    % (data[0], len(comps))
+                )
             scan = []
             for c in range(data[0]):
                 cs, tt = data[1 + 2 * c], data[2 + 2 * c]
@@ -1533,7 +1573,9 @@ def decode_jpeg(payload: bytes):
     mcuy = -(-h // (8 * max_v))
     m = _jpeg_dct_matrix()
     planes = {
-        c["id"]: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8))
+        c["id"]: np.zeros(
+            (mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float32
+        )
         for c, _, _ in scan
     }
     pred = {c["id"]: 0 for c, _, _ in scan}

@@ -2024,3 +2024,90 @@ class TestDecodeBombGuards:
         blob[desc + 7 : desc + 9] = (2).to_bytes(2, "little")
         with pytest.raises(ValueError, match="past the declared pixel"):
             decode_gif(bytes(blob))
+
+
+class TestCodecHonestyGates:
+    """r8 review hardening: variants the codecs cannot faithfully
+    decode must RAISE, never silently return a plausible wrong image,
+    and corrupt structural fields get ValueError (not numpy/ZeroDiv
+    internals)."""
+
+    def test_animated_gif_refused(self):
+        import numpy as np
+        import pytest
+
+        from datagouv_tools_spark.operators.multimodal import (
+            decode_gif,
+            encode_gif,
+        )
+
+        px = np.zeros((5, 6, 3), np.uint8)
+        px[2, 3] = [10, 20, 30]
+        blob = bytearray(encode_gif(px))
+        trailer = blob.rindex(0x3B)
+        desc = 13 + 3 * (2 << (blob[10] & 0x07))
+        second = bytes(blob[desc:trailer])  # duplicate frame 1
+        blob2 = bytes(blob[:trailer]) + second + b"\x3b"
+        with pytest.raises(NotImplementedError, match="animated"):
+            decode_gif(blob2)
+
+    def test_gif_truncated_color_tables_are_valueerrors(self):
+        import numpy as np
+        import pytest
+
+        from datagouv_tools_spark.operators.multimodal import (
+            decode_gif,
+            encode_gif,
+        )
+
+        blob = encode_gif(np.zeros((4, 4, 3), np.uint8))
+        # cut inside the global color table
+        with pytest.raises(ValueError, match="truncated GIF color"):
+            decode_gif(blob[:15])
+
+    def test_jpeg_multiscan_refused(self):
+        import numpy as np
+        import pytest
+
+        from datagouv_tools_spark.operators.multimodal import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        jb = bytearray(encode_jpeg(np.zeros((8, 8, 3), np.uint8)))
+        at = jb.find(b"\xff\xda")
+        one_comp_sos = b"\xff\xda" + (8).to_bytes(2, "big")
+        one_comp_sos += b"\x01\x01\x00\x00\x3f\x00"
+        jb2 = bytes(jb[:at]) + one_comp_sos + bytes(jb[at + 14 :])
+        with pytest.raises(NotImplementedError, match="multi-scan"):
+            decode_jpeg(jb2)
+
+    def test_jpeg_corrupt_sampling_factor_is_valueerror(self):
+        import numpy as np
+        import pytest
+
+        from datagouv_tools_spark.operators.multimodal import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        jb = bytearray(encode_jpeg(np.zeros((8, 8, 3), np.uint8)))
+        at = jb.find(b"\xff\xc0")
+        jb[at + 11] = 0x00  # first component's (h, v) byte
+        with pytest.raises(ValueError, match="sampling factors"):
+            decode_jpeg(bytes(jb))
+
+    def test_jpeg_component_count_capped(self):
+        import numpy as np
+        import pytest
+
+        from datagouv_tools_spark.operators.multimodal import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        jb = bytearray(encode_jpeg(np.zeros((8, 8, 3), np.uint8)))
+        at = jb.find(b"\xff\xc0")
+        jb[at + 9] = 250  # Nf byte
+        with pytest.raises(ValueError, match="components"):
+            decode_jpeg(bytes(jb))
