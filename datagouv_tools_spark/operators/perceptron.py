@@ -59,8 +59,13 @@ def perceptron_train(
             F.col("y") * F.col("s") <= 0
         )
         # one action per round: every misclassified row explodes into
-        # exactly one row per pos, so any pos group's count(1) IS the
-        # misclassified-row count — no separate count job
+        # one row per pos, so a pos group's count(1) IS the
+        # misclassified-row count — no separate count job. Read it off
+        # pos 0 specifically: posexplode emits pos 0 for every
+        # non-empty array, so the count is exact even if a ragged or
+        # truncated embedding ever shorts the higher positions (an
+        # unsorted collect()'s first row would be a nondeterministic
+        # group).
         upd_rows = (
             mis.select(F.posexplode("xq").alias("pos", "x"), "y")
             .groupBy("pos")
@@ -70,7 +75,7 @@ def perceptron_train(
             )
             .collect()
         )
-        n_mis = int(upd_rows[0].c) if upd_rows else 0
+        n_mis = next((int(r_.c) for r_ in upd_rows if r_.pos == 0), 0)
         upd = {int(r_.pos): int(r_.u) for r_ in upd_rows}
         w = [w[i] + upd.get(i, 0) for i in range(dim)]
         stats.append(

@@ -14279,7 +14279,14 @@ def emb_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     still ~nprobe/16 of the corpus (the IVF bargain); the recall join
     is 50 truth rows against ≤50 result rows per point. Production
     sweeps the persisted index (emb_ivfpq_topk_indexed) the same way
-    without re-clustering."""
+    without re-clustering.
+
+    Precondition: each sweep point must yield ≥1 candidate pair (true
+    at every real SF: probe 1 always contains the query's own rank-1
+    list). A degenerate corpus where some nprobe produced ZERO rows
+    would drop that sweep row from the groupBy, where the pre-r8
+    per-point aggregation emitted recall 0 — same caveat class as
+    events_value_deciles_sketch's empty-sample guard."""
     from pyspark.sql.window import Window
 
     from datagouv_tools_spark.functions.vectors import cosine

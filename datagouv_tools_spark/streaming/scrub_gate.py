@@ -148,6 +148,12 @@ def scrub_gate_batch(
                 F.col("kept") & ~F.coalesce(F.col("__known"), F.lit(False)),
             )
             .drop("__known")
+            # pay the novelty read ONCE: the cleaned-output and store
+            # writes below run concurrently and both consume marks —
+            # without this each would re-run the touched-bucket store
+            # scan + join on top of the pre-join checkpoint. Bounded by
+            # micro-batch size, same contract as the checkpoint above.
+            .localCheckpoint(eager=True)
         )
     cleaned = (
         marks.groupBy(id_col, *keep_cols)

@@ -113,6 +113,7 @@ def _stream_source_bytes(df: DataFrame) -> int | None:
     None when the stream has no file source (rate/memory test streams)
     or the plan shape is unexpected — callers then fall back to the
     small-replay default."""
+    import fnmatch
     import glob as globmod
     import os
     import re
@@ -132,16 +133,28 @@ def _stream_source_bytes(df: DataFrame) -> int | None:
         if not path:
             continue
         found = True
-        pattern = (
-            os.path.join(path, kv.get("pathGlobFilter", "*"))
-            if os.path.isdir(path)
-            else path
-        )
-        for f in globmod.glob(pattern):
-            try:
-                total += os.path.getsize(f)
-            except OSError:
-                pass
+        # the plan may render a local path with a URI scheme
+        path = re.sub(r"^file:(//)?", "", path)
+        if os.path.isdir(path):
+            # recursive: partitioned sources keep their files one or
+            # more directory levels down, and pathGlobFilter matches
+            # file NAMES at any depth (Spark's semantics)
+            pat = kv.get("pathGlobFilter", "*")
+            for root, _dirs, files in os.walk(path):
+                for fname in files:
+                    if fnmatch.fnmatch(fname, pat):
+                        try:
+                            total += os.path.getsize(
+                                os.path.join(root, fname)
+                            )
+                        except OSError:
+                            pass
+        else:
+            for f in globmod.glob(path):
+                try:
+                    total += os.path.getsize(f)
+                except OSError:
+                    pass
     return total if found else None
 
 

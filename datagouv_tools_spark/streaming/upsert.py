@@ -72,8 +72,8 @@ def upsert_batch(
     merged = merged.localCheckpoint(eager=True)
 
     merged.write.option("partitionOverwriteMode", "dynamic").mode(
-    "overwrite"
-).partitionBy("__bucket").parquet(path)
+        "overwrite"
+    ).partitionBy("__bucket").parquet(path)
 
 
 def foreach_batch_upserter(
