@@ -1128,3 +1128,46 @@ class TestSimdupGate:
                 for b in range(n_bands)
             )
             assert shared
+
+
+class TestAutoStatePartitions:
+    """Pin the r8 bytes-sized state-store partitioning: tiny replays
+    keep the minimal 2 stores, data-bearing sources fan out, non-file
+    sources fall back — and the sizing is read off the analyzed plan,
+    so it composes through arbitrary transformations."""
+
+    def test_sizes_by_source_bytes(self, spark):
+        from datagouv_tools_spark.streaming.source import (
+            auto_state_partitions,
+            read_events_stream,
+        )
+
+        tiny = read_events_stream(spark, "/root/testdata/sf0.001")
+        big = read_events_stream(spark, "/root/testdata/sf0.1")
+        assert auto_state_partitions(tiny.groupBy("user_id").count()) == 2
+        n = auto_state_partitions(big.groupBy("user_id").count())
+        assert 4 <= n <= 16  # 2 MiB / 256 KiB = 8 today; bounds, not a pin
+
+    def test_two_source_join_sums_both_sides(self, spark):
+        from pyspark.sql import functions as F
+
+        from datagouv_tools_spark.streaming.source import (
+            auto_state_partitions,
+            read_events_stream,
+        )
+
+        a = read_events_stream(spark, "/root/testdata/sf0.1")
+        b = read_events_stream(spark, "/root/testdata/sf0.1").withColumnRenamed(
+            "event_id", "eid2"
+        )
+        joined = a.join(b, "user_id")
+        single = auto_state_partitions(a.groupBy("user_id").count())
+        assert auto_state_partitions(joined) >= single
+
+    def test_non_file_source_falls_back(self, spark):
+        from datagouv_tools_spark.streaming.source import (
+            auto_state_partitions,
+        )
+
+        rate = spark.readStream.format("rate").load()
+        assert auto_state_partitions(rate) == 2
