@@ -665,3 +665,32 @@ def test_deciles_family_ranks_distributed(spark, sf_dir):
     ):
         plan = physical_plan(q.QUERIES[name](spark, sf_dir))
         assert "Window" not in plan, name
+
+
+def test_matryoshka_recall_is_one_pass(spark, sf_dir):
+    """The r8 rewrite: all four prefix-dimension score sets come from
+    ONE corpus pass (per-row prefix norms + a 4-way explode), then the
+    pinned top table joins itself for recall. Guard the shape: no
+    parquet scan survives into the final plan (the single pass is
+    checkpointed upstream), at most 2 shuffle exchanges (the tall-rank
+    window + final agg), and no single-partition funnel. The pre-r8
+    form was 5 sequential cosine_topk corpus scans (16 exchanges)."""
+    from datagouv_tools_spark.plans.inspect import exchange_count
+
+    df = q.QUERIES["emb_matryoshka_recall"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Scan parquet" not in plan
+    assert exchange_count(df) <= 2
+    assert "SinglePartition" not in plan
+
+
+def test_ivf_recall_curve_single_fanout(spark, sf_dir):
+    """The r8 one-pass sweep: the corpus is list-assigned once and the
+    8-probe candidate join serves every nprobe point as a rank-filtered
+    slice. The pre-r8 form ran ivf_topk per sweep point (4 corpus
+    assignment passes); hold the exchange budget well under that
+    shape's (~26) so a regression back to per-point passes fails CI."""
+    from datagouv_tools_spark.plans.inspect import exchange_count
+
+    df = q.QUERIES["emb_ivf_recall_curve"](spark, sf_dir)
+    assert exchange_count(df) <= 16
