@@ -2111,3 +2111,45 @@ class TestCodecHonestyGates:
         jb[at + 9] = 250  # Nf byte
         with pytest.raises(ValueError, match="components"):
             decode_jpeg(bytes(jb))
+
+
+def test_channel_stats_mixed_codecs_one_batch(spark):
+    """All four real codecs riding ONE Arrow batch through the
+    image_channel_stats mapInPandas plumbing: a PPM, a PNG, a GIF, and
+    a (quant=1, lossy-by-rounding) JPEG payload in the same binary
+    column, each decoded by signature dispatch and producing exact
+    integer channel sums. Pins that adding codecs never forked the
+    Spark-side path."""
+    import numpy as np
+
+    from datagouv_tools_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_gif,
+        encode_jpeg,
+        encode_png,
+        encode_ppm,
+        image_channel_stats,
+    )
+
+    rng = np.random.default_rng(42)
+    base = rng.integers(0, 256, size=(6, 4, 3), dtype=np.uint8)
+    pal = base.copy()
+    pal[:, :, :] = pal[0, 0, :]  # GIF wants few colors: flat image
+    payloads = {
+        1: (encode_ppm(base), base),
+        2: (encode_png(base), base),
+        3: (encode_gif(pal), pal),
+        # JPEG is lossy: compare against what decode actually yields
+        4: (encode_jpeg(base), decode_jpeg(encode_jpeg(base))[2]),
+    }
+    df = spark.createDataFrame(
+        [(i, blob) for i, (blob, _px) in payloads.items()],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r for r in image_channel_stats(df).collect()}
+    for i, (_blob, px) in payloads.items():
+        flat = px.reshape(-1, 3).astype(np.int64)
+        assert got[i]["width"] == 4 and got[i]["height"] == 6, i
+        assert [got[i][f"sum_{ch}"] for ch in "rgb"] == list(
+            flat.sum(axis=0)
+        ), i
