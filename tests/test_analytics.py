@@ -1917,6 +1917,52 @@ def test_jpeg_round_trip_property():
     check()
 
 
+def test_jpeg_block_constant_exact_full_domain():
+    """The multimodal_decode_jpeg oracle's load-bearing fact: a
+    per-8x8-block-constant RGB image round-trips BIT-EXACTLY through
+    quant=1 baseline JPEG (constant blocks carry only DC energy; the
+    rint(DC) error <= 1/16 level is absorbed by the final RGB round).
+    The query's rule reduces to base values 0..255 with fixed +29/+58
+    channel offsets — pin the full domain, not a sample."""
+    import numpy as np
+
+    from datagouv_tools_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    for base in range(256):
+        px = np.zeros((8, 16, 3), np.uint8)
+        for bx, v in ((0, base), (1, (base + 9) % 256)):
+            px[:, bx * 8 : bx * 8 + 8, 0] = v
+            px[:, bx * 8 : bx * 8 + 8, 1] = (v + 29) % 256
+            px[:, bx * 8 : bx * 8 + 8, 2] = (v + 58) % 256
+        w, h, back = decode_jpeg(encode_jpeg(px))
+        assert (w, h) == (16, 8)
+        assert np.array_equal(back, px), f"base {base} not exact"
+
+
+def test_gif_query_rule_exact():
+    """The multimodal_decode_gif oracle's generative rule (20x10,
+    single-byte base => <=256 palette colors) round-trips bit-exactly
+    for every doc_id residue the query can produce."""
+    import numpy as np
+
+    from datagouv_tools_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    r = np.arange(10).reshape(10, 1, 1)
+    c = np.arange(20).reshape(1, 20, 1)
+    k = np.arange(3).reshape(1, 1, 3)
+    for did in range(40):
+        px = ((did * 7 + r * 5 + c * 11 + k * 23) % 256).astype(np.uint8)
+        w, h, back = decode_gif(encode_gif(px))
+        assert (w, h) == (20, 10)
+        assert np.array_equal(back, px)
+
+
 class TestDecodeBombGuards:
     """Corrupt or hostile headers must never size an allocation: every
     decoder refuses declared dimensions over MAX_DECODE_PIXELS before
