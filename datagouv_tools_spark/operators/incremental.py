@@ -127,8 +127,8 @@ def dirty_keys(
     a delta that inserts 10 into a group whose stored max is 5 and
     then deletes a 10 would otherwise leave the rollup claiming
     max=10 (found by the hypothesis sweep in
-    tests/test_incremental.py). Keys-only DataFrame — broadcast it
-    into a partition-pruned base scan."""
+    tests/test_incremental.py). Keys-only DataFrame — small enough
+    for AQE to broadcast into a partition-pruned base scan."""
     ks = _keys(key_cols)
     ins_ext = (
         delta.filter(F.col(op_col) != delete_op)
@@ -178,11 +178,15 @@ def maintain_rollup(
     ks = _keys(key_cols)
     merged = apply_delta(rollup, delta, ks, value_col, op_col, delete_op)
     dk = dirty_keys(rollup, delta, ks, value_col, op_col, delete_op)
+    # no broadcast hint on the delta-derived sides: a normal CDC batch
+    # is tiny and AQE broadcasts it at runtime anyway, while a
+    # backfill/mass-erasure delta that outgrows memory degrades to a
+    # shuffle join instead of OOMing the way a forced hint would
     fixed = aggregate_base(
-        base_after.join(F.broadcast(dk), ks, "left_semi"), ks, value_col
+        base_after.join(dk, ks, "left_semi"), ks, value_col
     ).select(*ks, F.col("vmin").alias("__fmin"), F.col("vmax").alias("__fmax"))
     return (
-        merged.join(F.broadcast(fixed), ks, "left_outer")
+        merged.join(fixed, ks, "left_outer")
         .select(
             *ks,
             "n",
@@ -221,10 +225,12 @@ def maintain_join(
     delete innocent siblings that happen to share it (non-null columns
     required, exact-equality types only).
 
-    Scale: ``ΔA⋈B`` / ``A⋈ΔB`` broadcast the delta side, so the base
-    scans stay shuffle-free and partition-prunable on a key-bucketed
-    layout; the final apply is ONE pass over the stored view with a
-    broadcast tombstone set (merge-on-read shape) plus an append —
+    Scale: ``ΔA⋈B`` / ``A⋈ΔB`` keep the delta on the build side (AQE
+    broadcasts a normal-sized CDC batch at runtime; no forced hint, so
+    a backfill-scale delta shuffles instead of OOMing), the base scans
+    stay partition-prunable on a key-bucketed layout, and the final
+    apply is ONE pass over the stored view with a delta-sized
+    tombstone set (merge-on-read shape) plus an append —
     no |V| shuffle anywhere. Equality with a from-scratch re-join of
     the post-delta bases is the tested contract.
     """
@@ -254,6 +260,8 @@ def maintain_join(
     )
     removals = net.filter(F.col("__net") < 0).select(*view_cols)
     additions = net.filter(F.col("__net") > 0).select(*view_cols)
-    return view.join(
-        F.broadcast(removals), view_cols, "left_anti"
-    ).unionByName(additions)
+    # tombstones are delta-sized: AQE broadcasts them when small, and
+    # an oversized backfill delta shuffles instead of forcing an OOM
+    return view.join(removals, view_cols, "left_anti").unionByName(
+        additions
+    )

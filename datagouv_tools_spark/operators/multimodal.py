@@ -316,6 +316,14 @@ def decode_png(payload: bytes):
     raw = d.decompress(bytes(idat), want)
     if d.unconsumed_tail and d.decompress(d.unconsumed_tail, 1):
         raise ValueError("PNG IDAT inflates past the declared raster")
+    # unconsumed_tail alone can miss an over-length stream: zlib may
+    # hit the max_length cap with all input consumed but output still
+    # pending internally. The stream must END exactly at the declared
+    # raster — flush() returning bytes (or a missing end-of-stream
+    # marker) means it didn't. (_png_unfilter's length check bounds
+    # behavior either way; this keeps the diagnostic honest.)
+    if not d.eof and d.flush():
+        raise ValueError("PNG IDAT inflates past the declared raster")
     return w, h, _png_unfilter(raw, w, h)
 
 
@@ -1472,6 +1480,12 @@ def decode_jpeg(payload: bytes):
     while pos + 1 < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("malformed JPEG marker stream")
+        # T.81 B.1.1.2: any marker may be preceded by 0xFF fill bytes —
+        # skip them, or a padded stream reads its real marker id (e.g.
+        # 0xC0) as the high byte of a segment length and swallows the
+        # rest of the file
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
@@ -1516,6 +1530,14 @@ def decode_jpeg(payload: bytes):
             if not 1 <= data[5] <= 4:
                 raise ValueError(
                     "JPEG declares %d components (max 4)" % data[5]
+                )
+            # 2-component and 4-component (Adobe CMYK) streams are
+            # rejected at color conversion anyway — refuse at parse
+            # time instead of Huffman-decoding and IDCT'ing an entire
+            # scan that can never convert
+            if data[5] not in (1, 3):
+                raise NotImplementedError(
+                    "JPEG scans with %d components unsupported" % data[5]
                 )
             # planes are one float32 per pixel per component: scale the
             # bomb guard by the component count so the worst case stays

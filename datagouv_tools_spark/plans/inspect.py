@@ -87,3 +87,105 @@ def has_shuffle_join(df: DataFrame) -> bool:
 def codegen_stage_count(df: DataFrame) -> int:
     """WholeStageCodegen spans; hot paths should sit inside one."""
     return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", physical_plan(df, "simple"))))
+
+
+# --- broadcast-hint grain audit -------------------------------------
+#
+# TPC-H's customer/supplier/part tables LOOK dimensional but scale
+# linearly with SF (~2 TB of customer at 100 TB): an explicit
+# ``F.broadcast`` hint on them bypasses AQE's runtime size check and
+# turns into a guaranteed driver/executor OOM at cluster scale, while
+# the same query with no hint still broadcasts when the side is
+# genuinely small. These helpers classify every broadcast hint in a
+# query's ANALYZED logical plan by the grain of what it pins.
+
+_SCALING_PREFIX = {
+    "l_": "lineitem",
+    "o_": "orders",
+    "c_": "customer",
+    "s_": "supplier",
+    "p_": "part",
+    "ps_": "partsupp",
+    "event_": "events",
+    "doc_": "documents",
+    "vec_": "embeddings",
+}
+# key-grain columns: grouping BY one of these keeps entity grain (the
+# aggregate output still scales with SF); a literal filter ON one of
+# these pins cardinality to a constant (doc_id < 40, vec_id IN (...)).
+_KEY_COL = (
+    r"\b(?:doc_id|vec_id|event_id|user_id|session_id|media_id"
+    r"|[a-z]{1,2}_(?:cust|supp|part|order|nation|region)key)"
+)
+_BOUNDING_FILTER = re.compile(
+    # literal on the right, possibly wrapped: `< 40`, `< cast(10 as
+    # bigint)`, `IN (1,2,3)`, `IN (cast(7 as bigint), ...)`
+    _KEY_COL + r"#\d+L?\)?\s*(?:<|<=|=|IN)\s*\(?\s*(?:cast\(\s*)?-?\d"
+)
+_GROUP_KEY = re.compile(_KEY_COL + r"#\d+")
+# top-k bound: a Filter pinning a window-rank column to a literal
+# (rk <= 5, __prk <= 8). Name-based — the repo's rank columns all
+# carry rk/rank/rn; per-ENTITY top-k would be a false negative, but
+# every broadcast top-k here ranks within a literal-pinned query set.
+_RANK_FILTER = re.compile(
+    r"\b\w*(?:rk|rank|rn)\w*#\d+L?\s*(?:<=|<|=)\s*(?:cast\(\s*)?\d"
+)
+
+
+def _jchildren(node):
+    ch = node.children()
+    return [ch.apply(i) for i in range(ch.length())]
+
+
+def scaling_broadcast_tables(df: DataFrame) -> list[str]:
+    """Names of SF-scaling base tables pinned under a broadcast hint.
+
+    Walks each ``ResolvedHint`` subtree in the analyzed logical plan;
+    a branch is *bounded* (stops the walk) at a Limit, at an Aggregate
+    whose grouping keys carry no entity-key column (scalar totals,
+    day/month/type domains), or at a Filter that pins an entity key or
+    a window-rank column to literals (probe sets, top-k eval truth
+    sets). Anything else recurses, and reaching a scan of an
+    SF-scaling table (classified by its first output column prefix)
+    flags that table. Empty list = every broadcast hint in the plan is
+    constant-cardinality. Heuristic, reviewer-aid grade: used by
+    tools/planaudit.py (`broadcast_scaling`) and pinned at zero across
+    the whole query surface by tests."""
+    found: list[str] = []
+    root = df._jdf.queryExecution().analyzed()
+    stack = [root]
+    hints = []
+    while stack:
+        n = stack.pop()
+        if n.nodeName() == "ResolvedHint":
+            hints.append(n)
+        stack.extend(_jchildren(n))
+    for hint in hints:
+        stack = _jchildren(hint)
+        while stack:
+            n = stack.pop()
+            name = n.nodeName()
+            if name in ("GlobalLimit", "LocalLimit", "LocalRelation"):
+                continue
+            if name == "Aggregate":
+                gs = n.groupingExpressions()
+                keys = " ".join(
+                    gs.apply(i).toString() for i in range(gs.length())
+                )
+                if not _GROUP_KEY.search(keys):
+                    continue  # bounded-domain aggregate
+            elif name == "Filter":
+                cond = n.condition().toString()
+                if _BOUNDING_FILTER.search(cond) or _RANK_FILTER.search(
+                    cond
+                ):
+                    continue  # entity key or window rank pinned
+            elif name in ("LogicalRelation", "Relation"):
+                first = n.output().apply(0).name()
+                for prefix, table in _SCALING_PREFIX.items():
+                    if first.startswith(prefix):
+                        found.append(table)
+                        break
+                continue
+            stack.extend(_jchildren(n))
+    return sorted(set(found))

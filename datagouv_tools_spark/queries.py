@@ -128,10 +128,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 analog: selective dim filter → broadcast join → agg → top-k.
+    """TPC-H Q3 analog: selective dim filter → join → agg → top-k.
 
-    Scale: `customer` filtered on segment is broadcast (no shuffle of the
-    100 TB fact side); orders⋈lineitem shuffles on orderkey once; the
+    Scale: no forced hint on `customer` — it grows with SF (~2 TB at
+    100 TB), so the join strategy is left to the planner/AQE, which
+    broadcasts the segment-filtered side when it is actually small and
+    shuffles otherwise; orders⋈lineitem shuffles on orderkey once; the
     top-10 is a TakeOrderedAndProject (no global sort materialization).
     """
     cutoff = F.lit("1998-06-01 00:00:00").cast("timestamp_ntz")
@@ -141,7 +143,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     one = F.lit(1).cast(DEC)
     revenue = dec("l_extendedprice") * (one - dec("l_discount"))
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dround(F.sum(revenue)).alias("revenue"))
@@ -168,11 +170,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 analog: 6-table star join, all dims broadcast.
+    """TPC-H Q5 analog: 6-table star join.
 
-    Scale: the only shuffle is orders⋈lineitem on orderkey; customer,
-    supplier, nation, region ride along as broadcast hash joins, so the
-    fact table is scanned and shuffled exactly once.
+    Scale: nation/region are constant-cardinality and keep explicit
+    broadcast hints; customer/supplier scale with SF, so their join
+    strategy is left to AQE (broadcast while they fit, shuffle when
+    they don't). orders⋈lineitem shuffles on orderkey once.
     """
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders")
@@ -184,9 +187,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = dec("l_extendedprice") * (one - dec("l_discount"))
     return (
         orders.join(li, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -1535,16 +1538,17 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part's average quantity), decorrelated into agg + equi-join. The
     avg compare is cross-multiplied (2·qty·cnt < sum) so it stays in
     exact decimal arithmetic on both engines. Scale: the per-part
-    aggregate is |parts| rows (tiny next to lineitem) — broadcasting it
-    means the fact table never shuffles for the join, only for the agg
-    (measured 5.6s → ~1s at sf0.1 vs sort-merge)."""
+    aggregate is |parts| rows (small next to lineitem but SF-scaling,
+    so no forced hint) — AQE broadcasts it at runtime while it fits,
+    keeping the fact table shuffle-free for the join; past that it
+    degrades to a partkey shuffle instead of an OOM."""
     li = t(spark, sf_dir, "lineitem")
     pa = li.groupBy("l_partkey").agg(
         F.count(F.lit(1)).alias("cnt"), F.sum(dec("l_quantity")).alias("sq")
     )
     two = F.lit(2).cast(DEC)
     return (
-        li.join(F.broadcast(pa), "l_partkey")
+        li.join(pa, "l_partkey")
         .filter(two * dec("l_quantity") * F.col("cnt") < F.col("sq"))
         .agg(
             dround(F.sum(dec("l_extendedprice"))).alias("small_qty_revenue"),
@@ -1739,9 +1743,10 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 analog: bidirectional nation-pair trade volume by year.
-    Scale: nation×2 and supplier/customer broadcast; lineitem⋈orders is
-    the single fact shuffle; the disjunctive nation filter prunes
-    post-broadcast, map-side."""
+    Scale: nation×2 keep broadcast hints (25 rows); supplier/customer
+    are SF-scaling so AQE picks their strategy; lineitem⋈orders is
+    the single guaranteed fact shuffle; the disjunctive nation filter
+    prunes map-side."""
     li = t(spark, sf_dir, "lineitem")
     orders = t(spark, sf_dir, "orders")
     cust = t(spark, sf_dir, "customer")
@@ -1761,8 +1766,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .filter(pair)
@@ -1790,8 +1795,9 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 analog: conditional aggregation over a broadcast
-    part join (promo vs total revenue in one pass)."""
+    """TPC-H Q14 analog: conditional aggregation over the part join
+    (promo vs total revenue in one pass). part is SF-scaling — no
+    forced hint; AQE broadcasts it while it fits."""
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
@@ -1801,7 +1807,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero = F.lit(0).cast(DEC)
     rev = dec("l_extendedprice") * (one - dec("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             dround(F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))).alias(
                 "promo_revenue"
@@ -1827,7 +1833,7 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 analog: disjunction of conjunctive band predicates
     across both join sides. Catalyst extracts the common l_quantity
     bounds as a pushable pre-filter; the full OR evaluates after the
-    broadcast join."""
+    join (part unhinted — AQE broadcasts it while it fits)."""
     li = t(spark, sf_dir, "lineitem")
     part = t(spark, sf_dir, "part")
     q = F.col("l_quantity")
@@ -1839,7 +1845,7 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     one = F.lit(1).cast(DEC)
     rev = dec("l_extendedprice") * (one - dec("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(
             dround(F.sum(rev)).alias("revenue"),
@@ -2039,9 +2045,10 @@ def doc_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10 analog: top returners. Scale: customer/nation
-    broadcast; orders pre-filtered by date before the orderkey shuffle;
-    top-20 via TakeOrderedAndProject."""
+    """TPC-H Q10 analog: top returners. Scale: nation keeps its
+    broadcast hint; customer is SF-scaling so AQE picks; orders
+    pre-filtered by date before the orderkey shuffle; top-20 via
+    TakeOrderedAndProject."""
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
@@ -2053,7 +2060,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = dec("l_extendedprice") * (one - dec("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(dround(F.sum(revenue)).alias("revenue"))
@@ -2086,8 +2093,11 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 analog: HAVING-filtered aggregate driving a semi join
     back onto the facts (decorrelated IN-subquery). Scale: the big
-    orderkey set is tiny after the HAVING filter — broadcast semi join,
-    so lineitem and orders shuffle only for their own aggregations."""
+    orderkey set is small after the HAVING filter but still
+    order-grain (SF-scaling), so the semi join is unhinted — AQE
+    broadcasts it while it fits and lineitem/orders shuffle only for
+    their own aggregations; a selectivity regression shuffles instead
+    of OOMing."""
     li = t(spark, sf_dir, "lineitem")
     orders = t(spark, sf_dir, "orders")
     cust = t(spark, sf_dir, "customer")
@@ -2098,9 +2108,9 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey")
     )
     return (
-        li.join(F.broadcast(big), "l_orderkey", "left_semi")
+        li.join(big, "l_orderkey", "left_semi")
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate")
         .agg(dround(F.sum(dec("l_quantity"))).alias("total_qty"))
         .orderBy(F.desc("total_qty"), "o_orderkey")
@@ -2544,8 +2554,10 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 analog: NATION_1's share of EUROPE PROMO-part revenue by
-    year. Scale: part/customer/supplier/nation/region all broadcast; the
-    only shuffle is lineitem><orders on orderkey, then a 7-row agg.
+    year. Scale: nation/region keep broadcast hints (constant); part/
+    customer/supplier are SF-scaling so AQE picks their strategy; the
+    only guaranteed shuffle is lineitem><orders on orderkey, then a
+    7-row agg.
     Determinism: sums stay exact decimal, cast to double BEFORE the
     division so both engines divide identical doubles."""
     li = t(spark, sf_dir, "lineitem")
@@ -2565,12 +2577,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume = (dec("l_extendedprice") * (one - dec("l_discount"))).alias("volume")
     zero = F.lit(0).cast(DEC)
     vol = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .select(
             F.year("o_orderdate").cast("long").alias("o_year"),
@@ -2620,8 +2632,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 analog: per-nation yearly profit on widget parts
     (ps_supplycost replaced by p_retailprice*quantity — no partsupp in
-    the reduced schema). Scale: part filter broadcast-joined first so
-    only ~1/4 of lineitem reaches the orderkey shuffle."""
+    the reduced schema). Scale: part filter joined first (unhinted —
+    AQE broadcasts while it fits) so only ~1/4 of lineitem reaches the
+    orderkey shuffle."""
     li = t(spark, sf_dir, "lineitem")
     part = t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
     supp = t(spark, sf_dir, "supplier")
@@ -2632,8 +2645,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * dec("l_quantity")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .select(
@@ -2671,7 +2684,8 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 analog: parts whose ASIA-sourced traded value exceeds
     1/2000 of the total (HAVING vs scalar subquery). Scale: the per-part
     aggregate is one shuffle; the grand total is a 1-row broadcast back
-    over it — no second scan of lineitem. Determinism: exact decimal
+    over it — no second scan of lineitem; supplier is unhinted
+    (SF-scaling), AQE picks. Determinism: exact decimal
     sums cast to double before the threshold multiply, same on both
     engines."""
     li = t(spark, sf_dir, "lineitem")
@@ -2681,7 +2695,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     pv = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("l_partkey")
@@ -2809,8 +2823,8 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: supplier(s) with max quarterly revenue (scalar MAX
     subquery kept as a 1-row broadcast; exact-decimal equality makes
-    the tie test deterministic). Scale: one suppkey shuffle; supplier
-    dim broadcast."""
+    the tie test deterministic). Scale: one suppkey shuffle; the
+    supplier dim is unhinted (SF-scaling, AQE picks)."""
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
@@ -2824,7 +2838,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_rev") == F.col("max_rev"))
-        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .join(supp, F.col("supplier_no") == supp.s_suppkey)
         .select("s_suppkey", "s_name", dround(F.col("total_rev")).alias("total_revenue"))
         .orderBy("s_suppkey")
     )
@@ -2847,8 +2861,9 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 analog: distinct supplier counts per (brand, type,
     size) excluding blacklisted suppliers (NOT IN -> LEFT ANTI; the
     complaint filter becomes a negative-balance filter — no s_comment
-    in the reduced schema). Scale: part filter broadcast, anti join
-    against a ~tiny supplier set broadcast; one distinct-agg shuffle."""
+    in the reduced schema). Scale: part filter and the small blacklist
+    set are unhinted (both SF-scaling; AQE broadcasts them while they
+    fit); one distinct-agg shuffle."""
     li = t(spark, sf_dir, "lineitem")
     part = t(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1")
@@ -2857,8 +2872,8 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bad = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -2885,8 +2900,9 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 analog: suppliers who moved >50 units of red parts in
     1996 (the partsupp availability check becomes a shipped-quantity
-    HAVING; IN -> LEFT SEMI). Scale: part broadcast into lineitem, one
-    suppkey agg, then a semi join into the broadcast supplier dim."""
+    HAVING; IN -> LEFT SEMI). Scale: part joined into lineitem
+    (unhinted, AQE picks), one suppkey agg, then a semi join into the
+    supplier dim with nation kept broadcast."""
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
@@ -2895,7 +2911,7 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = t(spark, sf_dir, "supplier")
     nation = t(spark, sf_dir, "nation")
     movers = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum(dec("l_quantity")).alias("qty"))
         .filter(F.col("qty") > F.lit(50).cast(DEC))
@@ -2935,7 +2951,9 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     returnflag='R'). EXISTS/NOT EXISTS over the same fact -> LEFT SEMI +
     LEFT ANTI self-joins with a non-equi suppkey clause. Scale: all
     three lineitem legs shuffle on the SAME orderkey, so AQE can reuse
-    the exchange; supplier/orders broadcast."""
+    the exchange; the orders semi-join rides that same exchange rather
+    than forcing a fact-table broadcast, and supplier is unhinted
+    (SF-scaling, AQE picks)."""
     li = t(spark, sf_dir, "lineitem")
     supp = t(spark, sf_dir, "supplier")
     orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
@@ -2953,10 +2971,10 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(
             l3, (F.col("k1") == F.col("k3")) & (F.col("sk1") != F.col("sk3")), "left_anti"
         )
-        .join(F.broadcast(orders), F.col("k1") == F.col("o_orderkey"), "left_semi")
+        .join(orders, F.col("k1") == F.col("o_orderkey"), "left_semi")
     )
     return (
-        waiting.join(F.broadcast(supp), F.col("sk1") == supp.s_suppkey)
+        waiting.join(supp, F.col("sk1") == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
@@ -3074,7 +3092,8 @@ def orders_monthly_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     landed — the generate_series/sequence pattern every reporting
     pipeline needs. Scale: the spine is 80 rows — generated ONCE,
     broadcast into the left join against the aggregated (not raw) fact,
-    so densification costs no extra fact shuffle."""
+    so densification costs no extra fact shuffle; customer is unhinted
+    (SF-scaling, AQE picks)."""
     orders = t(spark, sf_dir, "orders")
     cust = t(spark, sf_dir, "customer")
     spine = spark.range(1).select(
@@ -3088,7 +3107,7 @@ def orders_monthly_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     segs = cust.select("c_mktsegment").distinct()
     rev = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy(
             "c_mktsegment",
             F.date_trunc("month", "o_orderdate").alias("month"),
@@ -3147,8 +3166,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduced schema). The correlated per-part MIN is a window over the
     (part, supplier) aggregate — one pass, no re-join of the subquery.
     Determinism: offers stay exact decimal end-to-end; the correlated
-    equality compares exact decimals. Scale: supplier/nation/region/
-    part broadcast; the only wide shuffle is the (part, supplier)
+    equality compares exact decimals. Scale: nation/region keep
+    broadcast hints (constant); supplier/part are unhinted (SF-scaling,
+    AQE picks); the only wide shuffle is the (part, supplier)
     aggregate, and the window repartitions those small aggregated rows
     by partkey only."""
     from pyspark.sql.window import Window
@@ -3161,7 +3181,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_size") <= 25) & (F.col("p_type") == "LARGE")
     )
     offers = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("l_partkey", "l_suppkey")
@@ -3172,8 +3192,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_offer") == F.col("part_min")
     )
     return (
-        best.join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        best.join(part, F.col("l_partkey") == part.p_partkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
             "s_acctbal",
@@ -3506,16 +3526,18 @@ def events_stream_enriched_segments(spark: SparkSession, sf_dir: str) -> DataFra
     """Stream-static enrichment: the REAL readStream events feed joined
     to the static customer dimension (user_id = c_custkey), then
     aggregated per (segment, event_type) — the canonical streaming
-    enrichment pattern. The static side is broadcast into every
-    micro-batch (no stream-side state for the join, unlike
-    stream-stream); on a bounded availableNow replay the final
+    enrichment pattern. The static side joins into every micro-batch
+    with no stream-side state (unlike stream-stream); customer is
+    SF-scaling so it carries no forced broadcast hint — the planner
+    broadcasts it while it fits (a bucketed layout co-locates it past
+    that); on a bounded availableNow replay the final
     complete-mode aggregate equals the batch join oracle."""
     from datagouv_tools_spark.sources.catalog import load_table
     from datagouv_tools_spark.streaming.source import read_events_stream, run_to_memory
 
     ev = read_events_stream(spark, sf_dir, max_files_per_trigger=1)
-    cust = F.broadcast(
-        load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
     )
     enriched = ev.join(cust, ev.user_id == cust.c_custkey).groupBy(
         F.col("c_mktsegment").alias("segment"), "event_type"
@@ -6330,8 +6352,8 @@ def orders_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITHOUT re-aggregating the base: count/sum merge algebraically from
     the delta alone; min/max recompute only for dirty keys (groups
     whose delete hit the stored extremum), reached through a
-    broadcast-semi-join that a key-partitioned base would prune to the
-    affected partitions. The oracle is the full recompute over the
+    delta-sized semi-join (AQE-broadcast when small) that a
+    key-partitioned base would prune to the affected partitions. The oracle is the full recompute over the
     post-delta base — equality IS the maintenance contract.
 
     Scale: the delta aggregation shuffles |delta| rows; the merge joins
@@ -6844,17 +6866,20 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     double in one pinned expression; the final division by 7.0 happens
     on the exact decimal total cast to double.
 
-    Scale: the brand part list (~1/25 of part) broadcasts, so lineitem
-    is filtered map-side BEFORE the per-part aggregation — the only
+    Scale: the brand part list (~1/25 of part — SF-scaling, so
+    unhinted) joins into lineitem first; AQE broadcasts it while it
+    fits, filtering lineitem map-side BEFORE the per-part aggregation,
+    and past that it shuffles instead of OOMing. The only guaranteed
     shuffle is the partkey aggregation of the brand's lineitems; the
-    threshold table (one row per brand part) broadcasts back. Lineitem
-    is never shuffled whole, never scanned twice at the storage level
-    (both consumers share the same filtered scan)."""
+    threshold table (one row per brand part, also unhinted) joins
+    back the same way. Lineitem is never shuffled whole, never scanned
+    twice at the storage level (both consumers share the same filtered
+    scan)."""
     part = t(spark, sf_dir, "part")
     li_all = t(spark, sf_dir, "lineitem")
     bp = part.filter(F.col("p_brand") == "Brand#4").select("p_partkey")
     li = li_all.join(
-        F.broadcast(bp), li_all["l_partkey"] == bp["p_partkey"]
+        bp, li_all["l_partkey"] == bp["p_partkey"]
     ).select("l_partkey", "l_quantity", "l_extendedprice")
     th = (
         li.groupBy("l_partkey")
@@ -6871,7 +6896,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(th), "l_partkey")
+        li.join(th, "l_partkey")
         .filter(F.col("l_quantity") < F.col("thr"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_items"),
@@ -8841,10 +8866,12 @@ def orders_lineitem_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract, aggregated per priority so the hash covers every
     surviving joined row.
 
-    Scale: all three delta terms broadcast the delta side (base scans
-    shuffle-free, partition-prunable on a key-bucketed layout); the
-    apply is one stored-view pass with a broadcast tombstone set plus
-    an append — the nightly 100 TB re-join becomes delta-sized work.
+    Scale: all three delta terms keep the delta on the build side —
+    AQE broadcasts a normal CDC batch at runtime, and a backfill-scale
+    delta shuffles instead of OOMing (base scans partition-prunable on
+    a key-bucketed layout); the apply is one stored-view pass with a
+    delta-sized tombstone set plus an append — the nightly 100 TB
+    re-join becomes delta-sized work.
     """
     from datagouv_tools_spark.operators.incremental import maintain_join
 
@@ -9517,7 +9544,8 @@ def nation_revenue_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
     model and no per-model solver ever runs on the driver.
 
     Scale: facts collapse to (nation, month) grains map-side; the
-    moment sums are a second tiny aggregation; dimensions broadcast.
+    moment sums are a second tiny aggregation; nation keeps its
+    broadcast hint, customer is unhinted (SF-scaling, AQE picks).
     Model count can grow to millions of keys — it only widens the
     groupBy, never adds passes."""
     orders = t(spark, sf_dir, "orders").select(
@@ -9526,7 +9554,7 @@ def nation_revenue_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     monthly = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(
             F.broadcast(nation),
             F.col("c_nationkey") == F.col("n_nationkey"),
@@ -12303,7 +12331,7 @@ def user_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-type rollup is repaired by DELTA MAINTENANCE
     (operators/incremental.maintain_rollup) — delete rows become a
     CDC delta, count/sum subtract algebraically, and min/max recompute
-    only for dirty keys via a broadcast semi-join into the surviving
+    only for dirty keys via a delta-sized semi-join into the surviving
     base. The oracle recomputes everything from scratch over the
     survivors, so the hash match proves the maintained state carries
     no trace of the erased users.
@@ -14925,15 +14953,17 @@ def fk_integrity_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     loads, late-arriving dimensions, and botched backfills before a
     join silently drops rows.
 
-    Scale: each edge is a broadcast-dim left-anti-count where the
-    parent is dimension-sized; the two fact edges share the lineitem
-    scan through the unioned plan. Orphan counts are exact — this is
+    Scale: each edge is a parent-keys left-join count; parent key
+    sets are SF-scaling (orders keys are fact-grain), so no forced
+    broadcast — AQE broadcasts the small parents and shuffles the big
+    ones; the two fact edges share the lineitem scan through the
+    unioned plan. Orphan counts are exact — this is
     the audit that decides whether a snapshot ships."""
     rows = None
     for child, ck, parent, pk in _FK_EDGES:
         c = t(spark, sf_dir, child)
         p = t(spark, sf_dir, parent).select(F.col(pk))
-        joined = c.join(F.broadcast(p), c[ck] == p[pk], "left")
+        joined = c.join(p, c[ck] == p[pk], "left")
         r = joined.agg(
             F.lit(f"{child}.{ck}").alias("fk_edge"),
             F.count(F.lit(1)).cast("bigint").alias("n_child_rows"),
@@ -15310,7 +15340,7 @@ def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit = bit.otherwise(0)
     touch = (
         ev.filter(F.col("event_type") != "purchase")
-        .join(F.broadcast(fp), "user_id", "left")
+        .join(fp, "user_id", "left")
         .filter(F.col("fp_ts").isNull() | (F.col("ts") < F.col("fp_ts")))
         .select(
             "user_id",
@@ -15410,7 +15440,7 @@ def nation_revenue_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = t(spark, sf_dir, "nation")
     y = (
         o.filter(F.year(F.col("o_orderdate")).isin(1996, 1997))
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -15743,7 +15773,7 @@ def nation_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t(spark, sf_dir, "customer")
     n = t(spark, sf_dir, "nation")
     r = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        o.join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy(F.col("n_name").alias("nation"), "o_custkey")
         .agg(F.sum(dec("o_totalprice")).alias("rev"))

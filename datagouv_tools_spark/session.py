@@ -50,6 +50,14 @@ def get_spark(
         # for; read as long ns and convert exactly in the catalog loader.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # DemoteBroadcastHashJoin skips SMJ->BHJ conversion when most
+        # build-side shuffle partitions are empty — which is exactly the
+        # shape of a tiny delta/dirty-key side (5 rows across 32
+        # partitions). The demote rule weighs only build-side emptiness,
+        # never the probe-side exchange it forces, so with it on a
+        # 100 TB base gets sort-merged against a 5-row set. Let the size
+        # threshold alone decide.
+        .config("spark.sql.adaptive.nonEmptyPartitionRatioForBroadcastJoin", "0.0")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

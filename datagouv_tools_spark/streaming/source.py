@@ -110,9 +110,11 @@ _STATE_AUTO_MAX = 16
 def _stream_source_bytes(df: DataFrame) -> int | None:
     """Sum the on-disk bytes of ``df``'s file-stream sources, read off
     the analyzed plan's DataSource option maps (path + pathGlobFilter).
-    None when the stream has no file source (rate/memory test streams)
-    or the plan shape is unexpected — callers then fall back to the
-    small-replay default."""
+    None when the stream has no file source (rate/memory test streams),
+    when any source is non-local (s3://, hdfs:// — os.path can't stat
+    them, and guessing 0 would mis-size real remote replays), or when
+    the plan shape is unexpected — callers then fall back to the
+    small-replay default. Local-filesystem-only by design."""
     import fnmatch
     import glob as globmod
     import os
@@ -132,6 +134,15 @@ def _stream_source_bytes(df: DataFrame) -> int | None:
         path = kv.get("path")
         if not path:
             continue
+        # LIMITATION: this reads the option map back out of the plan's
+        # toString, which mis-splits paths containing ', ' or parens,
+        # and can only stat LOCAL files. A non-local source (s3://,
+        # hdfs://) must report "unknown" (None) — a 0 would silently
+        # size every real remote replay at the minimal 2 partitions.
+        if re.match(r"^[a-z][a-z0-9+.-]*://", path) and not path.startswith(
+            "file:"
+        ):
+            return None
         found = True
         # the plan may render a local path with a URI scheme
         path = re.sub(r"^file:(//)?", "", path)
@@ -199,7 +210,15 @@ def run_to_memory(
     """
     name = name or f"mem_{uuid.uuid4().hex[:12]}"
     spark = df.sparkSession
-    if state_partitions == "auto":
+    if isinstance(state_partitions, str):
+        # "auto" is the only string sentinel — anything else would fall
+        # through to spark.conf.set and surface later as an opaque
+        # NumberFormatException inside the stream
+        if state_partitions != "auto":
+            raise ValueError(
+                "state_partitions must be an int, None, or 'auto'; got "
+                f"{state_partitions!r}"
+            )
         state_partitions = auto_state_partitions(df)
     conf_key = "spark.sql.shuffle.partitions"
     old = spark.conf.get(conf_key)

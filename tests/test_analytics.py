@@ -2158,6 +2158,70 @@ class TestCodecHonestyGates:
         with pytest.raises(ValueError, match="components"):
             decode_jpeg(bytes(jb))
 
+    def test_jpeg_cmyk_refused_at_parse_not_after_full_decode(self):
+        """A 4-component (Adobe CMYK) SOF0 can never color-convert —
+        it must be refused AT PARSE TIME, before any Huffman/IDCT work
+        (previously the whole scan decoded first). A 4-comp header
+        with no scan at all proves the gate fires at SOF0: reaching
+        the scan decoder would raise about the missing SOS instead."""
+        import pytest
+
+        from datagouv_tools_spark.operators.multimodal import decode_jpeg
+
+        sof = bytearray()
+        sof += b"\xff\xd8\xff\xc0" + (8 + 3 * 4).to_bytes(2, "big")
+        sof += b"\x08" + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+        sof += bytes([4])
+        for cid in (1, 2, 3, 4):
+            sof += bytes([cid, 0x11, 0])
+        with pytest.raises(NotImplementedError, match="4 components"):
+            decode_jpeg(bytes(sof))
+
+    def test_jpeg_fill_bytes_before_markers_are_skipped(self):
+        """T.81 B.1.1.2 allows 0xFF fill bytes before any marker; a
+        padded stream must decode identically, not mis-read its marker
+        id as a segment length."""
+        import numpy as np
+
+        from datagouv_tools_spark.operators.multimodal import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        px = np.full((8, 8, 3), 77, np.uint8)
+        blob = encode_jpeg(px)
+        at = blob.find(b"\xff\xc0")
+        padded = blob[:at] + b"\xff\xff\xff" + blob[at:]
+        w, h, back = decode_jpeg(padded)
+        assert (w, h) == (8, 8)
+        assert np.array_equal(back, px)
+
+    def test_png_overlong_idat_rejected_even_with_consumed_tail(self):
+        """An IDAT whose deflate stream inflates past the declared
+        raster must raise whether the excess sits in unconsumed_tail
+        or in zlib's internal pending output (d.eof check)."""
+        import struct
+        import zlib
+
+        import numpy as np
+        import pytest
+
+        from datagouv_tools_spark.operators.multimodal import (
+            decode_png,
+            encode_png,
+        )
+
+        blob = bytearray(encode_png(np.zeros((4, 4, 3), np.uint8)))
+        # rebuild the IDAT with one raster plus trailing garbage rows
+        want = 4 * (1 + 3 * 4)
+        fat = zlib.compress(bytes(want) + bytes(4096))
+        out = bytearray(blob[:33])  # signature + IHDR chunk
+        out += struct.pack(">I", len(fat)) + b"IDAT" + fat
+        out += struct.pack(">I", zlib.crc32(b"IDAT" + fat) & 0xFFFFFFFF)
+        out += blob[-12:]  # IEND chunk
+        with pytest.raises(ValueError, match="inflates past"):
+            decode_png(bytes(out))
+
 
 def test_channel_stats_mixed_codecs_one_batch(spark):
     """All four real codecs riding ONE Arrow batch through the

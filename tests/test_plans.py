@@ -388,16 +388,25 @@ def test_segment_dedup_shuffles_hashes_not_text(spark, sf_dir):
 
 def test_incremental_rollup_dirty_repair_broadcasts(spark, sf_dir):
     """The maintenance query's extrema repair must reach the base via a
-    BROADCAST semi-join on dirty keys (a shuffled semi-join would drag
-    the 100 TB base through an exchange), and the algebraic merge must
-    not re-aggregate the base: the plan carries at most the rollup,
-    delta, and dirty-key aggregations."""
+    broadcast semi-join on dirty keys AT RUNTIME (a shuffled semi-join
+    would drag the 100 TB base through an exchange). The dirty-key side
+    carries no forced hint — its cardinality is delta-derived, so the
+    STATIC planner may pick SortMergeJoin on unknown stats; the
+    contract is that AQE's runtime size check converts the semi-join to
+    broadcast for a CDC-sized delta (and, unlike a hint, degrades to a
+    shuffle instead of an OOM on a backfill-scale one)."""
     df = q.QUERIES["orders_incremental_rollup"](spark, sf_dir)
-    plan = physical_plan(df)
-    assert "BroadcastHashJoin" in plan
-    # the dirty-key semi-join and the repaired-extrema patch join are
-    # both broadcasts — LeftSemi must never appear as a SortMergeJoin
-    assert not re.search(r"SortMergeJoin.*LeftSemi", plan)
+    df.collect()  # materialize so AQE finalizes join strategies
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    # AdaptiveSparkPlan.toString appends the pre-AQE "== Initial Plan =="
+    # section, where the semi-join legitimately starts as SMJ on unknown
+    # stats — assert on the final section only
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final
+    # after AQE re-planning the dirty-key semi-join must be a broadcast
+    # — LeftSemi must never survive as a SortMergeJoin at this scale
+    assert not re.search(r"SortMergeJoin.*LeftSemi", final)
 
 
 def test_distinct_sketch_single_ordinary_shuffle(spark, sf_dir):
@@ -694,3 +703,68 @@ def test_ivf_recall_curve_single_fanout(spark, sf_dir):
 
     df = q.QUERIES["emb_ivf_recall_curve"](spark, sf_dir)
     assert exchange_count(df) <= 16
+
+
+class TestScalingBroadcastAudit:
+    """The r9 broadcast-grain check (plans/inspect.
+    scaling_broadcast_tables): an explicit hint on an SF-scaling side
+    must flag; constant-cardinality shapes (nation/region, scalar
+    aggregates, literal-pinned keys, bounded top-k) must not."""
+
+    def test_hinted_fact_table_flags(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from datagouv_tools_spark.plans.inspect import (
+            scaling_broadcast_tables,
+        )
+
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        df = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        assert scaling_broadcast_tables(df) == ["customer"]
+
+    def test_bounded_shapes_stay_clean(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        from datagouv_tools_spark.plans.inspect import (
+            scaling_broadcast_tables,
+        )
+
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        # constant dim
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        d1 = cust.join(
+            F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+        )
+        # 1-row scalar aggregate
+        tot = orders.agg(F.sum("o_totalprice").alias("t"))
+        d2 = orders.crossJoin(F.broadcast(tot))
+        # literal-pinned entity key
+        probe = orders.filter(F.col("o_orderkey") < 10)
+        d3 = orders.join(F.broadcast(probe.select("o_orderkey")), "o_orderkey")
+        # bounded top-k (rank filter over a window)
+        w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+        top = (
+            orders.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("o_orderkey")
+        )
+        d4 = orders.join(F.broadcast(top), "o_orderkey", "left_semi")
+        for df in (d1, d2, d3, d4):
+            assert scaling_broadcast_tables(df) == []
+
+    def test_entity_grain_aggregate_flags(self, spark, sf_dir):
+        """Grouping BY an entity key keeps entity grain — the aggregate
+        output scales with SF and a hint on it must flag."""
+        from pyspark.sql import functions as F
+
+        from datagouv_tools_spark.plans.inspect import (
+            scaling_broadcast_tables,
+        )
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        th = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("aq"))
+        df = li.join(F.broadcast(th), "l_partkey")
+        assert scaling_broadcast_tables(df) == ["lineitem"]

@@ -1171,3 +1171,64 @@ class TestAutoStatePartitions:
 
         rate = spark.readStream.format("rate").load()
         assert auto_state_partitions(rate) == 2
+
+    def test_remote_source_reports_unknown_not_zero(self):
+        """A non-local path (s3://, hdfs://) can't be stat'd with
+        os.path — _stream_source_bytes must return None (documented
+        fallback) rather than 0, which would silently size every real
+        remote replay at the minimal 2 partitions."""
+        from datagouv_tools_spark.streaming.source import (
+            _stream_source_bytes,
+        )
+
+        class _FakePlan:
+            def __init__(self, text):
+                self._text = text
+
+            def toString(self):
+                return self._text
+
+        class _FakeQE:
+            def __init__(self, text):
+                self._plan = _FakePlan(text)
+
+            def analyzed(self):
+                return self._plan
+
+        class _FakeDF:
+            def __init__(self, text):
+                self._jdf = self
+
+            def queryExecution(self):
+                return _FakeQE(self._text)
+
+            _text = ""
+
+        df = _FakeDF("")
+        df._text = "StreamingRelation Map(path -> s3://bucket/events/)"
+        assert _stream_source_bytes(df) is None
+        df._text = "StreamingRelation Map(path -> hdfs://nn/warehouse/t)"
+        assert _stream_source_bytes(df) is None
+        # file: URIs stay on the local-stat path
+        df._text = "StreamingRelation Map(path -> file:/root/testdata/sf0.001/events.parquet)"
+        b = _stream_source_bytes(df)
+        assert b and b > 0
+
+    def test_bad_sentinel_raises_not_conf_set(self, spark):
+        """Any string other than 'auto' must fail fast with ValueError
+        instead of writing a non-numeric shuffle-partitions conf that
+        explodes later inside the stream."""
+        import pytest
+
+        from datagouv_tools_spark.streaming.source import (
+            read_events_stream,
+            run_to_memory,
+        )
+
+        ev = read_events_stream(spark, "/root/testdata/sf0.001")
+        with pytest.raises(ValueError, match="'Auto'"):
+            run_to_memory(
+                ev.groupBy("user_id").count(),
+                output_mode="complete",
+                state_partitions="Auto",
+            )

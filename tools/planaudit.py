@@ -15,6 +15,12 @@ kill 100 TB runs and writes one JSON report (PLANAUDIT.json):
 - `exchanges`: Exchange count (shuffle pressure signal, informational).
 - `take_ordered`: whether a LIMIT query plans as TakeOrdered instead
   of a global sort.
+- `broadcast_scaling`: SF-scaling base tables pinned under an explicit
+  broadcast hint (plans/inspect.scaling_broadcast_tables). A hint on a
+  side whose cardinality grows with the data bypasses AQE's runtime
+  size check — fine at sf0.1, OOM at 100 TB. Must be [] everywhere;
+  nation/region, scalar totals, literal-pinned probes, and
+  bounded-domain aggregates don't match.
 
 Usage:
     python tools/planaudit.py                # all queries at sf0.001
@@ -61,7 +67,10 @@ def audit(plan: str) -> dict:
 
 
 def main() -> int:
-    from datagouv_tools_spark.plans.inspect import physical_plan
+    from datagouv_tools_spark.plans.inspect import (
+        physical_plan,
+        scaling_broadcast_tables,
+    )
     from datagouv_tools_spark.queries import QUERIES
     from datagouv_tools_spark.session import get_spark
 
@@ -74,18 +83,26 @@ def main() -> int:
         "bnlj": 0,
         "python_row": 0,
         "single_partition_window": 0,
+        "broadcast_scaling": 0,
     }
     for name in names:
         try:
             df = QUERIES[name](spark, SF_DIR)
             row = audit(physical_plan(df, mode="simple"))
+            row["broadcast_scaling"] = scaling_broadcast_tables(df)
         except Exception as exc:  # pragma: no cover - audit robustness
             row = {"error": str(exc)[:200]}
         report[name] = row
         for k in totals:
-            totals[k] += row.get(k, 0)
+            totals[k] += len(row[k]) if k == "broadcast_scaling" and isinstance(
+                row.get(k), list
+            ) else row.get(k, 0)
         flag = (
-            " !!" if row.get("cartesian") or row.get("python_row") else ""
+            " !!"
+            if row.get("cartesian")
+            or row.get("python_row")
+            or row.get("broadcast_scaling")
+            else ""
         )
         print(f"{name}: {row}{flag}")
     summary = {
@@ -94,12 +111,19 @@ def main() -> int:
         "total_python_row_udf": totals["python_row"],
         "total_bnlj": totals["bnlj"],
         "total_single_partition_window": totals["single_partition_window"],
+        "total_broadcast_scaling": totals["broadcast_scaling"],
     }
     print(json.dumps({"summary": summary}))
     out = os.environ.get("SPARK_GRAFT_PLANAUDIT", "PLANAUDIT.json")
     with open(out, "w") as fh:
         json.dump({"summary": summary, "queries": report}, fh, indent=1)
-    return 0 if totals["cartesian"] == 0 and totals["python_row"] == 0 else 1
+    return (
+        0
+        if totals["cartesian"] == 0
+        and totals["python_row"] == 0
+        and totals["broadcast_scaling"] == 0
+        else 1
+    )
 
 
 if __name__ == "__main__":
