@@ -175,11 +175,27 @@ def auto_state_partitions(df: DataFrame) -> int:
     this box (events stream, applyInPandasWithState user totals): sf0.001
     (27 KiB -> 2) keeps the fixed per-store open/commit cost minimal,
     while sf0.1 (2 MiB -> 8) halves the replay vs 2 partitions (4.0 s ->
-    2.0-2.6 s) because Python-state work parallelizes per partition."""
+    2.0-2.6 s) because Python-state work parallelizes per partition.
+
+    Multi-stream plans (stream-stream joins) get a QUARTER of the
+    byte-sized count: the symmetric-hash join keeps FOUR state stores
+    per partition (vs one for a single-stream aggregate) and its
+    per-row work is JVM-side, so the byte target is really a
+    bytes-per-STORE budget — per-store open/commit dominates long
+    before per-partition parallelism pays. Measured order-controlled
+    at sf0.1 (this box, r9): the two-stream interval joins run
+    2.8-4.0 s at 2-4 partitions vs 6.4-20 s at 8."""
     b = _stream_source_bytes(df)
     if not b:
         return 2
-    return max(2, min(_STATE_AUTO_MAX, -(-b // _STATE_AUTO_TARGET_BYTES)))
+    n = -(-b // _STATE_AUTO_TARGET_BYTES)
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+        if plan.count("StreamingRelation") >= 2:
+            n = n // 4
+    except Exception:
+        pass
+    return max(2, min(_STATE_AUTO_MAX, n))
 
 
 def run_to_memory(
