@@ -27,6 +27,18 @@ delete-the-whole-group, and re-insert-after-delete cases.
 Delta format: one row per change with ``op_col`` ∈ {insert, delete} —
 an update is modeled as delete(old)+insert(new), the standard CDC
 decomposition (Debezium "before"/"after" images).
+
+REQUIRED SESSION CONF for the no-base-shuffle scale contract: the
+delta-derived join sides here carry no broadcast hint (a backfill-scale
+delta must degrade to a shuffle, not OOM), so the runtime broadcast of
+a normal CDC batch comes from AQE's SMJ→BHJ conversion — and Spark's
+default ``spark.sql.adaptive.nonEmptyPartitionRatioForBroadcastJoin``
+(0.2) DEMOTES that conversion exactly for the tiny-delta shape (a
+5-row dirty-key set leaves most build-side shuffle partitions empty).
+Set it to ``0.0`` (``session.get_spark`` does) or a vanilla session
+will sort-merge the dirty-key semi-join and drag the full base through
+an exchange; ``tests/test_plans.py`` pins the conversion on the
+AQE-final plan.
 """
 
 from __future__ import annotations

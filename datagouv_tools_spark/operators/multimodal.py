@@ -1486,6 +1486,10 @@ def decode_jpeg(payload: bytes):
         # rest of the file
         while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
             pos += 1
+        if pos + 1 >= len(payload):
+            # stream ends inside a fill run — keep the ValueError
+            # refusal contract (never an IndexError out of a task)
+            raise ValueError("truncated JPEG marker stream")
         marker = payload[pos + 1]
         pos += 2
         if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:

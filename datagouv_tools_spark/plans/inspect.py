@@ -140,14 +140,19 @@ def _jchildren(node):
 def scaling_broadcast_tables(df: DataFrame) -> list[str]:
     """Names of SF-scaling base tables pinned under a broadcast hint.
 
-    Walks each ``ResolvedHint`` subtree in the analyzed logical plan;
-    a branch is *bounded* (stops the walk) at a Limit, at an Aggregate
-    whose grouping keys carry no entity-key column (scalar totals,
-    day/month/type domains), or at a Filter that pins an entity key or
-    a window-rank column to literals (probe sets, top-k eval truth
-    sets). Anything else recurses, and reaching a scan of an
-    SF-scaling table (classified by its first output column prefix)
-    flags that table. Empty list = every broadcast hint in the plan is
+    Walks each BROADCAST ``ResolvedHint`` subtree in the analyzed
+    logical plan (merge/shuffle_hash hints are the OOM-safe
+    alternatives and are never flagged); a branch is *bounded* (stops
+    the walk) at a Limit, at an Aggregate whose grouping keys carry no
+    entity-key column (scalar totals, day/month/type domains), or at a
+    conjunction-only Filter that pins an entity key or a window-rank
+    column to literals (probe sets, top-k eval truth sets — a filter
+    containing OR never bounds, since one disjunct can admit the whole
+    table; an always-bounding OR shows up as a flagged-for-review
+    false positive, the safe direction for a must-be-zero gate).
+    Anything else recurses, and reaching a scan of an SF-scaling table
+    (classified by its first output column prefix) flags that table.
+    Empty list = every broadcast hint in the plan is
     constant-cardinality. Heuristic, reviewer-aid grade: used by
     tools/planaudit.py (`broadcast_scaling`) and pinned at zero across
     the whole query surface by tests."""
@@ -158,7 +163,12 @@ def scaling_broadcast_tables(df: DataFrame) -> list[str]:
     while stack:
         n = stack.pop()
         if n.nodeName() == "ResolvedHint":
-            hints.append(n)
+            try:
+                strategy = n.hints().toString()
+            except Exception:
+                strategy = "broadcast"  # be conservative: audit it
+            if "broadcast" in strategy.lower():
+                hints.append(n)
         stack.extend(_jchildren(n))
     for hint in hints:
         stack = _jchildren(hint)
@@ -176,8 +186,9 @@ def scaling_broadcast_tables(df: DataFrame) -> list[str]:
                     continue  # bounded-domain aggregate
             elif name == "Filter":
                 cond = n.condition().toString()
-                if _BOUNDING_FILTER.search(cond) or _RANK_FILTER.search(
-                    cond
+                if " OR " not in cond and (
+                    _BOUNDING_FILTER.search(cond)
+                    or _RANK_FILTER.search(cond)
                 ):
                     continue  # entity key or window rank pinned
             elif name in ("LogicalRelation", "Relation"):

@@ -107,22 +107,33 @@ _STATE_AUTO_TARGET_BYTES = 256 << 10
 _STATE_AUTO_MAX = 16
 
 
-def _stream_source_bytes(df: DataFrame) -> int | None:
+def _analyzed_plan_string(df: DataFrame) -> str | None:
+    """One py4j render of the analyzed plan — the sizing helpers below
+    share it instead of each paying the toString round-trip."""
+    try:
+        return df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return None
+
+
+def _stream_source_bytes(
+    df: DataFrame, plan: str | None = None
+) -> int | None:
     """Sum the on-disk bytes of ``df``'s file-stream sources, read off
     the analyzed plan's DataSource option maps (path + pathGlobFilter).
     None when the stream has no file source (rate/memory test streams),
     when any source is non-local (s3://, hdfs:// — os.path can't stat
     them, and guessing 0 would mis-size real remote replays), or when
     the plan shape is unexpected — callers then fall back to the
-    small-replay default. Local-filesystem-only by design."""
+    small-replay default. Local-filesystem-only by design. Pass a
+    pre-rendered ``plan`` string to skip the py4j render."""
     import fnmatch
     import glob as globmod
     import os
     import re
 
-    try:
-        s = df._jdf.queryExecution().analyzed().toString()
-    except Exception:
+    s = plan if plan is not None else _analyzed_plan_string(df)
+    if s is None:
         return None
     total, found = 0, False
     for m in re.finditer(r"Map\(([^()]*)\)", s):
@@ -185,16 +196,13 @@ def auto_state_partitions(df: DataFrame) -> int:
     before per-partition parallelism pays. Measured order-controlled
     at sf0.1 (this box, r9): the two-stream interval joins run
     2.8-4.0 s at 2-4 partitions vs 6.4-20 s at 8."""
-    b = _stream_source_bytes(df)
+    plan = _analyzed_plan_string(df)
+    b = _stream_source_bytes(df, plan=plan)
     if not b:
         return 2
     n = -(-b // _STATE_AUTO_TARGET_BYTES)
-    try:
-        plan = df._jdf.queryExecution().analyzed().toString()
-        if plan.count("StreamingRelation") >= 2:
-            n = n // 4
-    except Exception:
-        pass
+    if plan is not None and plan.count("StreamingRelation") >= 2:
+        n = n // 4
     return max(2, min(_STATE_AUTO_MAX, n))
 
 

@@ -2196,6 +2196,18 @@ class TestCodecHonestyGates:
         assert (w, h) == (8, 8)
         assert np.array_equal(back, px)
 
+    def test_jpeg_truncated_inside_fill_run_is_valueerror(self):
+        """A stream ending mid-fill-run must keep the ValueError
+        refusal contract — the skip loop must never walk the marker
+        read past the payload end into an IndexError."""
+        import pytest
+
+        from datagouv_tools_spark.operators.multimodal import decode_jpeg
+
+        for blob in (b"\xff\xd8\xff\xff", b"\xff\xd8\xff\xff\xff"):
+            with pytest.raises(ValueError, match="truncated"):
+                decode_jpeg(blob)
+
     def test_png_overlong_idat_rejected_even_with_consumed_tail(self):
         """An IDAT whose deflate stream inflates past the declared
         raster must raise whether the excess sits in unconsumed_tail

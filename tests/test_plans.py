@@ -768,3 +768,41 @@ class TestScalingBroadcastAudit:
         th = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("aq"))
         df = li.join(F.broadcast(th), "l_partkey")
         assert scaling_broadcast_tables(df) == ["lineitem"]
+
+    def test_non_broadcast_hints_never_flag(self, spark, sf_dir):
+        """merge/shuffle_hash hints are the OOM-safe alternatives the
+        audit recommends — a deliberate .hint('merge') on an SF-scaling
+        side must not trip the must-be-zero broadcast gate."""
+        from datagouv_tools_spark.plans.inspect import (
+            scaling_broadcast_tables,
+        )
+
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        df = orders.join(
+            cust.hint("merge"), orders.o_custkey == cust.c_custkey
+        )
+        assert scaling_broadcast_tables(df) == []
+        df2 = orders.join(
+            cust.hint("shuffle_hash"), orders.o_custkey == cust.c_custkey
+        )
+        assert scaling_broadcast_tables(df2) == []
+
+    def test_disjunctive_key_filter_does_not_bound(self, spark, sf_dir):
+        """A filter like (key < 10 OR value > 100) admits the whole
+        table through its second disjunct — it must NOT count as
+        bounding, or the gate would certify an OOM-at-scale hint."""
+        from pyspark.sql import functions as F
+
+        from datagouv_tools_spark.plans.inspect import (
+            scaling_broadcast_tables,
+        )
+
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        leaky = orders.filter(
+            (F.col("o_orderkey") < 10) | (F.col("o_totalprice") > 100)
+        )
+        df = orders.join(
+            F.broadcast(leaky.select("o_orderkey")), "o_orderkey"
+        )
+        assert scaling_broadcast_tables(df) == ["orders"]
