@@ -21,6 +21,12 @@ for the exact tier).
 
 from __future__ import annotations
 
+# Module-level (not function-local) so get_type_hints can resolve the
+# pandas-UDF callbacks' string annotations: PySpark infers the
+# applyInPandas eval type from the hints, and an unresolvable name
+# silently falls back instead of making the contract explicit.
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -206,7 +212,7 @@ def cosine_pairs_blocked(
     )
     scale = 10.0**round_to
 
-    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         gi, gj = int(key[0]), int(key[1])
         ids = pdf["__id"].to_numpy(dtype=np.int64)
         mat = np.array(list(pdf["__vec"]), dtype=np.float64)

@@ -148,8 +148,11 @@ def scaling_broadcast_tables(df: DataFrame) -> list[str]:
     conjunction-only Filter that pins an entity key or a window-rank
     column to literals (probe sets, top-k eval truth sets — a filter
     containing OR never bounds, since one disjunct can admit the whole
-    table; an always-bounding OR shows up as a flagged-for-review
-    false positive, the safe direction for a must-be-zero gate).
+    table, and a filter containing NOT never bounds, since the inner
+    comparison of `key != 5` / `~(key < 10)` would otherwise match
+    _BOUNDING_FILTER while admitting essentially the whole table; an
+    always-bounding OR/NOT shows up as a flagged-for-review false
+    positive, the safe direction for a must-be-zero gate).
     Anything else recurses, and reaching a scan of an SF-scaling table
     (classified by its first output column prefix) flags that table.
     Empty list = every broadcast hint in the plan is
@@ -186,7 +189,7 @@ def scaling_broadcast_tables(df: DataFrame) -> list[str]:
                     continue  # bounded-domain aggregate
             elif name == "Filter":
                 cond = n.condition().toString()
-                if " OR " not in cond and (
+                if " OR " not in cond and "NOT " not in cond and (
                     _BOUNDING_FILTER.search(cond)
                     or _RANK_FILTER.search(cond)
                 ):

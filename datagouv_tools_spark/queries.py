@@ -26,6 +26,10 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+# Module-level so get_type_hints can resolve pandas-UDF callback
+# annotations (PySpark infers the applyInPandas eval type from them).
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -12103,9 +12107,8 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # G = X·Xᵀ per cluster group replaces ~|cluster|²/2 codegen
     # zip_with dot products (measured 8.3 s → ~4 s at sf0.1); int64
     # matmul is exact (dot ≤ 1.8e7, dot²·10⁴ ≤ 3.2e18 < 2⁶³)
-    def _cluster_dups(pdf):
+    def _cluster_dups(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
-        import pandas as pd
 
         order = np.argsort(pdf["vec_id"].to_numpy())
         ids = pdf["vec_id"].to_numpy()[order]

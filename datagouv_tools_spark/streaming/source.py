@@ -180,6 +180,36 @@ def _stream_source_bytes(
     return total if found else None
 
 
+def _has_stream_stream_join(df: DataFrame) -> bool:
+    """True iff the analyzed plan contains a Join whose BOTH subtrees
+    read a streaming source — the symmetric-hash shape that keeps four
+    state stores per partition. Walks the py4j logical plan and uses
+    ``LogicalPlan.isStreaming`` (true when the subtree contains a
+    streaming leaf), so a UNION of two file streams feeding one
+    stateful aggregate — two streaming relations, ONE store per
+    partition — does not match, and the check survives node-name
+    variants like StreamingRelationV2 (ADVICE r9; replaces a rendered
+    plan substring count)."""
+    try:
+        root = df._jdf.queryExecution().analyzed()
+    except Exception:  # pragma: no cover - py4j walk robustness
+        return False
+    stack = [root]
+    while stack:
+        n = stack.pop()
+        ch = n.children()
+        kids = [ch.apply(i) for i in range(ch.length())]
+        if (
+            n.nodeName() == "Join"
+            and len(kids) == 2
+            and kids[0].isStreaming()
+            and kids[1].isStreaming()
+        ):
+            return True
+        stack.extend(kids)
+    return False
+
+
 def auto_state_partitions(df: DataFrame) -> int:
     """Size a bounded replay's state-store partition count from its
     file sources: ceil(bytes / 256 KiB) clamped to [2, 16]. Measured on
@@ -196,12 +226,11 @@ def auto_state_partitions(df: DataFrame) -> int:
     before per-partition parallelism pays. Measured order-controlled
     at sf0.1 (this box, r9): the two-stream interval joins run
     2.8-4.0 s at 2-4 partitions vs 6.4-20 s at 8."""
-    plan = _analyzed_plan_string(df)
-    b = _stream_source_bytes(df, plan=plan)
+    b = _stream_source_bytes(df)
     if not b:
         return 2
     n = -(-b // _STATE_AUTO_TARGET_BYTES)
-    if plan is not None and plan.count("StreamingRelation") >= 2:
+    if _has_stream_stream_join(df):
         n = n // 4
     return max(2, min(_STATE_AUTO_MAX, n))
 

@@ -806,3 +806,32 @@ class TestScalingBroadcastAudit:
             F.broadcast(leaky.select("o_orderkey")), "o_orderkey"
         )
         assert scaling_broadcast_tables(df) == ["orders"]
+
+    def test_negated_key_filter_does_not_bound(self, spark, sf_dir):
+        """A filter like key != 5 or ~(key < 10) admits essentially the
+        whole table, but its inner comparison matches _BOUNDING_FILTER —
+        NOT must disqualify bounding (ADVICE r9)."""
+        from pyspark.sql import functions as F
+
+        from datagouv_tools_spark.plans.inspect import (
+            scaling_broadcast_tables,
+        )
+
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        neq = orders.filter(F.col("o_orderkey") != 5)
+        df1 = orders.join(
+            F.broadcast(neq.select("o_orderkey")), "o_orderkey"
+        )
+        assert scaling_broadcast_tables(df1) == ["orders"]
+        negated = orders.filter(~(F.col("o_orderkey") < 10))
+        df2 = orders.join(
+            F.broadcast(negated.select("o_orderkey")), "o_orderkey"
+        )
+        assert scaling_broadcast_tables(df2) == ["orders"]
+        # isnotnull alone must not trip the NOT check: a plain bounded
+        # filter keeps its implicit isnotnull conjunct and still bounds.
+        bounded = orders.filter(F.col("o_orderkey") < 10)
+        df3 = orders.join(
+            F.broadcast(bounded.select("o_orderkey")), "o_orderkey"
+        )
+        assert scaling_broadcast_tables(df3) == []

@@ -1153,9 +1153,15 @@ class TestAutoStatePartitions:
         so its sizing is a bytes-per-STORE budget: both sides' bytes
         sum, then the count divides by 4 (r9, measured — the interval
         joins run 2.8-4.0 s at 2-4 partitions vs 6.4-20 s at the
-        single-stream sizing). Net: a two-source join of equal sides
-        gets HALF the single-stream count, floored at 2."""
+        single-stream sizing). Asserted against the joined plan's RAW
+        source bytes (not 2x the clamped single-stream count, which
+        only coincided at the current fixture size — ADVICE r9), plus
+        the design bound: the quartered count never exceeds the
+        single-stream sizing."""
         from datagouv_tools_spark.streaming.source import (
+            _STATE_AUTO_MAX,
+            _STATE_AUTO_TARGET_BYTES,
+            _stream_source_bytes,
             auto_state_partitions,
             read_events_stream,
         )
@@ -1167,7 +1173,46 @@ class TestAutoStatePartitions:
         joined = a.join(b, "user_id")
         single = auto_state_partitions(a.groupBy("user_id").count())
         got = auto_state_partitions(joined)
-        assert got == max(2, (2 * single) // 4)
+        raw = _stream_source_bytes(joined)
+        assert raw and raw > 0  # both sides' bytes are visible and sum
+        expected = max(
+            2,
+            min(
+                _STATE_AUTO_MAX,
+                (-(-raw // _STATE_AUTO_TARGET_BYTES)) // 4,
+            ),
+        )
+        assert got == expected
+        assert 2 <= got <= single
+
+    def test_union_of_streams_not_quartered(self, spark):
+        """A UNION of two file streams feeding one stateful aggregate
+        keeps ONE state store per partition — it has two streaming
+        relations in its plan but no stream-stream Join, so it must get
+        the plain bytes sizing, not the quarter budget (ADVICE r9: the
+        old substring count conflated these shapes)."""
+        from datagouv_tools_spark.streaming.source import (
+            _STATE_AUTO_MAX,
+            _STATE_AUTO_TARGET_BYTES,
+            _has_stream_stream_join,
+            _stream_source_bytes,
+            auto_state_partitions,
+            read_events_stream,
+        )
+
+        a = read_events_stream(spark, "/root/testdata/sf0.1")
+        b = read_events_stream(spark, "/root/testdata/sf0.1")
+        unioned = a.unionByName(b).groupBy("user_id").count()
+        assert not _has_stream_stream_join(unioned)
+        joined = a.join(
+            b.withColumnRenamed("event_id", "eid2"), "user_id"
+        )
+        assert _has_stream_stream_join(joined)
+        raw = _stream_source_bytes(unioned)
+        expected = max(
+            2, min(_STATE_AUTO_MAX, -(-raw // _STATE_AUTO_TARGET_BYTES))
+        )
+        assert auto_state_partitions(unioned) == expected
 
     def test_non_file_source_falls_back(self, spark):
         from datagouv_tools_spark.streaming.source import (

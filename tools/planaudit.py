@@ -89,9 +89,19 @@ def main() -> int:
         try:
             df = QUERIES[name](spark, SF_DIR)
             row = audit(physical_plan(df, mode="simple"))
-            row["broadcast_scaling"] = scaling_broadcast_tables(df)
         except Exception as exc:  # pragma: no cover - audit robustness
             row = {"error": str(exc)[:200]}
+        else:
+            # Separate try: a py4j walk failure in the broadcast-grain
+            # check must not drop the already-computed base audit row,
+            # and must still flag (and fail the exit code) instead of
+            # silently losing gate coverage for this query (ADVICE r9).
+            try:
+                row["broadcast_scaling"] = scaling_broadcast_tables(df)
+            except Exception as exc:  # pragma: no cover
+                row["broadcast_scaling"] = [
+                    f"audit-error: {str(exc)[:120]}"
+                ]
         report[name] = row
         for k in totals:
             totals[k] += len(row[k]) if k == "broadcast_scaling" and isinstance(
@@ -105,8 +115,10 @@ def main() -> int:
             else ""
         )
         print(f"{name}: {row}{flag}")
+    n_errors = sum(1 for r in report.values() if "error" in r)
     summary = {
         "n_queries": len(names),
+        "n_errors": n_errors,
         "total_cartesian": totals["cartesian"],
         "total_python_row_udf": totals["python_row"],
         "total_bnlj": totals["bnlj"],
@@ -122,6 +134,7 @@ def main() -> int:
         if totals["cartesian"] == 0
         and totals["python_row"] == 0
         and totals["broadcast_scaling"] == 0
+        and n_errors == 0
         else 1
     )
 
