@@ -1066,7 +1066,10 @@ def image_conv_energy(
     bound each gradient by 4·255). The stencil runs as shifted numpy
     slices (vectorized, no Python pixel loop) inside one Arrow
     mapInPandas pass; this is the plumbing real filter banks /
-    downsampling pyramids ride on."""
+    downsampling pyramids ride on. Payloads go through the same
+    format dispatch as ``image_channel_stats`` (PPM/PNG/GIF/baseline
+    JPEG real decode, everything else raises), so decode→convolve
+    composes over any supported codec."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1074,7 +1077,7 @@ def image_conv_energy(
         for pdf in batches:
             out = {k: [] for k in IMAGE_CONV_SCHEMA.fieldNames()}
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                w, h, px = decode_ppm(bytes(payload))
+                w, h, px = decode_image_batch(bytes(payload))
                 v = px[:, :, channel].astype(np.int64)
                 gx = (
                     (v[:-2, 2:] + 2 * v[1:-1, 2:] + v[2:, 2:])

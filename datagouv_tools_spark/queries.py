@@ -16606,3 +16606,89 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         build, "media_id bigint, payload binary"
     )
     return image_channel_stats(media).orderBy("media_id")
+
+
+def _jpeg_sobel_oracle() -> str:
+    def px(dr: int, dc: int) -> str:
+        return (
+            f"((d.doc_id * 13 + ((r.r + {dr}) // 8) * 5"
+            f" + ((c.c + {dc}) // 8) * 9) % 256)"
+        )
+
+    gx = (
+        f"({px(-1, 1)} + 2 * {px(0, 1)} + {px(1, 1)}"
+        f" - {px(-1, -1)} - 2 * {px(0, -1)} - {px(1, -1)})"
+    )
+    gy = (
+        f"({px(1, -1)} + 2 * {px(1, 0)} + {px(1, 1)}"
+        f" - {px(-1, -1)} - 2 * {px(-1, 0)} - {px(-1, 1)})"
+    )
+    return f"""
+    WITH g AS (
+      SELECT d.doc_id, ABS({gx}) + ABS({gy}) AS grad
+      FROM documents d, range(1, 15) r(r), range(1, 15) c(c)
+      WHERE d.doc_id < 40
+    )
+    SELECT doc_id AS media_id,
+           CAST(16 AS INTEGER) AS width,
+           CAST(16 AS INTEGER) AS height,
+           CAST(SUM(grad) AS BIGINT) AS edge_energy,
+           CAST(MAX(grad) AS BIGINT) AS max_grad
+    FROM g GROUP BY doc_id ORDER BY media_id"""
+
+
+@query("multimodal_jpeg_sobel", _jpeg_sobel_oracle())
+def multimodal_jpeg_sobel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode→ANALYZE composition over a LOSSY codec: the same
+    four-constant-8x8-block JFIF fixtures as multimodal_decode_jpeg
+    (float DCT, quant=1, canonical Huffman — decoded back bit-exactly
+    by operators/multimodal.decode_jpeg; exactness pinned over the
+    full rule domain by pytest), fed through the Sobel gradient pair
+    on the red channel (image_conv_energy, which routes payloads
+    through the same format dispatch as image_channel_stats). Where
+    multimodal_decode_jpeg pins the decode alone via order-free
+    channel sums, this pins the decode→convolve PIPELINE: the Sobel
+    stencil reads pixels at their positions, so a raster offset,
+    block-order slip, or sub-block mis-framing that channel sums
+    can't see shifts the gradients at the 8-pixel block seams and
+    fails the hash. The oracle inlines the generative block rule at
+    each stencil offset (integer // 8 block lookup) — it never sees
+    bytes.
+
+    Scale: build+decode+conv are one Arrow mapInPandas pass, map-local
+    per batch, O(pixels) integer ops after the decode; the per-image
+    reduction is the only (tiny) aggregate — the same shape a
+    filter-bank featurizer runs over a stored-payload corpus."""
+    import pandas as pd
+
+    from datagouv_tools_spark.operators.multimodal import (
+        encode_jpeg,
+        image_conv_energy,
+    )
+
+    def build(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                px = np.zeros((16, 16, 3), np.uint8)
+                for by in range(2):
+                    for bx in range(2):
+                        v = (int(did) * 13 + by * 5 + bx * 9) % 256
+                        px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, 0] = v
+                        px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, 1] = (
+                            v + 29
+                        ) % 256
+                        px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, 2] = (
+                            v + 58
+                        ) % 256
+                ids.append(did)
+                payloads.append(encode_jpeg(px))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    media = docs.select("doc_id").mapInPandas(
+        build, "media_id bigint, payload binary"
+    )
+    return image_conv_energy(media, channel=0).orderBy("media_id")

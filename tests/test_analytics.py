@@ -2275,3 +2275,56 @@ def test_channel_stats_mixed_codecs_one_batch(spark):
         assert [got[i][f"sum_{ch}"] for ch in "rgb"] == list(
             flat.sum(axis=0)
         ), i
+
+
+def test_image_conv_energy_mixed_codec_dispatch(spark):
+    """image_conv_energy routes payloads through the same format
+    dispatch as image_channel_stats (r10: it was hardwired to PPM), so
+    decode→convolve composes over any supported codec — pinned with a
+    MIXED batch: one PPM and one block-constant JPEG in the same pass,
+    each checked against a direct numpy Sobel of the source pixels."""
+    import numpy as np
+    import pandas as pd
+
+    from datagouv_tools_spark.operators.multimodal import (
+        encode_jpeg,
+        encode_ppm,
+        image_conv_energy,
+    )
+
+    def sobel(v):
+        v = v.astype(np.int64)
+        gx = (v[:-2, 2:] + 2 * v[1:-1, 2:] + v[2:, 2:]) - (
+            v[:-2, :-2] + 2 * v[1:-1, :-2] + v[2:, :-2]
+        )
+        gy = (v[2:, :-2] + 2 * v[2:, 1:-1] + v[2:, 2:]) - (
+            v[:-2, :-2] + 2 * v[:-2, 1:-1] + v[:-2, 2:]
+        )
+        g = np.abs(gx) + np.abs(gy)
+        return int(g.sum()), int(g.max())
+
+    rng = np.arange(12 * 16 * 3, dtype=np.uint8).reshape(12, 16, 3)
+    ppm_px = (rng * 7 + 3) % 256
+    jpeg_px = np.zeros((16, 16, 3), np.uint8)
+    for by in range(2):
+        for bx in range(2):
+            v = (by * 5 + bx * 9 + 100) % 256
+            jpeg_px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, :] = v
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [1, 2],
+                "payload": [encode_ppm(ppm_px), encode_jpeg(jpeg_px)],
+            }
+        )
+    )
+    got = {
+        r["media_id"]: r
+        for r in image_conv_energy(df, channel=0).collect()
+    }
+    e1, m1 = sobel(ppm_px[:, :, 0])
+    e2, m2 = sobel(jpeg_px[:, :, 0])
+    assert (got[1]["width"], got[1]["height"]) == (16, 12)
+    assert (got[1]["edge_energy"], got[1]["max_grad"]) == (e1, m1)
+    assert (got[2]["width"], got[2]["height"]) == (16, 16)
+    assert (got[2]["edge_energy"], got[2]["max_grad"]) == (e2, m2)
