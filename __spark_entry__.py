@@ -2,7 +2,7 @@
 
 ``entry(spark)`` smoke-runs the flagship query at sf0.001;
 ``queries()`` / ``oracle_sql()`` expose the engine's declared query
-surface (datagouv_tools_spark/queries.py) for the duckdb correctness
+surface (datagouv_tools_spark/queries/) for the duckdb correctness
 gate at sf0.01.
 """
 

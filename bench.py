@@ -26,6 +26,12 @@ Methodology (hardened in round 3 per VERDICT r02 "What's wrong" #1):
   fixed per-batch overhead regardless of data volume) run LAST and are
   totalled separately in ``streaming_total`` so suite-total comparisons
   across rounds track the batch engine, not micro-batch scheduling.
+- Cross-ROUND regression questions use ``bench.py --against <git-ref>``
+  (round 10, per VERDICT r09 ask #2): both commits' query registries
+  run interleaved inside one session so ambient load drift cancels —
+  see ``ab_main``. Env knobs: SPARK_GRAFT_AB_PASSES (default 3),
+  SPARK_GRAFT_AB_QUERIES (comma list to subset), SPARK_GRAFT_BENCH_AB
+  (sidecar path, default BENCH_AB.json).
 """
 
 from __future__ import annotations
@@ -44,6 +50,157 @@ EXTRA_REPEATS = 2
 
 def _is_streaming(name: str) -> bool:
     return "stream" in name
+
+
+def ab_main(ref: str) -> int:
+    """Interleaved two-commit A/B: ``bench.py --against <git-ref>``.
+
+    Cross-session absolute timings on this box swing ±2x with ambient
+    load (SCALE.md §20), so comparing one round's bench_full.json to
+    the previous round's answers "did we regress?" with noise. This
+    mode answers it properly: BOTH arms run inside ONE process and one
+    SparkSession, in alternating arm order across passes (ABBA), so
+    slow load drift cancels; per query the reported number is each
+    arm's MIN over passes (least contamination), and the verdict is
+    the per-query ratio.
+
+    Mechanics: ``git worktree add --detach`` materializes the ref's
+    tree; each arm switch purges ``datagouv_tools_spark*`` from
+    sys.modules and re-imports the arm's registry with its tree first
+    on sys.path, so each arm times ITS OWN operators end-to-end. The
+    (single) SparkSession is created by HEAD's get_spark — session
+    confs are shared, so a conf-only change won't show up here; this
+    compares query/operator code. Output: one JSON line + BENCH_AB.json
+    sidecar (never touches bench_full.json).
+    """
+    import subprocess
+    import sys
+    import tempfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ref_sha = subprocess.run(
+        ["git", "rev-parse", ref], cwd=repo, capture_output=True, text=True,
+        check=True,
+    ).stdout.strip()
+    head_sha = subprocess.run(
+        ["git", "rev-parse", "HEAD"], cwd=repo, capture_output=True,
+        text=True, check=True,
+    ).stdout.strip()
+    wt = tempfile.mkdtemp(prefix="bench_ab_")
+    subprocess.run(
+        ["git", "worktree", "add", "--detach", "--force", wt, ref],
+        cwd=repo, check=True, capture_output=True,
+    )
+    try:
+        sys.path.insert(0, repo)
+        from datagouv_tools_spark.session import get_spark
+
+        spark = get_spark("bench_ab")
+        spark.sparkContext.setLogLevel("ERROR")
+        arms = {"head": repo, "ref": wt}
+
+        def load_queries(path: str) -> dict:
+            for m in [
+                m for m in sys.modules if m.startswith("datagouv_tools_spark")
+            ]:
+                del sys.modules[m]
+            sys.path.insert(0, path)
+            try:
+                from datagouv_tools_spark.queries import QUERIES
+
+                return dict(QUERIES)
+            finally:
+                sys.path.remove(path)
+
+        regs = {arm: load_queries(path) for arm, path in arms.items()}
+        common = [n for n in regs["head"] if n in regs["ref"]]
+        subset = os.environ.get("SPARK_GRAFT_AB_QUERIES")
+        if subset:
+            want = {s.strip() for s in subset.split(",") if s.strip()}
+            common = [n for n in common if n in want]
+        only_head = sorted(set(regs["head"]) - set(regs["ref"]))
+        only_ref = sorted(set(regs["ref"]) - set(regs["head"]))
+
+        passes = int(os.environ.get("SPARK_GRAFT_AB_PASSES", "3"))
+        times: dict[str, dict[str, list[float]]] = {
+            arm: {n: [] for n in common} for arm in arms
+        }
+        # pass -1 per arm = warmup (codegen, file listing, streaming
+        # engine class load) — untimed
+        for p in range(-1, passes):
+            seq = ["head", "ref"] if p % 2 == 0 else ["ref", "head"]
+            for arm in seq:
+                qs = load_queries(arms[arm])
+                for name in common:
+                    start = time.perf_counter()
+                    qs[name](spark, sf_dir).collect()
+                    dt = time.perf_counter() - start
+                    if p >= 0:
+                        times[arm][name].append(dt)
+        rows = {}
+        for name in common:
+            h = round(min(times["head"][name]), 4)
+            r = round(min(times["ref"][name]), 4)
+            rows[name] = {
+                "head_min": h,
+                "ref_min": r,
+                "ratio": round(h / r, 3) if r > 0 else None,
+                "streaming": _is_streaming(name),
+            }
+        regressions = sorted(
+            (
+                n
+                for n, v in rows.items()
+                if v["ratio"] and v["ratio"] > 1.3 and v["head_min"] - v["ref_min"] > 0.15
+            ),
+            key=lambda n: -rows[n]["ratio"],
+        )
+        improvements = sorted(
+            (
+                n
+                for n, v in rows.items()
+                if v["ratio"] and v["ratio"] < 1 / 1.3
+                and v["ref_min"] - v["head_min"] > 0.15
+            ),
+            key=lambda n: rows[n]["ratio"],
+        )
+        payload = {
+            "metric": "ab_compare",
+            "unit": "sec",
+            "sf": float(
+                os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+                or "0.1"
+            ),
+            "head": head_sha,
+            "ref": ref_sha,
+            "passes": passes,
+            "head_total_min": round(
+                sum(v["head_min"] for v in rows.values()), 4
+            ),
+            "ref_total_min": round(
+                sum(v["ref_min"] for v in rows.values()), 4
+            ),
+            "regressions": regressions,
+            "improvements": improvements,
+            "only_head": only_head,
+            "only_ref": only_ref,
+            "load_context": {
+                "loadavg": [round(x, 2) for x in os.getloadavg()],
+                "cpus": os.cpu_count(),
+            },
+        }
+        print(json.dumps(payload))
+        out = os.environ.get("SPARK_GRAFT_BENCH_AB", "BENCH_AB.json")
+        with open(out, "w") as fh:
+            json.dump({**payload, "queries": rows}, fh, indent=1, sort_keys=True)
+        spark.stop()
+        return 0
+    finally:
+        subprocess.run(
+            ["git", "worktree", "remove", "--force", wt],
+            cwd=repo, capture_output=True,
+        )
 
 
 def main() -> None:
@@ -150,4 +307,10 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    import sys as _sys
+
+    if "--against" in _sys.argv:
+        raise SystemExit(
+            ab_main(_sys.argv[_sys.argv.index("--against") + 1])
+        )
     main()

@@ -63,6 +63,7 @@ def main(argv: list[str]) -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     flagged = []
+    report: dict[str, dict] = {}
     for name in names:
         fn = q.QUERIES[name]
         row: dict = {"query": name}
@@ -75,7 +76,12 @@ def main(argv: list[str]) -> int:
                 fn(spark, d).collect()
                 ts.append(time.time() - t0)
             row[sf] = round(sorted(ts)[1], 3)
-        ratio = row["sf0.1"] / max(row["sf0.001"], 1e-9)
+            # min is the least contention-polluted sample on this box
+            # (±2x ambient swings, SCALE.md §20) — the RATIO verdict
+            # keys off minima so a loaded moment at one sf doesn't
+            # fake a superlinear curve.
+            row[sf + "_min"] = round(min(ts), 3)
+        ratio = row["sf0.1_min"] / max(row["sf0.001_min"], 1e-9)
         row["x100_ratio"] = round(ratio, 2)
         # 100x data growing >50x wall = the data term is ~linear and
         # already dominant; >150x = super-linear, investigate the plan
@@ -85,12 +91,27 @@ def main(argv: list[str]) -> int:
         )
         if row["verdict"] == "SUPERLINEAR":
             flagged.append(name)
+        report[name] = row
         print(json.dumps(row))
-    print(
-        json.dumps(
-            {"summary": {"n": len(names), "superlinear": flagged}}
-        )
-    )
+    summary = {
+        "n": len(names),
+        "superlinear": flagged,
+        "verdicts": {
+            v: sum(1 for r in report.values() if r["verdict"] == v)
+            for v in ("flat", "sublinear", "linear", "SUPERLINEAR")
+        },
+        "load_context": {
+            "loadavg": [round(x, 2) for x in os.getloadavg()],
+            "cpus": os.cpu_count(),
+        },
+    }
+    print(json.dumps({"summary": summary}))
+    out = os.environ.get("SPARK_GRAFT_SCALECURVES")
+    if out is None and "--all" in argv:
+        out = "SCALECURVES.json"
+    if out:
+        with open(out, "w") as fh:
+            json.dump({"summary": summary, "queries": report}, fh, indent=1)
     return 1 if flagged else 0
 
 
