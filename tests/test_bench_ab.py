@@ -1,0 +1,48 @@
+"""Integration test for ``bench.py --against`` (the r10 interleaved
+two-commit A/B harness): run it against HEAD itself on one tiny query
+at sf0.001 in a subprocess (ab_main stops the session it creates, so
+in-process would kill the shared fixture session). Self-vs-self pins
+the worktree + module-purge + reload machinery and the report shape
+without asserting anything about timings beyond sanity.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_ab_self_compare_shape(tmp_path):
+    out = tmp_path / "ab.json"
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_AB_PASSES="1",
+        SPARK_GRAFT_AB_QUERIES="q6_forecast_revenue",
+        SPARK_GRAFT_BENCH_AB=str(out),
+    )
+    res = subprocess.run(
+        [sys.executable, "bench.py", "--against", "HEAD"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=420,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    rec = json.loads(out.read_text())
+    assert rec["metric"] == "ab_compare"
+    assert rec["head"] == rec["ref"]  # self-compare resolves same sha
+    # both arms imported, ran, and timed the one requested query
+    assert set(rec["queries"]) == {"q6_forecast_revenue"}
+    row = rec["queries"]["q6_forecast_revenue"]
+    assert row["head_min"] > 0 and row["ref_min"] > 0
+    assert row["streaming"] is False
+    # self-vs-self can't report structural diffs... except queries not
+    # yet committed to HEAD, which legitimately appear in only_head —
+    # never in only_ref (the worktree can't have MORE than the tree).
+    assert rec["only_ref"] == []
+    # the stdout contract: exactly one JSON line on the last line
+    last = res.stdout.strip().splitlines()[-1]
+    assert json.loads(last)["metric"] == "ab_compare"
