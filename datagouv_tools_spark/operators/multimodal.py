@@ -816,9 +816,9 @@ def decode_gif(payload: bytes):
             )
         if int(idx.max(initial=0)) >= ct.shape[0]:
             raise ValueError("GIF pixel index outside color table")
-        # honest boundary: a second image descriptor means an animated
-        # GIF — raise like the interlace gate rather than silently
-        # passing off frame 1 as the whole image
+        # single-image API contract: a second image descriptor means an
+        # animated GIF — raise rather than silently passing off frame 1
+        # as the whole image; decode_gif_frames is the animated path
         while pos < n:
             block = payload[pos]
             pos += 1
@@ -830,11 +830,270 @@ def decode_gif(payload: bytes):
                 continue
             if block == 0x2C:
                 raise NotImplementedError(
-                    "multi-frame (animated) GIF unsupported"
+                    "multi-frame (animated) GIF: use decode_gif_frames"
                 )
             raise ValueError(f"unknown GIF block 0x{block:02x}")
         return w, h, ct[idx].reshape(h, w, 3)
     raise ValueError("truncated GIF (no trailer)")
+
+
+def decode_gif_frames(payload: bytes):
+    """REAL ANIMATED-GIF decode (r10 — closes the multi-frame honest
+    boundary): every image descriptor is LZW-decoded and COMPOSED onto
+    the logical-screen canvas with sub-rectangle placement, per-frame
+    transparency holes (GCE transparent index leaves the underlying
+    canvas visible), and disposal methods 0/1 (keep) and 2 (restore
+    the frame's rect to the background color). Returns
+    ``(width, height, frames)`` with frames an (n, h, w, 3) uint8
+    array — frame i is the canvas AFTER drawing descriptor i, i.e.
+    what a viewer shows. Disposal 3 (restore-to-previous) and
+    interlacing raise; a cumulative canvas×frames bomb guard bounds
+    memory like the single-frame MAX_DECODE_PIXELS gate. A
+    single-frame GIF returns n=1 with pixels identical to
+    :func:`decode_gif` when the frame covers the canvas."""
+    import numpy as np
+
+    if payload[:6] not in _GIF_SIGS:
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    cw = int.from_bytes(payload[6:8], "little")
+    ch = int.from_bytes(payload[8:10], "little")
+    _check_decode_dims(cw, ch, "GIF canvas")
+    packed = payload[10]
+    bg_index = payload[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        size = 2 << (packed & 0x07)
+        if len(payload) - pos < 3 * size:
+            raise ValueError("truncated GIF color table")
+        gct = np.frombuffer(
+            payload[pos : pos + 3 * size], dtype=np.uint8
+        ).reshape(size, 3)
+        pos += 3 * size
+    canvas = np.zeros((ch, cw, 3), dtype=np.uint8)
+    if gct is not None and bg_index < gct.shape[0]:
+        canvas[:, :] = gct[bg_index]
+    frames: list = []
+    disposal = 0
+    transparent: int | None = None
+    n = len(payload)
+    saw_trailer = False
+    while pos < n:
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:
+            saw_trailer = True
+            break
+        if block == 0x21:  # extension
+            if pos >= n:
+                raise ValueError("truncated GIF extension")
+            label = payload[pos]
+            pos += 1
+            data, pos = _gif_subblocks(payload, pos)
+            if label == 0xF9 and len(data) >= 4:
+                flags = data[0]
+                disposal = (flags >> 2) & 0x07
+                transparent = data[3] if flags & 0x01 else None
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        if pos + 9 > n:
+            raise ValueError("truncated GIF image descriptor")
+        fx = int.from_bytes(payload[pos : pos + 2], "little")
+        fy = int.from_bytes(payload[pos + 2 : pos + 4], "little")
+        fw = int.from_bytes(payload[pos + 4 : pos + 6], "little")
+        fh = int.from_bytes(payload[pos + 6 : pos + 8], "little")
+        _check_decode_dims(fw, fh, "GIF frame")
+        if fx + fw > cw or fy + fh > ch:
+            raise ValueError("GIF frame rectangle outside the canvas")
+        ipacked = payload[pos + 8]
+        pos += 9
+        if ipacked & 0x40:
+            raise ValueError(
+                "unsupported GIF variant (interlaced image data)"
+            )
+        if disposal == 3:
+            raise NotImplementedError(
+                "GIF disposal method 3 (restore to previous) unsupported"
+            )
+        if (len(frames) + 1) * cw * ch > MAX_DECODE_PIXELS:
+            raise ValueError(
+                "animated GIF frames exceed the MAX_DECODE_PIXELS "
+                "bomb guard"
+            )
+        ct = gct
+        if ipacked & 0x80:
+            size = 2 << (ipacked & 0x07)
+            if len(payload) - pos < 3 * size:
+                raise ValueError("truncated GIF local color table")
+            ct = np.frombuffer(
+                payload[pos : pos + 3 * size], dtype=np.uint8
+            ).reshape(size, 3)
+            pos += 3 * size
+        if ct is None:
+            raise ValueError("GIF image has no color table")
+        if pos >= n:
+            raise ValueError("truncated GIF (missing LZW code size)")
+        min_code_size = payload[pos]
+        pos += 1
+        if not 2 <= min_code_size <= 11:
+            raise ValueError(f"bad GIF LZW code size {min_code_size}")
+        data, pos = _gif_subblocks(payload, pos)
+        idx = np.frombuffer(
+            _lzw_decode(data, min_code_size, max_len=fw * fh),
+            dtype=np.uint8,
+        )
+        if idx.size != fw * fh:
+            raise ValueError(
+                f"GIF pixel count mismatch: got {idx.size}, want {fw * fh}"
+            )
+        if int(idx.max(initial=0)) >= ct.shape[0]:
+            raise ValueError("GIF pixel index outside color table")
+        idx = idx.reshape(fh, fw)
+        region = canvas[fy : fy + fh, fx : fx + fw]
+        if transparent is not None:
+            mask = idx != transparent
+            region[mask] = ct[idx[mask]]
+        else:
+            region[:] = ct[idx]
+        frames.append(canvas.copy())
+        if disposal == 2:
+            if gct is not None and bg_index < gct.shape[0]:
+                canvas[fy : fy + fh, fx : fx + fw] = gct[bg_index]
+            else:
+                canvas[fy : fy + fh, fx : fx + fw] = 0
+        disposal = 0
+        transparent = None  # a GCE governs exactly one image
+    if not saw_trailer:
+        raise ValueError("truncated GIF (no trailer)")
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return cw, ch, np.stack(frames)
+
+
+def encode_gif_frames(
+    frames,
+    rects=None,
+    disposals=None,
+    transparent_index: int | None = None,
+) -> bytes:
+    """Fixture builder for ANIMATED GIF89a: a sequence of (h, w, 3)
+    uint8 arrays becomes one stream with a single global color table
+    (≤256 distinct colors ACROSS frames), a Graphic Control Extension
+    per frame, and real LZW image data. ``rects[i] = (x, y)`` places
+    frame i as a sub-rectangle patch on the canvas (the canvas is
+    frame 0's size); default full-canvas frames. ``disposals[i]`` sets
+    each GCE's disposal method (default 1 = do not dispose);
+    ``transparent_index`` flags that palette index transparent in
+    every GCE (the encoder does not remap pixels — fixtures choose
+    their palette deliberately)."""
+    import numpy as np
+
+    arrs = [np.ascontiguousarray(f, dtype=np.uint8) for f in frames]
+    if not arrs:
+        raise ValueError("need at least one frame")
+    if any(a.ndim != 3 or a.shape[2] != 3 for a in arrs):
+        raise ValueError("expected (h, w, 3) RGB frames")
+    ch, cw = arrs[0].shape[:2]
+    rects = rects or [(0, 0)] * len(arrs)
+    disposals = disposals or [1] * len(arrs)
+    if len(rects) != len(arrs) or len(disposals) != len(arrs):
+        raise ValueError("rects/disposals must match frame count")
+    colors = np.unique(
+        np.concatenate([a.reshape(-1, 3) for a in arrs]), axis=0
+    )
+    if colors.shape[0] > 256:
+        raise ValueError("GIF fixtures need ≤256 distinct colors")
+    k = 0
+    while (2 << k) < colors.shape[0]:
+        k += 1
+    size = 2 << k
+    palette = np.zeros((size, 3), dtype=np.uint8)
+    palette[: colors.shape[0]] = colors
+    lookup = {tuple(c): i for i, c in enumerate(colors.tolist())}
+    min_code_size = max(2, k + 1)
+    out = bytearray(b"GIF89a")
+    out += cw.to_bytes(2, "little") + ch.to_bytes(2, "little")
+    out.append(0x80 | ((min_code_size - 1) << 4) | k)
+    out += b"\x00\x00"  # bg index 0, aspect
+    out += palette.tobytes()
+    for a, (fx, fy), disposal in zip(arrs, rects, disposals):
+        fh, fw = a.shape[:2]
+        if fx + fw > cw or fy + fh > ch:
+            raise ValueError("frame rect outside the canvas")
+        flags = ((disposal & 0x07) << 2) | (
+            0x01 if transparent_index is not None else 0x00
+        )
+        out += bytes(
+            [0x21, 0xF9, 0x04, flags, 0x00, 0x00,
+             transparent_index or 0x00, 0x00]
+        )
+        out.append(0x2C)
+        out += fx.to_bytes(2, "little") + fy.to_bytes(2, "little")
+        out += fw.to_bytes(2, "little") + fh.to_bytes(2, "little")
+        out.append(0x00)  # no LCT, not interlaced
+        out.append(min_code_size)
+        idx = bytes(
+            lookup[tuple(px)] for px in a.reshape(-1, 3).tolist()
+        )
+        data = _lzw_encode(idx, min_code_size)
+        for i in range(0, len(data), 255):
+            blockb = data[i : i + 255]
+            out.append(len(blockb))
+            out += blockb
+        out.append(0x00)
+    out.append(0x3B)
+    return bytes(out)
+
+
+GIF_FRAME_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+    ]
+)
+
+
+def gif_frame_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """Per-FRAME channel sums from animated-GIF payloads: one input
+    row fans out to n_frames output rows, with the 1→N explode INSIDE
+    one Arrow ``mapInPandas`` pass (same pattern as
+    ``sample_video_frames``) so a long animation never materializes
+    outside its batch. Each frame is the genuinely COMPOSED canvas
+    (:func:`decode_gif_frames` — sub-rect placement, transparency,
+    disposal), and the sums are exact int64 over uint8 samples, so
+    the stats cross engines bit-for-bit."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in GIF_FRAME_STATS_SCHEMA.fieldNames()}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, frames = decode_gif_frames(bytes(payload))
+                for fno, fr in enumerate(frames):
+                    s = fr.reshape(-1, 3).astype(np.int64)
+                    sums = s.sum(axis=0)
+                    out["media_id"].append(mid)
+                    out["frame_no"].append(fno)
+                    out["width"].append(int(w))
+                    out["height"].append(int(h))
+                    for key, v in zip(("sum_r", "sum_g", "sum_b"), sums):
+                        out[key].append(int(v))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, GIF_FRAME_STATS_SCHEMA
+    )
 
 
 def encode_gif(pixels) -> bytes:

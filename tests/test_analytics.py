@@ -2328,3 +2328,117 @@ def test_image_conv_energy_mixed_codec_dispatch(spark):
     assert (got[1]["edge_energy"], got[1]["max_grad"]) == (e1, m1)
     assert (got[2]["width"], got[2]["height"]) == (16, 16)
     assert (got[2]["edge_energy"], got[2]["max_grad"]) == (e2, m2)
+
+
+class TestGifAnimated:
+    """Animated-GIF decode (r10): canvas composition semantics the
+    multimodal_gif_frames oracle can't see — sub-rect placement,
+    transparency holes, disposal-2 restore — plus the honest
+    boundaries (disposal 3, frame-count bomb guard)."""
+
+    def _codec(self):
+        from datagouv_tools_spark.operators.multimodal import (
+            decode_gif_frames,
+            encode_gif_frames,
+        )
+
+        return decode_gif_frames, encode_gif_frames
+
+    def test_full_frame_round_trip_and_single_frame_parity(self):
+        import numpy as np
+
+        from datagouv_tools_spark.operators.multimodal import (
+            decode_gif,
+            encode_gif,
+        )
+
+        dec, enc = self._codec()
+        r = np.arange(10).reshape(10, 1)
+        c = np.arange(16).reshape(1, 16)
+        frames = []
+        for f in range(3):
+            b = (7 + f * 13 + r * 5 + c * 11) % 256
+            frames.append(
+                np.stack([b, (b + 23) % 256, (b + 46) % 256], axis=2)
+                .astype(np.uint8)
+            )
+        w, h, out = dec(enc(frames))
+        assert (w, h) == (16, 10) and out.shape == (3, 10, 16, 3)
+        for f in range(3):
+            assert (out[f] == frames[f]).all()
+        # a single-frame stream decodes identically through both APIs
+        sf = encode_gif(frames[0])
+        w1, h1, px = decode_gif(sf)
+        w2, h2, fr = dec(sf)
+        assert (w1, h1) == (w2, h2) and fr.shape[0] == 1
+        assert (fr[0] == px).all()
+
+    def test_subrect_transparency_and_disposal2(self):
+        import numpy as np
+
+        dec, enc = self._codec()
+        base = np.full((8, 8, 3), 10, np.uint8)
+        patch = np.full((3, 4, 3), 200, np.uint8)
+        # keep-disposal: frame 2 = base with the patch composited
+        _w, _h, out = dec(enc([base, patch], rects=[(0, 0), (2, 1)]))
+        exp = base.copy()
+        exp[1:4, 2:6] = 200
+        assert (out[0] == base).all() and (out[1] == exp).all()
+        # disposal 2 restores the FRAME's rect to the background color
+        # (palette index 0 = lexicographically smallest color = base's)
+        _w, _h, out = dec(
+            enc(
+                [base, patch, patch],
+                rects=[(0, 0), (2, 1), (4, 3)],
+                disposals=[1, 2, 1],
+            )
+        )
+        exp2 = base.copy()
+        exp2[3:6, 4:8] = 200  # only the THIRD frame's patch survives
+        assert (out[2] == exp2).all()
+        # transparency: pixels carrying the transparent index leave
+        # the underlying canvas visible
+        patch2 = np.full((3, 4, 3), 200, np.uint8)
+        patch2[0, 0] = 10  # palette index 0 in this two-color stream
+        _w, _h, out = dec(
+            enc([base, patch2], rects=[(0, 0), (2, 1)],
+                transparent_index=0)
+        )
+        exp3 = base.copy()
+        exp3[1:4, 2:6] = 200
+        exp3[1, 2] = 10  # the hole shows the base frame underneath
+        assert (out[1] == exp3).all()
+
+    def test_honest_boundaries(self):
+        import numpy as np
+        import pytest
+
+        dec, enc = self._codec()
+        base = np.full((8, 8, 3), 10, np.uint8)
+        patch = np.full((3, 4, 3), 200, np.uint8)
+        with pytest.raises(NotImplementedError, match="disposal"):
+            dec(
+                enc([base, patch], rects=[(0, 0), (2, 1)],
+                    disposals=[3, 1])
+            )
+        with pytest.raises(ValueError, match="outside the canvas"):
+            enc([base, patch], rects=[(0, 0), (6, 7)])
+        # cumulative canvas x frames bomb guard: shrink the guard so a
+        # 4-frame 8x8 stream trips it (building a genuinely over-limit
+        # fixture would itself be a memory bomb)
+        from datagouv_tools_spark.operators import multimodal as mm
+
+        blob = enc([base] * 4)
+        old = mm.MAX_DECODE_PIXELS
+        mm.MAX_DECODE_PIXELS = 3 * 8 * 8  # 4th frame exceeds
+        try:
+            with pytest.raises(ValueError, match="bomb guard"):
+                dec(blob)
+        finally:
+            mm.MAX_DECODE_PIXELS = old
+        # the single-frame API still refuses animations, loudly and
+        # with a pointer to the real path
+        from datagouv_tools_spark.operators.multimodal import decode_gif
+
+        with pytest.raises(NotImplementedError, match="decode_gif_frames"):
+            decode_gif(enc([base, patch], rects=[(0, 0), (2, 1)]))
