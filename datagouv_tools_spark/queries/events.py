@@ -1923,21 +1923,19 @@ def events_range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     cuts = ranked.join(
         F.broadcast(cut_ranks), ranked.rk == cut_ranks.cut_rank
     ).select("b_idx", F.col("value").alias("cut_value"))
-    assigned = (
-        ranked.crossJoin(F.broadcast(cuts))
-        .groupBy("value", "rk")
-        .agg(
-            F.coalesce(
-                F.sum(
-                    F.when(
-                        F.col("cut_value") < F.col("value"), 1
-                    ).otherwise(0)
-                ),
-                F.lit(0),
-            )
-            .cast("bigint")
-            .alias("part")
-        )
+    # Map-local boundary assignment (r11): fold the 7 cuts into a
+    # single broadcast array row and compute part = #cuts strictly
+    # below the value with F.aggregate — no row-grain re-shuffle; the
+    # only remaining row-grain exchange is the rank itself.
+    cuts_arr = cuts.agg(F.collect_list("cut_value").alias("cut_values"))
+    assigned = ranked.crossJoin(F.broadcast(cuts_arr)).select(
+        "value",
+        F.aggregate(
+            F.col("cut_values"),
+            F.lit(0).cast("bigint"),
+            lambda acc, c: acc
+            + F.when(c < F.col("value"), F.lit(1)).otherwise(F.lit(0)),
+        ).alias("part"),
     )
     parts = assigned.groupBy("part").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),

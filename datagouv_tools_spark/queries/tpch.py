@@ -605,7 +605,6 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = t(spark, sf_dir, "supplier")
     nation = t(spark, sf_dir, "nation")
     region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    from pyspark.sql.window import Window
 
     pv = (
         li.join(supp, li.l_suppkey == supp.s_suppkey)
@@ -614,18 +613,19 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(dec("l_extendedprice") * dec("l_quantity")).alias("val"))
     )
-    # Grand total/count as windows over the PER-PART aggregate, not a
-    # second pass over lineitem: a scalar subquery would recompute the
-    # whole CTE lineage (two full fact scans). The window's single-
-    # partition exchange moves only |parts| pre-aggregated rows. The
-    # threshold is scale-INVARIANT (share > 2x the average part), so the
-    # query stays selective at every SF.
-    w = Window.partitionBy(F.lit(1))
-    total = F.sum("val").over(w).cast("double")
-    cnt = F.count(F.lit(1)).over(w)
+    # Grand total/count as a 1-row aggregate over the PER-PART result
+    # broadcast-crossed back, not a window: |parts| scales with SF
+    # (~20M at sf100), so Window.partitionBy(lit(1)) would funnel the
+    # whole per-part domain through one task. Both branches share pv's
+    # shuffle, which Spark dedupes as a ReusedExchange — lineitem is
+    # still scanned once. The threshold is scale-INVARIANT (share > 2x
+    # the average part), so the query stays selective at every SF.
+    totals = pv.agg(
+        F.sum("val").cast("double").alias("total"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
     return (
-        pv.withColumn("total", total)
-        .withColumn("cnt", cnt)
+        pv.crossJoin(F.broadcast(totals))
         .filter(
             F.col("val").cast("double") * F.col("cnt")
             > F.lit(2.0) * F.col("total")
