@@ -67,7 +67,11 @@ def ab_main(ref: str) -> int:
     Mechanics: ``git worktree add --detach`` materializes the ref's
     tree; each arm switch purges ``datagouv_tools_spark*`` from
     sys.modules and re-imports the arm's registry with its tree first
-    on sys.path, so each arm times ITS OWN operators end-to-end. The
+    on sys.path, AND registers the arm's modules for cloudpickle
+    pickle-by-value so pandas-UDF closures ship the arm's own
+    worker-side bytecode (workers would otherwise re-import helper
+    modules from HEAD's tree) — each arm times ITS OWN operators
+    end-to-end, driver and worker side. The
     (single) SparkSession is created by HEAD's get_spark — session
     confs are shared, so a conf-only change won't show up here; this
     compares query/operator code. Output: one JSON line + BENCH_AB.json
@@ -100,7 +104,42 @@ def ab_main(ref: str) -> int:
         spark.sparkContext.setLogLevel("ERROR")
         arms = {"head": repo, "ref": wt}
 
+        # Worker-side arm isolation (ADVICE r10): pandas-UDF closures
+        # reference module-level helpers (operators/multimodal etc.)
+        # that cloudpickle serializes BY REFERENCE — Python workers
+        # then re-import them from their own path, which always
+        # resolves to HEAD's tree. Register each arm's loaded
+        # datagouv_tools_spark modules for pickle-BY-VALUE so the
+        # arm's actual function bytecode ships inside the UDF pickle
+        # and each arm really times its own worker-side code too.
+        from pyspark import cloudpickle as _cp
+
+        registered: list[object] = []
+
+        def _unregister_arm_modules() -> None:
+            for mod in registered:
+                try:
+                    _cp.unregister_pickle_by_value(mod)
+                except Exception:  # noqa: BLE001 - already swapped out
+                    pass
+            registered.clear()
+
+        def _register_arm_modules() -> None:
+            seen = {id(m) for m in registered}
+            for mname, mod in list(sys.modules.items()):
+                if (
+                    mname.startswith("datagouv_tools_spark")
+                    and mod is not None
+                    and id(mod) not in seen
+                ):
+                    try:
+                        _cp.register_pickle_by_value(mod)
+                        registered.append(mod)
+                    except Exception:  # noqa: BLE001 - non-module entries
+                        pass
+
         def load_queries(path: str) -> dict:
+            _unregister_arm_modules()
             for m in [
                 m for m in sys.modules if m.startswith("datagouv_tools_spark")
             ]:
@@ -109,6 +148,7 @@ def ab_main(ref: str) -> int:
             try:
                 from datagouv_tools_spark.queries import QUERIES
 
+                _register_arm_modules()
                 return dict(QUERIES)
             finally:
                 sys.path.remove(path)
@@ -134,7 +174,12 @@ def ab_main(ref: str) -> int:
                 qs = load_queries(arms[arm])
                 for name in common:
                     start = time.perf_counter()
-                    qs[name](spark, sf_dir).collect()
+                    df = qs[name](spark, sf_dir)
+                    # Query functions lazy-import operator modules at
+                    # build time; sweep again so those are by-value
+                    # too before the UDF pickle happens at collect.
+                    _register_arm_modules()
+                    df.collect()
                     dt = time.perf_counter() - start
                     if p >= 0:
                         times[arm][name].append(dt)
@@ -165,13 +210,19 @@ def ab_main(ref: str) -> int:
             ),
             key=lambda n: rows[n]["ratio"],
         )
+        try:
+            ab_sf = float(
+                os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+                or "0.1"
+            )
+        except ValueError:
+            # A non-sfX dir name must not discard the completed timing
+            # passes at JSON-build time (ADVICE r10).
+            ab_sf = None
         payload = {
             "metric": "ab_compare",
             "unit": "sec",
-            "sf": float(
-                os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
-                or "0.1"
-            ),
+            "sf": ab_sf,
             "head": head_sha,
             "ref": ref_sha,
             "passes": passes,

@@ -35,8 +35,26 @@ from . import tpch, core, events, docs, embeddings, multimodal, streaming  # noq
 # surface: hoist each thematic module's public-and-single-underscore
 # names, which are unique by construction (they lived in one flat
 # module).
+_hoist_origin: dict[str, str] = {}
 for _m in (_common, tpch, core, events, docs, embeddings, multimodal, streaming):
     for _k, _v in vars(_m).items():
-        if not _k.startswith("__") and _k not in globals():
+        if _k.startswith("__"):
+            continue
+        # Cross-module imports (F, SparkSession, the helpers every
+        # thematic module pulls from _common) legitimately recur and
+        # refer to the SAME object; a same-name DIFFERENT object means
+        # two modules defined conflicting public symbols — that would
+        # silently shadow at the package level (ADVICE r10), so fail
+        # loudly instead.
+        if _k in _hoist_origin:
+            if globals()[_k] is not _v:
+                raise ImportError(
+                    f"queries package hoist collision: {_k!r} defined "
+                    f"with different values in {_hoist_origin[_k]} and "
+                    f"{_m.__name__}"
+                )
+            continue
+        if _k not in globals():
             globals()[_k] = _v
+            _hoist_origin[_k] = _m.__name__
 del _m, _k, _v

@@ -192,22 +192,37 @@ def _has_stream_stream_join(df: DataFrame) -> bool:
     plan substring count)."""
     try:
         root = df._jdf.queryExecution().analyzed()
-    except Exception:  # pragma: no cover - py4j walk robustness
+        stack = [root]
+        while stack:
+            n = stack.pop()
+            ch = n.children()
+            kids = [ch.apply(i) for i in range(ch.length())]
+            if (
+                n.nodeName() == "Join"
+                and len(kids) == 2
+                and kids[0].isStreaming()
+                and kids[1].isStreaming()
+            ):
+                return True
+            stack.extend(kids)
         return False
-    stack = [root]
-    while stack:
-        n = stack.pop()
-        ch = n.children()
-        kids = [ch.apply(i) for i in range(ch.length())]
-        if (
-            n.nodeName() == "Join"
-            and len(kids) == 2
-            and kids[0].isStreaming()
-            and kids[1].isStreaming()
-        ):
-            return True
-        stack.extend(kids)
-    return False
+    except Exception:  # pragma: no cover - py4j walk robustness
+        # Fall back to the pre-r10 rendered-plan heuristic instead of
+        # silently disabling the ÷4 stream-stream state sizing (ADVICE
+        # r10): py4j API drift here is a perf signal, not a crash.
+        import warnings
+
+        warnings.warn(
+            "py4j logical-plan walk failed in _has_stream_stream_join; "
+            "falling back to rendered-plan StreamingRelation count",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        try:
+            rendered = df._jdf.queryExecution().analyzed().toString()
+            return rendered.count("StreamingRelation") >= 2
+        except Exception:
+            return False
 
 
 def auto_state_partitions(df: DataFrame) -> int:
