@@ -741,13 +741,42 @@ def _gif_subblocks(stream: bytes, pos: int) -> tuple[bytes, int]:
         pos += size
 
 
+def _gif_interlace_order(h: int):
+    """GIF89a 4-pass interlace row order: the decoded row stream maps
+    to canvas rows 0,8,16,… then 4,12,… then 2,6,… then 1,3,5,…
+    (spec appendix E). ``out[order] = rows_as_stored`` deinterlaces;
+    ``rows[order]`` interlaces (the encoder side)."""
+    import numpy as np
+
+    return np.concatenate(
+        [
+            np.arange(0, h, 8),
+            np.arange(4, h, 8),
+            np.arange(2, h, 4),
+            np.arange(1, h, 2),
+        ]
+    )
+
+
+def _gif_deinterlace(idx2d):
+    """Reorder an (h, w) index array from interlaced storage order to
+    raster order (pure numpy row permutation, r11 — closes the
+    interlaced-GIF honest boundary; disposal-3 remains the only GIF89a
+    raise)."""
+    import numpy as np
+
+    out = np.empty_like(idx2d)
+    out[_gif_interlace_order(idx2d.shape[0])] = idx2d
+    return out
+
+
 def decode_gif(payload: bytes):
-    """REAL compressed-image decode for single-frame, non-interlaced
-    GIF87a/89a — pure-Python LZW (:func:`_lzw_decode`), global or local
-    color table, extensions skipped. Returns (width, height, pixels)
-    like :func:`decode_png` (pixels (h, w, 3) uint8 via the palette).
-    Interlaced images and missing color tables raise (honest boundary,
-    same contract as the PNG decoder's colortype gate)."""
+    """REAL compressed-image decode for single-frame GIF87a/89a —
+    pure-Python LZW (:func:`_lzw_decode`), global or local color
+    table, 4-pass interlacing (r11), extensions skipped. Returns
+    (width, height, pixels) like :func:`decode_png` (pixels (h, w, 3)
+    uint8 via the palette). Missing color tables raise (honest
+    boundary, same contract as the PNG decoder's colortype gate)."""
     import numpy as np
 
     if payload[:6] not in _GIF_SIGS:
@@ -784,10 +813,7 @@ def decode_gif(payload: bytes):
         _check_decode_dims(w, h, "GIF")
         ipacked = payload[pos + 8]
         pos += 9
-        if ipacked & 0x40:
-            raise ValueError(
-                "unsupported GIF variant (interlaced image data)"
-            )
+        interlaced = bool(ipacked & 0x40)
         ct = gct
         if ipacked & 0x80:
             size = 2 << (ipacked & 0x07)
@@ -816,6 +842,9 @@ def decode_gif(payload: bytes):
             )
         if int(idx.max(initial=0)) >= ct.shape[0]:
             raise ValueError("GIF pixel index outside color table")
+        idx = idx.reshape(h, w)
+        if interlaced:
+            idx = _gif_deinterlace(idx)
         # single-image API contract: a second image descriptor means an
         # animated GIF — raise rather than silently passing off frame 1
         # as the whole image; decode_gif_frames is the animated path
@@ -833,7 +862,7 @@ def decode_gif(payload: bytes):
                     "multi-frame (animated) GIF: use decode_gif_frames"
                 )
             raise ValueError(f"unknown GIF block 0x{block:02x}")
-        return w, h, ct[idx].reshape(h, w, 3)
+        return w, h, ct[idx]
     raise ValueError("truncated GIF (no trailer)")
 
 
@@ -846,8 +875,9 @@ def decode_gif_frames(payload: bytes):
     the frame's rect to the background color). Returns
     ``(width, height, frames)`` with frames an (n, h, w, 3) uint8
     array — frame i is the canvas AFTER drawing descriptor i, i.e.
-    what a viewer shows. Disposal 3 (restore-to-previous) and
-    interlacing raise; a cumulative canvas×frames bomb guard bounds
+    what a viewer shows. Interlaced descriptors deinterlace via the
+    4-pass row permutation (r11); disposal 3 (restore-to-previous)
+    raises; a cumulative canvas×frames bomb guard bounds
     memory like the single-frame MAX_DECODE_PIXELS gate. A
     single-frame GIF returns n=1 with pixels identical to
     :func:`decode_gif` when the frame covers the canvas."""
@@ -910,10 +940,7 @@ def decode_gif_frames(payload: bytes):
             raise ValueError("GIF frame rectangle outside the canvas")
         ipacked = payload[pos + 8]
         pos += 9
-        if ipacked & 0x40:
-            raise ValueError(
-                "unsupported GIF variant (interlaced image data)"
-            )
+        interlaced = bool(ipacked & 0x40)
         if disposal == 3:
             raise NotImplementedError(
                 "GIF disposal method 3 (restore to previous) unsupported"
@@ -952,6 +979,8 @@ def decode_gif_frames(payload: bytes):
         if int(idx.max(initial=0)) >= ct.shape[0]:
             raise ValueError("GIF pixel index outside color table")
         idx = idx.reshape(fh, fw)
+        if interlaced:
+            idx = _gif_deinterlace(idx)
         region = canvas[fy : fy + fh, fx : fx + fw]
         if transparent is not None:
             mask = idx != transparent
@@ -978,6 +1007,7 @@ def encode_gif_frames(
     rects=None,
     disposals=None,
     transparent_index: int | None = None,
+    interlaced=None,
 ) -> bytes:
     """Fixture builder for ANIMATED GIF89a: a sequence of (h, w, 3)
     uint8 arrays becomes one stream with a single global color table
@@ -988,7 +1018,10 @@ def encode_gif_frames(
     each GCE's disposal method (default 1 = do not dispose);
     ``transparent_index`` flags that palette index transparent in
     every GCE (the encoder does not remap pixels — fixtures choose
-    their palette deliberately)."""
+    their palette deliberately). ``interlaced[i]`` (or a single bool)
+    stores frame i's rows in 4-pass interlace order with the
+    descriptor's interlace flag set (r11) — decoders must
+    deinterlace to recover the same pixels."""
     import numpy as np
 
     arrs = [np.ascontiguousarray(f, dtype=np.uint8) for f in frames]
@@ -999,8 +1032,16 @@ def encode_gif_frames(
     ch, cw = arrs[0].shape[:2]
     rects = rects or [(0, 0)] * len(arrs)
     disposals = disposals or [1] * len(arrs)
-    if len(rects) != len(arrs) or len(disposals) != len(arrs):
-        raise ValueError("rects/disposals must match frame count")
+    if isinstance(interlaced, bool) or interlaced is None:
+        interlaced = [bool(interlaced)] * len(arrs)
+    if (
+        len(rects) != len(arrs)
+        or len(disposals) != len(arrs)
+        or len(interlaced) != len(arrs)
+    ):
+        raise ValueError(
+            "rects/disposals/interlaced must match frame count"
+        )
     colors = np.unique(
         np.concatenate([a.reshape(-1, 3) for a in arrs]), axis=0
     )
@@ -1019,7 +1060,9 @@ def encode_gif_frames(
     out.append(0x80 | ((min_code_size - 1) << 4) | k)
     out += b"\x00\x00"  # bg index 0, aspect
     out += palette.tobytes()
-    for a, (fx, fy), disposal in zip(arrs, rects, disposals):
+    for a, (fx, fy), disposal, ilace in zip(
+        arrs, rects, disposals, interlaced
+    ):
         fh, fw = a.shape[:2]
         if fx + fw > cw or fy + fh > ch:
             raise ValueError("frame rect outside the canvas")
@@ -1033,10 +1076,11 @@ def encode_gif_frames(
         out.append(0x2C)
         out += fx.to_bytes(2, "little") + fy.to_bytes(2, "little")
         out += fw.to_bytes(2, "little") + fh.to_bytes(2, "little")
-        out.append(0x00)  # no LCT, not interlaced
+        out.append(0x40 if ilace else 0x00)  # no LCT; interlace flag
         out.append(min_code_size)
+        stored = a[_gif_interlace_order(fh)] if ilace else a
         idx = bytes(
-            lookup[tuple(px)] for px in a.reshape(-1, 3).tolist()
+            lookup[tuple(px)] for px in stored.reshape(-1, 3).tolist()
         )
         data = _lzw_encode(idx, min_code_size)
         for i in range(0, len(data), 255):

@@ -32,6 +32,9 @@ __all__ = [
     "has_broadcast_hash_join",
     "has_shuffle_join",
     "codegen_stage_count",
+    "scaling_broadcast_tables",
+    "single_partition_windows_scaling",
+    "unbounded_bnlj_sides",
 ]
 
 
@@ -137,6 +140,134 @@ def _jchildren(node):
     return [ch.apply(i) for i in range(ch.length())]
 
 
+# Nodes that bound a subtree's cardinality to a constant regardless of
+# SF. Logical and physical spellings both listed — the walker serves
+# the analyzed plan (broadcast hints, windows) and the sparkPlan
+# (BNLJ build sides).
+_BOUNDED_LEAVES = {
+    "LocalRelation",
+    "LocalTableScan",
+    "OneRowRelation",
+    "EmptyRelation",
+}
+_LIMIT_NODES = {
+    "GlobalLimit",
+    "LocalLimit",
+    "CollectLimit",
+    "TakeOrderedAndProject",
+}
+_AGG_NODES = {
+    "Aggregate",
+    "HashAggregate",
+    "SortAggregate",
+    "ObjectHashAggregate",
+}
+
+
+def _subtree_scaling_tables(node) -> list[str]:
+    """SF-scaling base tables reachable from ``node`` without passing a
+    cardinality-bounding operator. The bounding rules (shared by all
+    three audit gates): a Limit/TakeOrdered, a constant ``Range``, a
+    literal relation, an Aggregate whose grouping keys carry no
+    entity-key column (scalar totals, day/month/type domains), or a
+    conjunction-only Filter pinning an entity key or window-rank
+    column to literals (probe sets, top-k truth sets; OR/NOT never
+    bound — see scaling_broadcast_tables). Any leaf whose first output
+    column carries an SF-scaling prefix and is reached unbounded is
+    reported."""
+    found: list[str] = []
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        name = n.nodeName()
+        if name in _BOUNDED_LEAVES or name in _LIMIT_NODES:
+            continue
+        if name == "Range":
+            # spark.range(a, b) of literal bounds: constant wrt SF.
+            continue
+        if name in _AGG_NODES:
+            gs = n.groupingExpressions()
+            keys = " ".join(
+                gs.apply(i).toString() for i in range(gs.length())
+            )
+            if gs.length() == 0 or not _GROUP_KEY.search(keys):
+                continue  # scalar or bounded-domain aggregate
+        elif name == "Filter":
+            cond = n.condition().toString()
+            if " OR " not in cond and "NOT " not in cond and (
+                _BOUNDING_FILTER.search(cond)
+                or _RANK_FILTER.search(cond)
+            ):
+                continue  # entity key or window rank pinned
+        kids = _jchildren(n)
+        if not kids:
+            try:
+                first = n.output().apply(0).name()
+            except Exception:  # noqa: BLE001 - outputless leaf
+                continue
+            for prefix, table in _SCALING_PREFIX.items():
+                if first.startswith(prefix):
+                    found.append(table)
+                    break
+            continue
+        stack.extend(kids)
+    return sorted(set(found))
+
+
+def single_partition_windows_scaling(df: DataFrame) -> list[str]:
+    """SF-scaling base tables feeding a single-partition Window.
+
+    A Window whose partitionSpec is empty or all-foldable (the
+    ``Window.partitionBy(F.lit(1))`` grand-total idiom) physically
+    plans an ``Exchange SinglePartition``: its WHOLE input flows
+    through one task. Over a bounded post-aggregate domain (deciles,
+    months, distinct levels) that is fine; over a domain that scales
+    with SF it is the 100 TB cliff (VERDICT r10 #1 — q11's |parts|
+    grain). This walks each such Window's input subtree with the
+    shared bounding rules and returns the scaling tables it can reach
+    — must be [] for every query (gated by tools/planaudit.py as
+    ``spw_scaling``)."""
+    found: list[str] = []
+    root = df._jdf.queryExecution().analyzed()
+    stack = [root]
+    while stack:
+        n = stack.pop()
+        kids = _jchildren(n)
+        if n.nodeName() == "Window":
+            ps = n.partitionSpec()
+            exprs = [ps.apply(i) for i in range(ps.length())]
+            if all(e.foldable() for e in exprs):
+                for k in kids:
+                    found.extend(_subtree_scaling_tables(k))
+        stack.extend(kids)
+    return sorted(set(found))
+
+
+def unbounded_bnlj_sides(df: DataFrame) -> list[str]:
+    """SF-scaling base tables on the BROADCAST side of a
+    BroadcastNestedLoopJoin.
+
+    The repo's BNLJ occurrences are all broadcast 1-row scalars (the
+    ``crossJoin(F.broadcast(totals))`` pattern) or literal-bounded
+    probe sets; a regression that BNLJs a many-row SF-scaling side
+    would both OOM the driver at scale AND quadratically re-stream the
+    probe side. Walks the pre-AQE sparkPlan, resolves each BNLJ's
+    build side from ``buildSide()``, and classifies that subtree with
+    the shared bounding rules — must be [] for every query (gated by
+    tools/planaudit.py as ``bnlj_unbounded``; VERDICT r10 #2)."""
+    found: list[str] = []
+    root = df._jdf.queryExecution().sparkPlan()
+    stack = [root]
+    while stack:
+        n = stack.pop()
+        kids = _jchildren(n)
+        if n.nodeName() == "BroadcastNestedLoopJoin" and len(kids) == 2:
+            side = 1 if "Right" in n.buildSide().toString() else 0
+            found.extend(_subtree_scaling_tables(kids[side]))
+        stack.extend(kids)
+    return sorted(set(found))
+
+
 def scaling_broadcast_tables(df: DataFrame) -> list[str]:
     """Names of SF-scaling base tables pinned under a broadcast hint.
 
@@ -174,32 +305,6 @@ def scaling_broadcast_tables(df: DataFrame) -> list[str]:
                 hints.append(n)
         stack.extend(_jchildren(n))
     for hint in hints:
-        stack = _jchildren(hint)
-        while stack:
-            n = stack.pop()
-            name = n.nodeName()
-            if name in ("GlobalLimit", "LocalLimit", "LocalRelation"):
-                continue
-            if name == "Aggregate":
-                gs = n.groupingExpressions()
-                keys = " ".join(
-                    gs.apply(i).toString() for i in range(gs.length())
-                )
-                if not _GROUP_KEY.search(keys):
-                    continue  # bounded-domain aggregate
-            elif name == "Filter":
-                cond = n.condition().toString()
-                if " OR " not in cond and "NOT " not in cond and (
-                    _BOUNDING_FILTER.search(cond)
-                    or _RANK_FILTER.search(cond)
-                ):
-                    continue  # entity key or window rank pinned
-            elif name in ("LogicalRelation", "Relation"):
-                first = n.output().apply(0).name()
-                for prefix, table in _SCALING_PREFIX.items():
-                    if first.startswith(prefix):
-                        found.append(table)
-                        break
-                continue
-            stack.extend(_jchildren(n))
+        for k in _jchildren(hint):
+            found.extend(_subtree_scaling_tables(k))
     return sorted(set(found))

@@ -876,8 +876,10 @@ def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule b = (doc*7 + frame*13 + row*5 + col*11) % 256, channels
     b/b+23/b+46) is serialized to one genuine GIF89a stream — single
     global color table across frames, per-frame Graphic Control
-    Extension, real LZW per image descriptor — then DECODED BACK by
-    operators/multimodal.decode_gif_frames (LZW + canvas composition)
+    Extension, real LZW per image descriptor, the MIDDLE frame in
+    4-pass interlaced row order (r11) — then DECODED BACK by
+    operators/multimodal.decode_gif_frames (LZW + deinterlace +
+    canvas composition)
     and reduced per FRAME to exact channel sums via gif_frame_stats
     (1→N frame fan-out inside one Arrow mapInPandas pass). The oracle
     recomputes the sums from the generative rule with a frame
@@ -914,7 +916,16 @@ def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ).astype(np.uint8)
                     )
                 ids.append(did)
-                payloads.append(encode_gif_frames(frames))
+                # middle frame stored INTERLACED (r11): the decoder's
+                # 4-pass deinterlace must restore raster order or that
+                # frame's sums shift and the hash fails; frames 0/2
+                # stay sequential so both storage paths are live in
+                # every payload.
+                payloads.append(
+                    encode_gif_frames(
+                        frames, interlaced=[False, True, False]
+                    )
+                )
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)

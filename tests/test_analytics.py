@@ -1729,14 +1729,46 @@ class TestGifDecode:
         full = encode_gif(self._img())
         with pytest.raises(ValueError, match="truncated"):
             decode_gif(full[:-8])
-        # interlace flag on the image descriptor must refuse
-        blob = bytearray(full)
-        gct_len = 3 * (2 << (blob[10] & 0x07))
-        desc = 13 + gct_len  # 0x2C image descriptor offset
-        assert blob[desc] == 0x2C
-        blob[desc + 9] |= 0x40
-        with pytest.raises(ValueError, match="interlaced"):
-            decode_gif(bytes(blob))
+
+    def test_interlaced_single_frame_roundtrip(self):
+        """r11: 4-pass interlaced storage deinterlaces back to raster
+        order bit-exactly, including odd heights where the passes are
+        uneven (h=1 has only pass 1; h=5 skips none)."""
+        import numpy as np
+
+        from datagouv_tools_spark.operators.multimodal import (
+            decode_gif,
+            encode_gif_frames,
+        )
+
+        rng = np.random.default_rng(11)
+        for h in (1, 2, 3, 5, 8, 9, 13, 16):
+            px = (
+                rng.integers(0, 8, size=(h, 7, 1))
+                .repeat(3, axis=2)
+                .astype(np.uint8)
+            )
+            blob = encode_gif_frames([px], interlaced=True)
+            w2, h2, back = decode_gif(blob)
+            assert (w2, h2) == (7, h)
+            assert np.array_equal(back, px), h
+
+    def test_interlace_flag_changes_storage_not_pixels(self):
+        """The interlaced stream must differ on the wire (flag bit +
+        row order) yet decode to identical pixels — guards against an
+        encoder that sets the flag without permuting or vice versa."""
+        import numpy as np
+
+        from datagouv_tools_spark.operators.multimodal import (
+            decode_gif,
+            encode_gif_frames,
+        )
+
+        px = self._img()
+        seq = encode_gif_frames([px])
+        ilc = encode_gif_frames([px], interlaced=True)
+        assert seq != ilc
+        assert np.array_equal(decode_gif(seq)[2], decode_gif(ilc)[2])
 
 
 class TestJpegDecode:
@@ -2442,3 +2474,37 @@ class TestGifAnimated:
 
         with pytest.raises(NotImplementedError, match="decode_gif_frames"):
             decode_gif(enc([base, patch], rects=[(0, 0), (2, 1)]))
+
+    def test_interlaced_subrect_composition(self):
+        """r11: an INTERLACED sub-rect patch with a transparency hole
+        composes identically to the same patch stored sequentially —
+        deinterlacing happens in frame-local coordinates BEFORE canvas
+        placement, and the transparent mask applies to deinterlaced
+        indices."""
+        import numpy as np
+
+        dec, enc = self._codec()
+        rng = np.random.default_rng(23)
+        base = (
+            rng.integers(1, 6, size=(9, 8, 1))
+            .repeat(3, axis=2)
+            .astype(np.uint8)
+        )
+        patch = (
+            rng.integers(1, 6, size=(5, 4, 1))
+            .repeat(3, axis=2)
+            .astype(np.uint8)
+        )
+        patch[1, 2] = 0  # palette index 0 → transparency hole
+        kw = dict(
+            rects=[(0, 0), (3, 2)],
+            transparent_index=0,
+        )
+        seq = enc([base, patch], interlaced=[False, False], **kw)
+        ilc = enc([base, patch], interlaced=[False, True], **kw)
+        assert seq != ilc
+        _, _, f_seq = dec(seq)
+        _, _, f_ilc = dec(ilc)
+        assert np.array_equal(f_seq, f_ilc)
+        # the hole shows the base canvas through the patch
+        assert np.array_equal(f_ilc[1][2 + 1, 3 + 2], base[3, 5])

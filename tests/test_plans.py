@@ -835,3 +835,137 @@ class TestScalingBroadcastAudit:
             F.broadcast(bounded.select("o_orderkey")), "o_orderkey"
         )
         assert scaling_broadcast_tables(df3) == []
+
+
+class TestSinglePartitionWindowAudit:
+    """The r11 SPW-domain classifier (plans/inspect.
+    single_partition_windows_scaling): a Window.partitionBy(lit(1)) /
+    partitionBy() over an SF-scaling input must flag; the same window
+    over a bounded post-aggregate domain must not (VERDICT r10 #1)."""
+
+    def test_entity_grain_spw_flags(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        from datagouv_tools_spark.plans.inspect import (
+            single_partition_windows_scaling,
+        )
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        pv = li.groupBy("l_partkey").agg(F.sum("l_quantity").alias("v"))
+        w = Window.partitionBy(F.lit(1))
+        df = pv.withColumn("t", F.sum("v").over(w))
+        assert single_partition_windows_scaling(df) == ["lineitem"]
+        # empty partitionBy is the same single-partition shape
+        w2 = Window.orderBy("v")
+        df2 = pv.withColumn("rk", F.row_number().over(w2))
+        assert single_partition_windows_scaling(df2) == ["lineitem"]
+
+    def test_bounded_domain_spw_clean(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        from datagouv_tools_spark.plans.inspect import (
+            single_partition_windows_scaling,
+        )
+
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        # bounded post-aggregate domain: order priorities (enum)
+        bd = orders.groupBy("o_orderpriority").agg(
+            F.sum("o_totalprice").alias("v")
+        )
+        w = Window.partitionBy(F.lit(1))
+        df = bd.withColumn("share", F.col("v") / F.sum("v").over(w))
+        assert single_partition_windows_scaling(df) == []
+
+    def test_keyed_window_never_flags(self, spark, sf_dir):
+        """A window partitioned by a real column distributes across
+        tasks — it must not match even over a raw fact table."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        from datagouv_tools_spark.plans.inspect import (
+            single_partition_windows_scaling,
+        )
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        w = Window.partitionBy("l_partkey").orderBy("l_shipdate")
+        df = li.withColumn("rn", F.row_number().over(w))
+        assert single_partition_windows_scaling(df) == []
+
+    def test_full_surface_spw_gate_is_zero(self, spark, sf_dir):
+        """Every remaining single-partition window in the 244-query
+        surface has a certified-bounded domain. Sampled here on the
+        7 queries the r10 audit listed as SPW carriers; the full sweep
+        is tools/planaudit.py's spw_scaling gate."""
+        from datagouv_tools_spark.plans.inspect import (
+            single_partition_windows_scaling,
+        )
+
+        for name in (
+            "q11_important_parts",
+            "customer_value_deciles",
+            "revenue_pareto_curve",
+        ):
+            if name not in q.QUERIES:
+                continue
+            df = q.QUERIES[name](spark, sf_dir)
+            assert single_partition_windows_scaling(df) == [], name
+
+
+class TestBnljScalarAudit:
+    """The r11 BNLJ build-side classifier (plans/inspect.
+    unbounded_bnlj_sides): the repo's BNLJ are broadcast 1-row scalars
+    or literal-bounded probes; a BNLJ whose broadcast side is an
+    SF-scaling relation (or entity-grain aggregate) must hard-fail
+    (VERDICT r10 #2)."""
+
+    def test_scalar_crossjoin_clean(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from datagouv_tools_spark.plans.inspect import (
+            unbounded_bnlj_sides,
+        )
+
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        tot = orders.agg(F.sum("o_totalprice").alias("t"))
+        df = orders.crossJoin(F.broadcast(tot))
+        assert unbounded_bnlj_sides(df) == []
+
+    def test_unbounded_broadcast_side_flags(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from datagouv_tools_spark.plans.inspect import (
+            unbounded_bnlj_sides,
+        )
+
+        nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        df = nation.crossJoin(F.broadcast(cust))
+        assert unbounded_bnlj_sides(df) == ["customer"]
+        # entity-grain aggregate is just as unbounded
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        pv = li.groupBy("l_partkey").agg(F.sum("l_quantity").alias("v"))
+        df2 = nation.crossJoin(F.broadcast(pv))
+        assert unbounded_bnlj_sides(df2) == ["lineitem"]
+
+    def test_non_equi_range_join_side_bounded(self, spark, sf_dir):
+        """A non-equi theta join against a literal-bounded side (the
+        range-join tier pattern) BNLJs but must stay clean."""
+        from pyspark.sql import functions as F
+
+        from datagouv_tools_spark.plans.inspect import (
+            unbounded_bnlj_sides,
+        )
+
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        tiers = spark.createDataFrame(
+            [(0.0, 100.0, "low"), (100.0, 1e9, "high")],
+            "lo double, hi double, tier string",
+        )
+        df = orders.join(
+            F.broadcast(tiers),
+            (orders.o_totalprice >= tiers.lo)
+            & (orders.o_totalprice < tiers.hi),
+        )
+        assert unbounded_bnlj_sides(df) == []

@@ -21,6 +21,15 @@ kill 100 TB runs and writes one JSON report (PLANAUDIT.json):
   size check — fine at sf0.1, OOM at 100 TB. Must be [] everywhere;
   nation/region, scalar totals, literal-pinned probes, and
   bounded-domain aggregates don't match.
+- `spw_scaling` (gated, r11): SF-scaling tables feeding a
+  single-partition Window (`partitionBy()` empty or all-literal) —
+  the whole input through ONE task. Bounded post-aggregate domains
+  (deciles, months) pass; entity-grain inputs hard-fail
+  (plans/inspect.single_partition_windows_scaling).
+- `bnlj_unbounded` (gated, r11): SF-scaling tables on the BROADCAST
+  side of a BroadcastNestedLoopJoin. The repo's BNLJ are 1-row
+  scalars / literal-bounded probe sets; anything else hard-fails
+  (plans/inspect.unbounded_bnlj_sides).
 
 Usage:
     python tools/planaudit.py                # all queries at sf0.001
@@ -70,6 +79,8 @@ def main() -> int:
     from datagouv_tools_spark.plans.inspect import (
         physical_plan,
         scaling_broadcast_tables,
+        single_partition_windows_scaling,
+        unbounded_bnlj_sides,
     )
     from datagouv_tools_spark.queries import QUERIES
     from datagouv_tools_spark.session import get_spark
@@ -84,6 +95,8 @@ def main() -> int:
         "python_row": 0,
         "single_partition_window": 0,
         "broadcast_scaling": 0,
+        "spw_scaling": 0,
+        "bnlj_unbounded": 0,
     }
     for name in names:
         try:
@@ -96,22 +109,26 @@ def main() -> int:
             # check must not drop the already-computed base audit row,
             # and must still flag (and fail the exit code) instead of
             # silently losing gate coverage for this query (ADVICE r9).
-            try:
-                row["broadcast_scaling"] = scaling_broadcast_tables(df)
-            except Exception as exc:  # pragma: no cover
-                row["broadcast_scaling"] = [
-                    f"audit-error: {str(exc)[:120]}"
-                ]
+            for key, gate in (
+                ("broadcast_scaling", scaling_broadcast_tables),
+                ("spw_scaling", single_partition_windows_scaling),
+                ("bnlj_unbounded", unbounded_bnlj_sides),
+            ):
+                try:
+                    row[key] = gate(df)
+                except Exception as exc:  # pragma: no cover
+                    row[key] = [f"audit-error: {str(exc)[:120]}"]
         report[name] = row
         for k in totals:
-            totals[k] += len(row[k]) if k == "broadcast_scaling" and isinstance(
-                row.get(k), list
-            ) else row.get(k, 0)
+            v = row.get(k, 0)
+            totals[k] += len(v) if isinstance(v, list) else v
         flag = (
             " !!"
             if row.get("cartesian")
             or row.get("python_row")
             or row.get("broadcast_scaling")
+            or row.get("spw_scaling")
+            or row.get("bnlj_unbounded")
             else ""
         )
         print(f"{name}: {row}{flag}")
@@ -124,6 +141,8 @@ def main() -> int:
         "total_bnlj": totals["bnlj"],
         "total_single_partition_window": totals["single_partition_window"],
         "total_broadcast_scaling": totals["broadcast_scaling"],
+        "total_spw_scaling": totals["spw_scaling"],
+        "total_bnlj_unbounded": totals["bnlj_unbounded"],
     }
     print(json.dumps({"summary": summary}))
     out = os.environ.get("SPARK_GRAFT_PLANAUDIT", "PLANAUDIT.json")
@@ -134,6 +153,8 @@ def main() -> int:
         if totals["cartesian"] == 0
         and totals["python_row"] == 0
         and totals["broadcast_scaling"] == 0
+        and totals["spw_scaling"] == 0
+        and totals["bnlj_unbounded"] == 0
         and n_errors == 0
         else 1
     )
