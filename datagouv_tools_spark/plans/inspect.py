@@ -149,6 +149,17 @@ _BOUNDED_LEAVES = {
     "LocalTableScan",
     "OneRowRelation",
     "EmptyRelation",
+    # Driver-materialized rows (spark.createDataFrame over a Python
+    # list): bounded by driver memory BY CONSTRUCTION — the rows
+    # already existed on the driver before Spark saw them, so
+    # broadcasting them back cannot OOM anything the program hadn't
+    # already OOMed. (An sc.parallelize of a huge list is broken
+    # upstream of any plan gate.) Without this, literal dims whose
+    # column names shadow a fact prefix (event_date on a 30-row
+    # campaign dim) false-positive the prefix heuristic.
+    "LogicalRDD",
+    "ExternalRDD",
+    "Scan ExistingRDD",
 }
 _LIMIT_NODES = {
     "GlobalLimit",
@@ -162,6 +173,34 @@ _AGG_NODES = {
     "SortAggregate",
     "ObjectHashAggregate",
 }
+
+
+def _filter_bounds(condition) -> bool:
+    """True iff a Filter condition pins cardinality to a constant:
+    SOME top-level AND-conjunct is a bounding predicate (entity key or
+    window-rank column compared to a literal). Conjuncts only ever
+    TIGHTEN a filter, so one bounding conjunct bounds the whole
+    condition regardless of what the others contain — the OR/NOT
+    guard applies PER CONJUNCT, not to the rendered string (a huge
+    pushed-down expression sharing the condition used to disqualify a
+    plain ``doc_id < 60`` sitting next to it). A conjunct containing
+    OR (one disjunct can admit the whole table) or NOT (``key != 5``
+    admits essentially everything) never bounds, exactly as before."""
+    conjuncts = [condition]
+    flat: list[str] = []
+    while conjuncts:
+        e = conjuncts.pop()
+        if e.nodeName() == "And":
+            ch = e.children()
+            conjuncts.extend(ch.apply(i) for i in range(ch.length()))
+        else:
+            flat.append(e.toString())
+    for s in flat:
+        if " OR " in s or "NOT " in s:
+            continue
+        if _BOUNDING_FILTER.search(s) or _RANK_FILTER.search(s):
+            return True
+    return False
 
 
 def _subtree_scaling_tables(node) -> list[str]:
@@ -179,7 +218,7 @@ def _subtree_scaling_tables(node) -> list[str]:
     stack = [node]
     while stack:
         n = stack.pop()
-        name = n.nodeName()
+        name = n.nodeName().strip()
         if name in _BOUNDED_LEAVES or name in _LIMIT_NODES:
             continue
         if name == "Range":
@@ -193,11 +232,7 @@ def _subtree_scaling_tables(node) -> list[str]:
             if gs.length() == 0 or not _GROUP_KEY.search(keys):
                 continue  # scalar or bounded-domain aggregate
         elif name == "Filter":
-            cond = n.condition().toString()
-            if " OR " not in cond and "NOT " not in cond and (
-                _BOUNDING_FILTER.search(cond)
-                or _RANK_FILTER.search(cond)
-            ):
+            if _filter_bounds(n.condition()):
                 continue  # entity key or window rank pinned
         kids = _jchildren(n)
         if not kids:

@@ -3022,8 +3022,13 @@ def events_user_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.sum("term").cast("decimal(38,0)").alias("est"))
     )
+    # The literal 3-row pairs side MUST carry the broadcast hint: an
+    # RDD-backed literal has no stats, so Spark estimates it huge and
+    # would otherwise build the nested-loop hash on the EVENTS side —
+    # fine at sf0.001, an executor OOM at scale (caught by the r11
+    # bnlj_unbounded planaudit gate).
     un = (
-        pairs.join(
+        F.broadcast(pairs).join(
             bm,
             (F.col("event_type") == F.col("type_a"))
             | (F.col("event_type") == F.col("type_b")),
@@ -3043,7 +3048,7 @@ def events_user_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hv = ev.select("event_type", "user_id")
     ex = (
-        pairs.join(
+        F.broadcast(pairs).join(
             hv,
             (F.col("event_type") == F.col("type_a"))
             | (F.col("event_type") == F.col("type_b")),

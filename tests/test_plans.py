@@ -969,3 +969,77 @@ class TestBnljScalarAudit:
             & (orders.o_totalprice < tiers.hi),
         )
         assert unbounded_bnlj_sides(df) == []
+
+
+class TestBoundingRefinements:
+    """r11 classifier refinements: per-conjunct filter bounding and
+    driver-local RDD leaves (found by running the new gates over the
+    full surface — events_dpp_join / simhash_hamming_pairs were false
+    positives, events_user_kmv_setops a TRUE positive since fixed)."""
+
+    def test_conjunct_bounding_survives_complex_sibling(self, spark, sf_dir):
+        """A bounding key conjunct must bound even when ANDed with a
+        huge unrelated expression containing OR/NOT internals (the
+        pushed-down simhash projection pattern)."""
+        from pyspark.sql import functions as F
+
+        from datagouv_tools_spark.plans.inspect import (
+            scaling_broadcast_tables,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        messy = docs.filter(
+            (F.col("doc_id") < 60)
+            & (
+                (F.length("text") > 10) | F.col("text").isNotNull()
+            )
+        )
+        df = docs.join(
+            F.broadcast(messy.select("doc_id")), "doc_id", "left_semi"
+        )
+        assert scaling_broadcast_tables(df) == []
+
+    def test_disjunctive_only_filter_still_leaks(self, spark, sf_dir):
+        """No bounding CONJUNCT → still flags (the OR guard holds)."""
+        from pyspark.sql import functions as F
+
+        from datagouv_tools_spark.plans.inspect import (
+            scaling_broadcast_tables,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        leaky = docs.filter(
+            (F.col("doc_id") < 60) | F.col("text").isNotNull()
+        )
+        df = docs.join(
+            F.broadcast(leaky.select("doc_id")), "doc_id", "left_semi"
+        )
+        assert scaling_broadcast_tables(df) == ["documents"]
+
+    def test_driver_local_rdd_leaf_is_bounded(self, spark, sf_dir):
+        """createDataFrame literals (LogicalRDD/ExistingRDD leaves) are
+        driver-materialized — bounded by construction even when their
+        column names shadow a fact-table prefix (event_date on a
+        campaign dim)."""
+        import datetime
+
+        from pyspark.sql import functions as F
+
+        from datagouv_tools_spark.plans.inspect import (
+            scaling_broadcast_tables,
+            unbounded_bnlj_sides,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        dim = spark.createDataFrame(
+            [(datetime.date(2024, 1, d), d % 3 == 0) for d in range(1, 31)],
+            "event_date date, is_campaign boolean",
+        )
+        df = ev.withColumn("event_date", F.col("ts").cast("date")).join(
+            F.broadcast(dim.filter("is_campaign")), "event_date"
+        )
+        assert scaling_broadcast_tables(df) == []
+        cross = spark.read.parquet(f"{sf_dir}/nation.parquet").crossJoin(
+            F.broadcast(dim)
+        )
+        assert unbounded_bnlj_sides(cross) == []
