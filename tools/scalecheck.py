@@ -14,6 +14,13 @@ Usage:
     python tools/scalecheck.py                  # a curated default set
     python tools/scalecheck.py q1_pricing_summary doc_dedup_pipeline
     python tools/scalecheck.py --all            # every non-streaming query
+    python tools/scalecheck.py --x1000          # 1000x tail for the
+        # sublinear set (VERDICT r10 #5): synthesizes an sf1-equivalent
+        # dataset once (10x replication of sf0.1 with per-replica key
+        # remapping + name/text salting, so FKs stay shard-consistent
+        # and blocking/dedup queries see unique-ish entities instead of
+        # pathological clones), times sf0.001 vs sf1, and merges
+        # x1000_ratio/x1000_verdict into SCALECURVES.json.
 """
 
 from __future__ import annotations
@@ -43,11 +50,166 @@ DEFAULT = [
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
 
+# the 12 sublinear verdicts from the r10 full sweep — the queries
+# whose asymptote the 100x window resolves least
+X1000_DEFAULT = [
+    "revenue_cube",
+    "events_session_stats",
+    "events_gap_sessions",
+    "customer_name_fuzzy_pairs",
+    "small_quantity_revenue",
+    "orders_lineitem_join_size_sketch",
+    "doc_segment_dedup",
+    "doc_boilerplate_scrub",
+    "customer_entity_resolution",
+    "doc_heavy_hitters_verified",
+    "part_association_rules",
+    "doc_retrieval_rrf",
+]
+
+SF1_DIR = "/tmp/spark_graft_sf1_v1"
+
+
+def ensure_sf1() -> str:
+    """Materialize the sf1-equivalent dataset (10x sf0.1) once.
+
+    Replication, not regeneration: every table crossed with
+    range(10); surrogate keys get a per-replica stride of
+    (max_key + 1) so each replica is a self-consistent FK shard
+    (orders of replica 3 point at customers of replica 3); names and
+    document text get a replica suffix so blocking keys and dedup
+    fingerprints see ~unique entities — pure clones would hand the
+    fuzzy/dedup queries 10x-deep identical blocks, a distribution
+    real 10x data does not have."""
+    import duckdb
+
+    done = os.path.join(SF1_DIR, "_DONE")
+    if os.path.exists(done):
+        return SF1_DIR
+    os.makedirs(SF1_DIR, exist_ok=True)
+    con = duckdb.connect()
+    src = "/root/testdata/sf0.1"
+
+    def stride(table: str, key: str) -> int:
+        return con.execute(
+            f"SELECT max({key}) + 1 FROM "
+            f"read_parquet('{src}/{table}.parquet')"
+        ).fetchone()[0]
+
+    plain = {"region": None, "nation": None}
+    ko, kc, kp, ks = (
+        stride("orders", "o_orderkey"),
+        stride("customer", "c_custkey"),
+        stride("part", "p_partkey"),
+        stride("supplier", "s_suppkey"),
+    )
+    ke, ku = stride("events", "event_id"), stride("events", "user_id")
+    kd, kv = stride("documents", "doc_id"), stride("embeddings", "vec_id")
+    selects = {
+        "customer": f"c_custkey + r.rep * {kc} AS c_custkey, "
+        "c_name || ' r' || r.rep AS c_name, c_nationkey, c_acctbal, "
+        "c_mktsegment",
+        "supplier": f"s_suppkey + r.rep * {ks} AS s_suppkey, "
+        "s_name || ' r' || r.rep AS s_name, s_nationkey, s_acctbal",
+        "part": f"p_partkey + r.rep * {kp} AS p_partkey, "
+        "p_name || ' r' || r.rep AS p_name, p_brand, p_type, p_size, "
+        "p_retailprice",
+        "orders": f"o_orderkey + r.rep * {ko} AS o_orderkey, "
+        f"o_custkey + r.rep * {kc} AS o_custkey, o_orderstatus, "
+        "o_totalprice, o_orderdate, o_orderpriority",
+        "lineitem": f"l_orderkey + r.rep * {ko} AS l_orderkey, "
+        f"l_partkey + r.rep * {kp} AS l_partkey, "
+        f"l_suppkey + r.rep * {ks} AS l_suppkey, l_linenumber, "
+        "l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, "
+        "l_linestatus, l_shipdate",
+        "events": f"event_id + r.rep * {ke} AS event_id, ts, "
+        f"user_id + r.rep * {ku} AS user_id, event_type, value, props",
+        "documents": f"doc_id + r.rep * {kd} AS doc_id, "
+        "text || ' r' || r.rep AS text, lang, source, n_chars",
+        "embeddings": f"vec_id + r.rep * {kv} AS vec_id, embedding, "
+        "label",
+    }
+    for table in plain:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src}/{table}.parquet'))"
+            f" TO '{SF1_DIR}/{table}.parquet' (FORMAT parquet)"
+        )
+    for table, sel in selects.items():
+        con.execute(
+            f"COPY (SELECT {sel} FROM "
+            f"read_parquet('{src}/{table}.parquet'), "
+            "range(0, 10) r(rep)"
+            f") TO '{SF1_DIR}/{table}.parquet' (FORMAT parquet)"
+        )
+    with open(done, "w") as fh:
+        fh.write("ok\n")
+    return SF1_DIR
+
+
+def x1000_main(argv: list[str]) -> int:
+    from datagouv_tools_spark import queries as q
+    from datagouv_tools_spark.session import get_spark
+
+    names = [a for a in argv if not a.startswith("--")] or X1000_DEFAULT
+    sf1 = ensure_sf1()
+    spark = get_spark("scalecheck", master="local[32]", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    rows = {}
+    flagged = []
+    for name in names:
+        fn = q.QUERIES[name]
+        row = {"query": name}
+        for label, d in (("sf0.001", "/root/testdata/sf0.001"), ("sf1", sf1)):
+            fn(spark, d).collect()  # warmup
+            ts = []
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, d).collect()
+                ts.append(time.time() - t0)
+            row[label + "_min"] = round(min(ts), 3)
+        ratio = row["sf1_min"] / max(row["sf0.001_min"], 1e-9)
+        row["x1000_ratio"] = round(ratio, 2)
+        # 1000x data: <3 = still overhead-bound; <500 sublinear; <1500
+        # ~linear; beyond that the plan has a super-linear term
+        row["x1000_verdict"] = (
+            "flat" if ratio < 3 else "sublinear" if ratio < 500 else
+            "linear" if ratio < 1500 else "SUPERLINEAR"
+        )
+        if row["x1000_verdict"] == "SUPERLINEAR":
+            flagged.append(name)
+        rows[name] = row
+        print(json.dumps(row))
+    out = os.environ.get("SPARK_GRAFT_SCALECURVES", "SCALECURVES.json")
+    if os.path.exists(out):
+        with open(out) as fh:
+            data = json.load(fh)
+        for name, row in rows.items():
+            data.setdefault("queries", {}).setdefault(name, {}).update(
+                {k: v for k, v in row.items() if k.startswith("x1000")
+                 or k == "sf1_min"}
+            )
+        data.setdefault("summary", {})["x1000"] = {
+            "n": len(rows),
+            "superlinear": flagged,
+            "verdicts": {
+                v: sum(
+                    1 for r in rows.values() if r["x1000_verdict"] == v
+                )
+                for v in ("flat", "sublinear", "linear", "SUPERLINEAR")
+            },
+        }
+        with open(out, "w") as fh:
+            json.dump(data, fh, indent=1)
+    print(json.dumps({"x1000_superlinear": flagged}))
+    return 1 if flagged else 0
+
 
 def main(argv: list[str]) -> int:
     from datagouv_tools_spark import queries as q
     from datagouv_tools_spark.session import get_spark
 
+    if "--x1000" in argv:
+        return x1000_main([a for a in argv if a != "--x1000"])
     if "--all" in argv:
         names = [n for n in q.QUERIES if "stream" not in n]
     elif argv:
