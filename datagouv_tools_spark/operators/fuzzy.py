@@ -19,7 +19,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["fuzzy_pairs", "prefix_length_block", "sorted_neighborhood_pairs"]
+__all__ = [
+    "fuzzy_pairs",
+    "prefix_length_block",
+    "sorted_neighborhood_pairs",
+    "deletion_neighborhood_pairs",
+]
 
 
 def prefix_length_block(key_col: str, prefix_len: int) -> Column:
@@ -142,5 +147,81 @@ def sorted_neighborhood_pairs(
             F.greatest("id_a", "id_b").alias("id_b"),
             "distance",
         )
+        .distinct()
+    )
+
+
+def deletion_neighborhood_pairs(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    max_distance: int = 1,
+) -> DataFrame:
+    """ALL pairs within edit distance 1, via FastSS deletion
+    neighborhoods (Bocek et al. 2007) — complete recall with LINEAR
+    candidate volume, no blocking-key recall trade and no quadratic
+    block zone.
+
+    Why it exists (r11): ``prefix_length_block`` is only as good as
+    the data — on registry-style uniform keys (``Customer#%09d``,
+    SIRENE's zero-padded SIREN numbers) every row shares one
+    (prefix, length) block and the "m² per block" discipline silently
+    becomes n² corpus-wide (measured: the x1000 curve sweep hung on
+    exactly this shape — 150k same-block names = 11G kernel pairs).
+    Deletion neighborhoods have no such degenerate input: two keys are
+    within one edit IFF they share a member of their deletion-1
+    neighborhoods (the key itself plus every single-character
+    deletion), so candidates come from an EQUI-join on variant
+    strings. A key of length L yields L+1 variants — n·(L+1) rows
+    total, and a variant's multiplicity is bounded by the true
+    near-duplicate density, not by how the corpus happens to block.
+    The Levenshtein verify (shared variant only implies distance ≤ 2)
+    then runs on candidates alone, inside codegen.
+
+    Right tool for SHORT keys (names, identifiers: the shuffle moves
+    ~L·(L+1) bytes per row); for long text use the MinHash/LSH front.
+    ``max_distance`` is pinned to 1 — higher k needs k-deletion
+    neighborhoods whose variant count grows L^k; raise loudly rather
+    than silently under-recall."""
+    if max_distance != 1:
+        raise ValueError(
+            "deletion_neighborhood_pairs implements max_distance=1 "
+            "(k-deletion neighborhoods for k>1 grow as L^k; use "
+            "fuzzy_pairs with a domain blocking key instead)"
+        )
+    variants = F.expr(
+        f"""array_union(
+              array({key_col}),
+              if(length({key_col}) = 0,
+                 array({key_col}),
+                 transform(sequence(1, length({key_col})),
+                           i -> concat(substring({key_col}, 1, i - 1),
+                                       substring({key_col}, i + 1,
+                                                 length({key_col}) - i)))))"""
+    )
+    keyed = df.select(
+        F.col(id_col),
+        F.col(key_col),
+        F.explode(variants).alias("__var"),
+    )
+    a = keyed.select(
+        F.col(id_col).alias("id_a"), F.col(key_col).alias("__ka"), "__var"
+    )
+    b = keyed.select(
+        F.col(id_col).alias("id_b"), F.col(key_col).alias("__kb"), "__var"
+    )
+    return (
+        a.join(b, "__var")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # VERIFY FIRST, dedupe after: a pair can share several
+        # variants, but the banded Levenshtein is ~free per candidate
+        # while a distinct over (ids, key, key) string rows costs a
+        # wide shuffle of the whole candidate set. Verifying the raw
+        # join output leaves a distinct over three narrow int columns
+        # of only the TRUE matches (measured 16x faster at sf0.1:
+        # 6.9s -> 0.4s, same 262,500 pairs).
+        .withColumn("distance", F.levenshtein("__ka", "__kb", 1))
+        .filter((F.col("distance") >= 0) & (F.col("distance") <= 1))
+        .select("id_a", "id_b", "distance")
         .distinct()
     )

@@ -1199,62 +1199,64 @@ def lineitem_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "customer_name_fuzzy_pairs",
     """
     WITH k AS (
-      SELECT c_custkey AS id,
-             c_name AS key,
-             substr(c_name, 1, 16) || '|' || CAST(len(c_name) AS VARCHAR)
-               AS blk
-      FROM customer
-    ), pairs AS (
-      SELECT a.blk, a.id AS id_a, b.id AS id_b,
-             levenshtein(a.key, b.key) AS distance
-      FROM k a JOIN k b ON a.blk = b.blk AND a.id < b.id
-      WHERE levenshtein(a.key, b.key) <= 1
+      SELECT c_custkey AS id, c_name AS key FROM customer
+    ),
+    v AS (
+      SELECT id, key,
+             unnest(list_append(
+               [key[:i-1] || key[i+1:] for i in range(1, len(key)+1)],
+               key)) AS var
+      FROM k
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             a.key AS ka, b.key AS kb
+      FROM v a JOIN v b ON a.var = b.var AND a.id < b.id
+    ),
+    pairs AS (
+      SELECT id_a, id_b, levenshtein(ka, kb) AS distance
+      FROM cand WHERE levenshtein(ka, kb) <= 1
     )
-    SELECT blk AS block,
-           COUNT(*) AS n_pairs,
+    SELECT CAST(distance AS INTEGER) AS distance,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
            BIT_XOR(('0x' || substr(md5(id_a::VARCHAR || '-' || id_b::VARCHAR), 1, 15))::BIGINT)
              AS pair_xor
-    FROM pairs GROUP BY blk ORDER BY blk
+    FROM pairs GROUP BY distance ORDER BY distance
     """,
 )
 def customer_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy record linkage (operators/fuzzy.py): customer names within
-    one edit of each other, candidates from a (16-char prefix, length)
-    blocking key — the registry-dedup problem of the reference's own
-    domain (SIRENE company names), scale-first: Levenshtein runs ONLY
-    on same-block candidates (m² per block, never n² corpus-wide), as
-    a JVM built-in inside codegen, and DuckDB ships the identical
-    classic edit distance so the result is value-hash-checked. The
-    per-block pair_xor folds exactly which pairs matched into one
-    order-independent value."""
-    from datagouv_tools_spark.functions.xhash import md5_hash60
+    """Fuzzy record linkage with COMPLETE recall: every customer-name
+    pair within one edit, candidates from FastSS deletion
+    neighborhoods (operators/fuzzy.deletion_neighborhood_pairs — the
+    r11 rewrite). The previous (16-char prefix, length) blocking key
+    degenerated on registry-style uniform names (every ``Customer#…``
+    row in ONE block → n² kernels corpus-wide, caught by the x1000
+    curve sweep); deletion-variant equi-join candidates are linear in
+    n·keylen regardless of how the corpus blocks, and the banded
+    Levenshtein verify runs on true candidates only, inside codegen.
+    DuckDB mirrors the variant generation with a list comprehension,
+    so the hash check pins candidate generation AND verify on both
+    engines. The per-distance pair_xor folds exactly which pairs
+    matched into one order-independent value (distance 0 = exact
+    duplicate names, 1 = near)."""
     from datagouv_tools_spark.operators.fuzzy import (
-        fuzzy_pairs,
-        prefix_length_block,
+        deletion_neighborhood_pairs,
     )
 
     cust = t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("id"), F.col("c_name").alias("key")
     )
-    pairs = fuzzy_pairs(
-        cust, "key", "id", prefix_length_block("key", 16), max_distance=1
-    )
-    # re-derive the block for the report (same expression, tiny join
-    # avoided: recompute from the kept pair's smaller id via join back)
-    keyed = cust.select(
-        "id", prefix_length_block("key", 16).alias("block")
-    )
+    pairs = deletion_neighborhood_pairs(cust, "key", "id")
     return (
-        pairs.join(keyed, pairs["id_a"] == keyed["id"])
-        .groupBy("block")
+        pairs.groupBy(F.col("distance").cast("int").alias("distance"))
         .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
             F.expr(
                 "bit_xor(cast(conv(substring(md5(concat(cast(id_a as string),"
                 " '-', cast(id_b as string))), 1, 15), 16, 10) as bigint))"
             ).alias("pair_xor"),
         )
-        .orderBy("block")
+        .orderBy("distance")
     )
 
 
@@ -2260,15 +2262,20 @@ def orders_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE cust AS (
       SELECT c_custkey AS id, c_name AS key FROM customer
     ),
-    blk AS (
+    dv AS (
       SELECT id, key,
-             substr(key, 1, 16) || '|' || length(key)::VARCHAR AS b
+             unnest(list_append(
+               [key[:i-1] || key[i+1:] for i in range(1, len(key)+1)],
+               key)) AS var
       FROM cust
     ),
+    p1c AS (
+      SELECT DISTINCT a.id AS id_a, b2.id AS id_b,
+             a.key AS ka, b2.key AS kb
+      FROM dv a JOIN dv b2 ON a.var = b2.var AND a.id < b2.id
+    ),
     p1 AS (
-      SELECT a.id AS id_a, b2.id AS id_b
-      FROM blk a JOIN blk b2 ON a.b = b2.b AND a.id < b2.id
-      WHERE levenshtein(a.key, b2.key) <= 1
+      SELECT id_a, id_b FROM p1c WHERE levenshtein(ka, kb) <= 1
     ),
     rankd AS (
       SELECT id, key,
@@ -2313,31 +2320,33 @@ def orders_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def customer_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end entity resolution: candidates from TWO blocking
-    passes — prefix/length blocks AND a reversed-key sorted
-    neighborhood (each catches edits the other structurally misses) —
-    verified by banded Levenshtein, merged, and closed into identity
-    clusters by connected components; canonical id = min member. The
-    full record-linkage composition (block → verify → union → cluster)
-    in one declarative plan, hash-checked through the recursive-CTE
-    twin.
+    """End-to-end entity resolution: candidates from TWO passes —
+    FastSS deletion neighborhoods (complete distance-1 recall, linear
+    candidates; the r11 swap after the prefix/length block proved
+    degenerate on uniform registry names) AND a reversed-key sorted
+    neighborhood (structurally different candidate shape, kept to pin
+    the multi-pass union composition) — verified by banded
+    Levenshtein, merged, and closed into identity clusters by
+    connected components; canonical id = min member. The full
+    record-linkage composition (candidates → verify → union →
+    cluster) in one declarative plan, hash-checked through the
+    recursive-CTE twin.
 
-    Scale: each blocking pass keeps its own linear/bounded candidate
+    Scale: each candidate pass keeps its own linear/bounded
     discipline (see their operators); CC shuffles |E| per round with
     the auto-bounded finish of operators/dedup."""
     from datagouv_tools_spark.operators.dedup import dedup_clusters
     from datagouv_tools_spark.operators.fuzzy import (
-        fuzzy_pairs,
-        prefix_length_block,
+        deletion_neighborhood_pairs,
         sorted_neighborhood_pairs,
     )
 
     cust = t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("id"), F.col("c_name").alias("key")
     )
-    p1 = fuzzy_pairs(
-        cust, "key", "id", prefix_length_block("key", 16), max_distance=1
-    ).select("id_a", "id_b")
+    p1 = deletion_neighborhood_pairs(cust, "key", "id").select(
+        "id_a", "id_b"
+    )
     p2 = sorted_neighborhood_pairs(
         cust, "key", "id", F.reverse(F.col("key")), window=5, max_distance=1
     ).select("id_a", "id_b")

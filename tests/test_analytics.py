@@ -1356,6 +1356,48 @@ def test_fuzzy_pairs_blocked_matches_and_misses_documented(spark):
     assert got == [(1, 2, 1), (1, 5, 1)]
 
 
+def test_deletion_neighborhood_pairs_complete_recall(spark):
+    """r11 FastSS: the SAME fixture where prefix/length blocking
+    documents a miss — deletion neighborhoods recover it. (1,3) is an
+    insertion pair across lengths; (1,2)/(1,5) substitutions; (2,5) is
+    distance 2 and must stay out even though it shares variants; an
+    exact duplicate reports distance 0."""
+    from datagouv_tools_spark.operators.fuzzy import (
+        deletion_neighborhood_pairs,
+    )
+
+    rows = [
+        (1, "acme corp"),
+        (2, "acme Corp"),   # 1 substitution
+        (3, "acme corps"),  # 1 insertion (crosses length — the old miss)
+        (4, "zeta corp"),   # far
+        (5, "acme c0rp"),   # 1 substitution
+        (6, "acme corp"),   # exact duplicate of 1
+        (7, ""),            # empty-key edge: no crash, no pairs
+    ]
+    df = spark.createDataFrame(rows, "id bigint, key string")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in deletion_neighborhood_pairs(df, "key", "id").collect()
+    )
+    assert got == [
+        (1, 2, 1), (1, 3, 1), (1, 5, 1), (1, 6, 0),
+        (2, 6, 1), (3, 6, 1), (5, 6, 1),
+    ]
+
+
+def test_deletion_neighborhood_rejects_k_above_1(spark):
+    import pytest
+
+    from datagouv_tools_spark.operators.fuzzy import (
+        deletion_neighborhood_pairs,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "id bigint, key string")
+    with pytest.raises(ValueError, match="max_distance=1"):
+        deletion_neighborhood_pairs(df, "key", "id", max_distance=2)
+
+
 # ---------------------------------------------------------------------------
 # skyline_2d
 # ---------------------------------------------------------------------------
