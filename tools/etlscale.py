@@ -103,6 +103,7 @@ def _make_sirene_dir(base: Path, ratio: int) -> Path:
 def _make_sirene_archives(base: Path, ratio: int) -> Path:
     d = base / f"sirene_dist_x{ratio}"
     d.mkdir(parents=True)
+    (d / "dessinstockunitelegale.csv").write_text(DESSIN, encoding="utf-8")
     for a in range(ratio):
         with zipfile.ZipFile(
             d / f"part{a:04d}_utf8.zip", "w", zipfile.ZIP_DEFLATED
