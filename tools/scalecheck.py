@@ -212,8 +212,8 @@ def main(argv: list[str]) -> int:
         return x1000_main([a for a in argv if a != "--x1000"])
     if "--all" in argv:
         names = [n for n in q.QUERIES if "stream" not in n]
-    elif argv:
-        names = argv
+    elif [a for a in argv if not a.startswith("--")]:
+        names = [a for a in argv if not a.startswith("--")]
     else:
         names = DEFAULT
     unknown = [n for n in names if n not in q.QUERIES]
@@ -271,6 +271,22 @@ def main(argv: list[str]) -> int:
     out = os.environ.get("SPARK_GRAFT_SCALECURVES")
     if out is None and "--all" in argv:
         out = "SCALECURVES.json"
+    if out is None and "--merge" in argv:
+        # refresh a few changed queries in place without clobbering
+        # the full-sweep record (r11)
+        out = "SCALECURVES.json"
+        if os.path.exists(out):
+            with open(out) as fh:
+                prior = json.load(fh)
+            merged = prior.get("queries", {})
+            merged.update(report)
+            with open(out, "w") as fh:
+                json.dump(
+                    {"summary": prior.get("summary", summary),
+                     "queries": merged},
+                    fh, indent=1,
+                )
+            return 1 if flagged else 0
     if out:
         with open(out, "w") as fh:
             json.dump({"summary": summary, "queries": report}, fh, indent=1)
