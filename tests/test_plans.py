@@ -134,14 +134,24 @@ def test_q21_semi_anti_self_joins_stay_on_orderkey(spark, sf_dir):
 
 
 def test_q11_single_fact_scan_for_threshold(spark, sf_dir):
-    """Q11's scalar-subquery threshold must reuse the per-part
-    aggregate (1-row broadcast back over it), not rescan lineitem."""
+    """Q11's grand-total threshold (r11 shape: 1-row aggregate
+    broadcast-crossed back over the per-part aggregate, replacing the
+    SF-scaling single-partition window) must compute the per-part
+    shuffle ONCE: the static plan shows the lineage in both branches,
+    but at runtime AQE dedupes it as a ReusedExchange — assert the
+    reuse actually happens, and that no single-partition window over
+    the parts domain snuck back in."""
+    from datagouv_tools_spark.plans.inspect import (
+        single_partition_windows_scaling,
+    )
+
     df = q.QUERIES["q11_important_parts"](spark, sf_dir)
     plan = physical_plan(df)
     assert "NestedLoop" not in plan.replace("BroadcastNestedLoopJoin", "")
-    # exactly 4 scans (lineitem + 3 dims): the grand-total window reuses
-    # the per-part aggregate instead of recomputing the CTE lineage
-    assert len(read_schemas(df)) <= 4
+    assert single_partition_windows_scaling(df) == []
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final
 
 
 def test_monthly_spine_broadcasts_the_calendar(spark, sf_dir):
