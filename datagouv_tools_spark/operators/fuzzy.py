@@ -203,7 +203,12 @@ def deletion_neighborhood_pairs(
         F.col(id_col),
         F.col(key_col),
         F.explode(variants).alias("__var"),
-    )
+    # Pre-partition the variant table ONCE by the join key so the
+    # self-join's two sides share a single exchange (ReusedExchange in
+    # the plan): one shuffle of n·(L+1) variant rows instead of two.
+    # No explicit partition count — AQE sizes the layout from the
+    # actual shuffle bytes (guide §2.2).
+    ).repartition(F.col("__var"))
     a = keyed.select(
         F.col(id_col).alias("id_a"), F.col(key_col).alias("__ka"), "__var"
     )
@@ -211,7 +216,16 @@ def deletion_neighborhood_pairs(
         F.col(id_col).alias("id_b"), F.col(key_col).alias("__kb"), "__var"
     )
     return (
-        a.join(b, "__var")
+        # MERGE hint: both sides are the SAME SF-scaling exploded
+        # table, so the only sane strategy at scale is sort-merge over
+        # the shared layout. Without the hint, Catalyst's size estimate
+        # at bench scale puts the build side under
+        # autoBroadcastJoinThreshold and BROADCASTS the scaling
+        # variant table — collect + build + ship of the whole exploded
+        # set (measured 2.6x slower than SMJ at sf0.1, and the
+        # estimate would flip strategies with SF; guide §3.1: pick the
+        # join strategy deliberately).
+        a.hint("merge").join(b, "__var")
         .filter(F.col("id_a") < F.col("id_b"))
         # VERIFY FIRST, dedupe after: a pair can share several
         # variants, but the banded Levenshtein is ~free per candidate

@@ -8,6 +8,7 @@ directory prunes partitions and pushes filters down to the scan).
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -34,7 +35,33 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+#: Per-session catalog of loaded-table DataFrames. This memoizes the
+#: driver-side PLAN HANDLE only — the unresolved logical plan that
+#: ``spark.read.parquet`` + the nanos normalization produce — exactly
+#: the role a metastore/catalog table plays on a real cluster (schema
+#: known once, not re-inferred per query). NO DATA OR RESULTS ARE
+#: CACHED: DataFrames are immutable and lazy, every action on a
+#: memoized frame re-reads the parquet files from disk (no ``.cache``
+#: / ``.persist`` anywhere near this path). Without the memo each
+#: query pays schema inference + two conf round-trips + plan analysis
+#: per table load (~0.4 s of driver-side latency per call at any SF —
+#: it is py4j/planning cost, not data cost). Keyed weakly by session
+#: so a stopped session's entries are collectable, and by the resolved
+#: path so distinct sf_dirs never alias.
+_TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    try:
+        per_session = _TABLE_MEMO.setdefault(spark, {})
+    except TypeError:  # pragma: no cover - non-weakrefable session stub
+        per_session = {}
+    key = (os.path.abspath(sf_dir), name)
+    cached = per_session.get(key)
+    if cached is not None:
+        return cached
     # The caller may hand us a vanilla SparkSession (the correctness
     # driver does); make the confs this catalog depends on hold there
     # too. events.parquet stores TIMESTAMP(NANOS), which Spark can only
@@ -44,7 +71,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, name))
-    return _normalize_nanos_timestamps(df)
+    df = _normalize_nanos_timestamps(df)
+    per_session[key] = df
+    return df
 
 
 def _normalize_nanos_timestamps(df: DataFrame) -> DataFrame:
