@@ -2350,7 +2350,13 @@ def customer_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     p2 = sorted_neighborhood_pairs(
         cust, "key", "id", F.reverse(F.col("key")), window=5, max_distance=1
     ).select("id_a", "id_b")
-    pairs = p1.unionByName(p2).distinct()
+    # No distinct over the unioned passes: p2's distance<=1 pairs are a
+    # subset of p1's complete distance-1 recall, and every CC algorithm
+    # behind dedup_clusters dedups (or tolerates) duplicate edges
+    # internally — the cross-pass distinct was a pure extra shuffle of
+    # the whole edge set with no effect on the labels (same reasoning
+    # as hybrid_dedup_clusters).
+    pairs = p1.unionByName(p2)
     cl = dedup_clusters(pairs)
     rep = cl.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members"),
