@@ -269,8 +269,11 @@ def triangle_counts(und: DataFrame) -> DataFrame:
     once, at its lowest-ordered corner.
     """
     deg = (
-        und.select(F.col("u").alias("token"))
-        .unionByName(und.select(F.col("v").alias("token")))
+        # both endpoints from ONE pass over the edge list — the
+        # union-of-two-selects form evaluates the caller's edge
+        # lineage twice (union branches are planned independently;
+        # column pruning specializes them, so nothing dedups the work)
+        und.select(F.explode(F.array("u", "v")).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
     )

@@ -2628,11 +2628,22 @@ def doc_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
     )
     edges = (
-        e1.unionByName(
-            e1.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
-            )
+        # symmetrize in ONE pass: exploding both directions from each
+        # aggregated edge row replaces a union whose branches each
+        # re-ran the (src, dst) count aggregation
+        e1.select(
+            F.explode(
+                F.array(
+                    F.struct("src", "dst", "w"),
+                    F.struct(
+                        F.col("dst").alias("src"),
+                        F.col("src").alias("dst"),
+                        F.col("w"),
+                    ),
+                )
+            ).alias("d")
         )
+        .select("d.src", "d.dst", "d.w")
         .groupBy("src", "dst")
         .agg(F.sum("w").cast("bigint").alias("w"))
     )
@@ -2680,9 +2691,20 @@ def doc_token_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
     )
     edges = (
-        e1.unionByName(
-            e1.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+        # symmetrize in ONE pass (see doc_textrank_keywords above)
+        e1.select(
+            F.explode(
+                F.array(
+                    F.struct("src", "dst", "w"),
+                    F.struct(
+                        F.col("dst").alias("src"),
+                        F.col("src").alias("dst"),
+                        F.col("w"),
+                    ),
+                )
+            ).alias("d")
         )
+        .select("d.src", "d.dst", "d.w")
         .groupBy("src", "dst")
         .agg(F.sum("w").cast("bigint").alias("w"))
     )
@@ -2781,8 +2803,9 @@ def token_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(tri_cnt) div 3").cast("bigint").alias("n_tri_total")
     )
     deg_all = (
-        und.select(F.col("u").alias("token"))
-        .unionByName(und.select(F.col("v").alias("token")))
+        # one pass: explode both endpoints instead of a union whose
+        # branches would each re-run the explode+distinct edge build
+        und.select(F.explode(F.array("u", "v")).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
     )
@@ -2932,8 +2955,9 @@ def token_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     core = kcore_peel(und, k=3, rounds=3)
     fdeg = (
-        core.select(F.col("u").alias("token"))
-        .unionByName(core.select(F.col("v").alias("token")))
+        # one pass over the peeled core instead of a union whose
+        # branches would each re-run the k-core peel lineage
+        core.select(F.explode(F.array("u", "v")).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("bigint").alias("core_deg"))
     )
@@ -2976,9 +3000,22 @@ def token_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(word_pair_structs(F.col("ts"))).alias("p")
     ).select(F.col("p.x").alias("src"), F.col("p.y").alias("dst"))
     e1 = bg.filter(F.col("src") != F.col("dst"))
-    edges = e1.unionByName(
-        e1.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    # symmetrize in ONE pass over the pair stream instead of a union
+    # whose branches each re-ran the word-pair explode
+    edges = (
+        e1.select(
+            F.explode(
+                F.array(
+                    F.struct("src", "dst"),
+                    F.struct(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    ),
+                )
+            ).alias("d")
+        )
+        .select("d.src", "d.dst")
+        .distinct()
+    )
     nodes = toks.select(F.explode("ts").alias("token")).distinct()
     sources = nodes.filter(F.col("token").startswith("a")).select("token")
     dist = bfs_hops(nodes, edges, sources, rounds=3)
@@ -4078,8 +4115,13 @@ def token_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     adj = und.select(
-        F.col("u").alias("a"), F.col("v").alias("b")
-    ).unionByName(und.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+                F.struct(F.col("v").alias("a"), F.col("u").alias("b")),
+            )
+        ).alias("d")
+    ).select("d.a", "d.b")
     deg = adj.groupBy(F.col("a").alias("token")).agg(
         F.count(F.lit(1)).cast("bigint").alias("degree")
     )

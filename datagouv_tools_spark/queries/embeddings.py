@@ -2131,6 +2131,13 @@ def emb_hubness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = cosine_pairs_blocked(
         emb, "vec_id", "embedding", threshold=-1.0
     )
+    # NOTE(r11): an explode-both-directions rewrite of this union was
+    # measured 1.32x SLOWER interleaved. Unlike the token-graph edge
+    # builds (where the union branches re-ran shuffles), here the
+    # duplicated work is the vectorized BLAS kernel — cheap per row —
+    # while the explode pays an array+struct allocation on EVERY row
+    # of the all-pairs stream, which dominates at threshold=-1.0
+    # cardinality. Union kept deliberately.
     directed = pairs.select(
         F.col("id_a").alias("query_id"), F.col("id_b").alias("vec_id"), "sim"
     ).unionByName(
