@@ -468,16 +468,21 @@ def test_bm25_topk_is_take_ordered_map_local(spark, sf_dir):
 
 def test_rrf_windows_only_over_candidates(spark, sf_dir):
     """The RRF fusion ranks with ROW_NUMBER only AFTER each candidate
-    list is reduced by TakeOrdered(100): the Window's single-partition
-    exchange moves ≤100 rows, never the corpus."""
+    list is reduced by TakeOrdered(100), and since r11 the ranked
+    100-row lists are PINNED (localCheckpoint) before fusion: the
+    final plan consumes only the pinned candidate RDDs — no corpus
+    scan, no Window, no Generate anywhere downstream. The windows ran
+    once, over ≤100 rows, inside the pin jobs."""
     df = q.QUERIES["doc_retrieval_rrf"](spark, sf_dir)
     plan = physical_plan(df)
     assert "TakeOrderedAndProject" in plan
-    assert "Window" in plan
-    # every Window sits above a TakeOrdered in this plan: the global
-    # sorts Spark inserts for the windows are candidate-sized
-    assert plan.index("Window") > plan.index("TakeOrderedAndProject") or \
-        "TakeOrderedAndProject" in plan[: plan.index("Window")]
+    # every input is a pinned candidate list, never the corpus
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan
+    # the rank windows were evaluated at pin time over TakeOrdered
+    # output; nothing re-ranks (or re-scores) downstream
+    assert "Window" not in plan
+    assert "Generate" not in plan
 
 
 def test_batched_adc_single_scan_bounded_exchange(spark, sf_dir):
