@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from datagouv_tools_spark.functions.litfast import lit_bigint_array
 from datagouv_tools_spark.functions.text import fingerprint_md5, tokens
 from datagouv_tools_spark.functions.xhash import token_hash_expr
 
@@ -180,8 +181,10 @@ def minhash_signatures(
     # literal (a, b) arrays. The k-separate-array_min form re-traverses
     # the token array k times and blows past codegen limits — measured
     # 14.6 s vs 1.8 s for k=64 over the sf0.1 documents table.
-    a_lit = F.array(*[F.lit(a).cast("bigint") for a, _ in params])
-    b_lit = F.array(*[F.lit(b).cast("bigint") for _, b in params])
+    # Literal arrays render as ONE expr (functions/litfast): the
+    # per-element F.lit loop cost ~2k py4j round-trips per build.
+    a_lit = lit_bigint_array(a for a, _ in params)
+    b_lit = lit_bigint_array(b for _, b in params)
     p = F.lit(_MERSENNE_PRIME)
     sig = F.aggregate(
         tok_hashes,
@@ -260,17 +263,24 @@ def _band_entries(
     r = k // bands
     sigs = minhash_signatures(df, text_col, id_col, k, seed, token_hash)
 
-    def band_expr(band: int) -> Column:
-        joined = F.concat_ws(
-            ",", *[F.col("signature")[band * r + i] for i in range(r)]
+    # The whole band array renders as ONE SQL expression (array
+    # subscripts are 0-based in Spark SQL, matching Column.__getitem__):
+    # the per-band Column-op loop cost ~1k py4j round-trips per build
+    # with identical folded expressions (functions/litfast rationale).
+    def band_sql(band: int) -> str:
+        joined = (
+            "concat_ws(',',"
+            + ",".join(f"signature[{band * r + i}]" for i in range(r))
+            + ")"
         )
-        return F.xxhash64(joined) if band_key == "hash" else joined
+        return f"xxhash64({joined})" if band_key == "hash" else joined
 
+    band_arr = F.expr(
+        "array(" + ",".join(band_sql(b) for b in range(bands)) + ")"
+    )
     return sigs.select(
         F.col(id_col),
-        F.posexplode(F.array(*[band_expr(b) for b in range(bands)])).alias(
-            "band_idx", "band_hash"
-        ),
+        F.posexplode(band_arr).alias("band_idx", "band_hash"),
     )
 
 
@@ -339,7 +349,7 @@ def simhash64(
     # long (a 1<<63 literal would overflow); & / | are bit-pattern ops,
     # so the arithmetic sign never matters.
     masks = [(1 << j) if j < 63 else -(1 << 63) for j in range(n_bits)]
-    m_lit = F.array(*[F.lit(m).cast("bigint") for m in masks])
+    m_lit = lit_bigint_array(masks)
     # Single-pass fold: one traversal of the token array updates all
     # n_bits counters via zip_with against the mask array. The n_bits-
     # separate-aggregates form re-traverses tokens once per bit —
@@ -473,13 +483,28 @@ def _cc_local(
     before any bytes move, identical to the collect path."""
     from pyspark.sql import functions as F
 
-    tbl = (
-        pairs.select(
-            F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
-        )
-        .limit(max_edges + 1)
-        .toArrow()
-    )
+    sel = pairs.select(
+        F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
+    ).limit(max_edges + 1)
+    # One job, not an incremental take: executeTake's partition scaling
+    # (1 -> 4 -> 16 -> ... partitions per spark.sql.limit.scaleUpFactor)
+    # is built for top-k early exit, but this probe EXPECTS to scan the
+    # whole (bounded) edge set — under the bound every scaling round is
+    # a sequential job over final-stage partitions that could have run
+    # in parallel (measured: 4-5 jobs -> 1, ~0.3-1.5 s per affected
+    # query). Over the bound, tasks still short-circuit at the
+    # per-partition LocalLimit, so the oversize probe stays one pass.
+    conf = pairs.sparkSession.conf
+    _key = "spark.sql.limit.initialNumPartitions"
+    _old = conf.get(_key, None)
+    conf.set(_key, str(1 << 30))
+    try:
+        tbl = sel.toArrow()
+    finally:
+        if _old is None:
+            conf.unset(_key)
+        else:
+            conf.set(_key, _old)
     if tbl.num_rows > max_edges:
         return None
     rows = list(zip(tbl.column(0).to_pylist(), tbl.column(1).to_pylist()))

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from datagouv_tools_spark.functions.litfast import lit_bigint_array
+
 
 def perceptron_train(
     emb: DataFrame, positive_label: int, iters: int, dim: int
@@ -49,7 +51,9 @@ def perceptron_train(
     w = [0] * dim
     stats: list[dict] = []
     for r in range(iters):
-        warr = F.array(*[F.lit(int(v)) for v in w])
+        # one expr round-trip per round for the dim-wide weight literal
+        # (functions/litfast) — the F.lit loop cost ~1k py4j calls/round
+        warr = lit_bigint_array(w)
         score = F.aggregate(
             F.zip_with(F.col("xq"), warr, lambda a, b: a * b),
             F.lit(0).cast("bigint"),

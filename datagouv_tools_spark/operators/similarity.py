@@ -117,7 +117,20 @@ def cosine_pairs_exact(
     # limit(max_rows+1) both fetches the kernel input AND proves the
     # bound (a separate count() would execute the upstream lineage
     # twice).
-    rows = df.select(id_col, vec_col).limit(max_rows + 1).collect()
+    # One job, not an incremental take (same rationale as dedup._cc_local):
+    # the guard expects to fetch the whole bounded input, so the take's
+    # 1 -> 4 -> 16 partition scaling only adds sequential job rounds.
+    _conf = df.sparkSession.conf
+    _key = "spark.sql.limit.initialNumPartitions"
+    _old = _conf.get(_key, None)
+    _conf.set(_key, str(1 << 30))
+    try:
+        rows = df.select(id_col, vec_col).limit(max_rows + 1).collect()
+    finally:
+        if _old is None:
+            _conf.unset(_key)
+        else:
+            _conf.set(_key, _old)
     if len(rows) > max_rows:
         raise ValueError(
             f"cosine_pairs_exact collects its input to the driver and is "
@@ -1091,14 +1104,17 @@ def random_projection(
 
     planes = _hyperplanes(in_dim, out_dim, seed)
     scale = 1.0 / math.sqrt(out_dim)
-    dims = [
-        F.round(
-            dot(vec_col, F.array(*[F.lit(w) for w in plane])) * F.lit(scale),
-            round_to,
-        )
-        for plane in planes
-    ]
-    return df.withColumn(out_col, F.array(*dims))
+    # transform over a single-expr literal matrix (functions/litfast):
+    # identical per-dim round(dot·scale) values, but ONE py4j round-trip
+    # for the whole in_dim×out_dim constant instead of ~4k (the literal
+    # loop dominated this operator's build time)
+    from datagouv_tools_spark.functions.litfast import lit_double_matrix
+
+    proj = F.transform(
+        lit_double_matrix(planes),
+        lambda plane: F.round(dot(vec_col, plane) * F.lit(scale), round_to),
+    )
+    return df.withColumn(out_col, proj)
 
 
 def pq_adc_topk(

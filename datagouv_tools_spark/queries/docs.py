@@ -3820,11 +3820,21 @@ def doc_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .fillna(0, subset=["in_cand"])
     )
     n_cand = cand.count()
-    rows = None
-    for thr in (300, 500, 700):
-        truth = F.col("ix") * 1000 >= F.lit(thr) * F.col("un")
-        r = pairs.agg(
-            F.lit(thr).cast("bigint").alias("thr_mille"),
+    # One grouped aggregation over an exploded thresholds array, not a
+    # union of three per-threshold aggregates: union branches do NOT
+    # share lineage, so the 3-way union re-derived the whole exact-truth
+    # pair pipeline once per threshold (same reasoning as the r11
+    # union-of-selects -> explode rewrites). Identical three rows out.
+    truth = F.col("ix") * 1000 >= F.col("thr_mille") * F.col("un")
+    return (
+        pairs.select(
+            "ix",
+            "un",
+            "in_cand",
+            F.explode(F.expr("array(300L, 500L, 700L)")).alias("thr_mille"),
+        )
+        .groupBy("thr_mille")
+        .agg(
             F.lit(n_cand).cast("bigint").alias("n_cand"),
             F.sum(F.when(truth, 1).otherwise(0))
             .cast("bigint")
@@ -3832,7 +3842,8 @@ def doc_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(truth, F.col("in_cand")).otherwise(0))
             .cast("bigint")
             .alias("tp"),
-        ).select(
+        )
+        .select(
             "thr_mille",
             "n_cand",
             "n_truth",
@@ -3845,8 +3856,8 @@ def doc_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " else tp * 1000 div n_truth end as bigint)"
             ).alias("recall_mille"),
         )
-        rows = r if rows is None else rows.unionByName(r)
-    return rows.orderBy("thr_mille")
+        .orderBy("thr_mille")
+    )
 
 
 @query(

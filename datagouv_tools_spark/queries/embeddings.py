@@ -11,6 +11,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from datagouv_tools_spark.functions.litfast import (
+    lit_bigint_array,
+    lit_bigint_matrix,
+)
 from ._registry import query, t
 from ._common import _sql_lsh_band_ctes
 
@@ -1408,9 +1412,9 @@ def emb_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     picks = [(1, int(first.vec_id), 0)]
     centers = [[int(x) for x in first.xq]]
     for r in range(2, 9):
-        cands = F.array(
-            *[F.array(*[F.lit(x) for x in c]) for c in centers]
-        )
+        # one expr round-trip for the (r-1)x64 center literal matrix;
+        # the nested F.lit loop cost ~1.5k py4j calls per round
+        cands = lit_bigint_matrix(centers)
         mind = F.array_min(
             F.transform(
                 cands,
@@ -1943,7 +1947,7 @@ def emb_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     w, _ = perceptron_train(emb, positive_label=0, iters=4, dim=64)
-    warr = F.array(*[F.lit(int(v)).cast("bigint") for v in w])
+    warr = lit_bigint_array(w)
     score = F.aggregate(
         F.zip_with(F.col("xq"), warr, lambda a, b: a * b),
         F.lit(0).cast("bigint"),
@@ -2035,7 +2039,7 @@ def emb_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     w, _ = perceptron_train(emb, positive_label=0, iters=4, dim=64)
-    warr = F.array(*[F.lit(int(v)).cast("bigint") for v in w])
+    warr = lit_bigint_array(w)
     score = F.aggregate(
         F.zip_with(F.col("xq"), warr, lambda a, b: a * b),
         F.lit(0).cast("bigint"),
