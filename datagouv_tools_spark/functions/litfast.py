@@ -30,7 +30,21 @@ __all__ = [
     "lit_double_array",
     "lit_bigint_matrix",
     "lit_double_matrix",
+    "sql_double",
+    "sql_string",
 ]
+
+
+def sql_double(v: float) -> str:
+    """Exact double literal for SQL text: shortest-repr string cast,
+    which Double.parseDouble round-trips bit-for-bit."""
+    return _fmt_double(v)
+
+
+def sql_string(s: str) -> str:
+    """Escaped SQL string literal (backslash escapes are live in Spark
+    SQL string literals by default)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 _BIGINT_MIN = -(1 << 63)
 _BIGINT_MAX = (1 << 63) - 1

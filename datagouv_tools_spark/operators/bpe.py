@@ -40,14 +40,9 @@ def _spaced_chars(w: Column) -> Column:
 
 
 def _merge_fold(l: Column, lft: Column, rgt: Column) -> Column:
-    """Greedy left-to-right merge of adjacent (lft, rgt) symbol pairs.
-
-    Folds the symbol array back into a spaced string: the accumulator's
-    LAST symbol is merged with the incoming one iff they equal the
-    winning pair — byte-equal to DuckDB's `list_reduce` with the same
-    CASE (the boundary test keeps token identity exact even when one
-    symbol is a suffix of another).
-    """
+    """Column-form greedy merge fold (see ``_merge_fold_sql``): kept
+    for per-row (non-literal) pairs and as the semantic pin the
+    equivalence tests compare the SQL form against."""
     init = F.element_at(l, 1)
     rest = F.slice(l, 2, F.greatest(F.size(l) - 1, F.lit(0)))
 
@@ -64,6 +59,37 @@ def _merge_fold(l: Column, lft: Column, rgt: Column) -> Column:
         ).otherwise(F.concat(acc, F.lit(" "), x))
 
     return F.aggregate(rest, init, fold)
+
+
+def _merge_fold_sql(lft: str, rgt: str) -> str:
+    """Greedy left-to-right merge of adjacent (lft, rgt) symbol pairs,
+    folding the spaced-string column ``s`` back together, as ONE parsed
+    SQL expression (the Column-operator form cost ~500 py4j round-trips
+    per merge round — functions/litfast rationale; identical tree).
+
+    The accumulator's LAST symbol is merged with the incoming one iff
+    they equal the winning pair — byte-equal to DuckDB's `list_reduce`
+    with the same CASE (the boundary test keeps token identity exact
+    even when one symbol is a suffix of another).
+    """
+    from datagouv_tools_spark.functions.litfast import sql_string
+
+    L, R = sql_string(lft), sql_string(rgt)
+    arr = "split(s, ' ')"
+    tail = f"substr(acc, length(acc) - length({L}) + 1, length({L}))"
+    boundary = (
+        f"(length(acc) = length({L})"
+        f" OR substr(acc, length(acc) - length({L}), 1) = ' ')"
+    )
+    fold = (
+        f"CASE WHEN (x = {R}) AND ({tail} = {L}) AND {boundary}"
+        f" THEN concat(substr(acc, 1, length(acc) - length({L})), {L}, {R})"
+        f" ELSE concat(acc, ' ', x) END"
+    )
+    return (
+        f"aggregate(slice({arr}, 2, greatest(size({arr}) - 1, 0)),"
+        f" element_at({arr}, 1), (acc, x) -> {fold})"
+    )
 
 
 def bpe_train(
@@ -92,22 +118,21 @@ def bpe_train(
     ).persist()
     prev: DataFrame | None = None
     winners: list[tuple[int, str, str, str, int]] = []
+    # one parsed expr per round for the pair expansion (litfast
+    # rationale; ~150 Column-op round-trips otherwise, per round)
+    _pair_sql = (
+        "explode(transform(sequence(1, size(split(s, ' ')) - 1),"
+        " i -> named_struct("
+        "'lft', element_at(split(s, ' '), i),"
+        "'rgt', element_at(split(s, ' '), i + 1))))"
+    )
     for r in range(rounds):
-        l = F.split(F.col("s"), " ")
         # Spark's sequence(1, 0) DESCENDS ([1, 0]) where DuckDB's
         # generate_series(1, 0) is empty — single-symbol words must be
         # filtered out before pair expansion, not guarded arithmetically.
-        pairs = corpus.filter(F.size(l) >= 2).select(
+        pairs = corpus.filter(F.expr("size(split(s, ' ')) >= 2")).select(
             "wc",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(l) - 1),
-                    lambda i: F.struct(
-                        F.element_at(l, i).alias("lft"),
-                        F.element_at(l, i + F.lit(1)).alias("rgt"),
-                    ),
-                )
-            ).alias("p"),
+            F.expr(_pair_sql).alias("p"),
         ).select("wc", "p.lft", "p.rgt")
         counted = pairs.groupBy("lft", "rgt").agg(F.sum("wc").alias("cnt"))
         # The winner is ONE row (TakeOrdered) — collecting it is the
@@ -129,9 +154,7 @@ def bpe_train(
         nxt = corpus.select(
             "w",
             "wc",
-            _merge_fold(
-                F.split(F.col("s"), " "), F.lit(lft), F.lit(rgt)
-            ).alias("s"),
+            F.expr(_merge_fold_sql(lft, rgt)).alias("s"),
         ).persist()
         prev, corpus = corpus, nxt
     winners_df = spark.createDataFrame(
@@ -222,8 +245,6 @@ def bpe_apply(words: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
         corpus = corpus.select(
             "w",
             "wc",
-            _merge_fold(
-                F.split(F.col("s"), " "), F.lit(lft), F.lit(rgt)
-            ).alias("s"),
+            F.expr(_merge_fold_sql(lft, rgt)).alias("s"),
         )
     return corpus

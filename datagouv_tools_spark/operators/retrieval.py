@@ -52,6 +52,12 @@ K1 = 1.2
 B = 0.75
 
 
+from datagouv_tools_spark.functions.litfast import (
+    sql_double as _sql_d,
+    sql_string as _sql_str,
+)
+
+
 def corpus_stats(
     docs: DataFrame,
     terms: list[str],
@@ -67,16 +73,29 @@ def corpus_stats(
     ``tokens_col`` names an ALREADY-TOKENIZED array column — pass it
     when the caller tokenizes once and shares the array across several
     scoring passes (multi-query evals), skipping the regex re-split."""
-    ts = F.col(tokens_col) if tokens_col else tokens(text_col)
-    row = docs.agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.sum(F.size(ts)).alias("__tot"),
-        *[
+    if tokens_col:
+        # one parsed expr per term instead of ~30 Column-op round-trips
+        # (functions/litfast rationale); identical aggregate expressions
+        ts_sql = "`" + tokens_col.replace("`", "``") + "`"
+        per_term = [
+            F.expr(
+                f"sum(cast(array_contains({ts_sql}, {_sql_str(t)}) as long))"
+            ).alias(f"__df_{i}")
+            for i, t in enumerate(terms)
+        ]
+        ts = F.col(tokens_col)
+    else:
+        ts = tokens(text_col)
+        per_term = [
             F.sum(F.array_contains(ts, F.lit(t)).cast("long")).alias(
                 f"__df_{i}"
             )
             for i, t in enumerate(terms)
-        ],
+        ]
+    row = docs.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.size(ts)).alias("__tot"),
+        *per_term,
     ).first()
     dfs = {t: int(row[f"__df_{i}"]) for i, t in enumerate(terms)}
     return int(row["__n"]), int(row["__tot"]), dfs
@@ -112,7 +131,37 @@ def bm25_scores(
     n, tot, dfs = stats if stats is not None else corpus_stats(
         docs, terms, text_col, tokens_col
     )
-    ts = F.col(tokens_col) if tokens_col else tokens(text_col)
+    if tokens_col:
+        # Whole score as ONE parsed SQL expression (the Column-operator
+        # loop cost ~100+ py4j round-trips PER TERM — functions/litfast
+        # rationale). Same tree: SQL * and / are left-associative and
+        # equal-precedence like Python's, the float constants embed via
+        # exact shortest-repr casts, and avgdl / (1-b) / idf folding
+        # happens on identical IEEE doubles whether Python or Catalyst
+        # evaluates the constant subtrees.
+        ts_sql = "`" + tokens_col.replace("`", "``") + "`"
+        dl = f"CAST(size({ts_sql}) AS DOUBLE)"
+        avgdl = float(tot) / float(n) if n else 1.0
+        nrm = (
+            f"({_sql_d(k1)} * ({_sql_d(1.0 - b)}"
+            f" + {_sql_d(b)} * ({dl} / {_sql_d(avgdl)})))"
+        )
+        terms_sql = []
+        for t in terms:
+            idf = (float(n - dfs[t]) + 0.5) / (float(dfs[t]) + 0.5)
+            tf = (
+                f"CAST(size(filter({ts_sql}, x -> x = {_sql_str(t)}))"
+                " AS DOUBLE)"
+            )
+            terms_sql.append(
+                f"{_sql_d(idf)} * ({tf} * {_sql_d(k1 + 1.0)})"
+                f" / ({tf} + {nrm})"
+            )
+        score_sql = " + ".join(f"({t})" for t in terms_sql)
+        return docs.withColumn(
+            "bm25", F.expr(f"round({score_sql}, {int(round_to)})")
+        )
+    ts = tokens(text_col)
     dl = F.size(ts).cast("double")
     avgdl = F.lit(float(tot)) / F.lit(float(n)) if n else F.lit(1.0)
     norm = F.lit(k1) * (

@@ -2461,8 +2461,6 @@ def doc_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     one combined aggregation pass, and per query the shared arrays are
     scanned map-locally for scores and containment; top-10 is
     TakeOrdered and every metric aggregates a ≤10-row join."""
-    from functools import reduce as _reduce
-
     from datagouv_tools_spark.functions.text import tokens
     from datagouv_tools_spark.operators.retrieval import (
         bm25_topk,
@@ -2482,13 +2480,15 @@ def doc_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         # containment saturates every metric at 1000 on this corpus
         # (common tokens), which would leave rank/denominator paths
         # untested by the hash compare.
-        def _tf_at_least_2(tm: str) -> Column:
-            return (
-                F.size(F.filter(F.col("ws"), lambda x: x == F.lit(tm))) >= 2
-            )
+        # one parsed expr for the whole AND-chain (litfast rationale);
+        # same left-associative conjunction the Column reduce built
+        from datagouv_tools_spark.functions.litfast import sql_string
 
-        flag = _reduce(
-            lambda a, b: a & b, [_tf_at_least_2(tm) for tm in terms]
+        flag = F.expr(
+            " AND ".join(
+                f"(size(filter(ws, x -> x = {sql_string(tm)})) >= 2)"
+                for tm in terms
+            )
         )
         rel = w.select(
             "doc_id", F.when(flag, 1).otherwise(0).alias("rel")

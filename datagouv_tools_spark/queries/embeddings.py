@@ -1809,30 +1809,33 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine_topk corpus scans."""
     from pyspark.sql.window import Window
 
-    from datagouv_tools_spark.functions.vectors import dot
-
     dims = (8, 16, 32, 64)
 
-    def _prefix_dot(a: str, b: str, d: int):
+    # every per-dim expression renders as ONE parsed SQL string
+    # (functions/litfast rationale): the Column-op loops here cost ~3k
+    # py4j round-trips per build for identical expression trees
+
+    def _prefix_dot(a: str, b: str, d: int) -> str:
         # sequential fold i=1..d of double products: the exact
         # accumulation order of dot(slice(a,1,d), slice(b,1,d))
-        return F.aggregate(
-            F.sequence(F.lit(1), F.lit(d)),
-            F.lit(0.0),
-            lambda acc, i: acc
-            + F.element_at(F.col(a), i).cast("double")
-            * F.element_at(F.col(b), i).cast("double"),
+        return (
+            f"aggregate(sequence(1, {d}), CAST(0.0 AS DOUBLE),"
+            f" (acc, i) -> acc + CAST(element_at({a}, i) AS DOUBLE)"
+            f" * CAST(element_at({b}, i) AS DOUBLE))"
         )
 
     def _with_prefix_norms(df: DataFrame, vec: str, prefix: str) -> DataFrame:
+        def _norm(d: int) -> str:
+            sliced = f"slice({vec}, 1, {d})"
+            return (
+                f"sqrt(aggregate(zip_with({sliced}, {sliced},"
+                " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+                " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
+            )
+
         return df.select(
             "*",
-            *[
-                F.sqrt(dot(F.slice(vec, 1, d), F.slice(vec, 1, d))).alias(
-                    f"{prefix}{d}"
-                )
-                for d in dims
-            ],
+            *[F.expr(_norm(d)).alias(f"{prefix}{d}") for d in dims],
         )
 
     emb = t(spark, sf_dir, "embeddings")
@@ -1853,19 +1856,20 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("query_id") != F.col("vec_id"))
     )
 
-    def _sim(d: int):
+    def _sim(d: int) -> str:
         dp = _prefix_dot("query_vec", "embedding", d)
-        qn, en = F.col(f"qn{d}"), F.col(f"en{d}")
-        return F.when((qn > 0) & (en > 0), F.round(dp / (qn * en), 6))
+        return (
+            f"CASE WHEN (qn{d} > 0) AND (en{d} > 0)"
+            f" THEN round({dp} / (qn{d} * en{d}), 6) END"
+        )
 
-    sims = F.array(
-        *[
-            F.struct(
-                F.lit(d).cast("bigint").alias("n_dims"),
-                _sim(d).alias("sim"),
-            )
+    sims = F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('n_dims', CAST({d} AS BIGINT), 'sim', {_sim(d)})"
             for d in dims
-        ]
+        )
+        + ")"
     )
     tall = pairs.select(
         "query_id", "vec_id", F.explode(sims).alias("s")

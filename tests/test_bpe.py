@@ -39,6 +39,29 @@ def test_merge_fold_greedy_overlap(spark):
     assert [r.m for r in out] == ["aa aa", "b aa b", "a"]
 
 
+def test_merge_fold_sql_equals_column_form(spark):
+    """The single-expr SQL fold the trainer/apply paths now build must
+    equal the Column-operator fold for every (sequence, pair) case —
+    including pairs containing quotes/backslashes (literal escaping)."""
+    from datagouv_tools_spark.operators.bpe import _merge_fold_sql
+
+    import random
+
+    rng = random.Random(7)
+    alphabet = ["a", "b", "ab", "ba", "aa", "x", "xa", "o'x", "b\\c"]
+    rows = []
+    for _ in range(100):
+        n = rng.randint(1, 9)
+        rows.append((" ".join(rng.choice(alphabet) for _ in range(n)),))
+    df = spark.createDataFrame(rows, "s string")
+    for lft, rgt in [("a", "a"), ("ab", "a"), ("o'x", "b\\c"), ("x", "xa")]:
+        got = df.select(F.expr(_merge_fold_sql(lft, rgt)).alias("m")).collect()
+        want = df.select(
+            _merge_fold(F.split("s", " "), F.lit(lft), F.lit(rgt)).alias("m")
+        ).collect()
+        assert [r.m for r in got] == [r.m for r in want], (lft, rgt)
+
+
 def test_merge_fold_suffix_boundary(spark):
     """A symbol that merely ENDS with the left token must not merge:
     'xa b' with pair (a, b) stays intact."""
