@@ -86,6 +86,7 @@ def segment_dedup_marks(
     token_hash: str = "xxhash64",
     keep_cols: tuple[str, ...] = (),
     keep_seg_text: bool = False,
+    fan_out_input: bool = True,
 ) -> DataFrame:
     """Sub-document (paragraph-level) exact dedup: mark every text
     segment as kept (global first occurrence) or duplicate.
@@ -121,6 +122,14 @@ def segment_dedup_marks(
     through the winner join, which reassembly requires anyway. Leave it
     off for audit/marking workloads: hashes-only shuffles.
     """
+    from datagouv_tools_spark.operators.skew import fan_out_narrow_scan
+
+    # per-segment hashing is a compute-bound kernel: unblock the
+    # single-split-scan case (guide §2.5; no-op on multi-split inputs;
+    # callers that already spread their input — the streaming scrub
+    # gate's fan_out_batch — pass fan_out_input=False)
+    if fan_out_input:
+        df = fan_out_narrow_scan(df)
     ts = tokens(text_col)
     n = F.size(ts)
     n_segs = F.ceil(n.cast("double") / F.lit(float(seg_len))).cast("int")
@@ -772,7 +781,13 @@ def prefix_filter_jaccard_pairs(
     # position: common-subexpression elimination does not reach into
     # lambda bodies, so an inlined tokens() would re-tokenize the
     # document k× per shingle (measured ~10× slowdown).
-    base = df.select(F.col(id_col).alias("__id"), tokens(text_col).alias("__tk"))
+    from datagouv_tools_spark.operators.skew import fan_out_narrow_scan
+
+    # per-shingle md5 is compute-bound: unblock the single-split-scan
+    # case (guide §2.5; no-op on multi-split inputs)
+    base = fan_out_narrow_scan(df).select(
+        F.col(id_col).alias("__id"), tokens(text_col).alias("__tk")
+    )
     tk = F.col("__tk")
     n_tok = F.size("__tk")
     shingle_of = lambda i: md5_hash60(  # noqa: E731

@@ -2528,9 +2528,13 @@ def orders_lineitem_join_size_sketch(spark: SparkSession, sf_dir: str) -> DataFr
     from datagouv_tools_spark.operators.sketches import (
         cms_cells_single_digest,
     )
+    from datagouv_tools_spark.operators.skew import fan_out_narrow_scan
 
-    orders = t(spark, sf_dir, "orders")
-    li = t(spark, sf_dir, "lineitem")
+    # the per-key md5 sketch builds are compute-bound: unblock the
+    # single-split-scan case (guide §2.5; no-op on multi-split inputs —
+    # measured a 2.1 s near-serial stage over the two builds here)
+    orders = fan_out_narrow_scan(t(spark, sf_dir, "orders"))
+    li = fan_out_narrow_scan(t(spark, sf_dir, "lineitem"))
     co = cms_cells_single_digest(
         orders.select(F.col("o_orderkey").cast("string").alias("tok"))
     )
@@ -2736,6 +2740,10 @@ def orders_merkle_antientropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins ≤256-row frames."""
     from datagouv_tools_spark.functions.xhash import md5_hash60
 
+    # fan_out_narrow_scan measured 1.38x SLOWER here (interleaved A/B):
+    # the two per-side checksum kernels are ~0.4 s each, less than the
+    # two repartition exchanges the fan-out adds — the counter-case to
+    # the nine queries where the fan-out wins. Left on the narrow scan.
     orders = t(spark, sf_dir, "orders")
     price_mille = F.round(dec("o_totalprice") * 1000, 0).cast("bigint")
     a = orders.select(
@@ -3235,7 +3243,12 @@ def orders_bootstrap_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     (priority, replica) — 40 cells out regardless of fact size; at
     100 TB you'd fold the replica id into the same map-side combine
     exactly like this."""
-    o = t(spark, sf_dir, "orders")
+    from datagouv_tools_spark.operators.skew import fan_out_narrow_scan
+
+    # 8 md5 evaluations per order row are compute-bound: unblock the
+    # single-split-scan case (guide §2.5; no-op on multi-split inputs —
+    # measured 1.7 s single-task stage here)
+    o = fan_out_narrow_scan(t(spark, sf_dir, "orders"))
     reps = spark.createDataFrame([(r,) for r in range(8)], "r int")
     pick = (
         F.conv(

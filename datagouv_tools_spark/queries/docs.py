@@ -3248,8 +3248,11 @@ def doc_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus shuffle on gh, one bounded per-doc shuffle on doc_id."""
     from datagouv_tools_spark.functions.text import tokens as _toks
     from datagouv_tools_spark.functions.xhash import md5_hash60
+    from datagouv_tools_spark.operators.skew import fan_out_narrow_scan
 
-    docs = t(spark, sf_dir, "documents")
+    # per-gram md5 is compute-bound: unblock the single-split-scan case
+    # (guide §2.5; no-op on multi-split inputs)
+    docs = fan_out_narrow_scan(t(spark, sf_dir, "documents"))
     base = docs.select(
         "doc_id", "source", _toks("text").alias("ts")
     ).withColumn("n", F.size("ts"))
@@ -3440,8 +3443,11 @@ def doc_dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     except the final per-doc cleaned string into the source rollup."""
     from datagouv_tools_spark.functions.text import tokens as _toks
     from datagouv_tools_spark.functions.xhash import md5_hash60
+    from datagouv_tools_spark.operators.skew import fan_out_narrow_scan
 
-    docs = t(spark, sf_dir, "documents")
+    # per-gram md5 is compute-bound: unblock the single-split-scan case
+    # (guide §2.5; no-op on multi-split inputs)
+    docs = fan_out_narrow_scan(t(spark, sf_dir, "documents"))
     base = docs.select(
         "doc_id", "source", _toks("text").alias("ts")
     ).withColumn("n", F.size("ts"))
@@ -3663,7 +3669,12 @@ def doc_heavy_hitters_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cell counts sum to N), which deletes the separate count pass and
     # one of the two broadcasts. Measured 5.2 s → 3.7 s at sf0.1,
     # byte-identical output.
-    toks = t(spark, sf_dir, "documents").select(
+    from datagouv_tools_spark.operators.skew import fan_out_narrow_scan
+
+    # both remaining passes run a per-token md5 kernel over the explode:
+    # unblock the single-split-scan case (guide §2.5; no-op on
+    # multi-split inputs)
+    toks = fan_out_narrow_scan(t(spark, sf_dir, "documents")).select(
         F.explode(_toks("text")).alias("tok")
     )
     cells = cms_cells_single_digest(toks)

@@ -2219,8 +2219,11 @@ def source_gram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     statement, not the plan."""
     from datagouv_tools_spark.functions.text import tokens as _toks
     from datagouv_tools_spark.functions.xhash import md5_hash60
+    from datagouv_tools_spark.operators.skew import fan_out_narrow_scan
 
-    docs = t(spark, sf_dir, "documents")
+    # per-gram md5 over every 6-gram is compute-bound: unblock the
+    # single-split-scan case (guide §2.5; no-op on multi-split inputs)
+    docs = fan_out_narrow_scan(t(spark, sf_dir, "documents"))
     base = docs.select("source", _toks("text").alias("ts")).withColumn(
         "n", F.size("ts")
     )

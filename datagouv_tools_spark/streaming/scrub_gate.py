@@ -111,6 +111,8 @@ def scrub_gate_batch(
         segment_dedup_marks(
             batch, id_col, text_col, seg_len=seg_len,
             token_hash=token_hash, keep_seg_text=True, keep_cols=keep_cols,
+            # fan_out_batch above already spread the micro-batch
+            fan_out_input=False,
         )
         .withColumn("__bucket", _bucket("seg_hash", n_buckets))
         .localCheckpoint(eager=True)
