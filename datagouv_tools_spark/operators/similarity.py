@@ -66,10 +66,15 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k neighbors per query by cosine (self-pairs excluded
     when ids collide). Returns (query_id, vec_id, sim, rk)."""
+    from datagouv_tools_spark.operators.skew import fan_out_narrow_scan
+
     q = F.broadcast(queries.select(query_id, query_vec))
-    pairs = q.crossJoin(corpus.select(corpus_id, corpus_vec)).filter(
-        F.col(query_id) != F.col(corpus_id)
-    )
+    # |Q| JVM cosines per corpus row are compute-bound map work:
+    # unblock the single-split corpus-scan case (guide §2.5; no-op on
+    # multi-split inputs)
+    pairs = q.crossJoin(
+        fan_out_narrow_scan(corpus).select(corpus_id, corpus_vec)
+    ).filter(F.col(query_id) != F.col(corpus_id))
     sim = F.round(cosine(query_vec, corpus_vec), round_to)
     w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(corpus_id))
     return (
@@ -341,6 +346,9 @@ def lsh_topk(
     qb = lsh_band_buckets(
         queries.select(query_id, query_vec), query_id, query_vec, dim,
         1, n_planes, seed, keep_vec=True,
+        # the query side is a tiny pre-broadcast frame: a fan-out
+        # exchange would cost more than the kernel it parallelizes
+        fan_out_input=False,
     ).drop("__band").withColumnRenamed("__bucket", "__bucket0")
     probe_masks = F.array(
         F.lit(0).cast("bigint"),
@@ -356,6 +364,10 @@ def lsh_topk(
     cb = lsh_band_buckets(
         corpus.select(corpus_id, corpus_vec), corpus_id, corpus_vec, dim,
         1, n_planes, seed, keep_vec=True,
+        # measured 1.06-1.16x SLOWER with the narrow-scan fan-out here:
+        # a single 8-plane band is too light a kernel to pay an extra
+        # exchange for (counter-case to the 10x10-band near-dup path)
+        fan_out_input=False,
     ).drop("__band")
     pairs = F.broadcast(qb).join(cb, "__bucket").filter(F.col(query_id) != F.col(corpus_id))
     sim = F.round(cosine(query_vec, corpus_vec), round_to)
@@ -376,6 +388,7 @@ def lsh_band_buckets(
     band_bits: int,
     seed: int = 42,
     keep_vec: bool = False,
+    fan_out_input: bool = True,
 ) -> DataFrame:
     """Banded sign-LSH bucket ids: one row per (vector, band) with a
     ``band_bits``-bit bucket — the cosine analog of MinHash banding
@@ -399,10 +412,18 @@ def lsh_band_buckets(
     """
     import numpy as np
 
+    from datagouv_tools_spark.operators.skew import fan_out_narrow_scan
+
     n_planes = n_bands * band_bits
     planes = np.array(_hyperplanes(dim, n_planes, seed), dtype=np.float64)
     weights = (1 << np.arange(band_bits, dtype=np.int64)).astype(np.int64)
     bands = np.arange(n_bands, dtype=np.int32)
+    # the projection kernel is compute-bound: unblock the single-split
+    # corpus-scan case (guide §2.5; no-op on multi-split inputs).
+    # fan_out_input=False for tiny/pre-spread inputs (query sides,
+    # streaming micro-batches already through fan_out_batch).
+    if fan_out_input:
+        df = fan_out_narrow_scan(df)
     base = df.select(id_col, vec_col)
     kept = [id_col, vec_col] if keep_vec else [id_col]
     fields = ", ".join(

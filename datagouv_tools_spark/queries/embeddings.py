@@ -776,12 +776,17 @@ def emb_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-5 via the rank window over the candidate stream); a production
     eval swaps the exact scan for AnnIndex.adc_topk_batch — same
     metrics, index-served candidates."""
+    from datagouv_tools_spark.operators.skew import fan_out_narrow_scan
+
     emb = t(spark, sf_dir, "embeddings")
     xq = F.transform(
         F.col("embedding"),
         lambda v: F.round(v.cast("double") * 1000, 0).cast("bigint"),
     )
-    corpus = emb.select("vec_id", "label", xq.alias("x"))
+    # the |Q|x|corpus| distance arithmetic is compute-bound map work:
+    # unblock the single-split corpus-scan case (guide §2.5; no-op on
+    # multi-split inputs — measured a 1.1 s single-task stage here)
+    corpus = fan_out_narrow_scan(emb).select("vec_id", "label", xq.alias("x"))
     qv = (
         emb.filter(F.col("vec_id") < 50)
         .select(

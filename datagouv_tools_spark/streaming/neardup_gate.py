@@ -161,7 +161,9 @@ def embdup_gate_batch(
 
     batch = fan_out_batch(batch)
     entries = lsh_band_buckets(
-        batch, id_col, vec_col, dim, n_bands, band_bits, seed
+        batch, id_col, vec_col, dim, n_bands, band_bits, seed,
+        # fan_out_batch above already spread the micro-batch
+        fan_out_input=False,
     ).select(
         id_col,
         F.col("__band").alias("band_idx"),
