@@ -20,9 +20,10 @@ no precision is lost crossing the text boundary.
 from __future__ import annotations
 
 import math
+import weakref
 from collections.abc import Iterable, Sequence
 
-from pyspark.sql import Column
+from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -31,6 +32,7 @@ __all__ = [
     "lit_bigint_matrix",
     "lit_double_matrix",
     "sql_double",
+    "sql_ref",
     "sql_string",
 ]
 
@@ -41,10 +43,47 @@ def sql_double(v: float) -> str:
     return _fmt_double(v)
 
 
+#: sessions already verified to have live backslash escapes (the
+#: default); checked once per session so ordinary strings stay 0-RPC.
+_ESC_CHECKED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+
+
+def _assert_live_escapes() -> None:
+    """Fail loudly if ``spark.sql.parser.escapedStringLiterals`` is on:
+    under that conf the rendered ``\\\\`` stays two literal backslashes
+    (and ``\\'`` keeps its backslash), silently changing the value."""
+    s = SparkSession.getActiveSession()
+    if s is None or s in _ESC_CHECKED:
+        return
+    v = s.conf.get("spark.sql.parser.escapedStringLiterals", "false")
+    if str(v).lower() == "true":
+        raise RuntimeError(
+            "litfast.sql_string renders backslash/quote escapes, which "
+            "spark.sql.parser.escapedStringLiterals=true would parse as "
+            "literal characters; unset the conf or avoid the SQL-text "
+            "fast path for strings containing \\ or '"
+        )
+    _ESC_CHECKED.add(s)
+
+
 def sql_string(s: str) -> str:
     """Escaped SQL string literal (backslash escapes are live in Spark
-    SQL string literals by default)."""
+    SQL string literals by default; sessions running with
+    ``escapedStringLiterals=true`` are rejected loudly)."""
+    if "\\" in s or "'" in s:
+        _assert_live_escapes()
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def sql_ref(name: str) -> str:
+    """SQL text reference with ``F.col`` semantics: dots split the name
+    into parts (struct fields / alias qualifiers) and each part is
+    backtick-quoted, mirroring Spark's quoteIfNeeded over nameParts —
+    so ``'q.vec'`` renders ``` `q`.`vec` ```, not one opaque
+    identifier."""
+    return ".".join(
+        "`" + p.replace("`", "``") + "`" for p in name.split(".")
+    )
 
 _BIGINT_MIN = -(1 << 63)
 _BIGINT_MAX = (1 << 63) - 1

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from datagouv_tools_spark.functions.litfast import sql_ref
+
 __all__ = ["dot", "norm", "cosine", "normalize"]
 
 #: zip_with product with the double casts applied BEFORE accumulation —
@@ -39,14 +41,11 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
-def _quote(name: str) -> str:
-    return "`" + name.replace("`", "``") + "`"
-
-
 def _sql_ref(col: Column | str) -> str | None:
-    """Backtick-quoted SQL reference for a plain column name; None for
-    a Column object (not renderable as text)."""
-    return _quote(col) if isinstance(col, str) else None
+    """Backtick-quoted SQL reference for a plain column name (dotted
+    names split into parts, matching ``F.col``); None for a Column
+    object (not renderable as text)."""
+    return sql_ref(col) if isinstance(col, str) else None
 
 
 def _dot_sql(a: str, b: str) -> str:
@@ -97,9 +96,12 @@ def normalize(a: Column | str) -> Column:
     sa = _sql_ref(a)
     if sa is not None:
         n = f"sqrt({_dot_sql(sa, sa)})"
+        # `__nx` as the lambda variable: {n} re-references the column
+        # inside the lambda body, and SQL lambda variables capture by
+        # name — a vector column literally named `x` would be shadowed.
         return F.expr(
             f"CASE WHEN {n} > 0"
-            f" THEN transform({sa}, x -> CAST(x AS DOUBLE) / {n}) END"
+            f" THEN transform({sa}, __nx -> CAST(__nx AS DOUBLE) / {n}) END"
         )
     n = F.sqrt(_dot_cols(a, a))
     return F.when(n > 0, F.transform(_c(a), lambda x: x.cast("double") / n))

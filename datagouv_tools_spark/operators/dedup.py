@@ -503,17 +503,12 @@ def _cc_local(
     # in parallel (measured: 4-5 jobs -> 1, ~0.3-1.5 s per affected
     # query). Over the bound, tasks still short-circuit at the
     # per-partition LocalLimit, so the oversize probe stays one pass.
-    conf = pairs.sparkSession.conf
-    _key = "spark.sql.limit.initialNumPartitions"
-    _old = conf.get(_key, None)
-    conf.set(_key, str(1 << 30))
-    try:
+    # Lock-scoped override window (operators/onepass.py): concurrent
+    # probes cannot race the save/restore and leave 2^30 set globally.
+    from datagouv_tools_spark.operators.onepass import one_pass_limit
+
+    with one_pass_limit(pairs.sparkSession):
         tbl = sel.toArrow()
-    finally:
-        if _old is None:
-            conf.unset(_key)
-        else:
-            conf.set(_key, _old)
     if tbl.num_rows > max_edges:
         return None
     rows = list(zip(tbl.column(0).to_pylist(), tbl.column(1).to_pylist()))

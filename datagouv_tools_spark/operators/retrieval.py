@@ -54,6 +54,7 @@ B = 0.75
 
 from datagouv_tools_spark.functions.litfast import (
     sql_double as _sql_d,
+    sql_ref as _sql_ref,
     sql_string as _sql_str,
 )
 
@@ -76,7 +77,7 @@ def corpus_stats(
     if tokens_col:
         # one parsed expr per term instead of ~30 Column-op round-trips
         # (functions/litfast rationale); identical aggregate expressions
-        ts_sql = "`" + tokens_col.replace("`", "``") + "`"
+        ts_sql = _sql_ref(tokens_col)
         per_term = [
             F.expr(
                 f"sum(cast(array_contains({ts_sql}, {_sql_str(t)}) as long))"
@@ -139,7 +140,7 @@ def bm25_scores(
         # exact shortest-repr casts, and avgdl / (1-b) / idf folding
         # happens on identical IEEE doubles whether Python or Catalyst
         # evaluates the constant subtrees.
-        ts_sql = "`" + tokens_col.replace("`", "``") + "`"
+        ts_sql = _sql_ref(tokens_col)
         dl = f"CAST(size({ts_sql}) AS DOUBLE)"
         avgdl = float(tot) / float(n) if n else 1.0
         nrm = (

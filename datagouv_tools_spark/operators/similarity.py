@@ -125,17 +125,12 @@ def cosine_pairs_exact(
     # One job, not an incremental take (same rationale as dedup._cc_local):
     # the guard expects to fetch the whole bounded input, so the take's
     # 1 -> 4 -> 16 partition scaling only adds sequential job rounds.
-    _conf = df.sparkSession.conf
-    _key = "spark.sql.limit.initialNumPartitions"
-    _old = _conf.get(_key, None)
-    _conf.set(_key, str(1 << 30))
-    try:
+    # The override window is lock-scoped (operators/onepass.py) so
+    # concurrent probes cannot race the save/restore.
+    from datagouv_tools_spark.operators.onepass import one_pass_limit
+
+    with one_pass_limit(df.sparkSession):
         rows = df.select(id_col, vec_col).limit(max_rows + 1).collect()
-    finally:
-        if _old is None:
-            _conf.unset(_key)
-        else:
-            _conf.set(_key, _old)
     if len(rows) > max_rows:
         raise ValueError(
             f"cosine_pairs_exact collects its input to the driver and is "

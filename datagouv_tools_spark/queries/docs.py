@@ -3837,7 +3837,7 @@ def doc_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair pipeline once per threshold (same reasoning as the r11
     # union-of-selects -> explode rewrites). Identical three rows out.
     truth = F.col("ix") * 1000 >= F.col("thr_mille") * F.col("un")
-    return (
+    agg = (
         pairs.select(
             "ix",
             "un",
@@ -3846,13 +3846,30 @@ def doc_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("thr_mille")
         .agg(
-            F.lit(n_cand).cast("bigint").alias("n_cand"),
             F.sum(F.when(truth, 1).otherwise(0))
             .cast("bigint")
             .alias("n_truth"),
             F.sum(F.when(truth, F.col("in_cand")).otherwise(0))
             .cast("bigint")
             .alias("tp"),
+        )
+    )
+    # Left join from a literal 3-row thresholds frame: the pre-r11
+    # union-of-aggregates form emitted one row per threshold even on an
+    # EMPTY pair set (a global aggregate always yields a row); the
+    # explode+groupBy rewrite alone would return zero rows there. The
+    # guaranteed-row join restores that contract; on non-empty input
+    # the agg has exactly these three keys, so rows are identical.
+    thrs = spark.range(1).select(
+        F.explode(F.expr("array(300L, 500L, 700L)")).alias("thr_mille")
+    )
+    return (
+        thrs.join(agg, "thr_mille", "left")
+        .select(
+            "thr_mille",
+            F.lit(n_cand).cast("bigint").alias("n_cand"),
+            F.coalesce("n_truth", F.lit(0).cast("bigint")).alias("n_truth"),
+            F.coalesce("tp", F.lit(0).cast("bigint")).alias("tp"),
         )
         .select(
             "thr_mille",
