@@ -259,12 +259,21 @@ def main() -> None:
     from datagouv_tools_spark.session import get_spark
     from datagouv_tools_spark.queries import QUERIES
 
+    # Opt-in subset for harness tests (the driver never sets this): the
+    # stdout-contract test needs a real end-to-end run without paying
+    # for all 244 queries.
+    full_registry = QUERIES
+    subset_env = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if subset_env:
+        want = {s.strip() for s in subset_env.split(",") if s.strip()}
+        QUERIES = {n: f for n, f in QUERIES.items() if n in want}
+
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warmup: touch every table & exercise codegen once; the timing is
     # discarded so JVM start is excluded from all measurements.
-    QUERIES["q1_pricing_summary"](spark, sf_dir).collect()
+    full_registry["q1_pricing_summary"](spark, sf_dir).collect()
     # Streaming-engine warmup: the FIRST streaming query in a session
     # pays ~2-3 s of one-time micro-batch-engine class loading (r7
     # profile: identical query 4.1 s cold → 0.85 s warm). Run one
@@ -346,7 +355,6 @@ def main() -> None:
         },
         "sf": sf,
     }
-    print(json.dumps(payload))
     # The driver's BENCH_r{N}.json keeps only the tail of stdout, which
     # truncates the first ~50 per-query entries out of the stored
     # record; a sidecar file preserves every row so rounds can be
@@ -355,6 +363,14 @@ def main() -> None:
     with open(full_path, "w") as fh:
         json.dump(payload, fh, indent=1, sort_keys=True)
     spark.stop()
+    # Output contract (VERDICT r11 "what's wrong" #2): the JSON line is
+    # the LAST thing this process prints to stdout — after the sidecar
+    # write and after spark.stop(), so no shutdown chatter or warning
+    # can land below it and break the driver's tail-parse.
+    import sys as _s
+
+    print(json.dumps(payload))
+    _s.stdout.flush()
 
 
 if __name__ == "__main__":

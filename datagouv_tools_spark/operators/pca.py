@@ -4,7 +4,8 @@ embedding corpus, distributed and value-hash-exact.
 Float power iteration is doubly order-dependent (dot products AND the
 Gram accumulation are partition-order float sums), so this runs in
 INTEGER arithmetic end to end: embeddings quantize to milli units
-(`ROUND(x*1000)`, identical in both engines), each iteration is
+(`ROUND(x*1000)`, identical in both engines). Mathematically each
+iteration is
 
     dot_i = Σ_d  x_{i,d} · v_d           (per-vector projection)
     u_d   = Σ_i  x_{i,d} · dot_i         (Gram-vector product, X'Xv)
@@ -17,13 +18,21 @@ truncates toward zero like Spark's `div`, but Python's `//` FLOORS —
 operating on |u| makes all three truncate identically (and defends
 against any engine that floors).
 
-Scale: each iteration is two shuffles — (vec_id) for the projections,
-(dim) for the Gram product — both map-side-combined; the 64-value
-rank-1 state crosses the driver between rounds (the bounded-driver
-pattern shared with the BPE winner collect). int64 headroom: with
-|x|≤0.53 (milli ≤ 530), dim 64 and v ≤ 1000, |u| ≤ 530·3.4e7·n — safe
-to n ≈ 5e5 vectors; beyond that drop the quantization to centi units
-or tree-aggregate in 128-bit pieces.
+Execution fuses the k distributed rounds into ONE pass (guide §2.4/§5):
+u = X'(Xv) = (X'X)v, and the d×d Gram matrix G = X'X does not depend on
+v — so G is computed distributed ONCE (upper triangle, one map-side-
+combined aggregation over per-row pair products; d(d+1)/2 ≈ 2k rows
+ever shuffle) and the k rounds become O(d²) exact-integer driver math.
+Integer addition is associative, so regrouping Σ_i x_{i,d}(Σ_e x_{i,e}
+v_e) into Σ_e G[d,e]·v_e is bit-identical to the per-round distributed
+form (test-pinned). Versus k rounds × (broadcast join + two shuffles +
+a collect), this is one job at any corpus size.
+
+int64 headroom: with |x|≤0.53 (milli ≤ 530), G entries |G| ≤ 530²·n —
+safe to n ≈ 3e13 vectors; u is computed in Python (arbitrary
+precision), so the engine-side bound is G alone. Beyond that drop the
+quantization to centi units. The d² per-row expansion assumes bounded
+embedding dim (64 here); it is the d ≪ n regime of the PCA primitive.
 """
 
 from __future__ import annotations
@@ -41,42 +50,52 @@ def power_iteration_milli(
     Returns (v_milli list of length ``dim``, max|u| of the final
     round).
     """
-    spark = emb.sparkSession
-    q = emb.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "xf")
-    ).select(
-        "vec_id",
-        (F.col("pos") + 1).alias("i"),
-        F.round(F.col("xf").cast("double") * 1000, 0)
-        .cast("bigint")
-        .alias("x"),
-    ).persist()
-    q.count()
+    from datagouv_tools_spark.operators.skew import fan_out_narrow_scan
+
+    # One distributed pass: per-row upper-triangle pair products of the
+    # milli-quantized vector, map-side-aggregated to d(d+1)/2 Gram
+    # cells. try_element_at: a short array contributes NULL (skipped by
+    # sum) for its missing dims, matching the posexplode form where a
+    # missing dim simply had no rows.
+    tri = (
+        fan_out_narrow_scan(emb.select("embedding"))
+        .select(
+            F.expr(
+                "transform(embedding, __pe ->"
+                " cast(round(cast(__pe as double) * 1000, 0) as bigint))"
+            ).alias("xm")
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(1, {dim}), __pi ->"
+                    f" transform(sequence(__pi, {dim}), __pj ->"
+                    " struct(__pi as i, __pj as j,"
+                    " try_element_at(xm, __pi)"
+                    " * try_element_at(xm, __pj) as p))))"
+                )
+            ).alias("c")
+        )
+        .select("c.i", "c.j", "c.p")
+    )
+    g_rows = tri.groupBy("i", "j").agg(F.sum("p").alias("g")).collect()
+    gram = [[0] * dim for _ in range(dim)]
+    for r in g_rows:
+        g = int(r["g"]) if r["g"] is not None else 0
+        gram[r["i"] - 1][r["j"] - 1] = g
+        gram[r["j"] - 1][r["i"] - 1] = g
+
     v = [1000] * dim
     mx = 1000
     for _ in range(iters):
-        vdf = spark.createDataFrame(
-            [(i + 1, v[i]) for i in range(dim)], "i int, v long"
-        )
-        dot = (
-            q.join(F.broadcast(vdf), "i")
-            .groupBy("vec_id")
-            .agg(F.sum(F.col("x") * F.col("v")).cast("bigint").alias("dot"))
-        )
-        u_rows = (
-            q.join(dot, "vec_id")
-            .groupBy("i")
-            .agg(F.sum(F.col("x") * F.col("dot")).cast("bigint").alias("u"))
-            .collect()
-        )
-        u = {r.i: r.u for r in u_rows}
-        mx = max(abs(u.get(i + 1, 0)) for i in range(dim))
-        v = [
-            (1 if u.get(i + 1, 0) >= 0 else -1)
-            * ((abs(u.get(i + 1, 0)) * 1000) // mx)
-            for i in range(dim)
+        u = [
+            sum(gram[d][e] * v[e] for e in range(dim)) for d in range(dim)
         ]
-    q.unpersist()
+        mx = max(abs(x) for x in u)
+        v = [
+            (1 if u[d] >= 0 else -1) * ((abs(u[d]) * 1000) // mx)
+            for d in range(dim)
+        ]
     return v, mx
 
 

@@ -692,16 +692,16 @@ def _power_iteration_oracle() -> str:
 def emb_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dominant principal direction of the embedding corpus by THREE
     fixed-point power-iteration rounds (operators/pca.py): integer
-    milli quantization, two map-side-combined shuffles per round
-    (per-vector projection, then the Gram-vector product), L∞
-    normalization with sign-magnitude division so negative components
-    divide identically cross-engine. The distributed eigen-solve is
-    value-hash-checked bit for bit — the 'PCA over 100 TB of
-    embeddings' primitive with an exact oracle.
+    milli quantization, L∞ normalization with sign-magnitude division
+    so negative components divide identically cross-engine. The
+    distributed eigen-solve is value-hash-checked bit for bit — the
+    'PCA over 100 TB of embeddings' primitive with an exact oracle.
 
-    Scale: never materializes the 64×64 Gram matrix — each round is
-    X'(Xv) at |rows|·dim cost; only the 64-value state crosses the
-    driver between rounds."""
+    Scale: the 64×64 integer Gram matrix is computed distributed ONCE
+    (one map-side-combined aggregation; 2,080 upper-triangle cells ever
+    shuffle) and the three rounds are exact O(d²) driver math — one job
+    instead of rounds × (join + two shuffles + collect), identical
+    values because integer addition regroups exactly."""
     from datagouv_tools_spark.operators.pca import power_iteration_milli
 
     emb = t(spark, sf_dir, "embeddings")

@@ -46,3 +46,37 @@ def test_ab_self_compare_shape(tmp_path):
     # the stdout contract: exactly one JSON line on the last line
     last = res.stdout.strip().splitlines()[-1]
     assert json.loads(last)["metric"] == "ab_compare"
+
+
+def test_bench_main_stdout_ends_with_one_json_line(tmp_path):
+    """The driver parses bench output from the LAST line of stdout
+    (BENCH_r10.json was lost to a tail-parse failure): run the real
+    bench main end-to-end on a tiny subset and pin that the final
+    stdout line is the payload JSON with the contract keys, and that
+    nothing prints after it."""
+    full = tmp_path / "bench_full.json"
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_BENCH_QUERIES=(
+            "q6_forecast_revenue,events_stream_user_totals"
+        ),
+        SPARK_GRAFT_BENCH_FULL=str(full),
+    )
+    res = subprocess.run(
+        [sys.executable, "bench.py"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=420,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    lines = res.stdout.strip().splitlines()
+    payload = json.loads(lines[-1])  # last line IS the JSON record
+    for key in ("metric", "value", "unit", "queries", "sf"):
+        assert key in payload, key
+    assert payload["metric"] == "query_suite_total"
+    assert payload["unit"] == "sec"
+    assert set(payload["queries"]) == {
+        "q6_forecast_revenue", "events_stream_user_totals"
+    }
+    assert payload["sf"] == 0.001
+    # sidecar written and identical to the printed payload
+    assert json.loads(full.read_text()) == payload

@@ -37,6 +37,38 @@ def test_recovers_dominant_direction(spark):
     assert cos >= 0.99, cos
 
 
+def test_gram_fusion_matches_per_round_reference(spark):
+    """The one-pass Gram form must equal the per-round distributed form
+    BIT FOR BIT — integer addition regroups exactly, so v and mx match
+    a Python-int reference that mirrors the old round structure
+    (dot = Xv per vector, then u = X'dot) without ever forming G."""
+    rng = np.random.default_rng(11)
+    d, n = 6, 120
+    x = rng.normal(0, 0.25, size=(n, d)).clip(-0.52, 0.52)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<float>",
+    )
+    iters = 3
+    got_v, got_mx = power_iteration_milli(emb, iters=iters, dim=d)
+
+    # reference: per-round u = X'(Xv) in exact Python ints
+    q = [[int(v) for v in row] for row in np.round(x * 1000)]
+    ref_v, ref_mx = [1000] * d, 1000
+    for _ in range(iters):
+        dots = [sum(row[e] * ref_v[e] for e in range(d)) for row in q]
+        u = [
+            sum(q[i][dd] * dots[i] for i in range(n)) for dd in range(d)
+        ]
+        ref_mx = max(abs(val) for val in u)
+        ref_v = [
+            (1 if u[dd] >= 0 else -1) * ((abs(u[dd]) * 1000) // ref_mx)
+            for dd in range(d)
+        ]
+    assert got_v == ref_v
+    assert got_mx == ref_mx
+
+
 def test_linf_normalization_bounds(spark):
     """After each round the iterate is L∞-normalized: max |v| == 1000
     exactly, all components within ±1000."""

@@ -3,7 +3,7 @@
 Usage: python tools/snapplan.py <tag> <query> [query ...]
        python tools/snapplan.py <tag> --all
 
-Writes plans/r11/<query>_<tag>.txt (the optimization-round evidence the
+Writes plans/$SPARK_GRAFT_PLANS_SUBDIR (default r12)/<query>_<tag>.txt (the optimization-round evidence the
 judge checks plan claims against). Building a query DataFrame may run
 bounded driver-side jobs (iterative inits); the snapshot itself never
 executes the plan.
@@ -24,7 +24,7 @@ def main() -> int:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r11",
+        os.environ.get("SPARK_GRAFT_PLANS_SUBDIR", "r12"),
     )
     os.makedirs(out_dir, exist_ok=True)
 
