@@ -274,6 +274,129 @@ def cosine_pairs_blocked(
     )
 
 
+def cosine_knn_blocked(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_to: int = 6,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact k-NN edges of the all-pairs cosine graph, DISTRIBUTED —
+    (query_id, vec_id, sim) for each vector's k most similar others,
+    ties broken (sim desc, vec_id asc), zero-norm vectors and NaN sims
+    excluded on both sides, exactly as a full directed pair list +
+    row_number ≤ k would produce.
+
+    Same block-matrix decomposition as :func:`cosine_pairs_blocked`,
+    but the per-group kernel emits only each row's TOP-k WITHIN the
+    group (stable argsort over id-ascending columns — exact ties), so
+    kernel output is O(n·B·k) rows instead of the O(n²) pair stream;
+    a bounded global window (≤ B·k candidates per query) merges the
+    per-group lists — the standard exact top-k merge. The O(n²) BLAS
+    multiply is inherent to exactness; what collapses is everything
+    downstream of it: Arrow transfer, shuffle, and the corpus-sized
+    row_number window. (Measured at sf1: the pair-stream + union +
+    window form spent its time moving 2×n²/2 rows, not in the matmul.)
+    """
+    import numpy as np
+    import pandas as pd
+
+    base = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+    ).withColumn(
+        "__blk", F.pmod(F.xxhash64(F.col("__id")), F.lit(n_blocks)).cast("int")
+    )
+    groups = F.transform(
+        F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+        lambda x: F.struct(
+            F.least(F.col("__blk"), x).alias("gi"),
+            F.greatest(F.col("__blk"), x).alias("gj"),
+        ),
+    )
+    exploded = base.withColumn("__g", F.explode(groups)).select(
+        F.col("__g.gi").alias("__gi"), F.col("__g.gj").alias("__gj"),
+        "__id", "__vec", "__blk",
+    )
+    scale = 10.0**round_to
+
+    def _topk_dir(q_ids, sims, c_ids, out):
+        """Per-row top-k of `sims` (queries × candidates); c_ids must
+        be ascending so the stable sort breaks sim ties by id."""
+        import numpy as np
+
+        if sims.shape[0] == 0 or sims.shape[1] == 0:
+            return
+        kk = min(k, sims.shape[1])
+        # NaN marks invalid (zero norm / self); ascending sort of -sim
+        # puts NaN last, stable keeps id-asc order within equal sims
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        top = np.take_along_axis(sims, order, axis=1)
+        valid = np.isfinite(top)
+        qq, pos = np.nonzero(valid)
+        out.append(
+            (q_ids[qq], c_ids[order[qq, pos]], top[qq, pos])
+        )
+
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        gi, gj = int(key[0]), int(key[1])
+        ids = pdf["__id"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["__vec"]), dtype=np.float64)
+        blks = pdf["__blk"].to_numpy()
+        # id-ascending layout so stable argsort == (sim desc, id asc)
+        o = np.argsort(ids, kind="stable")
+        ids, mat, blks = ids[o], mat[o], blks[o]
+        with np.errstate(invalid="ignore"):
+            norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+        empty = pd.DataFrame(
+            {"query_id": [], "vec_id": [], "sim": []}
+        ).astype({"query_id": "int64", "vec_id": "int64", "sim": "float64"})
+        if gi == gj:
+            la = lb = np.arange(len(ids))
+        else:
+            la, lb = np.nonzero(blks == gi)[0], np.nonzero(blks == gj)[0]
+        if len(la) == 0 or len(lb) == 0:
+            return empty
+        a_ids, b_ids = ids[la], ids[lb]
+        denom = np.outer(norms[la], norms[lb])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = (mat[la] @ mat[lb].T) / denom
+        # round half away from zero, as cosine_pairs_blocked
+        sims = np.where(
+            np.isfinite(sims) & (denom > 0),
+            np.trunc(np.abs(sims) * scale + 0.5) / scale * np.sign(sims),
+            np.nan,
+        )
+        if gi == gj:
+            np.fill_diagonal(sims, np.nan)  # no self-neighbor
+        out: list = []
+        _topk_dir(a_ids, sims, b_ids, out)
+        if gi != gj:
+            _topk_dir(b_ids, np.ascontiguousarray(sims.T), a_ids, out)
+        if not out:
+            return empty
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate([t[0] for t in out]),
+                "vec_id": np.concatenate([t[1] for t in out]),
+                "sim": np.concatenate([t[2] for t in out]),
+            }
+        )
+
+    cand = exploded.groupBy("__gi", "__gj").applyInPandas(
+        kernel, "query_id bigint, vec_id bigint, sim double"
+    )
+    # global exact merge: ≤ n_blocks·k candidates per query
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        cand.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (no numpy dependency in
     the executor path — plain splitmix64 gaussian-ish values suffice

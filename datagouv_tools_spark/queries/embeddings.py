@@ -2130,44 +2130,20 @@ def emb_hubness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the all-pairs 5-NN here is the audit-slice form; production
     computes neighbor lists with the ANN index (same output contract)
     and the in-degree histogram stays a two-aggregation reduction."""
-    from pyspark.sql.window import Window
-
     from datagouv_tools_spark.operators.similarity import (
-        cosine_pairs_blocked,
+        cosine_knn_blocked,
     )
 
     emb = t(spark, sf_dir, "embeddings")
-    # all-pairs sims via the distributed block-matrix kernel (one BLAS
-    # matmul per block pair — the per-query broadcast kernel costs
-    # minutes when EVERY vector is a query), then a per-query top-5
-    # window over the directed pair list
-    pairs = cosine_pairs_blocked(
-        emb, "vec_id", "embedding", threshold=-1.0
-    )
-    # NOTE(r11): an explode-both-directions rewrite of this union was
-    # measured 1.32x SLOWER interleaved. Unlike the token-graph edge
-    # builds (where the union branches re-ran shuffles), here the
-    # duplicated work is the vectorized BLAS kernel — cheap per row —
-    # while the explode pays an array+struct allocation on EVERY row
-    # of the all-pairs stream, which dominates at threshold=-1.0
-    # cardinality. Union kept deliberately.
-    directed = pairs.select(
-        F.col("id_a").alias("query_id"), F.col("id_b").alias("vec_id"), "sim"
-    ).unionByName(
-        pairs.select(
-            F.col("id_b").alias("query_id"),
-            F.col("id_a").alias("vec_id"),
-            "sim",
-        )
-    )
-    w5 = Window.partitionBy("query_id").orderBy(
-        F.desc("sim"), F.asc("vec_id")
-    )
-    knn = (
-        directed.withColumn("rk", F.row_number().over(w5))
-        .filter(F.col("rk") <= 5)
-        .select("vec_id")
-    )
+    # exact 5-NN via the blocked top-k kernel: the O(n²) BLAS multiply
+    # is inherent, but only O(n·B·k) candidate rows ever leave a task —
+    # r11 kept a full pair stream + both-directions union + corpus
+    # window here (the union alone re-ran the all-pairs kernel twice);
+    # at sf0.1 that was job-floor noise, at sf1 it was 100% of a 78 s
+    # query (BENCH_SF1), which is the shape 100 TB amplifies.
+    knn = cosine_knn_blocked(
+        emb, "vec_id", "embedding", k=5
+    ).select("vec_id")
     indeg = (
         emb.select("vec_id")
         .join(

@@ -2550,3 +2550,56 @@ class TestGifAnimated:
         assert np.array_equal(f_seq, f_ilc)
         # the hole shows the base canvas through the patch
         assert np.array_equal(f_ilc[1][2 + 1, 3 + 2], base[3, 5])
+
+
+def test_cosine_knn_blocked_matches_pairstream_window(spark):
+    """The blocked top-k kernel must equal the reference form it
+    replaced (full directed pair stream + row_number ≤ k window):
+    identical (query_id, vec_id, sim) sets, including sim ties broken
+    by vec_id asc, duplicate-vector ties, a zero-norm vector excluded
+    from BOTH sides, and every n_blocks decomposition."""
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from datagouv_tools_spark.operators.similarity import (
+        cosine_knn_blocked,
+        cosine_pairs_blocked,
+    )
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(0, 0.3, size=(40, 8)).round(2)
+    vecs[7] = vecs[3]          # exact duplicate → sim ties
+    vecs[11] = 0.0             # zero norm → excluded entirely
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = cosine_pairs_blocked(
+        emb, "vec_id", "embedding", threshold=-1.0
+    )
+    directed = pairs.select(
+        F.col("id_a").alias("query_id"), F.col("id_b").alias("vec_id"), "sim"
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("query_id"),
+            F.col("id_a").alias("vec_id"),
+            "sim",
+        )
+    )
+    w5 = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    ref = {
+        (r["query_id"], r["vec_id"], r["sim"])
+        for r in directed.withColumn("rk", F.row_number().over(w5))
+        .filter(F.col("rk") <= 5)
+        .collect()
+    }
+    for n_blocks in (1, 3, 8):
+        got = {
+            (r["query_id"], r["vec_id"], r["sim"])
+            for r in cosine_knn_blocked(
+                emb, "vec_id", "embedding", k=5, n_blocks=n_blocks
+            ).collect()
+        }
+        assert got == ref, f"mismatch at n_blocks={n_blocks}"
+    assert not any(q == 11 or v == 11 for q, v, _ in ref)
