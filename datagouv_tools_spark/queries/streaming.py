@@ -236,13 +236,16 @@ def doc_scrub_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(f"{src}/*")
     )
-    # n_buckets sizes the store layout only (semantics unchanged):
-    # 8 fits this replay's segment volume — a production store sizes
-    # buckets so each partition dir stays an executor-friendly unit,
-    # growing the count with corpus volume
+    # n_buckets sizes the store layout only (semantics unchanged): a
+    # production store sizes buckets so each partition dir stays an
+    # executor-friendly unit, growing the count with corpus volume.
+    # 2 right-sizes this replay's ~2.5k-segment batches — 8 dirs per
+    # batch paid 4x the dynamic-overwrite commit protocol for
+    # kilobyte files (guide §6 small-files; streamprof r12 measured
+    # the store write 0.95 s/batch at 8 buckets vs 0.68 s at 2).
     q = stream_scrub(
         stream, f"{tmp}/store", f"{tmp}/out", f"{tmp}/ckpt", seg_len=8,
-        n_buckets=8,
+        n_buckets=2,
     )
     q.awaitTermination()
     out = spark.read.parquet(f"{tmp}/out").select(

@@ -101,12 +101,18 @@ def scrub_gate_batch(
     from datagouv_tools_spark.streaming.util import fan_out_batch
 
     batch = fan_out_batch(batch)
-    # materialize the segmentation ONCE: three separate actions consume
+    # materialize the segmentation ONCE: several actions consume
     # `marks` (touched-bucket collect, cleaned-output write, store
     # merge) and would otherwise each re-run the md5/xxhash tokenize+
     # segment pass over the batch — measured 3× the gate's per-batch
-    # cost. Bounded by micro-batch size, the same contract as the
-    # store-merge checkpoint below.
+    # cost. The checkpoint is LAZY and the touched-bucket collect just
+    # below is what materializes it: the streamprof r12 per-batch
+    # profile showed the eager-checkpoint job's output being re-scanned
+    # immediately by the collect (or the first-batch isEmpty probe) —
+    # one job now does both (its map stage computes and caches every
+    # marks partition; only tiny bucket ids shuffle). Bounded by
+    # micro-batch size, the same contract as the store-merge
+    # checkpoint below.
     marks = (
         segment_dedup_marks(
             batch, id_col, text_col, seg_len=seg_len,
@@ -115,22 +121,17 @@ def scrub_gate_batch(
             fan_out_input=False,
         )
         .withColumn("__bucket", _bucket("seg_hash", n_buckets))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     jpath = spark._jvm.org.apache.hadoop.fs.Path(store_path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     store_exists = fs.exists(jpath)
-    # the touched-bucket list only prunes reads OF THE STORE — when the
-    # store doesn't exist yet (first batch) skip the distinct+collect
-    # job and use the cheaper any-rows probe for the empty-batch guard
-    if store_exists:
-        touched = [
-            r["__bucket"]
-            for r in marks.select("__bucket").distinct().collect()
-        ]
-        if not touched:
-            return
-    elif marks.isEmpty():
+    # ≤ n_buckets values; doubles as the empty-batch guard on every
+    # path (the first batch previously ran a separate isEmpty probe)
+    touched = [
+        r["__bucket"] for r in marks.select("__bucket").distinct().collect()
+    ]
+    if not touched:
         return
     if store_exists:
         known = (
